@@ -1,0 +1,94 @@
+"""Catalog: named datasets over parquet directories.
+
+The reference's entity model names every dataset and routes queries to
+it (/root/reference core/mldb_entity.h, core/dataset.h); here a
+dataset is a parquet-backed DataFrame registered as a temp view so
+both the DataFrame API and spark.sql() see the same names.
+
+At 100 TB the same Catalog points at partitioned parquet/Delta table
+roots; nothing in this class materializes data — `table()` returns a
+lazy scan that Catalyst prunes (column projection + predicate
+pushdown reach the parquet reader).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcastable in joins. At sf100k
+# (100 TB) region/nation/supplier/part remain << broadcast threshold
+# relative to fact tables; customer may not — it is deliberately NOT
+# in this set.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        self.spark = spark
+        self.root = root or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        """Lazy parquet scan for a named dataset."""
+        if name not in self._cache:
+            self._cache[name] = load(self.spark, self.root, name)
+        return self._cache[name]
+
+    def register_all(self, tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
+        """Register every known table as a temp view for spark.sql()."""
+        for name in tables:
+            try:
+                self.table(name).createOrReplaceTempView(name)
+            except Exception:  # table absent in this sf dir — open catalog
+                pass
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs this engine depends on, set defensively because
+    the harness may hand us a session built elsewhere:
+
+    - nanosAsLong: the events table stores TIMESTAMP(NANOS), which
+      the Spark parquet reader rejects outright; with the legacy conf
+      it surfaces as LongType nanos that `load` converts back to a
+      proper timestamp column (micros).
+    - UTC session timezone: reference timestamps are timezone-less
+      UTC instants (TypeSystem.md:25-27) and the duckdb oracle reads
+      parquet as UTC-naive.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One-shot loader used by query entry points (driver contract).
+
+    Normalizes nanosecond-precision timestamp columns (read as long
+    under nanosAsLong) back to TimestampType at microsecond
+    precision — a metadata-only projection, nothing materializes.
+    """
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer `div`, not `/`: ns-since-epoch (~1.7e18) exceeds
+        # double mantissa precision, float division would round off µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

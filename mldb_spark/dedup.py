@@ -1,0 +1,216 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its nearest capability is the
+embedding dataset's KNN, plugins/embedding/embedding.cc); these are
+the standard web-scale text-dedup algorithms expressed as shuffle-
+conscious DataFrame plans.
+
+Design for 100 TB:
+- exact dedup: one hash-groupBy shuffle on a 32-byte fingerprint;
+- minhash LSH: per-doc signatures are computed in a single explode +
+  groupBy pass, band keys bucket candidates so the pair join is
+  |bucket|^2 per bucket instead of |corpus|^2 globally;
+- hashes are md5-derived (engine-portable) so a SQL oracle can replay
+  the whole pipeline bit-for-bit — and md5 stays stable across Spark
+  versions/executors, unlike JVM Random-seeded generators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mldb_spark.functions.text import doc_fingerprint, tokenize
+
+
+def exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents.
+
+    Returns (fingerprint, dup_count, keep_id, dup_ids) for groups with
+    >1 member; keep_id = min id (the canonical survivor).
+    """
+    return (
+        docs.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep one doc (min id) per content fingerprint. Single shuffle."""
+    return (
+        docs.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+        .withColumn("__keep", F.min(id_col).over(Window.partitionBy("__fp")))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document MinHash signature over the token set.
+
+    Hash family h_i(tok) = md5(i || ':' || tok) compared as strings —
+    a lexicographic min over md5 values is a uniform min-hash and is
+    reproducible in any engine with md5(). One explode + one groupBy
+    (single shuffle on doc id); signature width is a column count,
+    not a row count, so num_hashes doesn't change the shuffle volume
+    materially.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs.
+
+    Signature of num_hashes minhashes split into `bands` bands of
+    r = num_hashes/bands rows; docs sharing any band key become
+    candidates (self-join per band key — the LSH trick that avoids
+    the quadratic all-pairs join); candidate pairs are scored by the
+    fraction of agreeing minhashes (estimated Jaccard) and kept at >=
+    threshold. Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    sig = minhash_signatures(docs, num_hashes, id_col, text_col)
+    r = num_hashes // bands
+    band_cols = [
+        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * r + j}") for j in range(r)])).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    sig = sig.select(F.col(id_col), *[F.col(f"mh{i}") for i in range(num_hashes)], *band_cols)
+
+    pairs = None
+    for b in range(bands):
+        a = sig.select(
+            F.col(f"band{b}").alias("bk"),
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+        )
+        bb = sig.select(
+            F.col(f"band{b}").alias("bk"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+        )
+        cand = a.join(bb, "bk").filter(F.col("id_a") < F.col("id_b"))
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
+    )
+    return (
+        pairs.select("id_a", "id_b", (matches / F.lit(float(num_hashes))).alias("est_jaccard"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs, blocked by a
+    grouping column to bound the quadratic join (at scale the block
+    key is an LSH band or a shard key, never the whole corpus)."""
+    t = docs.select(
+        F.col(id_col),
+        F.col(block_col).alias("__blk"),
+        F.array_distinct(tokenize(F.col(text_col))).alias("toks"),
+    )
+    a = t.select(F.col("__blk"), F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
+    b = t.select(F.col("__blk"), F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("double")
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b"))).cast("double")
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from token xxhash64 bit votes.
+
+    Per-token 64-bit hash; each bit votes +1/-1 weighted by token
+    count; sign of the per-bit sum forms the fingerprint. Stays in
+    JVM expressions: the 64 bit-sums are computed with shiftright/
+    bitwise-and inside one aggregate over the exploded tokens —
+    one shuffle on doc id. (xxhash64 is Spark-specific, so this op
+    is verified by invariants rather than a cross-engine oracle.)
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = sum(
+        F.when(F.col(f"bit{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    )
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit quarters (a pair within
+    hamming distance <= 48/16 must share at least one quarter for
+    max_hamming <= 3 per the pigeonhole principle; with 4 blocks any
+    pair with <=3 differing quarters collides). Practical fast path
+    for near-exact template dedup."""
+    sh = simhash64(docs, id_col, text_col)
+    blocks = [
+        F.shiftright(F.col("simhash"), 16 * q).bitwiseAND(F.lit(0xFFFF)).alias(f"q{q}")
+        for q in range(4)
+    ]
+    sh = sh.select(F.col(id_col), F.col("simhash"), *blocks)
+    pairs = None
+    for q in range(4):
+        a = sh.select(F.col(f"q{q}").alias("bk"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+        b = sh.select(F.col(f"q{q}").alias("bk"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+        cand = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,106 @@
+"""Core scalar functions from the reference's builtin library.
+
+Reference: /root/reference sql/builtin_functions.cc (math/statistics
+families, registration sites cited per function). All are pure Column
+expressions — they inline into whole-stage codegen, nothing crosses
+into Python at execution time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def quantize(x: Column, step: Column | float) -> Column:
+    """Round x to the nearest multiple of step.
+
+    Reference: quantize, sql/builtin_functions.cc:3133 region.
+    """
+    step = F.lit(step) if not isinstance(step, Column) else step
+    return F.round(x / step) * step
+
+
+def clamp(x: Column, lo: Column | float, hi: Column | float) -> Column:
+    """Clamp x into [lo, hi]; NULL bounds leave that side open.
+
+    Reference: clamp, sql/builtin_functions.cc:3133.
+    """
+    lo = F.lit(lo) if not isinstance(lo, Column) else lo
+    hi = F.lit(hi) if not isinstance(hi, Column) else hi
+    return F.least(F.greatest(x, lo), hi)
+
+
+def replace_not_finite(x: Column, repl: Column | float) -> Column:
+    """Replace NaN/inf with repl (reference replace_not_finite)."""
+    repl = F.lit(repl) if not isinstance(repl, Column) else repl
+    return F.when(F.isnan(x) | x.isin(float("inf"), float("-inf")), repl).otherwise(x)
+
+
+def binomial_lb_80(trials: Column, successes: Column) -> Column:
+    """Wilson score 80% lower bound on a binomial proportion.
+
+    Reference: binomial_lb_80, sql/builtin_functions.cc:946. z for 80%
+    two-sided = 1.281551565545.
+    """
+    return _wilson(trials, successes, lower=True)
+
+
+def binomial_ub_80(trials: Column, successes: Column) -> Column:
+    """Wilson score 80% upper bound (sql/builtin_functions.cc:947)."""
+    return _wilson(trials, successes, lower=False)
+
+
+def _wilson(n: Column, k: Column, lower: bool) -> Column:
+    z = F.lit(1.281551565545)
+    p = k / n
+    denom = F.lit(1.0) + z * z / n
+    center = p + z * z / (F.lit(2.0) * n)
+    margin = z * F.sqrt(p * (F.lit(1.0) - p) / n + z * z / (F.lit(4.0) * n * n))
+    return (center - margin) / denom if lower else (center + margin) / denom
+
+
+def jaccard_index(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two array columns as sets.
+
+    Reference: jaccard_index, sql/builtin_functions.cc:1337 (operates
+    on rows-as-sets; here the Spark-native form takes arrays).
+    """
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def geo_distance(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Haversine distance in meters.
+
+    Reference: geo_distance, sql/builtin_geo_functions.cc (286 LoC file).
+    """
+    r = F.lit(6371000.0)
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return r * F.lit(2.0) * F.asin(F.sqrt(a))
+
+
+def row_hash(key: Column) -> Column:
+    """Deterministic 64-bit row hash.
+
+    Reference: rowHash() pseudo-column (doc ValueExpression.md
+    §Dataset-provided functions) used for stable sampling and implicit
+    ORDER BY tiebreaks (core/bound_queries.cc:1139-1142). xxhash64 is
+    Spark-native and stable across partitions/executors; for
+    cross-engine (duckdb-oracle) parity use the md5-based variant
+    below instead.
+    """
+    return F.xxhash64(key)
+
+
+def row_hash_portable(key: Column) -> Column:
+    """Engine-portable deterministic hash: first 15 hex digits of
+    md5(cast(key as string)) as a BIGINT. Identical SQL exists in any
+    engine with md5(), which makes it oracle-checkable."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")

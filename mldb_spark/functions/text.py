@@ -1,0 +1,136 @@
+"""Text-analysis scalar functions.
+
+Covers the reference's tokenize family (/root/reference
+sql/tokenize.cc, 411 LoC; registrations sql/builtin_functions.cc:1915
+tokenize, :1956 token_extract, :1991 split_part) plus the
+training-data-pipeline text metrics (language ID, quality scoring,
+token counting, fingerprinting) that go beyond the reference surface.
+
+Everything is a pure Column expression (JVM-side, codegen-friendly):
+tokenization is regex split, language ID is a stopword-hit argmax,
+fingerprints are md5 — all deliberately expressible in any SQL engine
+so the duckdb oracle can replay them verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny deterministic stopword inventories per language. These drive
+# the language_id heuristic; at scale you would swap in a trained
+# n-gram model via pandas_udf, but the argmax plumbing is identical.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es": ("el", "la", "de", "y", "un", "una", "es", "que"),
+}
+
+ENGLISH_STOPWORDS = STOPWORDS["en"]
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercase + split on non-alphanumeric runs, drop empties.
+
+    Reference: tokenize() with default splitChars
+    (sql/builtin_functions.cc:1915; sql/tokenize.cc). The reference
+    returns a bag-of-words row {token: count}; `tokenize_counts`
+    below builds that map form.
+    """
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+def tokenize_counts(text: Column) -> Column:
+    """Bag-of-words as MAP<token, count> — the reference's tokenize()
+    output shape (one sparse column per token, flattened)."""
+    toks = tokenize(text)
+    distinct = F.array_distinct(toks)
+    return F.map_from_arrays(
+        distinct,
+        F.transform(distinct, lambda d: F.size(F.filter(toks, lambda t: t == d))),
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-ish token count (training-data token budget proxy)."""
+    return F.size(tokenize(text))
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """BPE-flavored unit count: alpha runs count ~1 unit per 4 chars
+    (ceil), digits and other symbols 1 unit each. A deterministic
+    stand-in for a real BPE vocab (not shipped in this container)."""
+    toks = tokenize(text)
+    alpha_units = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / F.lit(4.0))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    other = F.size(F.regexp_extract_all(F.lower(text), F.lit("[^a-z0-9\\s]"), 0))
+    return alpha_units + other
+
+
+def _stopword_hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-argmax language guess over {en,fr,de,es}, 'und' if no
+    stopword hits. Deterministic tiebreak: language code ascending.
+
+    This is the n-gram-heuristic tier of a language-ID pipeline; the
+    structure (per-language score -> argmax) is what a trained model
+    would plug into.
+    """
+    toks = tokenize(text)
+    scored = F.array(
+        *[
+            F.struct(
+                (-_stopword_hits(toks, ws)).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ws in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_min(scored)
+    return F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: blends token count,
+    mean token length, stopword ratio and symbol noise — the
+    length/punct/stopword-ratio tier of a C4/Gopher-style filter."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    mean_len = F.when(n > 0, F.length(F.concat_ws("", toks)) / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n > 0, _stopword_hits(toks, ENGLISH_STOPWORDS) / n
+    ).otherwise(F.lit(0.0))
+    sym_ratio = F.when(
+        F.length(text) > 0,
+        F.size(F.regexp_extract_all(F.lower(text), F.lit("[^a-z0-9\\s]"), 0))
+        / F.length(text),
+    ).otherwise(F.lit(0.0))
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0)) * 0.4
+    len_term = F.when((mean_len >= 3) & (mean_len <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
+    stop_term = F.least(stop_ratio * 4, F.lit(1.0)) * 0.2
+    noise_term = (F.lit(1.0) - F.least(sym_ratio * 10, F.lit(1.0))) * 0.1
+    return F.round(length_term + len_term + stop_term + noise_term, 4)
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse
+    whitespace/punct runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Content fingerprint = md5 of normalized text. md5 (not
+    xxhash64) so any SQL engine reproduces it byte-for-byte; at scale
+    the fingerprint is the exact-dedup shuffle key."""
+    return F.md5(normalize_text(text))

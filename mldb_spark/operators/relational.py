@@ -1,0 +1,298 @@
+"""Relational virtual-dataset operators and batch procedures.
+
+Each function is a DataFrame -> DataFrame transform whose plan stays
+declarative so Catalyst can push filters/projections through it.
+Reference citations are to /root/reference (semantics only — the
+implementations are Spark-native, not translations).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distinct_on(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """SELECT DISTINCT ON (keys) ... ORDER BY — first row per key.
+
+    Reference: parser sql/sql_expression.cc:3087-3098, executor
+    core/bound_queries.cc:406-640. Spark: row_number over a window.
+    Scale note: a window with partitionBy shuffles once on the keys —
+    same cost as the groupBy it replaces; skewed keys are handled by
+    AQE skew-join/partition splitting.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def melt(
+    df: DataFrame,
+    id_vars: Sequence[str],
+    value_vars: Sequence[str],
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Unpivot: one output row per (row, melted column).
+
+    Reference: melt procedure (builtin/melt_procedure.cc:205, doc
+    MeltProcedure.md). Spark: stack()/melt — narrow transform, no
+    shuffle; output rows = rows * len(value_vars).
+    """
+    return df.melt(
+        ids=list(id_vars),
+        values=list(value_vars),
+        variableColumnName=key_col,
+        valueColumnName=value_col,
+    )
+
+
+def transpose_cells(cells: DataFrame, row_col: str = "row", column_col: str = "column") -> DataFrame:
+    """Transpose on the long cell-triple layout: swap row/column names.
+
+    Reference: transposed dataset (builtin/transposed_dataset.cc:393)
+    — rows and columns are symmetric in the 3-D sparse model. On cell
+    triples the transpose is a pure column rename: zero data movement,
+    which is why the long layout is the scale path for transpose
+    (SURVEY §1.3 mapping). Wide-layout transpose = melt + pivot.
+    """
+    swapped = [
+        F.col(row_col).alias(column_col) if c == row_col
+        else F.col(column_col).alias(row_col) if c == column_col
+        else F.col(c)
+        for c in cells.columns
+    ]
+    return cells.select(*swapped)
+
+
+def pivot_agg(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """GROUP BY keys PIVOT pivot_col — the reference's pivot()
+    aggregate (sql/builtin_aggregators.cc:1001) builds one sparse row
+    per group keyed by a column-name column.
+
+    Passing explicit pivot_values avoids the extra distinct-values
+    job Spark otherwise runs (a full scan — at 100 TB an unbounded
+    pivot is a bug, not a feature; SURVEY §7.4 hard-part #4).
+    """
+    return df.groupBy(*group_keys).pivot(pivot_col, list(pivot_values)).agg(agg)
+
+
+def merge_datasets(dfs: Sequence[DataFrame], on: str = "rowName") -> DataFrame:
+    """Column-wise merge of N datasets: same rows enriched with the
+    union of columns; on column collision the LAST dataset wins.
+
+    Reference: merged dataset (builtin/merged_dataset.cc:714).
+    Implemented as a chain of full-outer joins on the row name with
+    coalesce(right, left) per shared column. N-1 shuffles on the same
+    key — Catalyst reuses the hash partitioning across the chain.
+    """
+    out = dfs[0]
+    for nxt in dfs[1:]:
+        shared = [c for c in out.columns if c in nxt.columns and c != on]
+        l, r = out.alias("l"), nxt.alias("r")
+        joined = l.join(r, F.col(f"l.{on}") == F.col(f"r.{on}"), "full_outer")
+        cols = [F.coalesce(F.col(f"l.{on}"), F.col(f"r.{on}")).alias(on)]
+        for c in out.columns:
+            if c == on:
+                continue
+            if c in shared:
+                cols.append(F.coalesce(F.col(f"r.{c}"), F.col(f"l.{c}")).alias(c))
+            else:
+                cols.append(F.col(f"l.{c}").alias(c))
+        for c in nxt.columns:
+            if c != on and c not in shared:
+                cols.append(F.col(f"r.{c}").alias(c))
+        out = joined.select(*cols)
+    return out
+
+
+def union_datasets(dfs: Sequence[DataFrame]) -> DataFrame:
+    """Row-wise union with open schemas (missing columns -> NULL).
+
+    Reference: union dataset (builtin/union_dataset.cc:39).
+    """
+    out = dfs[0]
+    for nxt in dfs[1:]:
+        out = out.unionByName(nxt, allowMissingColumns=True)
+    return out
+
+
+def sample_dataset(
+    df: DataFrame,
+    fraction: float | None = None,
+    rows: int | None = None,
+    with_replacement: bool = False,
+    seed: int = 0,
+) -> DataFrame:
+    """Row sampling (builtin/sampled_dataset.cc:366; FromExpression.md
+    §Sample). fraction -> df.sample (per-partition Bernoulli, no
+    shuffle); rows -> deterministic hash-ordered top-k, mirroring the
+    reference's rowHash() ordering trick
+    (core/bound_queries.cc:642-1100) so results are stable across
+    partitionings and engines.
+    """
+    if fraction is not None:
+        return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed)
+    key = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    return df.orderBy(key).limit(int(rows or 0))
+
+
+def bucketize(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    num_buckets: int,
+    output_col: str = "bucket",
+) -> DataFrame:
+    """Percentile buckets under a total order.
+
+    Reference: bucketize procedure
+    (plugins/feature_gen/bucketize_procedure.cc:255). Spark: ntile
+    over a global window. NOTE the global (un-partitioned) window is a
+    single-reducer sort — fine for ranked outputs that are small; for
+    100 TB inputs use `bucketize_approx` which assigns buckets from
+    approx quantile cut points with no global sort.
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(output_col, F.ntile(num_buckets).over(w))
+
+
+def bucketize_approx(
+    df: DataFrame,
+    value_col: str,
+    num_buckets: int,
+    output_col: str = "bucket",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Scale path for bucketize: approxQuantile cut points (one
+    lightweight aggregation) + a broadcast range lookup — no global
+    sort, no single reducer."""
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = df.approxQuantile(value_col, qs, relative_error)
+    expr = F.lit(num_buckets)
+    for i, cut in enumerate(reversed(cuts)):
+        expr = F.when(F.col(value_col) <= cut, F.lit(num_buckets - 1 - i)).otherwise(expr)
+    return df.withColumn(output_col, expr)
+
+
+def ranking(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_type: str = "index",
+    output_col: str = "rank",
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Rank rows under ORDER BY (builtin/ranking_procedure.cc:199).
+
+    rank_type: 'index' -> row_number, 'percentile' -> percent_rank.
+    Partitioned windows shuffle-by-key; a global window is a single
+    sort — acceptable for top-k-ish outputs, otherwise pre-aggregate.
+    """
+    w = (
+        Window.partitionBy(*partition_by).orderBy(*order_by)
+        if partition_by
+        else Window.orderBy(*order_by)
+    )
+    fn = F.row_number() if rank_type == "index" else F.percent_rank()
+    return df.withColumn(output_col, fn.over(w))
+
+
+def summary_statistics(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Per-column stats dataset: one row per column.
+
+    Reference: summary.statistics procedure
+    (builtin/summary_statistics_proc.cc:516) emits min/max/mean/
+    cardinality per column. One pass over the data: all per-column
+    aggregates are computed in a single wide agg (one job, partial
+    aggregation map-side), then unpivoted driver-side (tiny).
+    """
+    cols = list(columns or df.columns)
+    aggs = []
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        numeric = dt in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__count"),
+            F.approx_count_distinct(F.col(c)).alias(f"{c}__approx_distinct"),
+            (F.round(F.avg(F.col(c)), 4) if numeric else F.lit(None).cast("double")).alias(f"{c}__avg"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    spark = df.sparkSession
+    out = [
+        (c, row[f"{c}__count"], row[f"{c}__approx_distinct"], row[f"{c}__avg"],
+         row[f"{c}__min"], row[f"{c}__max"])
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        out, "column string, count bigint, approx_distinct bigint, avg double, min string, max string"
+    )
+
+
+def stats_table(
+    df: DataFrame,
+    seq_cols: Sequence[Column],
+    key_cols: Sequence[str],
+    outcome_col: Column,
+    prefix: str = "st",
+) -> DataFrame:
+    """Rolling conditional outcome counts per key — CTR-style features.
+
+    Reference: statsTable.train
+    (plugins/feature_gen/stats_table_procedure.cc:1001): for each row,
+    the count of prior rows with the same key and the count of those
+    with a positive outcome (strictly before the current row in
+    sequence order, so features are leak-free).
+
+    Spark: cumulative window sums, one shuffle on the key columns.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*seq_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn(f"{prefix}_count", F.count(F.lit(1)).over(w)).withColumn(
+        f"{prefix}_outcomes",
+        F.coalesce(F.sum(outcome_col.cast("long")).over(w), F.lit(0)),
+    )
+
+
+def dist_table(
+    df: DataFrame,
+    seq_cols: Sequence[Column],
+    key_cols: Sequence[str],
+    value_col: Column,
+    prefix: str = "dt",
+) -> DataFrame:
+    """Per-key running distribution stats of a numeric outcome
+    (count/avg/min/max of strictly-prior rows).
+
+    Reference: experimental.distTable.train
+    (plugins/feature_gen/dist_table_procedure.cc:842).
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*seq_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn(f"{prefix}_count", F.count(value_col).over(w))
+        .withColumn(f"{prefix}_avg", F.avg(value_col).over(w))
+        .withColumn(f"{prefix}_min", F.min(value_col).over(w))
+        .withColumn(f"{prefix}_max", F.max(value_col).over(w))
+    )

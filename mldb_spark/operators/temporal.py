@@ -1,0 +1,107 @@
+"""Temporal cell semantics on the long (cell-triple) layout.
+
+The reference's data model gives every cell a timestamp and lets a
+(row, column) pair hold several timestamped values (SURVEY §1.1-1.3;
+/root/reference sql/expression_value.h:86-91 VariableFilter). The
+long layout here is one DataFrame row per data point:
+(row, column, value, ts) — exactly MLDB's RowValue tuple.
+
+Semantics implemented:
+- default read = GET_LATEST per cell (core/bound_queries.cc:385,394):
+  `latest_cells` collapses to the latest value per (row, column)
+  before ordinary expression evaluation;
+- temporal_* aggregates see ALL timestamped values
+  (sql/builtin_functions.cc:1186-1467);
+- WHEN filters individual cells by timestamp, not rows
+  (sql/sql_expression.h:1704-1760, doc WhenExpression.md).
+
+Scale: all three are single-shuffle groupBy/filter plans on
+(row, column); time-partitioned storage makes the WHEN filter a
+partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_cells(
+    cells: DataFrame,
+    row_col: str = "row",
+    column_col: str = "column",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """GET_LATEST read: one row per (row, column) holding the value
+    with the maximum timestamp (max_by), mirroring the reference's
+    default evaluation filter."""
+    return cells.groupBy(row_col, column_col).agg(
+        F.max_by(value_col, ts_col).alias(value_col),
+        F.max(ts_col).alias(ts_col),
+    )
+
+
+def earliest_cells(
+    cells: DataFrame,
+    row_col: str = "row",
+    column_col: str = "column",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """GET_EARLIEST read (min_by)."""
+    return cells.groupBy(row_col, column_col).agg(
+        F.min_by(value_col, ts_col).alias(value_col),
+        F.min(ts_col).alias(ts_col),
+    )
+
+
+_TEMPORAL_AGGS = {
+    "count": lambda v, ts: F.count(v),
+    "sum": lambda v, ts: F.sum(v),
+    "avg": lambda v, ts: F.avg(v),
+    "min": lambda v, ts: F.min(v),
+    "max": lambda v, ts: F.max(v),
+    "earliest": lambda v, ts: F.min_by(v, ts),
+    "latest": lambda v, ts: F.max_by(v, ts),
+}
+
+
+def temporal_agg(
+    cells: DataFrame,
+    agg: str,
+    row_col: str = "row",
+    column_col: str = "column",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """temporal_count/sum/avg/min/max/earliest/latest over every
+    timestamped value of each cell (sql/builtin_functions.cc:1186-1467).
+    """
+    fn = _TEMPORAL_AGGS[agg]
+    return cells.groupBy(row_col, column_col).agg(
+        fn(F.col(value_col), F.col(ts_col)).alias(f"temporal_{agg}")
+    )
+
+
+def when_filter(cells: DataFrame, predicate: Column) -> DataFrame:
+    """WHEN clause: drop individual cells whose timestamp fails the
+    predicate (rows survive as long as any cell survives). On the
+    long layout this is a plain filter on ts — pushed down to the
+    scan; with time-partitioned parquet it becomes partition pruning.
+    """
+    return cells.filter(predicate)
+
+
+def events_to_cells(events: DataFrame) -> DataFrame:
+    """Bridge: the events table (event_id, ts, user_id, event_type,
+    value, props) viewed as sparse temporal cells — row = user,
+    column = event_type, value at ts. This is the behavior-dataset
+    shape (plugins/behavior/behavior_dataset.cc: subject x behavior
+    x timestamp)."""
+    return events.select(
+        F.col("user_id").cast("string").alias("row"),
+        F.col("event_type").alias("column"),
+        F.col("value").alias("value"),
+        F.col("ts").alias("ts"),
+    )

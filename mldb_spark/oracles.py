@@ -1,0 +1,409 @@
+"""DuckDB oracle SQL for every query in mldb_spark.queries.
+
+Each SQL string mirrors its Spark twin expression-by-expression
+(same aliases, same rounding, same fold order for float arithmetic)
+so the driver's row-count + schema + value-hash comparison passes.
+
+DuckDB-vs-Spark type notes honored here:
+- DuckDB SUM(INTEGER) returns HUGEINT → always CAST(... AS BIGINT);
+- DuckDB len()/ntile()/row_number() return BIGINT; the Spark side
+  casts its INT counterparts to long instead;
+- "column", "key", "value" are quoted (reserved-ish in DuckDB);
+- md5() hex strings are byte-identical across engines.
+"""
+
+from __future__ import annotations
+
+from mldb_spark.functions.text import STOPWORDS
+
+# shared SQL fragments -------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _hits(words: tuple[str, ...], toks: str = "toks") -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks}, t -> t IN ({inlist})))"
+
+
+_LANG_CASE = f"""
+CASE
+  WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de'
+  WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+  WHEN es >= fr AND es > 0 THEN 'es'
+  WHEN fr > 0 THEN 'fr'
+  ELSE 'und'
+END
+"""
+
+_COS = (
+    "round(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+)
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q01_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity) + 1e-9, 4) AS avg_qty,
+       round(avg(l_extendedprice) + 1e-9, 4) AS avg_price,
+       round(avg(l_discount) + 1e-9, 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q02_top_revenue_parts"] = """
+SELECT p_type,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY p_type
+ORDER BY revenue DESC, p_type
+LIMIT 10
+"""
+
+ORACLES["q03_segment_order_stats"] = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       count(DISTINCT c_custkey) AS n_customers,
+       round(sum(o_totalprice), 2) AS total_revenue,
+       round(avg(o_totalprice) + 1e-9, 4) AS avg_order_value
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+ORACLES["q04_order_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLES["q05_region_revenue"] = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+ORACLES["q06_latest_order_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+ORACLES["q07_events_pivot"] = """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click' THEN "value" END), 2) AS click,
+       round(sum(CASE WHEN event_type = 'error' THEN "value" END), 2) AS error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN "value" END), 2) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup' THEN "value" END), 2) AS signup,
+       round(sum(CASE WHEN event_type = 'view' THEN "value" END), 2) AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLES["q08_melt_part"] = """
+SELECT p_partkey, 'p_size' AS "key", CAST(p_size AS DOUBLE) AS "value" FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS "key", p_retailprice AS "value" FROM part
+ORDER BY p_partkey, "key"
+"""
+
+ORACLES["q09_horizontal_agg"] = """
+SELECT l_orderkey, l_linenumber,
+       greatest(l_quantity, l_extendedprice, l_discount) AS h_max,
+       least(l_quantity, l_extendedprice, l_discount) AS h_min,
+       round(((0.0 + l_quantity) + l_extendedprice) + l_discount, 2) AS h_sum,
+       CAST(3 AS BIGINT) AS h_count
+FROM lineitem
+WHERE l_orderkey % 97 = 0
+ORDER BY l_orderkey, l_linenumber
+"""
+
+ORACLES["q10_string_agg"] = """
+SELECT n_name,
+       string_agg(c_name, ',' ORDER BY c_name) AS customers,
+       count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+ORACLES["q11_distinct_counts"] = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["q12_null_logic"] = """
+SELECT nullif(o_orderstatus, 'O') AS status_or_null,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_coalesced,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS size_class,
+       count(*) AS n,
+       CAST(sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       count(nullif(o_orderstatus, 'O')) AS n_nonnull
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY size_class, status_coalesced
+"""
+
+ORACLES["q13_hash_mod_sample"] = """
+SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sampled_revenue
+FROM lineitem
+WHERE l_orderkey % 7 = 0
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+ORACLES["q14_union_datasets"] = """
+WITH u AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal, NULL AS c_name
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, NULL AS c_acctbal, c_name
+  FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+SELECT c_mktsegment, count(*) AS n,
+       count(c_acctbal) AS n_with_balance,
+       count(c_name) AS n_with_name
+FROM u GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+ORACLES["q15_in_subquery"] = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["q16_bucketize"] = """
+WITH b AS (
+  SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+  FROM customer
+)
+SELECT bucket, count(*) AS n,
+       round(min(c_acctbal), 2) AS lo,
+       round(max(c_acctbal), 2) AS hi,
+       round(avg(c_acctbal) + 1e-9, 4) AS mean_bal
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+ORACLES["q17_top_orders_per_customer"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+ORDER BY o_custkey, rank
+"""
+
+ORACLES["q18_stats_table"] = """
+WITH st AS (
+  SELECT o_orderkey, o_custkey,
+         count(*) OVER w AS st_count,
+         coalesce(CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) OVER w AS BIGINT), 0) AS st_outcomes
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT * FROM st WHERE o_custkey % 10 = 0 ORDER BY o_orderkey
+"""
+
+ORACLES["q19_sessionize"] = """
+WITH g AS (
+  SELECT user_id, "value",
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess,
+         ts, event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, "value",
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM g
+),
+per_sess AS (
+  SELECT user_id, session_id, count(*) AS n_events, round(sum("value"), 2) AS session_value
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       round(sum(session_value), 2) AS total_value
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLES["q20_latest_cells"] = """
+SELECT CAST(user_id AS VARCHAR) AS "row", event_type AS "column",
+       arg_max("value", ts) AS "value", max(ts) AS ts
+FROM events
+GROUP BY 1, 2
+ORDER BY "row", "column"
+"""
+
+ORACLES["q21_temporal_aggs"] = """
+SELECT CAST(user_id AS VARCHAR) AS "row", event_type AS "column",
+       count("value") AS temporal_count,
+       round(sum("value"), 2) AS temporal_sum,
+       round(min("value"), 2) AS temporal_min,
+       round(max("value"), 2) AS temporal_max,
+       round(avg("value") + 1e-9, 4) AS temporal_avg
+FROM events
+GROUP BY 1, 2
+ORDER BY "row", "column"
+"""
+
+ORACLES["q22_when_filter"] = """
+SELECT event_type AS "column", count(*) AS n_cells, round(sum("value"), 2) AS sum_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+GROUP BY 1
+ORDER BY "column"
+"""
+
+ORACLES["q23_tumbling_window"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       count(*) AS n, round(sum("value"), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+ORACLES["q24_token_counts"] = f"""
+SELECT token, count(*) AS freq
+FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token
+LIMIT 20
+"""
+
+ORACLES["q25_doc_token_stats"] = f"""
+WITH t AS (SELECT lang, len({_TOKS}) AS n_tokens, n_chars FROM documents)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens) + 1e-9, 4) AS avg_tokens,
+       round(avg(n_chars) + 1e-9, 4) AS avg_chars
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["q26_language_id"] = f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+h AS (
+  SELECT lang,
+         {_hits(STOPWORDS["de"])} AS de,
+         {_hits(STOPWORDS["en"])} AS en,
+         {_hits(STOPWORDS["es"])} AS es,
+         {_hits(STOPWORDS["fr"])} AS fr
+  FROM t
+)
+SELECT lang, {_LANG_CASE} AS guessed, count(*) AS n
+FROM h
+GROUP BY 1, 2
+ORDER BY lang, guessed
+"""
+
+ORACLES["q27_quality_scores"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n,
+         CASE WHEN len(toks) > 0
+              THEN length(array_to_string(toks, '')) / len(toks) ELSE 0.0 END AS mean_len,
+         CASE WHEN len(toks) > 0
+              THEN {_hits(STOPWORDS["en"], "toks")} / len(toks) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) / length(text)
+              ELSE 0.0 END AS sym_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id, lang,
+         round((((least(n / 100.0, 1.0) * 0.4)
+           + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 0.3 ELSE 0.0 END))
+           + (least(stop_ratio * 4, 1.0) * 0.2))
+           + ((1.0 - least(sym_ratio * 10, 1.0)) * 0.1), 4) AS quality
+  FROM m
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(quality) + 1e-9, 4) AS avg_quality,
+       CAST(sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM q GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["q28_fingerprints"] = f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint
+FROM documents
+WHERE doc_id % 9 = 0
+ORDER BY doc_id
+"""
+
+ORACLES["q29_exact_dedup"] = f"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5({_NORM})) AS n_distinct,
+       count(*) - count(DISTINCT md5({_NORM})) AS n_duplicates
+FROM documents
+"""
+
+ORACLES["q30_knn_bruteforce"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         {_COS.format(a="q.qvec", b="e.embedding")} AS cos_sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+ORACLES["q31_embedding_neardup"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       {_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label
+WHERE a.vec_id < b.vec_id
+  AND {_COS.format(a="a.embedding", b="b.embedding")} >= 0.4
+ORDER BY id_a, id_b
+"""

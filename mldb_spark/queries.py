@@ -1,0 +1,642 @@
+"""The oracle-checked query workload: one entry per implemented
+operator family from SURVEY.md §2, each with a DuckDB-replayable SQL
+oracle (see ORACLES at the bottom).
+
+Contract (driver): every query callable takes (spark, sf_dir) and
+returns a DataFrame; the oracle SQL runs on the same parquet files in
+DuckDB; row count + schema + order-insensitive value hash must match.
+Column names are aliased identically on both sides.
+
+Float-parity rules used throughout (so value hashes match between
+engines):
+- money columns in testdata carry exactly 2 decimals ⇒ their sums
+  carry ≤2 (products of two such, ≤4) ⇒ rounding at ≥ the intrinsic
+  decimal count is exact and engine-independent;
+- averages/cosines are rounded at 4-6 digits where the distance to a
+  rounding boundary (~10^-d) dwarfs cross-engine accumulation-order
+  error (~1e-9 relative);
+- hashes are md5 (portable), never xxhash64, wherever an oracle
+  replays them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mldb_spark.catalog import load
+from mldb_spark.functions.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    tokenize,
+)
+from mldb_spark.functions.vector import cosine_similarity, dot_product, l2_norm
+from mldb_spark.operators.relational import (
+    distinct_on,
+    melt,
+    pivot_agg,
+    ranking,
+    stats_table,
+)
+from mldb_spark.operators.temporal import events_to_cells, latest_cells, when_filter
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def round_avg(col, d: int = 4):
+    """Round an average with a +1e-9 boundary nudge, mirrored in the
+    oracle SQL. An avg of 2-decimal money over a power-of-two count
+    can land EXACTLY on a rounding boundary (e.g. 563.81/8 =
+    70.47625), where cross-engine ulp differences flip the rounded
+    digit; the nudge (≫ accumulation error ~1e-13, ≪ any intrinsic
+    value spacing) makes both engines round the same way."""
+    return F.round(col + F.lit(1e-9), d)
+
+
+# ---------------------------------------------------------------------------
+# Core relational (SURVEY §2.2-2.4, §2.6)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with partial aggregation.
+
+    Covers: WHERE pushdown, hash aggregate (reference GROUP BY
+    executor, core/bound_queries.cc:1723-1830), multi-aggregate.
+    """
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            round_avg(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_avg(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_avg(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_top_revenue_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-dim join: part is broadcast (it stays dimension-sized at
+    any sf), so the 100 TB plan is a broadcast hash join with zero
+    shuffle of lineitem. Reference equijoin:
+    builtin/joined_dataset.cc:460-620."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    return (
+        li.filter(F.col("l_shipdate") < "1998-01-01")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "p_type")
+        .limit(10)
+    )
+
+
+def q03_segment_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """customer⋈orders per-segment stats; count_distinct aggregate
+    (sql/builtin_aggregators.cc:857)."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            round_avg(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q04_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-range filter + groupBy (predicate pushdown to parquet)."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q05_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """5-way star join: region⋈nation⋈customer⋈orders⋈lineitem.
+
+    The three dimension tables broadcast; the orders⋈lineitem spine is
+    the only shuffle. Reference multi-way left-deep joins:
+    sql/table_expression_operations.h:79-110."""
+    region = F.broadcast(load(spark, sf, "region"))
+    nation = F.broadcast(load(spark, sf, "nation"))
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q06_latest_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTINCT ON (reference parser sql/sql_expression.cc:3087-3098):
+    first row per key under an order — via mldb_spark.distinct_on."""
+    orders = load(spark, sf, "orders")
+    latest = distinct_on(
+        orders,
+        keys=["o_custkey"],
+        order_by=[F.desc("o_orderdate"), F.desc("o_orderkey")],
+    )
+    return latest.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice").orderBy(
+        "o_custkey"
+    )
+
+
+def q07_events_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """pivot() aggregate (sql/builtin_aggregators.cc:1001): one column
+    per event type. Explicit pivot values → single-pass plan."""
+    ev = load(spark, sf, "events")
+    out = pivot_agg(
+        ev,
+        group_keys=["user_id"],
+        pivot_col="event_type",
+        pivot_values=EVENT_TYPES,
+        agg=F.round(F.sum("value"), 2),
+    )
+    return out.orderBy("user_id")
+
+
+def q08_melt_part(spark: SparkSession, sf: str) -> DataFrame:
+    """melt procedure (builtin/melt_procedure.cc:205): unpivot part
+    numeric attributes into (key, value) rows."""
+    part = load(spark, sf, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return melt(
+        wide, id_vars=["p_partkey"], value_vars=["p_size", "p_retailprice"]
+    ).orderBy("p_partkey", "key")
+
+
+def q09_horizontal_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """horizontal_sum/min/max/count across columns of each row
+    (sql/builtin_functions.cc:2021-2245), on a deterministic hash-mod
+    sample of lineitem (the reference's rowHash()%k sampling pattern,
+    core/dataset.cc:1791-1816)."""
+    li = load(spark, sf, "lineitem")
+    cols = [F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")]
+    arr = F.array(*cols)
+    return (
+        li.filter(F.col("l_orderkey") % 97 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.greatest(*cols).alias("h_max"),
+            F.least(*cols).alias("h_min"),
+            F.round(
+                F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), 2
+            ).alias("h_sum"),
+            F.size(F.filter(arr, lambda x: x.isNotNull())).cast("long").alias("h_count"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q10_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """string_agg with sort field (sql/builtin_aggregators.cc:691):
+    per-nation sorted customer-name list."""
+    cust = load(spark, sf, "customer")
+    nation = F.broadcast(load(spark, sf, "nation"))
+    return (
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("customers"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q11_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """count_distinct over multiple columns per group."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q12_null_logic(spark: SparkSession, sf: str) -> DataFrame:
+    """3-valued logic / CASE / NULLIF / COALESCE semantics
+    (reference TypeSystem.md:10-16; IsTypeExpression §2.10)."""
+    orders = load(spark, sf, "orders")
+    status_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        orders.select(
+            F.col("o_orderkey"),
+            status_null.alias("status_or_null"),
+            F.coalesce(status_null, F.lit("OPEN")).alias("status_coalesced"),
+            F.when(F.col("o_totalprice") > 200000, "big")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("small")
+            .alias("size_class"),
+            (status_null.isNull()).cast("int").alias("is_open"),
+        )
+        .groupBy("status_or_null", "status_coalesced", "size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_open").alias("n_open"),
+            F.count("status_or_null").alias("n_nonnull"),
+        )
+        .orderBy("size_class", "status_coalesced")
+    )
+
+
+def q13_hash_mod_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic sampling via key-mod filter — the reference's
+    rowHash() % k <op> m index-free sampling
+    (core/dataset.cc:1791-1816). Engine-portable (pure arithmetic)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 7 == 0)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sampled_revenue"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q14_union_datasets(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-wise union with open schema (union dataset,
+    builtin/union_dataset.cc:39): two differently-shaped projections
+    of customer unioned by name; missing columns → NULL."""
+    cust = load(spark, sf, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    b = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey", "c_mktsegment", F.col("c_name").alias("c_name")
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return (
+        u.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("c_acctbal").alias("n_with_balance"),
+            F.count("c_name").alias("n_with_name"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q15_in_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """IN (SELECT …) membership → left-semi join (reference
+    InExpression, sql/sql_expression_operations.h:285-330)."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    big_parts = part.filter(F.col("p_size") > 40).select("p_partkey")
+    return (
+        li.join(F.broadcast(big_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window-backed procedures (SURVEY §2.5, §2.13)
+# ---------------------------------------------------------------------------
+
+
+def q16_bucketize(spark: SparkSession, sf: str) -> DataFrame:
+    """bucketize procedure (plugins/feature_gen/bucketize_procedure.cc:255):
+    decile buckets of customers by account balance, then per-bucket
+    stats. Deterministic total order via (acctbal, custkey)."""
+    cust = load(spark, sf, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    bucketed = cust.withColumn("bucket", F.ntile(10).over(w).cast("long"))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+            round_avg(F.avg("c_acctbal"), 4).alias("mean_bal"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q17_top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """ranking procedure (builtin/ranking_procedure.cc:199): top-3
+    orders per customer by price, partitioned window."""
+    orders = load(spark, sf, "orders")
+    ranked = ranking(
+        orders,
+        order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        partition_by=["o_custkey"],
+        output_col="rank",
+    )
+    return ranked.filter(F.col("rank") <= 3).select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank")
+    ).orderBy("o_custkey", "rank")
+
+
+def q18_stats_table(spark: SparkSession, sf: str) -> DataFrame:
+    """statsTable.train (plugins/feature_gen/stats_table_procedure.cc:1001):
+    leak-free rolling counts of prior orders (and prior big-order
+    outcomes) per customer in orderdate sequence."""
+    orders = load(spark, sf, "orders")
+    st = stats_table(
+        orders,
+        seq_cols=[F.col("o_orderdate"), F.col("o_orderkey")],
+        key_cols=["o_custkey"],
+        outcome_col=(F.col("o_totalprice") > 150000),
+        prefix="st",
+    )
+    return (
+        st.filter(F.col("o_custkey") % 10 == 0)
+        .select("o_orderkey", "o_custkey", "st_count", "st_outcomes")
+        .orderBy("o_orderkey")
+    )
+
+
+def q19_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: 30-minute-gap sessions per user (lag + running
+    sum of gap flags — the streaming session_window's batch twin)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    sess = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("session_value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal cell semantics (SURVEY §1.3, §2.4 temporal aggs)
+# ---------------------------------------------------------------------------
+
+
+def q20_latest_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """GET_LATEST default read (core/bound_queries.cc:385,394): events
+    as sparse temporal cells, collapsed to latest value per
+    (row=user, column=event_type)."""
+    cells = events_to_cells(load(spark, sf, "events"))
+    return latest_cells(cells).orderBy("row", "column")
+
+
+def q21_temporal_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """temporal_count/sum/min/max/avg see ALL timestamped values of a
+    cell (sql/builtin_functions.cc:1186-1467)."""
+    cells = events_to_cells(load(spark, sf, "events"))
+    return (
+        cells.groupBy("row", "column")
+        .agg(
+            F.count("value").alias("temporal_count"),
+            F.round(F.sum("value"), 2).alias("temporal_sum"),
+            F.round(F.min("value"), 2).alias("temporal_min"),
+            F.round(F.max("value"), 2).alias("temporal_max"),
+            round_avg(F.avg("value"), 4).alias("temporal_avg"),
+        )
+        .orderBy("row", "column")
+    )
+
+
+def q22_when_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """WHEN temporal cell filter (sql/sql_expression.h:1704-1760):
+    keep only cells in a timestamp window, then aggregate."""
+    cells = events_to_cells(load(spark, sf, "events"))
+    filtered = when_filter(
+        cells,
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20"),
+    )
+    return (
+        filtered.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("column")
+    )
+
+
+def q23_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-bucketed rollup (continuous.window view over committed
+    chunks, builtin/continuous_dataset.cc:580 → date_trunc rollup;
+    in streaming mode the same plan runs under a watermark)."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (tokenize family §2.9 + training-data metrics)
+# ---------------------------------------------------------------------------
+
+
+def q24_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """tokenize() (sql/builtin_functions.cc:1915) → explode → global
+    term frequencies, top 20. The bag-of-words primitive."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
+
+
+def q25_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language token-count stats (token budget accounting)."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select("lang", token_count(F.col("text")).alias("n_tokens"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            round_avg(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            round_avg(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q26_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-argmax language ID per doc, confusion counts vs the
+    labeled lang column."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select("lang", language_id(F.col("text")).alias("guessed"))
+        .groupBy("lang", "guessed")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "guessed")
+    )
+
+
+def q27_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring (length/stopword/noise blend) + filter — the
+    C4-style quality gate as a dataset transform."""
+    docs = load(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            round_avg(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum((F.col("quality") >= 0.5).cast("long")).alias("n_pass"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q28_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprinting (md5 of normalized text) — the exact-
+    dedup key; sampled rows prove byte-parity of normalization+hash
+    across engines."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+def q29_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup accounting: corpus size vs distinct fingerprints
+    (hash-groupBy dedup; one shuffle on the 128-bit key)."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        doc_fingerprint(F.col("text")).alias("fp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_duplicates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector similarity (embedding dataset §2.1 / KNN §2.12)
+# ---------------------------------------------------------------------------
+
+
+def q30_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """embedding.neighbors (plugins/embedding/embedding.cc:1420) as
+    exact brute-force cosine top-k: query set broadcast against the
+    corpus scan, per-query window top-10."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_similarity(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("query_id", "rank")
+    )
+
+
+def q31_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold, blocked by
+    a candidate key (label here; an LSH band or IVF cell in the
+    unlabeled case — see mldb_spark.similarity.lsh_topk). Blocking
+    turns the O(n²) cross join into an equi-join (shuffle on the
+    block key), which is the only shape that survives 100× corpus
+    growth; the cosine itself is an Arrow-batched numpy kernel."""
+    from mldb_spark.similarity import cosine_pandas
+
+    emb = load(spark, sf, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("label").alias("label"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("label").alias("label"),
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "label",
+            F.round(cosine_pandas(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+QUERIES = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q") and name[1:3].isdigit() and callable(fn)
+}

@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference engine hand-tunes parallelism (MIN_ROW_PER_TASK=32,
+TASK_PER_THREAD=8, /root/reference core/bound_queries.cc:39-40); on
+Spark the equivalents are shuffle partitioning + AQE, set once here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "mldb_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Local mode defaults come from $SPARK_GRAFT_CPUS (driver contract);
+    on a real cluster, pass master=None with an external conf and the
+    builder only layers the SQL-level settings, which are
+    cluster-size-independent:
+
+    - AQE on: runtime coalescing, skew-join splitting, and dynamic
+      join-strategy switching replace any hand-scheduled plan choice.
+    - shuffle.partitions is only the *initial* number — AQE coalesces.
+      At 100 TB you'd raise it (e.g. 2000-8000) via external conf; the
+      value here suits local[32] at sf<=1.
+    - Arrow on: every pandas_udf / toPandas crosses the JVM<->Python
+      boundary in columnar batches.
+    - session timezone pinned UTC so TIMESTAMP semantics match the
+      reference (timezone-less UTC instants, TypeSystem.md:25-27) and
+      the duckdb oracle.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" in os.environ:
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    else:
+        builder = builder.master(f"local[{cpus}]")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,179 @@
+"""Unit tests for the operator library (semantics invariants the
+oracle queries don't fully pin down)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from mldb_spark.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash_near_duplicates,
+)
+from mldb_spark.operators.relational import (
+    bucketize_approx,
+    distinct_on,
+    merge_datasets,
+    summary_statistics,
+    transpose_cells,
+    union_datasets,
+)
+from mldb_spark.operators.temporal import latest_cells, temporal_agg
+from mldb_spark.similarity import brute_force_topk, lsh_topk
+
+
+def test_merge_last_writer_wins(spark):
+    a = spark.createDataFrame([("r1", 1, 10), ("r2", 2, 20)], "rowName string, x int, y int")
+    b = spark.createDataFrame([("r1", 100, 5), ("r3", 300, 7)], "rowName string, x int, z int")
+    out = {r["rowName"]: r for r in merge_datasets([a, b]).collect()}
+    # reference merged_dataset.cc: later dataset wins per cell
+    assert out["r1"]["x"] == 100 and out["r1"]["y"] == 10 and out["r1"]["z"] == 5
+    assert out["r2"]["x"] == 2 and out["r2"]["z"] is None
+    assert out["r3"]["x"] == 300 and out["r3"]["y"] is None
+
+
+def test_union_open_schema(spark):
+    a = spark.createDataFrame([(1, "a")], "id int, x string")
+    b = spark.createDataFrame([(2, 9.5)], "id int, y double")
+    rows = union_datasets([a, b]).orderBy("id").collect()
+    assert rows[0]["x"] == "a" and rows[0]["y"] is None
+    assert rows[1]["x"] is None and rows[1]["y"] == 9.5
+
+
+def test_transpose_cells_involution(spark):
+    cells = spark.createDataFrame(
+        [("r1", "c1", 1.0), ("r1", "c2", 2.0), ("r2", "c1", 3.0)],
+        "row string, column string, value double",
+    )
+    t = transpose_cells(cells)
+    assert {(r["row"], r["column"]) for r in t.collect()} == {
+        ("c1", "r1"), ("c2", "r1"), ("c1", "r2")
+    }
+    back = transpose_cells(t)
+    assert sorted(map(tuple, back.select("row", "column", "value").collect())) == sorted(
+        map(tuple, cells.collect())
+    )
+
+
+def test_distinct_on_keeps_first_per_key(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "old"), ("k1", 5, "new"), ("k2", 3, "only")],
+        "k string, seq int, tag string",
+    )
+    rows = {r["k"]: r["tag"] for r in distinct_on(df, ["k"], [F.desc("seq")]).collect()}
+    assert rows == {"k1": "new", "k2": "only"}
+
+
+def test_latest_cells_get_latest_semantics(spark):
+    # MLDB-1235: plain reads see the LATEST value of each cell
+    cells = spark.createDataFrame(
+        [
+            ("u1", "x", 1.0, datetime(2016, 1, 1)),
+            ("u1", "x", 99.0, datetime(2016, 1, 3)),
+            ("u1", "x", 5.0, datetime(2016, 1, 2)),
+        ],
+        "row string, column string, value double, ts timestamp",
+    )
+    out = latest_cells(cells).collect()
+    assert len(out) == 1 and out[0]["value"] == 99.0
+
+
+def test_temporal_aggs_see_all_values(spark):
+    cells = spark.createDataFrame(
+        [
+            ("u1", "x", 1.0, datetime(2016, 1, 1)),
+            ("u1", "x", 99.0, datetime(2016, 1, 3)),
+        ],
+        "row string, column string, value double, ts timestamp",
+    )
+    assert temporal_agg(cells, "count").collect()[0]["temporal_count"] == 2
+    assert temporal_agg(cells, "earliest").collect()[0]["temporal_earliest"] == 1.0
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world!"), (3, "different")],
+        "doc_id long, text string",
+    )
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0]["dup_ids"] == [1, 2]
+    kept = {r["doc_id"] for r in dedup_exact(docs).collect()}
+    assert kept == {1, 3}
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tomorrow"),  # near-dup of 1
+            (3, "completely unrelated content about database query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=8)
+    assert sigs.count() == 3 and len(sigs.columns) == 9
+    pairs = minhash_near_duplicates(docs, num_hashes=16, bands=8, threshold=0.5).collect()
+    assert any(p["id_a"] == 1 and p["id_b"] == 2 for p in pairs)
+    assert not any(p["id_b"] == 3 for p in pairs)
+
+
+def test_simhash_near_duplicates(spark):
+    # identical token streams hash identically (hamming 0, always
+    # caught by quarter-blocking); a disjoint doc stays far away
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.upper()), (3, "xyz qrs tuv " * 10)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_duplicates(docs, max_hamming=3).collect()
+    assert any(p["id_a"] == 1 and p["id_b"] == 2 and p["hamming"] == 0 for p in pairs)
+
+
+def test_brute_force_topk_and_lsh(spark, sf_dir):
+    from mldb_spark.catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    rows = exact.collect()
+    assert len(rows) == 5
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+    import random
+
+    rng = random.Random(7)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    approx = lsh_topk(emb, queries, planes, k=5).collect()
+    # LSH returns a subset of the corpus ranked identically within
+    # its bucket; every returned sim must be <= the exact best
+    assert all(r["cos_sim"] <= rows[0]["cos_sim"] + 1e-9 for r in approx)
+
+
+def test_bucketize_approx_matches_exact_distribution(spark, sf_dir):
+    from mldb_spark.catalog import load
+
+    cust = load(spark, sf_dir, "customer")
+    out = bucketize_approx(cust, "c_acctbal", 4, relative_error=0.0001)
+    counts = {r["bucket"]: r["n"] for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert set(counts) == {1, 2, 3, 4}
+    for b, n in counts.items():
+        assert abs(n - total / 4) <= total * 0.05 + 2
+
+
+def test_summary_statistics(spark, sf_dir):
+    from mldb_spark.catalog import load
+
+    out = summary_statistics(load(spark, sf_dir, "part"), ["p_size", "p_type"])
+    rows = {r["column"]: r for r in out.collect()}
+    assert rows["p_size"]["count"] > 0 and rows["p_size"]["avg"] is not None
+    assert rows["p_type"]["avg"] is None

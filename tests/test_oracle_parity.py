@@ -1,0 +1,31 @@
+"""Every declared query must hash-match its DuckDB oracle — the local
+replica of the driver's t2 correctness gate (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mldb_spark.oracles import ORACLES
+from mldb_spark.queries import QUERIES
+from mldb_spark.testing import compare_spark_duck
+
+
+def test_every_query_has_an_oracle_or_is_flagged():
+    # rows-only queries (no oracle) must be deliberate, not forgotten
+    missing = set(QUERIES) - set(ORACLES)
+    assert missing == set(), f"queries without oracle entries: {missing}"
+
+
+def test_every_oracle_has_a_query():
+    orphans = set(ORACLES) - set(QUERIES)
+    assert orphans == set(), f"oracles without queries: {orphans}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(name, spark, duck, sf_dir):
+    if name not in ORACLES:
+        df = QUERIES[name](spark, sf_dir)
+        assert df.count() >= 0
+        return
+    problems = compare_spark_duck(QUERIES[name](spark, sf_dir), duck, ORACLES[name])
+    assert problems == [], f"{name}: {problems}"
