@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mldb_spark.functions.text import doc_fingerprint, tokenize
+from mldb_spark.functions.text import doc_fingerprint, tokenize, word_shingles
 
 
 def exact_duplicates(
@@ -53,25 +53,68 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def shingle_rows(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """n-word shingles as ROWS: (id, [keep_cols...], sh).
+
+    posexplode the token array once, then lead() windows stitch n
+    consecutive tokens — linear work, one shuffle on the doc id,
+    wholly codegen'd. This is the scale path for shingling (the
+    array-lambda form re-evaluates its input per element). Emits
+    duplicates; min-hash aggregation is duplicate-insensitive, exact
+    Jaccard callers dropDuplicates first.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    # shingle + tail guard MUST come from the same projection: filtering
+    # first and then re-evaluating lead() would run the window over the
+    # filtered rows and emit truncated shingles at each document tail
+    staged = toks.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.concat_ws(" ", *leads).alias("sh"),
+        leads[-1].isNotNull().alias("__full"),
+    )
+    return staged.filter(F.col("__full")).drop("__full")
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_words: int = 0,
 ) -> DataFrame:
-    """Per-document MinHash signature over the token set.
+    """Per-document MinHash signature over the token (or word-shingle)
+    set.
 
-    Hash family h_i(tok) = md5(i || ':' || tok) compared as strings —
+    Hash family h_i(unit) = md5(i || ':' || unit) compared as strings —
     a lexicographic min over md5 values is a uniform min-hash and is
     reproducible in any engine with md5(). One explode + one groupBy
     (single shuffle on doc id); signature width is a column count,
     not a row count, so num_hashes doesn't change the shuffle volume
-    materially.
+    materially. shingle_words>0 switches the unit from unigram tokens
+    to n-word shingles (discriminative for small shared vocabularies).
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
-    )
+    if shingle_words:
+        toks = shingle_rows(docs, shingle_words, id_col, text_col).withColumnRenamed(
+            "sh", "tok"
+        )
+    else:
+        toks = docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("tok"),
+        )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -86,6 +129,7 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_words: int = 0,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs.
 
@@ -96,7 +140,14 @@ def minhash_near_duplicates(
     fraction of agreeing minhashes (estimated Jaccard) and kept at >=
     threshold. Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     """
-    sig = minhash_signatures(docs, num_hashes, id_col, text_col)
+    sig = minhash_signatures(docs, num_hashes, id_col, text_col, shingle_words)
+    # the per-band self-joins reference the signature table 2×bands
+    # times; without persisting, Spark re-runs the whole shingle+hash
+    # pipeline for each arm. At scale the signature table is an
+    # artifact you'd write to storage anyway — in-memory persist is
+    # its small-job equivalent (it is ids + fixed-width hashes, tiny
+    # next to the corpus).
+    sig = sig.persist()
     r = num_hashes // bands
     band_cols = [
         F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * r + j}") for j in range(r)])).alias(f"band{b}")
@@ -137,22 +188,44 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact token-set Jaccard over candidate pairs, blocked by a
-    grouping column to bound the quadratic join (at scale the block
-    key is an LSH band or a shard key, never the whole corpus)."""
-    t = docs.select(
-        F.col(id_col),
-        F.col(block_col).alias("__blk"),
-        F.array_distinct(tokenize(F.col(text_col))).alias("toks"),
+    """Exact word-shingle-set Jaccard over candidate pairs, blocked
+    by a grouping column to bound the quadratic join (at scale the
+    block key is an LSH band or a shard key, never the whole corpus).
+
+    Shape matters: instead of joining documents and intersecting
+    per-pair shingle ARRAYS (quadratic interpreted array ops — tens
+    of seconds at 5k docs, hopeless at scale), the shingles are
+    exploded once and self-joined on (block, shingle); the match
+    count per (id_a, id_b) IS the intersection size, and
+    |A∪B| = |A|+|B|-|A∩B|. All equi-joins + hash aggregates —
+    codegen'd, shuffle-parallel, and pairs with zero overlap never
+    materialize at all.
+    """
+    ex = (
+        shingle_rows(docs, 3, id_col, text_col, keep_cols=(block_col,))
+        .withColumnRenamed(block_col, "__blk")
+        .dropDuplicates([id_col, "sh"])
     )
-    a = t.select(F.col("__blk"), F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"))
-    b = t.select(F.col("__blk"), F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("double")
-    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b"))).cast("double")
-    return (
-        a.join(b, "__blk")
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = ex.select(F.col("__blk"), F.col("sh"), F.col(id_col).alias("id_a"))
+    b = ex.select(F.col("__blk"), F.col("sh"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, ["__blk", "sh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        6,
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -75,6 +75,30 @@ def bpe_ish_count(text: Column) -> Column:
     return alpha_units + other
 
 
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """n-word shingles ('w1 w2 w3') from a token array — the unit set
+    for near-dup Jaccard/MinHash (more discriminative than unigrams
+    when documents share a small vocabulary). Empty when the doc has
+    fewer than n tokens.
+
+    PERFORMANCE CAVEAT: pass a *materialized column* of tokens, never
+    the tokenize(...) expression directly — the lambda references its
+    input n times per element, so an inlined tokenize would re-split
+    the whole document per shingle (quadratic blowup). For pipelines,
+    prefer mldb_spark.dedup.shingle_rows (posexplode + lead), which
+    stays linear and codegen'd."""
+    count = F.size(tokens) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _stopword_hits(tokens: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*words)))
 

@@ -399,6 +399,201 @@ SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
 ORDER BY query_id, rank
 """
 
+# word-3-shingles from the token list (mirrors text.word_shingles):
+# indices 1..len-2, each "t[i] t[i+1] t[i+2]"
+_SHINGLES = (
+    "list_transform(range(1, greatest(len({t}) - 1, 1)),"
+    " i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
+)
+
+_MH16 = ",\n       ".join(
+    f"min(md5('{i}:' || tok)) AS mh{i}" for i in range(16)
+)
+
+ORACLES["q32_minhash_signatures"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 25 = 0
+),
+u AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t)
+SELECT doc_id,
+       {_MH16}
+FROM u GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _band_expr(b: int, r: int = 4) -> str:
+    parts = ", ".join(f"mh{b * r + j}" for j in range(r))
+    return f"md5(concat_ws('|', '{b}', {parts}))"
+
+
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"""  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         {" + ".join(f"(CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END)" for i in range(16))} AS matches
+  FROM banded x JOIN banded y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id"""
+    for b in range(4)
+)
+
+ORACLES["q33_minhash_pairs"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES.format(t="toks")} AS sh FROM t),
+u AS (SELECT doc_id, unnest(list_distinct(sh)) AS tok FROM s),
+sig AS (
+  SELECT doc_id,
+       {_MH16}
+  FROM u GROUP BY doc_id
+),
+banded AS (
+  SELECT *, {", ".join(f"{_band_expr(b)} AS band{b}" for b in range(4))}
+  FROM sig
+),
+pairs AS (
+{_BAND_SELECTS}
+)
+SELECT id_a, id_b, max(matches / 16.0) AS est_jaccard
+FROM pairs
+GROUP BY id_a, id_b
+HAVING max(matches / 16.0) >= 0.25
+ORDER BY id_a, id_b
+"""
+
+ORACLES["q34_shingle_jaccard"] = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, source,
+         list_distinct({_SHINGLES.format(t="toks")}) AS sh
+  FROM t
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT * FROM p WHERE jaccard >= 0.02 ORDER BY id_a, id_b
+"""
+
+ORACLES["q37_summary_stats"] = """
+SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
+       count(DISTINCT l_quantity) AS n_distinct,
+       round(min(l_quantity), 2) AS vmin, round(max(l_quantity), 2) AS vmax,
+       round(avg(l_quantity) + 1e-9, 4) AS vavg, round(sum(l_quantity), 2) AS vsum
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(l_extendedprice), count(DISTINCT l_extendedprice),
+       round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
+       round(avg(l_extendedprice) + 1e-9, 4), round(sum(l_extendedprice), 2)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(l_discount), count(DISTINCT l_discount),
+       round(min(l_discount), 2), round(max(l_discount), 2),
+       round(avg(l_discount) + 1e-9, 4), round(sum(l_discount), 2)
+FROM lineitem
+ORDER BY "column"
+"""
+
+ORACLES["q38_merge_datasets"] = """
+WITH c AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS rowName, round(c_acctbal, 2) AS bal,
+         c_mktsegment AS segment
+  FROM customer
+),
+o AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS rowName, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS bal
+  FROM orders GROUP BY 1
+)
+SELECT coalesce(c.rowName, o.rowName) AS rowName,
+       coalesce(o.bal, c.bal) AS bal,
+       c.segment AS segment,
+       o.n_orders AS n_orders
+FROM c FULL OUTER JOIN o ON c.rowName = o.rowName
+ORDER BY rowName
+"""
+
+ORACLES["q39_json_extract"] = """
+WITH j AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["q40_row_dataset"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 25 = 0
+),
+u AS (SELECT doc_id, unnest(toks) AS "column" FROM t)
+SELECT doc_id, "column", count(*) AS "value"
+FROM u GROUP BY doc_id, "column" ORDER BY doc_id, "column"
+"""
+
+_WILSON_COMMON = """
+WITH a AS (
+  SELECT event_type, count(*) AS trials,
+         CAST(sum(CASE WHEN "value" > 100 THEN 1 ELSE 0 END) AS BIGINT) AS successes
+  FROM events GROUP BY event_type
+),
+w AS (
+  SELECT *, successes / trials AS p, CAST(1.281551565545 AS DOUBLE) AS z FROM a
+)
+"""
+
+ORACLES["q41_wilson_bounds"] = (
+    _WILSON_COMMON
+    + """
+SELECT event_type, trials, successes,
+       round(((p + z*z/(2.0*trials)) - z*sqrt(p*(1-p)/trials + z*z/(4.0*trials*trials)))
+             / (1.0 + z*z/trials), 6) AS lb_80,
+       round(((p + z*z/(2.0*trials)) + z*sqrt(p*(1-p)/trials + z*z/(4.0*trials*trials)))
+             / (1.0 + z*z/trials), 6) AS ub_80
+FROM w ORDER BY event_type
+"""
+)
+
+ORACLES["q42_geo_distance"] = """
+WITH pts AS (
+  SELECT c_custkey,
+         ((c_custkey % 179) - 89) + 0.5 AS lat1,
+         ((c_custkey % 359) - 179) + 0.5 AS lon1,
+         CAST(48.8566 AS DOUBLE) AS lat2, CAST(2.3522 AS DOUBLE) AS lon2
+  FROM customer WHERE c_custkey % 31 = 0
+)
+SELECT c_custkey,
+       round(6371000.0 * 2.0 * asin(sqrt(
+         sin(radians(lat2 - lat1)/2) * sin(radians(lat2 - lat1)/2)
+         + cos(radians(lat1)) * cos(radians(lat2))
+           * sin(radians(lon2 - lon1)/2) * sin(radians(lon2 - lon1)/2)
+       )), 2) AS dist_to_paris_m
+FROM pts ORDER BY c_custkey
+"""
+
+ORACLES["q43_like_regex"] = """
+SELECT CAST(sum(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS n_brass,
+       CAST(sum(CASE WHEN regexp_matches(p_type, '^ECONOMY') THEN 1 ELSE 0 END) AS BIGINT) AS n_economy,
+       CAST(sum(CASE WHEN p_name LIKE '%a%e%' THEN 1 ELSE 0 END) AS BIGINT) AS n_a_e,
+       CAST(sum(CASE WHEN regexp_replace(p_type, '[AEIOU]', '', 'g') LIKE '%BRSS%' THEN 1 ELSE 0 END) AS BIGINT) AS n_brss_devoweled
+FROM part
+"""
+
+ORACLES["q44_levenshtein"] = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+WHERE a.p_partkey % 50 = 1 AND b.p_partkey % 50 = 1
+ORDER BY id_a, id_b
+"""
+
+ORACLES["q45_cast_rules"] = """
+SELECT count(*) AS n,
+       count(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)) AS n_priority_digit,
+       CAST(sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)) AS BIGINT) AS sum_priority_digit,
+       count(TRY_CAST(o_orderstatus AS BIGINT)) AS n_status_as_int,
+       CAST(sum(CASE WHEN TRY_CAST(o_orderstatus AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_failures
+FROM orders
+"""
+
 ORACLES["q31_embedding_neardup"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
        {_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim

@@ -635,6 +635,239 @@ def q31_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Dedup pipelines (minhash / shingle jaccard — beyond-reference ops)
+# ---------------------------------------------------------------------------
+
+
+def q32_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash signatures (16 md5-family hashes over the token set)
+    for a doc sample — proves the whole shingle→hash→min pipeline
+    bit-for-bit against the SQL oracle."""
+    from mldb_spark.dedup import minhash_signatures
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 25 == 0)
+    return minhash_signatures(docs, num_hashes=16).orderBy("doc_id")
+
+
+def q33_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (banded; est Jaccard from
+    minhash agreement). 3-word shingles keep the tiny shared vocab
+    from flooding the buckets."""
+    from mldb_spark.dedup import minhash_near_duplicates
+
+    docs = load(spark, sf, "documents")
+    return minhash_near_duplicates(
+        docs, num_hashes=16, bands=4, threshold=0.25, shingle_words=3
+    ).orderBy("id_a", "id_b")
+
+
+def q34_shingle_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard over source-blocked pairs."""
+    from mldb_spark.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.02, block_col="source").orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q35_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (xxhash64 bit votes — Spark-internal
+    hash, so verified by invariant tests rather than a SQL oracle)."""
+    from mldb_spark.dedup import simhash_near_duplicates
+
+    docs = load(spark, sf, "documents")
+    return simhash_near_duplicates(docs, max_hamming=16)
+
+
+def q36_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k neighbors (bucketed
+    probe instead of full scan; deterministic seeded planes).
+    Rows-only check: plane generation is engine-internal."""
+    import random
+
+    from mldb_spark.similarity import lsh_topk
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(3)]
+    return lsh_topk(emb, queries, planes, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Procedures & function families, continued
+# ---------------------------------------------------------------------------
+
+
+def q37_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """summary.statistics procedure (builtin/summary_statistics_proc.cc:516):
+    per-column stats in ONE pass (single wide aggregate, map-side
+    partials) reshaped long via stack — no per-column rescan."""
+    li = load(spark, sf, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__n"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.round(F.min(c), 2).alias(f"{c}__min"),
+            F.round(F.max(c), 2).alias(f"{c}__max"),
+            round_avg(F.avg(c), 4).alias(f"{c}__avg"),
+            F.round(F.sum(c), 2).alias(f"{c}__sum"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nd, {c}__min, {c}__max, {c}__avg, {c}__sum" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as "
+        "(column, n, n_distinct, vmin, vmax, vavg, vsum)"
+    ).orderBy("column")
+
+
+def q38_merge_datasets(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-wise merge (merged dataset, builtin/merged_dataset.cc:714):
+    customer attributes enriched with order rollups on the same row
+    names; the later dataset wins shared columns (`bal` here)."""
+    from mldb_spark.operators.relational import merge_datasets
+
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").cast("string").alias("rowName"),
+        F.round(F.col("c_acctbal"), 2).alias("bal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    ords = (
+        load(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").cast("string").alias("rowName"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bal"),
+        )
+    )
+    return merge_datasets([cust, ords]).orderBy("rowName")
+
+
+def q39_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """parse_json path extraction (sql/builtin_functions.cc:1832):
+    pull props.k out of the events JSON column, aggregate."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q40_row_dataset(spark: SparkSession, sf: str) -> DataFrame:
+    """row_dataset(expr) (sql/table_expression_operations.h:210-240):
+    one output row per atom of a row value — here the bag-of-words
+    map of each sampled document exploded to (doc_id, column, value)
+    cell rows."""
+    from mldb_spark.functions.text import tokenize_counts
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 25 == 0)
+    bow = docs.select("doc_id", tokenize_counts(F.col("text")).alias("bow"))
+    return bow.select(
+        "doc_id", F.explode(F.col("bow")).alias("column", "value")
+    ).withColumn("value", F.col("value").cast("long")).orderBy("doc_id", "column")
+
+
+def q41_wilson_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """binomial_lb_80/ub_80 Wilson bounds
+    (sql/builtin_functions.cc:946-947) on per-event-type conversion
+    (value > 100) rates."""
+    from mldb_spark.functions.core import binomial_lb_80, binomial_ub_80
+
+    ev = load(spark, sf, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("trials"),
+        F.sum((F.col("value") > 100).cast("long")).alias("successes"),
+    )
+    return agg.select(
+        "event_type",
+        "trials",
+        "successes",
+        F.round(binomial_lb_80(F.col("trials"), F.col("successes")), 6).alias("lb_80"),
+        F.round(binomial_ub_80(F.col("trials"), F.col("successes")), 6).alias("ub_80"),
+    ).orderBy("event_type")
+
+
+def q42_geo_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """geo_distance haversine (sql/builtin_geo_functions.cc) between
+    synthetic customer/supplier coordinates derived from keys."""
+    from mldb_spark.functions.core import geo_distance
+
+    cust = load(spark, sf, "customer").filter(F.col("c_custkey") % 31 == 0)
+    lat1 = (F.col("c_custkey") % 179 - 89) + 0.5
+    lon1 = (F.col("c_custkey") % 359 - 179) + 0.5
+    lat2 = F.lit(48.8566)
+    lon2 = F.lit(2.3522)
+    return cust.select(
+        "c_custkey",
+        F.round(geo_distance(lat1, lon1, lat2, lon2), 2).alias("dist_to_paris_m"),
+    ).orderBy("c_custkey")
+
+
+def q43_like_regex(spark: SparkSession, sf: str) -> DataFrame:
+    """LIKE / regex_match family (LikeExpression
+    sql_expression_operations.h:331; regex fns builtin_functions.cc:
+    1027-1049) over part descriptions."""
+    part = load(spark, sf, "part")
+    return part.agg(
+        F.sum(F.col("p_type").like("%BRASS%").cast("long")).alias("n_brass"),
+        F.sum(F.col("p_type").rlike("^ECONOMY").cast("long")).alias("n_economy"),
+        F.sum(F.col("p_name").like("%a%e%").cast("long")).alias("n_a_e"),
+        F.sum(
+            F.regexp_replace(F.col("p_type"), "[AEIOU]", "").like("%BRSS%").cast("long")
+        ).alias("n_brss_devoweled"),
+    )
+
+
+def q44_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
+    """levenshtein_distance (sql/builtin_functions.cc:2640) over
+    sampled part-name pairs."""
+    part = load(spark, sf, "part").filter(F.col("p_partkey") % 50 == 1)
+    a = part.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
+    b = part.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("long").alias("edit_dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q45_cast_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """CAST failure → NULL (CastExpression, sql_expression_operations.h:357:
+    'a failed cast returns NULL, not an error'). Spark 4 is ANSI by
+    default, so the MLDB cast maps to try_cast, which also matches
+    the reference's try() error-absorbing contract."""
+    orders = load(spark, sf, "orders")
+    first_digit = F.substring(F.col("o_orderpriority"), 1, 1).try_cast("long")
+    bad_cast = F.col("o_orderstatus").try_cast("long")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(first_digit).alias("n_priority_digit"),
+        F.sum(first_digit).alias("sum_priority_digit"),
+        F.count(bad_cast).alias("n_status_as_int"),
+        F.sum(bad_cast.isNull().cast("long")).alias("n_cast_failures"),
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

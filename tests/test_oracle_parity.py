@@ -10,9 +10,13 @@ from mldb_spark.queries import QUERIES
 from mldb_spark.testing import compare_spark_duck
 
 
+# deliberately rows-only: engine-internal hashes (xxhash64 simhash)
+# and seeded-plane LSH have no cross-engine SQL replay
+ROWS_ONLY = {"q35_simhash_dedup", "q36_lsh_ann"}
+
+
 def test_every_query_has_an_oracle_or_is_flagged():
-    # rows-only queries (no oracle) must be deliberate, not forgotten
-    missing = set(QUERIES) - set(ORACLES)
+    missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
     assert missing == set(), f"queries without oracle entries: {missing}"
 
 
