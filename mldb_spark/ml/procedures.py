@@ -1,0 +1,197 @@
+"""ML training procedures on MLlib (SURVEY §2.13).
+
+Each mirrors a reference procedure's contract (inputs: a query/
+DataFrame; outputs: datasets + a registered apply-function), but the
+estimator is MLlib's — the reference's own JML/SVD kernels are
+single-node C++ and the whole point of this rebuild is to let the
+distributed implementations do that work.
+
+Reference procedure → here:
+- kmeans.train (plugins/jml/kmeans_interface.cc:389) → kmeans_train
+- classifier.train/.test (plugins/jml/classifier.cc:1491,
+  accuracy.cc:1006) → classifier_train / classifier_test
+- probabilizer.train (plugins/jml/probabilizer.cc:292)
+  → probabilizer_train (platt-style logistic on scores)
+- tfidf.train (plugins/nlp/tfidf.cc:472) → tfidf_train (MLlib
+  CountVectorizer+IDF) and tfidf_table (pure-DataFrame twin whose
+  arithmetic a SQL oracle can replay)
+- svd.train (plugins/embedding/svd.cc:1023) → pca_train (PCA over
+  the embedding column; truncated-SVD equivalent for centered data)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mldb_spark.functions.text import tokenize
+from mldb_spark.ml.registry import GLOBAL_REGISTRY, FunctionRegistry
+
+
+def _to_vector(df: DataFrame, array_col: str, out_col: str = "features") -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out_col, array_to_vector(F.col(array_col).cast("array<double>")))
+
+
+def kmeans_train(
+    df: DataFrame,
+    array_col: str,
+    k: int = 8,
+    seed: int = 42,
+    name: str = "kmeans",
+    registry: FunctionRegistry = GLOBAL_REGISTRY,
+):
+    """k-means over an ARRAY<numeric> column. Returns (model,
+    centroids_df); registers `name` as an assignment function adding
+    a `cluster` column. Distributed Lloyd iterations — each pass is
+    one map-side nearest-centroid assignment (centroids broadcast)
+    plus one aggregate; no driver-side loops over rows."""
+    from pyspark.ml.clustering import KMeans
+
+    vecs = _to_vector(df, array_col)
+    model = KMeans(k=k, seed=seed, featuresCol="features", predictionCol="cluster").fit(vecs)
+    spark = df.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+
+    def assign(d: DataFrame) -> DataFrame:
+        return model.transform(_to_vector(d, array_col)).drop("features")
+
+    registry.register(name, assign)
+    return model, centroids
+
+
+def classifier_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    name: str = "classifier",
+    registry: FunctionRegistry = GLOBAL_REGISTRY,
+):
+    """Binary classifier (logistic regression — the reference's 'glz'
+    default, ClassifierConf.md). Returns the model; registers `name`
+    as a scorer adding `score` (P(label=1))."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    train = assembler.transform(df).withColumn("label", F.col(label_col).cast("double"))
+    model = LogisticRegression(maxIter=50, regParam=0.01).fit(train)
+
+    def score(d: DataFrame) -> DataFrame:
+        scored = model.transform(assembler.transform(d))
+        return scored.withColumn(
+            "score", vector_to_array(F.col("probability")).getItem(1)
+        ).drop("features", "rawPrediction", "probability", "prediction")
+
+    registry.register(name, score)
+    return model
+
+
+def classifier_test(scored: DataFrame, label_col: str = "label", score_col: str = "score") -> DataFrame:
+    """classifier.test: AUC + accuracy dataset (accuracy.cc:1006).
+    AUC via MLlib's BinaryClassificationEvaluator (distributed
+    threshold sweep)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    # the evaluator accepts a plain double rawPrediction column — no
+    # need to wrap the score in a length-2 vector
+    prepped = scored.withColumn("label", F.col(label_col).cast("double")).withColumn(
+        "rawPrediction", F.col(score_col).cast("double")
+    )
+    auc = BinaryClassificationEvaluator(rawPredictionCol="rawPrediction").evaluate(prepped)
+    acc = (
+        scored.withColumn("correct", ((F.col(score_col) > 0.5) == (F.col(label_col) == 1)).cast("long"))
+        .agg((F.sum("correct") / F.count(F.lit(1))).alias("acc"))
+        .collect()[0]["acc"]
+    )
+    return scored.sparkSession.createDataFrame(
+        [(float(auc), float(acc))], "auc double, accuracy double"
+    )
+
+
+def probabilizer_train(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    name: str = "probabilizer",
+    registry: FunctionRegistry = GLOBAL_REGISTRY,
+):
+    """Score→probability calibration: logistic regression on the raw
+    score (Platt scaling), the reference probabilizer's contract."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    assembler = VectorAssembler(inputCols=[score_col], outputCol="features")
+    model = LogisticRegression(maxIter=50).fit(
+        assembler.transform(scored).withColumn("label", F.col(label_col).cast("double"))
+    )
+
+    def calibrate(d: DataFrame) -> DataFrame:
+        out = model.transform(assembler.transform(d))
+        return out.withColumn(
+            "prob", vector_to_array(F.col("probability")).getItem(1)
+        ).drop("features", "rawPrediction", "probability", "prediction")
+
+    registry.register(name, calibrate)
+    return model
+
+
+def tfidf_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = 1,
+    vocab_size: int = 1 << 18,
+):
+    """tfidf.train on MLlib CountVectorizer+IDF; returns the fitted
+    PipelineModel producing a sparse tfidf vector column."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import IDF, CountVectorizer
+
+    toks = docs.withColumn("tokens", tokenize(F.col(text_col)))
+    cv = CountVectorizer(inputCol="tokens", outputCol="tf", minDF=min_df, vocabSize=vocab_size)
+    idf = IDF(inputCol="tf", outputCol="tfidf")
+    return Pipeline(stages=[cv, idf]).fit(toks)
+
+
+def tfidf_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Pure-DataFrame TF-IDF table: (doc, token, tf, df, tfidf) with
+    the MLlib/standard smoothed idf = ln((N+1)/(df+1)). Exact
+    arithmetic a SQL oracle replays; also the long-format output the
+    reference's tfidf function produces per token. Two shuffles:
+    token counts per doc, then doc-frequency join (broadcast — the
+    vocabulary is small next to the corpus)."""
+    toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+def pca_train(df: DataFrame, array_col: str, k: int = 8):
+    """svd.train equivalent: PCA over the embedding column. Returns
+    (model, explained_variance list). Row embeddings come from
+    model.transform; column loadings from model.pc — the reference's
+    rowOutput/columnOutput pair (svd.cc)."""
+    from pyspark.ml.feature import PCA
+
+    model = PCA(k=k, inputCol="features", outputCol="pca").fit(_to_vector(df, array_col))
+    return model, [float(x) for x in model.explainedVariance]

@@ -585,6 +585,20 @@ WHERE a.p_partkey % 50 = 1 AND b.p_partkey % 50 = 1
 ORDER BY id_a, id_b
 """
 
+ORACLES["q46_tfidf"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       round(tf.tf * ln((CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1.0)
+                        / (dfreq.df + 1.0)), 6) AS tfidf
+FROM tf JOIN dfreq ON tf.token = dfreq.token
+WHERE tf.doc_id % 25 = 0
+ORDER BY tf.doc_id, tf.token
+"""
+
 ORACLES["q45_cast_rules"] = """
 SELECT count(*) AS n,
        count(TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT)) AS n_priority_digit,

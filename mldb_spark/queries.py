@@ -868,6 +868,82 @@ def q45_cast_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ML procedures (SURVEY §2.13 — MLlib-backed)
+# ---------------------------------------------------------------------------
+
+
+def q46_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """tfidf.train (plugins/nlp/tfidf.cc:472) as its exact-arithmetic
+    DataFrame twin: per-(doc, token) tf/df/tfidf with smoothed
+    ln((N+1)/(df+1)) idf; document frequencies computed over the full
+    corpus, output sampled."""
+    from mldb_spark.ml.procedures import tfidf_table
+
+    docs = load(spark, sf, "documents")
+    return (
+        tfidf_table(docs)
+        .filter(F.col("doc_id") % 25 == 0)
+        .orderBy("doc_id", "token")
+    )
+
+
+def q47_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """kmeans.train (plugins/jml/kmeans_interface.cc:389): cluster the
+    embeddings (k=8, fixed seed), return per-cluster sizes. Rows-only
+    check: MLlib's kmeans|| init is engine-internal."""
+    from mldb_spark.ml.procedures import kmeans_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    reg = FunctionRegistry()
+    emb = load(spark, sf, "embeddings")
+    _, _centroids = kmeans_train(emb, "embedding", k=8, seed=42, name="km", registry=reg)
+    assigned = reg.apply("km", emb)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
+
+
+def q48_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """classifier.train + classifier.test (plugins/jml/classifier.cc:1491,
+    accuracy.cc:1006): logistic regression predicting high-value
+    orders from order features, evaluated with AUC/accuracy.
+    Rows-only: the optimizer trajectory is engine-internal."""
+    from mldb_spark.ml.procedures import classifier_test, classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    reg = FunctionRegistry()
+    orders = load(spark, sf, "orders")
+    feats = orders.select(
+        F.col("o_orderkey"),
+        F.substring("o_orderpriority", 1, 1).try_cast("double").alias("f_priority"),
+        F.month("o_orderdate").cast("double").alias("f_month"),
+        (F.col("o_custkey") % 100).cast("double").alias("f_cust"),
+        (F.col("o_totalprice") > 150000).cast("double").alias("label"),
+    ).na.drop()
+    train = feats.filter(F.col("o_orderkey") % 5 != 0)
+    test = feats.filter(F.col("o_orderkey") % 5 == 0)
+    classifier_train(train, ["f_priority", "f_month", "f_cust"], "label", "clf", reg)
+    scored = reg.apply("clf", test)
+    return classifier_test(scored, "label", "score")
+
+
+def q49_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """svd.train equivalent (plugins/embedding/svd.cc:1023): PCA over
+    embeddings, one row per component with explained variance.
+    Rows-only: eigensolver internals are engine-specific."""
+    from mldb_spark.ml.procedures import pca_train
+
+    emb = load(spark, sf, "embeddings")
+    _, variances = pca_train(emb, "embedding", k=8)
+    return spark.createDataFrame(
+        [(i, round(v, 6)) for i, v in enumerate(variances)],
+        "component int, explained_variance double",
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

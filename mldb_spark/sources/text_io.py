@@ -1,0 +1,126 @@
+"""Text importers/exporters mirroring the reference's procedures.
+
+- import.text (plugins/textual/importtext_procedure.h:22-57, .cc:1435):
+  CSV/TSV with header autogeneration, delimiter/quote/encoding
+  options, bad-line tolerance, offset/limit, per-line select/where/
+  named expressions.
+- import.json (plugins/textual/json_importer.cc:427): JSON-lines.
+- export.csv (plugins/textual/csv_export_procedure.cc:238).
+
+Spark-first: the readers ARE spark.read.csv/json (distributed,
+splittable, schema-inferring); this layer adds the reference's
+per-line expression semantics (select/where/named/offset/limit) on
+top of the scan, which Catalyst then fuses into it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def import_text(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    header: bool = True,
+    quote: str = '"',
+    encoding: str = "UTF-8",
+    ignore_bad_lines: bool = False,
+    offset: int = 0,
+    limit: int | None = None,
+    where: Column | None = None,
+    select: list[Column] | None = None,
+    named: Column | None = None,
+) -> DataFrame:
+    """import.text: CSV → DataFrame with the reference's per-line
+    options. Header autogeneration (header=False) yields the
+    reference's x0..xN-style names (Spark's _c0.. renamed). offset/
+    limit follow the reference's line-window semantics via a
+    monotonically-derived line index — NOTE: at scale prefer
+    where-filters; a global line offset forces an ordering.
+    """
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", delimiter)
+        .option("quote", quote)
+        .option("encoding", encoding)
+        .option("inferSchema", True)
+        .option("mode", "DROPMALFORMED" if ignore_bad_lines else "PERMISSIVE")
+    )
+    df = reader.csv(path)
+    if not header:
+        df = df.toDF(*[f"x{i}" for i in range(len(df.columns))])
+    if offset or limit is not None:
+        df = df.withColumn("__line", F.monotonically_increasing_id())
+        ordered = df.orderBy("__line")
+        if offset:
+            ordered = ordered.offset(offset)
+        if limit is not None:
+            ordered = ordered.limit(limit)
+        df = ordered.drop("__line")
+    if where is not None:
+        df = df.filter(where)
+    if named is not None:
+        df = df.withColumn("rowName", named)
+    if select is not None:
+        df = df.select(*select, *([F.col("rowName")] if named is not None else []))
+    return df
+
+
+def import_json(
+    spark: SparkSession,
+    path: str,
+    ignore_bad_lines: bool = False,
+    where: Column | None = None,
+    select: list[Column] | None = None,
+) -> DataFrame:
+    """import.json: JSON-lines → DataFrame (nested structs preserved;
+    the reference flattens to dotted paths — use flatten_struct to
+    match that output shape)."""
+    reader = spark.read.option(
+        "mode", "DROPMALFORMED" if ignore_bad_lines else "PERMISSIVE"
+    )
+    df = reader.json(path)
+    if where is not None:
+        df = df.filter(where)
+    if select is not None:
+        df = df.select(*select)
+    return df
+
+
+def flatten_struct(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Flatten nested structs to dotted-path atomic columns — the
+    reference's complex-type flattening rule (TypeSystem.md 'Complex
+    type flattening'; recordRowExpr 'will be flattened',
+    core/dataset.h:459-468)."""
+    cols: list[Column] = []
+
+    def walk(prefix: str, schema, path: str):
+        for field in schema.fields:
+            full = f"{path}.`{field.name}`" if path else f"`{field.name}`"
+            name = f"{prefix}{sep}{field.name}" if prefix else field.name
+            if hasattr(field.dataType, "fields"):
+                walk(name, field.dataType, full)
+            else:
+                cols.append(F.col(full).alias(name))
+
+    walk("", df.schema, "")
+    return df.select(*cols)
+
+
+def export_csv(
+    df: DataFrame,
+    path: str,
+    delimiter: str = ",",
+    header: bool = True,
+    single_file: bool = False,
+) -> None:
+    """export.csv. single_file=True coalesces to one partition —
+    only for modest outputs (the reference is single-node and always
+    writes one file; distributed default keeps one file per
+    partition)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", header).option("sep", delimiter).csv(path)

@@ -1,0 +1,89 @@
+"""ML procedure invariants (the gate's rows-only ops get their real
+verification here)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mldb_spark.catalog import load
+from mldb_spark.ml.procedures import (
+    classifier_test,
+    classifier_train,
+    kmeans_train,
+    pca_train,
+    probabilizer_train,
+    tfidf_table,
+    tfidf_train,
+)
+from mldb_spark.ml.registry import FunctionRegistry
+
+
+def test_kmeans_assignment_matches_nearest_centroid(spark, sf_dir):
+    reg = FunctionRegistry()
+    emb = load(spark, sf_dir, "embeddings")
+    model, centroids = kmeans_train(emb, "embedding", k=4, seed=7, name="km", registry=reg)
+    assigned = reg.apply("km", emb)
+    assert centroids.count() == 4
+    assert assigned.select("cluster").distinct().count() <= 4
+    # every point's assigned centroid is the argmin over centroids
+    cents = {r["cluster"]: r["centroid"] for r in centroids.collect()}
+    for row in assigned.limit(20).collect():
+        v = row["embedding"]
+        dists = {
+            c: sum((float(a) - b) ** 2 for a, b in zip(v, cent))
+            for c, cent in cents.items()
+        }
+        assert min(dists, key=dists.get) == row["cluster"]
+
+
+def test_tfidf_table_formula(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["token"]): r for r in tfidf_table(docs).collect()}
+    assert rows[(1, "apple")]["tf"] == 2 and rows[(1, "apple")]["df"] == 1
+    expect = round(2 * math.log((3 + 1.0) / (1 + 1.0)), 6)
+    assert abs(rows[(1, "apple")]["tfidf"] - expect) < 1e-9
+    assert rows[(2, "banana")]["df"] == 2
+
+
+def test_tfidf_mllib_pipeline(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    model = tfidf_train(docs)
+    out = model.transform(docs.withColumn("tokens", F.split("text", " ")))
+    assert out.select("tfidf").count() == 2
+
+
+def test_classifier_learns_separable_labels(spark):
+    # label = f(x) is linearly separable -> AUC should be ~1
+    data = spark.createDataFrame(
+        [(float(i), float(i % 7), 1.0 if i > 50 else 0.0) for i in range(100)],
+        "x double, noise double, label double",
+    )
+    reg = FunctionRegistry()
+    classifier_train(data, ["x", "noise"], "label", "clf", reg)
+    scored = reg.apply("clf", data)
+    metrics = classifier_test(scored, "label", "score").collect()[0]
+    assert metrics["auc"] > 0.95
+    assert metrics["accuracy"] > 0.9
+
+    # probabilizer on the scores keeps ordering (monotone calibration)
+    probabilizer_train(scored, "score", "label", "prob", reg)
+    calibrated = reg.apply("prob", scored).orderBy("score").collect()
+    probs = [r["prob"] for r in calibrated]
+    assert all(a <= b + 1e-9 for a, b in zip(probs, probs[1:]))
+
+
+def test_pca_variances(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    _, variances = pca_train(emb, "embedding", k=6)
+    assert len(variances) == 6
+    assert all(v >= -1e-12 for v in variances)
+    assert all(a >= b - 1e-12 for a, b in zip(variances, variances[1:]))
+    assert sum(variances) <= 1.0 + 1e-9
