@@ -1,0 +1,154 @@
+"""AST node types for the MLDB SQL dialect.
+
+Mirrors the reference's expression classes
+(sql/sql_expression_operations.h) and SelectStatement
+(sql/sql_expression.h:1764-1791) at the level needed for
+translation; deliberately small dataclasses, no behavior.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Expr:
+    pass
+
+
+@dataclass
+class Literal(Expr):
+    value: object  # None | bool | int | float | str
+
+
+@dataclass
+class ColumnRef(Expr):
+    name: str  # dotted path allowed
+
+
+@dataclass
+class Param(Expr):
+    name: str  # $name
+
+
+@dataclass
+class Unary(Expr):
+    op: str  # '-', 'NOT', '~'
+    operand: Expr
+
+
+@dataclass
+class Binary(Expr):
+    op: str  # arithmetic/comparison/boolean/bitwise
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class IsTest(Expr):
+    operand: Expr
+    negated: bool
+    kind: str  # 'NULL','TRUE','FALSE','STRING','NUMBER','INTEGER','TIMESTAMP'
+
+
+@dataclass
+class Between(Expr):
+    operand: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass
+class InList(Expr):
+    operand: Expr
+    items: list[Expr]
+    negated: bool = False
+
+
+@dataclass
+class LikeOp(Expr):
+    operand: Expr
+    pattern: Expr
+    negated: bool = False
+
+
+@dataclass
+class Case(Expr):
+    operand: Expr | None  # CASE x WHEN … vs CASE WHEN …
+    branches: list[tuple[Expr, Expr]]
+    otherwise: Expr | None
+
+
+@dataclass
+class Cast(Expr):
+    operand: Expr
+    type_name: str  # string|integer|number|boolean|timestamp
+
+
+@dataclass
+class FunctionCall(Expr):
+    name: str
+    args: list[Expr]
+
+
+@dataclass
+class EmbeddingLiteral(Expr):
+    items: list[Expr]  # [1,2,3]
+
+
+@dataclass
+class RowLiteral(Expr):
+    fields: list[tuple[str, Expr]]  # {a: 1, b: x+1}
+
+
+@dataclass
+class SelectItem:
+    pass
+
+
+@dataclass
+class ExprItem(SelectItem):
+    expr: Expr
+    alias: str | None
+
+
+@dataclass
+class Wildcard(SelectItem):
+    prefix: str  # '' for bare *
+    excluding: list[str] = field(default_factory=list)  # names or prefixes 'p*'
+
+
+@dataclass
+class TableRef:
+    name: str
+    alias: str | None = None
+
+
+@dataclass
+class Join:
+    left: "TableRef | Join"
+    right: TableRef
+    kind: str  # inner|left|right|full|cross
+    on: Expr | None
+
+
+@dataclass
+class OrderItem:
+    expr: Expr
+    ascending: bool = True
+
+
+@dataclass
+class SelectStatement:
+    select: list[SelectItem]
+    distinct_on: list[Expr] = field(default_factory=list)
+    named: Expr | None = None
+    from_: "TableRef | Join | SelectStatement | None" = None
+    from_alias: str | None = None
+    when: Expr | None = None
+    where: Expr | None = None
+    group_by: list[Expr] = field(default_factory=list)
+    having: Expr | None = None
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None

@@ -1,0 +1,445 @@
+"""Hand-written tokenizer + Pratt parser for the MLDB SQL dialect.
+
+Reference: the dialect's own recursive-descent parser with
+precedence climbing (sql/sql_expression.cc:1260-2200; statement
+grammar :4205-4355; select lists :3050-3130). This is a fresh
+implementation of the same grammar, not a translation: it produces
+the small AST in ast.py that translate.py lowers to DataFrame ops.
+
+Operator precedence follows doc/builtin/sql/ValueExpression.md
+§Operators (bitwise at the additive level; NOT above AND; OR
+loosest).
+"""
+
+from __future__ import annotations
+
+import re
+
+from mldb_spark.dialect import ast
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<number>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+  | (?P<qident>"(?:[^"]|"")*")
+  | (?P<string>'(?:[^']|'')*')
+  | (?P<param>\$[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<op><>|!=|>=|<=|=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|,|\.|:|&|\||\^|~|@)
+    """,
+    re.VERBOSE,
+)
+
+KEYWORDS = {
+    "select", "named", "from", "when", "where", "group", "by", "having",
+    "order", "limit", "offset", "as", "and", "or", "not", "is", "null",
+    "true", "false", "between", "in", "like", "case", "end", "then",
+    "else", "cast", "distinct", "on", "excluding", "join", "inner",
+    "left", "right", "full", "outer", "cross", "asc", "desc", "string",
+    "integer", "number", "boolean", "timestamp",
+}
+
+
+class Token:
+    __slots__ = ("kind", "value")
+
+    def __init__(self, kind: str, value: str):
+        self.kind = kind
+        self.value = value
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Token({self.kind},{self.value!r})"
+
+
+def tokenize(sql: str) -> list[Token]:
+    out: list[Token] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise SyntaxError(f"unexpected character {sql[pos]!r} at {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "ident" and text.lower() in KEYWORDS:
+            out.append(Token("kw", text.lower()))
+        elif kind == "qident":
+            out.append(Token("ident", text[1:-1].replace('""', '"')))
+        elif kind == "string":
+            out.append(Token("string", text[1:-1].replace("''", "'")))
+        else:
+            out.append(Token(kind, text))
+    out.append(Token("eof", ""))
+    return out
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+
+    def peek(self, offset: int = 0) -> Token:
+        return self.toks[min(self.i + offset, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept_kw(self, *kws: str) -> str | None:
+        t = self.peek()
+        if t.kind == "kw" and t.value in kws:
+            self.next()
+            return t.value
+        return None
+
+    def expect_kw(self, kw: str) -> None:
+        if not self.accept_kw(kw):
+            raise SyntaxError(f"expected {kw.upper()}, got {self.peek()}")
+
+    def accept_op(self, *ops: str) -> str | None:
+        t = self.peek()
+        if t.kind == "op" and t.value in ops:
+            self.next()
+            return t.value
+        return None
+
+    def expect_op(self, op: str) -> None:
+        if not self.accept_op(op):
+            raise SyntaxError(f"expected {op!r}, got {self.peek()}")
+
+    # -- expressions (Pratt) ------------------------------------------------
+
+    # binding powers; higher binds tighter
+    _CMP = {"=", "!=", "<>", "<", ">", "<=", ">="}
+
+    def parse_expr(self, min_bp: int = 0) -> ast.Expr:
+        lhs = self._prefix()
+        while True:
+            t = self.peek()
+            if t.kind == "kw" and t.value == "or" and min_bp <= 1:
+                self.next()
+                lhs = ast.Binary("or", lhs, self.parse_expr(2))
+            elif t.kind == "kw" and t.value == "and" and min_bp <= 2:
+                self.next()
+                lhs = ast.Binary("and", lhs, self.parse_expr(3))
+            elif t.kind == "kw" and t.value in ("is", "between", "in", "like", "not") and min_bp <= 4:
+                lhs = self._postfix_predicate(lhs)
+            elif t.kind == "op" and t.value in self._CMP and min_bp <= 4:
+                op = self.next().value
+                lhs = ast.Binary("!=" if op == "<>" else op, lhs, self.parse_expr(5))
+            elif t.kind == "op" and t.value in ("+", "-", "&", "|", "^") and min_bp <= 5:
+                op = self.next().value
+                lhs = ast.Binary(op, lhs, self.parse_expr(6))
+            elif t.kind == "op" and t.value in ("*", "/", "%") and min_bp <= 6:
+                op = self.next().value
+                lhs = ast.Binary(op, lhs, self.parse_expr(7))
+            else:
+                return lhs
+
+    def _postfix_predicate(self, lhs: ast.Expr) -> ast.Expr:
+        negated = False
+        if self.accept_kw("not"):
+            negated = True
+        if self.accept_kw("is"):
+            neg = negated or bool(self.accept_kw("not"))
+            for kind in ("null", "true", "false", "string", "number", "integer", "timestamp"):
+                if self.accept_kw(kind):
+                    return ast.IsTest(lhs, neg, kind.upper())
+            raise SyntaxError(f"bad IS test at {self.peek()}")
+        if self.accept_kw("between"):
+            low = self.parse_expr(5)
+            self.expect_kw("and")
+            return ast.Between(lhs, low, self.parse_expr(5), negated)
+        if self.accept_kw("in"):
+            self.expect_op("(")
+            items = [self.parse_expr()]
+            while self.accept_op(","):
+                items.append(self.parse_expr())
+            self.expect_op(")")
+            return ast.InList(lhs, items, negated)
+        if self.accept_kw("like"):
+            return ast.LikeOp(lhs, self.parse_expr(5), negated)
+        raise SyntaxError(f"unexpected NOT at {self.peek()}")
+
+    def _prefix(self) -> ast.Expr:
+        t = self.next()
+        if t.kind == "number":
+            text = t.value
+            val = float(text) if ("." in text or "e" in text or "E" in text) else int(text)
+            return ast.Literal(val)
+        if t.kind == "string":
+            return ast.Literal(t.value)
+        if t.kind == "param":
+            return ast.Param(t.value[1:])
+        if t.kind == "kw":
+            if t.value == "null":
+                return ast.Literal(None)
+            if t.value == "true":
+                return ast.Literal(True)
+            if t.value == "false":
+                return ast.Literal(False)
+            if t.value == "not":
+                return ast.Unary("NOT", self.parse_expr(4))
+            if t.value == "case":
+                return self._case()
+            if t.value == "cast":
+                self.expect_op("(")
+                operand = self.parse_expr()
+                self.expect_kw("as")
+                tt = self.next()
+                if tt.kind not in ("kw", "ident"):
+                    raise SyntaxError(f"bad cast type {tt}")
+                self.expect_op(")")
+                return ast.Cast(operand, tt.value.lower())
+            if t.value in ("left", "right"):  # allow as function names (left(x,n))
+                return self._maybe_call(t.value)
+            raise SyntaxError(f"unexpected keyword {t.value!r} in expression")
+        if t.kind == "op":
+            if t.value == "-":
+                return ast.Unary("-", self.parse_expr(7))
+            if t.value == "+":
+                return self.parse_expr(7)
+            if t.value == "~":
+                return ast.Unary("~", self.parse_expr(7))
+            if t.value == "(":
+                e = self.parse_expr()
+                self.expect_op(")")
+                return e
+            if t.value == "[":
+                items = []
+                if not self.accept_op("]"):
+                    items.append(self.parse_expr())
+                    while self.accept_op(","):
+                        items.append(self.parse_expr())
+                    self.expect_op("]")
+                return ast.EmbeddingLiteral(items)
+            if t.value == "{":
+                fields = []
+                if not self.accept_op("}"):
+                    fields.append(self._row_field())
+                    while self.accept_op(","):
+                        fields.append(self._row_field())
+                    self.expect_op("}")
+                return ast.RowLiteral(fields)
+        if t.kind == "ident":
+            return self._maybe_call(t.value)
+        raise SyntaxError(f"unexpected token {t}")
+
+    def _row_field(self) -> tuple[str, ast.Expr]:
+        name_tok = self.next()
+        if name_tok.kind not in ("ident", "string"):
+            raise SyntaxError(f"bad row-literal field name {name_tok}")
+        self.expect_op(":")
+        return (name_tok.value, self.parse_expr())
+
+    def _maybe_call(self, name: str) -> ast.Expr:
+        # dotted column path: a.b.c
+        while self.peek().kind == "op" and self.peek().value == ".":
+            if self.peek(1).kind in ("ident",):
+                self.next()
+                name += "." + self.next().value
+            else:
+                break
+        if self.peek().kind == "op" and self.peek().value == "(":
+            self.next()
+            args: list[ast.Expr] = []
+            if self.peek().kind == "op" and self.peek().value == "*":
+                # count(*) form
+                self.next()
+                args.append(ast.Literal("*"))
+            elif not (self.peek().kind == "op" and self.peek().value == ")"):
+                args.append(self.parse_expr())
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+            self.expect_op(")")
+            return ast.FunctionCall(name.lower(), args)
+        return ast.ColumnRef(name)
+
+    def _case(self) -> ast.Expr:
+        operand = None
+        if not (self.peek().kind == "kw" and self.peek().value == "when"):
+            operand = self.parse_expr()
+        branches = []
+        while self.accept_kw("when"):
+            cond = self.parse_expr()
+            self.expect_kw("then")
+            branches.append((cond, self.parse_expr()))
+        otherwise = self.parse_expr() if self.accept_kw("else") else None
+        self.expect_kw("end")
+        return ast.Case(operand, branches, otherwise)
+
+    # -- statements ---------------------------------------------------------
+
+    def parse_statement(self) -> ast.SelectStatement:
+        stm = self.parse_subselect()
+        if self.peek().kind != "eof":
+            raise SyntaxError(f"trailing tokens at {self.peek()}")
+        return stm
+
+    def _order_item(self) -> ast.OrderItem:
+        e = self.parse_expr()
+        if self.accept_kw("desc"):
+            return ast.OrderItem(e, False)
+        self.accept_kw("asc")
+        return ast.OrderItem(e, True)
+
+    def _select_item(self) -> ast.SelectItem:
+        t = self.peek()
+        # bare * or prefix* (ident immediately followed by *)
+        if t.kind == "op" and t.value == "*":
+            self.next()
+            return self._wildcard_tail("")
+        if t.kind == "ident" and self.peek(1).kind == "op" and self.peek(1).value == "*":
+            # prefix* — only when adjacency means glob (heuristic: next
+            # token after * is , FROM-ish or EXCLUDING)
+            after = self.peek(2)
+            if after.kind in ("kw", "eof") or (after.kind == "op" and after.value == ","):
+                prefix = self.next().value
+                self.next()  # '*'
+                return self._wildcard_tail(prefix)
+        # name: expr  (MLDB's alternative alias syntax)
+        if t.kind == "ident" and self.peek(1).kind == "op" and self.peek(1).value == ":":
+            alias = self.next().value
+            self.next()
+            return ast.ExprItem(self.parse_expr(), alias)
+        e = self.parse_expr()
+        alias = None
+        if self.accept_kw("as"):
+            alias_tok = self.next()
+            if alias_tok.kind not in ("ident", "string"):
+                raise SyntaxError(f"bad alias {alias_tok}")
+            alias = alias_tok.value
+        return ast.ExprItem(e, alias)
+
+    def _wildcard_tail(self, prefix: str) -> ast.Wildcard:
+        wc = ast.Wildcard(prefix)
+        if self.accept_kw("excluding"):
+            self.expect_op("(")
+            wc.excluding.append(self._excluding_name())
+            while self.accept_op(","):
+                wc.excluding.append(self._excluding_name())
+            self.expect_op(")")
+        return wc
+
+    def _excluding_name(self) -> str:
+        name = self.next()
+        if name.kind != "ident":
+            raise SyntaxError(f"bad EXCLUDING entry {name}")
+        if self.peek().kind == "op" and self.peek().value == "*":
+            self.next()
+            return name.value + "*"
+        return name.value
+
+    def _table_expr(self):
+        left = self._table_primary()
+        while True:
+            kind = None
+            if self.accept_kw("cross"):
+                kind = "cross"
+            elif self.accept_kw("inner"):
+                kind = "inner"
+            elif self.accept_kw("left"):
+                self.accept_kw("outer")
+                kind = "left"
+            elif self.accept_kw("right"):
+                self.accept_kw("outer")
+                kind = "right"
+            elif self.accept_kw("full"):
+                self.accept_kw("outer")
+                kind = "full"
+            elif self.accept_kw("outer"):
+                kind = "full"
+            if kind is None:
+                if self.peek().kind == "kw" and self.peek().value == "join":
+                    kind = "inner"
+                else:
+                    return left
+            self.expect_kw("join")
+            right = self._table_primary()
+            on = None
+            if self.accept_kw("on"):
+                on = self.parse_expr()
+            if not isinstance(right, ast.TableRef):
+                raise SyntaxError("join right side must be a table")
+            left = ast.Join(left, right, kind, on)
+
+    def _table_primary(self):
+        if self.peek().kind == "op" and self.peek().value == "(":
+            self.next()
+            sub = self.parse_subselect()
+            self.expect_op(")")
+            alias = None
+            if self.accept_kw("as"):
+                alias = self.next().value
+            elif self.peek().kind == "ident":
+                alias = self.next().value
+            sub_stmt = sub
+            sub_stmt.from_alias = alias
+            return sub_stmt
+        t = self.next()
+        if t.kind != "ident":
+            raise SyntaxError(f"expected table name, got {t}")
+        alias = None
+        if self.accept_kw("as"):
+            alias = self.next().value
+        elif self.peek().kind == "ident":
+            alias = self.next().value
+        return ast.TableRef(t.value, alias)
+
+    def parse_subselect(self) -> ast.SelectStatement:
+        """Parse a SELECT without demanding EOF (used for both the
+        top-level statement and parenthesized subselects)."""
+        self.expect_kw("select")
+        stm = ast.SelectStatement(select=[])
+        if self.accept_kw("distinct"):
+            self.expect_kw("on")
+            self.expect_op("(")
+            stm.distinct_on.append(self.parse_expr())
+            while self.accept_op(","):
+                stm.distinct_on.append(self.parse_expr())
+            self.expect_op(")")
+        stm.select.append(self._select_item())
+        while self.accept_op(","):
+            stm.select.append(self._select_item())
+        if self.accept_kw("named"):
+            stm.named = self.parse_expr()
+        if self.accept_kw("from"):
+            stm.from_ = self._table_expr()
+        if self.accept_kw("when"):
+            stm.when = self.parse_expr()
+        if self.accept_kw("where"):
+            stm.where = self.parse_expr()
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            stm.group_by.append(self.parse_expr())
+            while self.accept_op(","):
+                stm.group_by.append(self.parse_expr())
+        if self.accept_kw("having"):
+            stm.having = self.parse_expr()
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            stm.order_by.append(self._order_item())
+            while self.accept_op(","):
+                stm.order_by.append(self._order_item())
+        if self.accept_kw("limit"):
+            stm.limit = int(self.next().value)
+        if self.accept_kw("offset"):
+            stm.offset = int(self.next().value)
+        return stm
+
+
+def parse_statement(sql: str) -> ast.SelectStatement:
+    return Parser(sql).parse_statement()
+
+
+def parse_expression(sql: str) -> ast.Expr:
+    p = Parser(sql)
+    e = p.parse_expr()
+    if p.peek().kind != "eof":
+        raise SyntaxError(f"trailing tokens at {p.peek()}")
+    return e

@@ -1,0 +1,616 @@
+"""Lower the MLDB-dialect AST to PySpark DataFrame plans.
+
+The reference's bind step resolves every AST node against the
+dataset's known columns, with unknown columns evaluating to NULL
+(sql/sql_expression.h:968-1200; doc ValueExpression.md:24). Here the
+binder produces pyspark Columns; Catalyst then owns optimization —
+nothing in this module schedules execution.
+
+Semantics carried over:
+- open schema: unresolved column → lit(NULL)
+- CAST fail → NULL (try_cast; reference CastExpression)
+- true/false are 1/0 (no boolean atomic type, TypeSystem.md:17-18)
+- NAMED computes a rowName output column
+- WHEN filters on the row timestamp (tabular layout: one ts per row,
+  plugins/tabular/tabular_dataset.h:7-10); value_timestamp() binds
+  to the dataset's ts column
+- DISTINCT ON + ORDER BY keeps the first row per key
+- aggregate queries detect aggregate functions in the select list
+  (reference: BoundGroupByQuery chosen when aggregators present,
+  core/bound_queries.cc)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mldb_spark.dialect import ast
+from mldb_spark.dialect.parser import parse_statement
+
+AGGREGATE_FNS = {
+    "count", "sum", "avg", "min", "max", "count_distinct", "variance",
+    "stddev", "string_agg", "earliest", "latest", "vertical_avg",
+}
+
+_CAST_TYPES = {
+    "string": "string",
+    "integer": "long",
+    "number": "double",
+    "boolean": "boolean",
+    "timestamp": "timestamp",
+}
+
+
+def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Column:
+    """Scalar builtin dispatch (families from SURVEY §2.9; reference
+    registrations in sql/builtin_functions.cc)."""
+    from mldb_spark.functions.core import (
+        binomial_lb_80,
+        binomial_ub_80,
+        clamp,
+        geo_distance,
+        jaccard_index,
+        quantize,
+    )
+    from mldb_spark.functions.text import (
+        language_id,
+        normalize_text,
+        quality_score,
+        token_count,
+        tokenize,
+        tokenize_counts,
+    )
+    from mldb_spark.functions.vector import (
+        cosine_similarity,
+        dot_product,
+        l2_norm,
+        normalize,
+    )
+
+    simple = {
+        "abs": F.abs, "sqrt": F.sqrt, "exp": F.exp, "ln": F.log,
+        "floor": F.floor, "ceil": F.ceiling, "ceiling": F.ceiling,
+        "sign": F.signum, "lower": F.lower, "upper": F.upper,
+        "length": F.length, "trim": F.trim, "isnan": F.isnan,
+        "sin": F.sin, "cos": F.cos, "tan": F.tan, "asin": F.asin,
+        "acos": F.acos, "atan": F.atan, "sinh": F.sinh, "cosh": F.cosh,
+        "tanh": F.tanh, "to_timestamp": F.to_timestamp,
+        "date_trunc_day": lambda c: F.date_trunc("day", c),
+        "tokenize": tokenize, "token_count": token_count,
+        "language_id": language_id, "quality_score": quality_score,
+        "normalize_text": normalize_text, "tokenize_counts": tokenize_counts,
+        "norm": l2_norm, "normalize": normalize, "md5": F.md5,
+    }
+    binary = {
+        "pow": F.pow, "power": F.pow, "mod": F.pmod, "atan2": F.atan2,
+        "quantize": quantize, "levenshtein_distance": F.levenshtein,
+        "regex_match": lambda c, p: c.rlike(p),
+        "jaccard_index": jaccard_index, "dot_product": dot_product,
+        "cosine_similarity": cosine_similarity,
+        "binomial_lb_80": binomial_lb_80, "binomial_ub_80": binomial_ub_80,
+        "date_part": lambda unit, c: F.date_part(unit, c),
+    }
+    if name in simple and len(args) == 1:
+        return simple[name](args[0])
+    if name in binary and len(args) == 2:
+        return binary[name](args[0], args[1])
+    if name == "log":
+        return F.log(args[0]) if len(args) == 1 else F.log(args[0], args[1])
+    if name == "round":
+        if len(args) != 2 or not isinstance(raw_args[1], ast.Literal):
+            raise ValueError("round(x, d) needs a literal digit count")
+        return F.round(args[0], int(raw_args[1].value))
+    if name == "clamp":
+        return clamp(args[0], args[1], args[2])
+    if name == "replace_nan":
+        return F.when(F.isnan(args[0]), args[1]).otherwise(args[0])
+    if name == "regex_replace":
+        return F.regexp_replace(args[0], raw_args[1].value, raw_args[2].value)  # type: ignore[union-attr]
+    if name == "geo_distance":
+        return geo_distance(*args)
+    if name == "coalesce":
+        return F.coalesce(*args)
+    if name == "concat":
+        return F.concat(*args)
+    if name == "substr" or name == "substring":
+        return F.substring(args[0], int(raw_args[1].value), int(raw_args[2].value))  # type: ignore[arg-type]
+    if name == "left":
+        return F.substring(args[0], 1, int(raw_args[1].value))  # type: ignore[arg-type]
+    if name == "horizontal_sum":
+        return F.aggregate(F.array(*args), F.lit(0.0), lambda a, x: a + x)
+    if name == "horizontal_count":
+        return F.size(F.filter(F.array(*args), lambda x: x.isNotNull())).cast("long")
+    if name == "horizontal_min":
+        return F.least(*args)
+    if name == "horizontal_max":
+        return F.greatest(*args)
+    if name == "horizontal_avg":
+        arr = F.filter(F.array(*args), lambda x: x.isNotNull())
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr)
+    if name == "pi":
+        return F.lit(3.141592653589793)
+    if name == "e":
+        return F.lit(2.718281828459045)
+    if name == "try":
+        # try(expr[, fallback]) — reference row-level error absorb
+        # (builtin_functions.cc:3447). Spark lacks generic expression
+        # try; map to coalesce-with-fallback over the already
+        # NULL-on-error bound form.
+        return F.coalesce(*args) if len(args) > 1 else args[0]
+    raise ValueError(f"unknown function {name!r}")
+
+
+class Binder:
+    """Expression binder for one input relation."""
+
+    def __init__(
+        self,
+        columns: list[str],
+        params: dict[str, object] | None = None,
+        row_name_col: str | None = None,
+        ts_col: str | None = None,
+        dtypes: dict[str, str] | None = None,
+    ):
+        self.columns = columns
+        self.colset = set(columns)
+        self.params = params or {}
+        self.row_name_col = row_name_col
+        self.ts_col = ts_col
+        self.dtypes = dtypes or {}
+
+    _STRING_FNS = {
+        "lower", "upper", "trim", "concat", "substr", "substring", "left",
+        "regex_replace", "md5", "normalize_text", "language_id",
+    }
+
+    def _is_stringy(self, e: ast.Expr) -> bool:
+        """Static 'does this evaluate to a string' check, used to give
+        `+` MLDB's string-concatenation behavior (CellValue + coerces;
+        Spark's + is numeric-only)."""
+        if isinstance(e, ast.Literal):
+            return isinstance(e.value, str)
+        if isinstance(e, ast.ColumnRef):
+            return self.dtypes.get(e.name) == "string"
+        if isinstance(e, ast.Cast):
+            return e.type_name == "string"
+        if isinstance(e, ast.FunctionCall):
+            return e.name in self._STRING_FNS
+        if isinstance(e, ast.Binary) and e.op == "+":
+            return self._is_stringy(e.left) or self._is_stringy(e.right)
+        if isinstance(e, ast.Case):
+            return any(self._is_stringy(v) for _, v in e.branches)
+        return False
+
+    def bind(self, e: ast.Expr) -> Column:
+        if isinstance(e, ast.Literal):
+            return F.lit(e.value)
+        if isinstance(e, ast.Param):
+            if e.name not in self.params:
+                raise ValueError(f"missing parameter ${e.name}")
+            return F.lit(self.params[e.name])
+        if isinstance(e, ast.ColumnRef):
+            return self._column(e.name)
+        if isinstance(e, ast.Unary):
+            c = self.bind(e.operand)
+            if e.op == "-":
+                return -c
+            if e.op == "NOT":
+                return ~c.cast("boolean")
+            if e.op == "~":
+                return F.bitwise_not(c)
+        if isinstance(e, ast.Binary):
+            return self._binary(e)
+        if isinstance(e, ast.IsTest):
+            return self._is_test(e)
+        if isinstance(e, ast.Between):
+            c = self.bind(e.operand)
+            out = c.between(self.bind(e.low), self.bind(e.high))
+            return ~out if e.negated else out
+        if isinstance(e, ast.InList):
+            c = self.bind(e.operand)
+            out = c.isin(*[v.value for v in e.items if isinstance(v, ast.Literal)])
+            return ~out if e.negated else out
+        if isinstance(e, ast.LikeOp):
+            if not isinstance(e.pattern, ast.Literal):
+                raise ValueError("LIKE pattern must be a literal")
+            out = self.bind(e.operand).like(str(e.pattern.value))
+            return ~out if e.negated else out
+        if isinstance(e, ast.Case):
+            return self._case(e)
+        if isinstance(e, ast.Cast):
+            if e.type_name not in _CAST_TYPES:
+                raise ValueError(f"unknown cast type {e.type_name}")
+            # reference semantics: failed casts yield NULL
+            return self.bind(e.operand).try_cast(_CAST_TYPES[e.type_name])
+        if isinstance(e, ast.EmbeddingLiteral):
+            return F.array(*[self.bind(x) for x in e.items])
+        if isinstance(e, ast.RowLiteral):
+            return F.struct(*[self.bind(x).alias(n) for n, x in e.fields])
+        if isinstance(e, ast.FunctionCall):
+            return self._call(e)
+        raise ValueError(f"cannot bind {e!r}")
+
+    def _column(self, name: str) -> Column:
+        if name in self.colset:
+            return F.col(name)
+        # qualified a.b where full dotted name isn't a column: try as-is
+        # via backticks (struct access), else open-schema NULL
+        head = name.split(".", 1)[0]
+        if head in self.colset and "." in name:
+            col = F.col(head)
+            for part in name.split(".")[1:]:
+                col = col.getField(part)
+            return col
+        # open schema: unknown columns are NULL (ValueExpression.md:24)
+        return F.lit(None)
+
+    def _binary(self, e: ast.Binary) -> Column:
+        l, r = self.bind(e.left), self.bind(e.right)
+        op = e.op
+        if op == "and":
+            return l.cast("boolean") & r.cast("boolean")
+        if op == "or":
+            return l.cast("boolean") | r.cast("boolean")
+        if op == "+":
+            if self._is_stringy(e.left) or self._is_stringy(e.right):
+                return F.concat(l.cast("string"), r.cast("string"))
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            return l / r
+        if op == "%":
+            return l % r
+        if op == "=":
+            return l == r
+        if op == "!=":
+            return l != r
+        if op == "<":
+            return l < r
+        if op == ">":
+            return l > r
+        if op == "<=":
+            return l <= r
+        if op == ">=":
+            return l >= r
+        if op == "&":
+            return l.bitwiseAND(r)
+        if op == "|":
+            return l.bitwiseOR(r)
+        if op == "^":
+            return l.bitwiseXOR(r)
+        raise ValueError(f"unknown operator {op}")
+
+    def _is_test(self, e: ast.IsTest) -> Column:
+        c = self.bind(e.operand)
+        if e.kind == "NULL":
+            out = c.isNull()
+        elif e.kind == "TRUE":
+            out = c.cast("boolean") == True  # noqa: E712
+        elif e.kind == "FALSE":
+            out = c.cast("boolean") == False  # noqa: E712
+        else:
+            # dynamic type tests need runtime type info; on a typed
+            # DataFrame they resolve statically via try_cast probes
+            probe = {
+                "STRING": c.try_cast("double").isNull() & c.isNotNull(),
+                "NUMBER": c.try_cast("double").isNotNull(),
+                "INTEGER": c.try_cast("long").isNotNull(),
+                "TIMESTAMP": c.try_cast("timestamp").isNotNull(),
+            }[e.kind]
+            out = probe
+        return ~out if e.negated else out
+
+    def _case(self, e: ast.Case) -> Column:
+        col = None
+        for cond, val in e.branches:
+            test = (
+                (self.bind(e.operand) == self.bind(cond))
+                if e.operand is not None
+                else self.bind(cond).cast("boolean")
+            )
+            col = F.when(test, self.bind(val)) if col is None else col.when(test, self.bind(val))
+        if col is None:
+            raise ValueError("CASE needs at least one WHEN")
+        return col.otherwise(self.bind(e.otherwise)) if e.otherwise is not None else col
+
+    def _call(self, e: ast.FunctionCall) -> Column:
+        name = e.name
+        if name == "rowname":
+            if self.row_name_col:
+                return F.col(self.row_name_col)
+            raise ValueError("rowName() needs a dataset with a rowName column")
+        if name == "rowhash":
+            base = F.col(self.row_name_col) if self.row_name_col else F.lit(None)
+            return F.xxhash64(base)
+        if name == "value_timestamp" or name == "latest_timestamp" or name == "earliest_timestamp":
+            if not self.ts_col:
+                raise ValueError(f"{name}() needs a dataset with a timestamp column")
+            return F.col(self.ts_col)
+        if name == "now":
+            return F.current_timestamp()
+        if name in AGGREGATE_FNS:
+            return self._aggregate(e)
+        args = [self.bind(a) for a in e.args]
+        return _scalar_fn(name, args, e.args)
+
+    def _aggregate(self, e: ast.FunctionCall) -> Column:
+        if e.name == "count":
+            if len(e.args) == 1 and isinstance(e.args[0], ast.Literal) and e.args[0].value == "*":
+                return F.count(F.lit(1))
+            return F.count(self.bind(e.args[0]))
+        if e.name == "count_distinct":
+            return F.countDistinct(self.bind(e.args[0]))
+        if e.name in ("avg", "vertical_avg"):
+            return F.avg(self.bind(e.args[0]))
+        if e.name == "sum":
+            return F.sum(self.bind(e.args[0]))
+        if e.name == "min":
+            return F.min(self.bind(e.args[0]))
+        if e.name == "max":
+            return F.max(self.bind(e.args[0]))
+        if e.name == "variance":
+            return F.var_samp(self.bind(e.args[0]))
+        if e.name == "stddev":
+            return F.stddev_samp(self.bind(e.args[0]))
+        if e.name == "string_agg":
+            sep = e.args[1].value if len(e.args) > 1 else ","  # type: ignore[union-attr]
+            return F.concat_ws(str(sep), F.array_sort(F.collect_list(self.bind(e.args[0]))))
+        if e.name == "earliest":
+            if not self.ts_col:
+                raise ValueError("earliest() needs a timestamp column")
+            return F.min_by(self.bind(e.args[0]), F.col(self.ts_col))
+        if e.name == "latest":
+            if not self.ts_col:
+                raise ValueError("latest() needs a timestamp column")
+            return F.max_by(self.bind(e.args[0]), F.col(self.ts_col))
+        raise ValueError(f"unknown aggregate {e.name}")
+
+
+def _contains_aggregate(e: ast.Expr) -> bool:
+    if isinstance(e, ast.FunctionCall):
+        if e.name in AGGREGATE_FNS:
+            return True
+        return any(_contains_aggregate(a) for a in e.args)
+    if isinstance(e, ast.Unary):
+        return _contains_aggregate(e.operand)
+    if isinstance(e, ast.Binary):
+        return _contains_aggregate(e.left) or _contains_aggregate(e.right)
+    if isinstance(e, ast.Case):
+        return any(
+            _contains_aggregate(x)
+            for pair in e.branches
+            for x in pair
+        ) or (e.otherwise is not None and _contains_aggregate(e.otherwise))
+    if isinstance(e, ast.Cast):
+        return _contains_aggregate(e.operand)
+    if isinstance(e, (ast.Between,)):
+        return any(map(_contains_aggregate, (e.operand, e.low, e.high)))
+    return False
+
+
+def _substitute(e: ast.Expr, mapping: list[tuple[ast.Expr, str]]) -> ast.Expr:
+    """Replace any subtree equal to a mapped expression with a
+    ColumnRef to its output name (dataclass equality = structural)."""
+    for target, name in mapping:
+        if e == target:
+            return ast.ColumnRef(name)
+    if isinstance(e, ast.Unary):
+        return ast.Unary(e.op, _substitute(e.operand, mapping))
+    if isinstance(e, ast.Binary):
+        return ast.Binary(e.op, _substitute(e.left, mapping), _substitute(e.right, mapping))
+    if isinstance(e, ast.Between):
+        return ast.Between(
+            _substitute(e.operand, mapping),
+            _substitute(e.low, mapping),
+            _substitute(e.high, mapping),
+            e.negated,
+        )
+    if isinstance(e, ast.Case):
+        return ast.Case(
+            _substitute(e.operand, mapping) if e.operand else None,
+            [(_substitute(c, mapping), _substitute(v, mapping)) for c, v in e.branches],
+            _substitute(e.otherwise, mapping) if e.otherwise else None,
+        )
+    if isinstance(e, ast.FunctionCall):
+        return ast.FunctionCall(e.name, [_substitute(a, mapping) for a in e.args])
+    return e
+
+
+def _expr_name(e: ast.Expr, idx: int) -> str:
+    if isinstance(e, ast.ColumnRef):
+        return e.name
+    if isinstance(e, ast.FunctionCall) and e.args and isinstance(e.args[0], ast.ColumnRef):
+        return f"{e.name}({e.args[0].name})"
+    if isinstance(e, ast.FunctionCall):
+        return f"{e.name}()"
+    return f"_{idx}"
+
+
+class MldbContext:
+    """Catalog + query entry point: the translator's equivalent of
+    the reference's /v1/query endpoint over named datasets."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._datasets: dict[str, DataFrame] = {}
+        self._meta: dict[str, dict[str, str | None]] = {}
+
+    def register(
+        self,
+        name: str,
+        df: DataFrame,
+        row_name_col: str | None = None,
+        ts_col: str | None = None,
+    ) -> None:
+        self._datasets[name] = df
+        self._meta[name] = {"rowName": row_name_col, "ts": ts_col}
+
+    def query(self, sql: str, params: dict[str, object] | None = None) -> DataFrame:
+        return self._statement(parse_statement(sql), params or {})
+
+    # -- statement lowering -------------------------------------------------
+
+    def _resolve_from(self, stm: ast.SelectStatement, params) -> tuple[DataFrame, str | None, str | None]:
+        src = stm.from_
+        if src is None:
+            return self.spark.range(1).drop("id"), None, None
+        if isinstance(src, ast.SelectStatement):
+            return self._statement(src, params), None, None
+        if isinstance(src, ast.TableRef):
+            df, meta = self._table(src.name)
+            return df, meta["rowName"], meta["ts"]
+        if isinstance(src, ast.Join):
+            return self._join(src, params), None, None
+        raise ValueError(f"unsupported FROM {src!r}")
+
+    def _table(self, name: str):
+        if name not in self._datasets:
+            raise KeyError(f"unknown dataset {name!r} (have {sorted(self._datasets)})")
+        return self._datasets[name], self._meta[name]
+
+    def _join(self, j: ast.Join, params) -> DataFrame:
+        left = (
+            self._join(j.left, params)
+            if isinstance(j.left, ast.Join)
+            else self._table(j.left.name)[0]
+        )
+        right = self._table(j.right.name)[0]
+        if j.kind == "cross" or j.on is None:
+            return left.crossJoin(right)
+        binder = Binder(list(dict.fromkeys(left.columns + right.columns)), params)
+        cond = binder.bind(j.on)
+        how = {"inner": "inner", "left": "left", "right": "right", "full": "full"}[j.kind]
+        return left.join(right, cond, how)
+
+    def _statement(self, stm: ast.SelectStatement, params) -> DataFrame:
+        df, row_name_col, ts_col = self._resolve_from(stm, params)
+        binder = Binder(df.columns, params, row_name_col, ts_col, dict(df.dtypes))
+
+        # WHEN: temporal filter on the row timestamp (tabular layout)
+        if stm.when is not None:
+            df = df.filter(binder.bind(stm.when).cast("boolean"))
+        if stm.where is not None:
+            df = df.filter(binder.bind(stm.where).cast("boolean"))
+
+        is_agg = bool(stm.group_by) or any(
+            isinstance(it, ast.ExprItem) and _contains_aggregate(it.expr)
+            for it in stm.select
+        )
+
+        if is_agg:
+            out = self._aggregate_select(df, stm, binder)
+        else:
+            out = self._plain_select(df, stm, binder, row_name_col)
+
+        if stm.having is not None and not is_agg:
+            raise ValueError("HAVING requires GROUP BY/aggregates")
+
+        if stm.distinct_on:
+            if not stm.order_by:
+                raise ValueError("DISTINCT ON requires ORDER BY")
+            keys = [binder.bind(e) for e in stm.distinct_on]
+            order = [
+                binder.bind(o.expr) if o.ascending else F.desc(binder.bind(o.expr))
+                for o in stm.order_by
+            ]
+            w = Window.partitionBy(*keys).orderBy(*order)
+            out = out.withColumn("__rn", F.row_number().over(w)).filter(
+                F.col("__rn") == 1
+            ).drop("__rn")
+
+        if stm.order_by and not stm.distinct_on:
+            out_binder = Binder(out.columns, params, row_name_col, ts_col)
+            order_cols = []
+            for o in stm.order_by:
+                c = (
+                    out_binder.bind(o.expr)
+                    if (isinstance(o.expr, ast.ColumnRef) and o.expr.name in out.columns)
+                    else binder.bind(o.expr)
+                )
+                order_cols.append(c if o.ascending else F.desc(c))
+            out = out.orderBy(*order_cols)
+        if stm.offset:
+            out = out.offset(stm.offset)
+        if stm.limit is not None:
+            out = out.limit(stm.limit)
+        return out
+
+    def _expand_wildcard(self, wc: ast.Wildcard, columns: list[str]) -> list[Column]:
+        excl_exact = {x for x in wc.excluding if not x.endswith("*")}
+        excl_pref = [x[:-1] for x in wc.excluding if x.endswith("*")]
+        picked = []
+        for c in columns:
+            if wc.prefix and not c.startswith(wc.prefix):
+                continue
+            if c in excl_exact or any(c.startswith(p) for p in excl_pref):
+                continue
+            picked.append(F.col(c))
+        return picked
+
+    def _plain_select(self, df, stm, binder, row_name_col) -> DataFrame:
+        cols: list[Column] = []
+        for i, it in enumerate(stm.select):
+            if isinstance(it, ast.Wildcard):
+                cols.extend(self._expand_wildcard(it, df.columns))
+            else:
+                name = it.alias or _expr_name(it.expr, i)
+                cols.append(binder.bind(it.expr).alias(name))
+        if stm.named is not None:
+            cols.append(binder.bind(stm.named).cast("string").alias("rowName"))
+        elif row_name_col and row_name_col not in {getattr(c, "_alias", None) for c in cols}:
+            pass  # rowName carried implicitly only when NAMED given
+        return df.select(*cols)
+
+    def _aggregate_select(self, df, stm, binder) -> DataFrame:
+        # group keys get internal __g{i} aliases so the post-agg
+        # select never collides with source column names; select
+        # items that syntactically equal a key (dataclass AST
+        # equality) are rewritten to the key reference — the
+        # reference's GroupByKeyExpression rewrite
+        # (core/bound_queries.cc:1683-1703).
+        group_cols = [binder.bind(g).alias(f"__g{i}") for i, g in enumerate(stm.group_by)]
+        out_cols: list[Column] = []
+        agg_cols: list[Column] = []
+        for i, it in enumerate(stm.select):
+            if isinstance(it, ast.Wildcard):
+                raise ValueError("wildcard select not allowed with GROUP BY")
+            name = it.alias or _expr_name(it.expr, i)
+            if _contains_aggregate(it.expr):
+                agg_cols.append(binder.bind(it.expr).alias(name))
+                out_cols.append(F.col(name))
+            else:
+                key_idx = next(
+                    (k for k, g in enumerate(stm.group_by) if g == it.expr), None
+                )
+                if key_idx is None:
+                    raise ValueError(
+                        f"select item {name!r} is neither an aggregate nor a GROUP BY key"
+                    )
+                out_cols.append(F.col(f"__g{key_idx}").alias(name))
+        if not agg_cols:
+            out = df.select(*group_cols).distinct()
+        else:
+            out = df.groupBy(*group_cols).agg(*agg_cols)
+        final = out.select(*out_cols)
+        if stm.having is not None:
+            # HAVING binds in the post-aggregation scope: select
+            # aliases are visible, and aggregate expressions that
+            # textually match a select item are rewritten to that
+            # item's output column (reference applies HAVING on
+            # merged groups the same way).
+            select_map = [
+                (it.expr, it.alias or _expr_name(it.expr, j))
+                for j, it in enumerate(stm.select)
+                if isinstance(it, ast.ExprItem)
+            ]
+            having = _substitute(stm.having, select_map)
+            if _contains_aggregate(having):
+                raise ValueError(
+                    "HAVING aggregates must also appear in the SELECT list"
+                )
+            final = final.filter(Binder(final.columns).bind(having).cast("boolean"))
+        return final

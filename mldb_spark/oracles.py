@@ -608,6 +608,20 @@ SELECT count(*) AS n,
 FROM orders
 """
 
+ORACLES["q50_dialect_groupby"] = """
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderpriority HAVING count(*) > 0 ORDER BY o_orderpriority
+"""
+
+ORACLES["q51_dialect_when_distinct"] = """
+SELECT user_id, event_type, "value", event_id FROM (
+  SELECT user_id, event_type, "value", event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY user_id, "value" DESC, event_id) AS rn
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+) WHERE rn = 1
+"""
+
 ORACLES["q31_embedding_neardup"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
        {_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim

@@ -944,6 +944,44 @@ def q49_pca(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MLDB SQL dialect end-to-end (parser -> binder -> DataFrame, SURVEY §3)
+# ---------------------------------------------------------------------------
+
+
+def _dialect_ctx(spark: SparkSession, sf: str):
+    from mldb_spark.dialect import MldbContext
+
+    ctx = MldbContext(spark)
+    for t in ("region", "nation", "customer", "orders", "lineitem", "part"):
+        ctx.register(t, load(spark, sf, t))
+    ctx.register("events", load(spark, sf, "events"), ts_col="ts")
+    return ctx
+
+
+def q50_dialect_groupby(spark: SparkSession, sf: str) -> DataFrame:
+    """MLDB-dialect SQL through the full parse->bind->translate
+    lifecycle (SURVEY §3.1): aggregates + HAVING on an alias +
+    open-schema function dispatch."""
+    ctx = _dialect_ctx(spark, sf)
+    return ctx.query(
+        "SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders GROUP BY o_orderpriority HAVING n > 0 ORDER BY o_orderpriority"
+    )
+
+
+def q51_dialect_when_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Dialect WHEN (temporal cell filter) + DISTINCT ON + $param
+    through the translator."""
+    ctx = _dialect_ctx(spark, sf)
+    return ctx.query(
+        "SELECT DISTINCT ON (user_id) user_id, event_type, value, event_id "
+        "FROM events WHEN value_timestamp() >= $start "
+        "ORDER BY user_id, value DESC, event_id",
+        params={"start": "2024-01-15"},
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

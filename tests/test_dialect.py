@@ -1,0 +1,225 @@
+"""MLDB SQL dialect: parser + translator end-to-end against the
+testdata tables, verified against equivalent DuckDB SQL (same oracle
+style as the main gate) or direct expectations."""
+
+from __future__ import annotations
+
+import pytest
+
+from mldb_spark.catalog import load
+from mldb_spark.dialect import MldbContext, parse_statement
+from mldb_spark.dialect.parser import parse_expression
+from mldb_spark.testing import compare_spark_duck
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, sf_dir):
+    c = MldbContext(spark)
+    for t in ("region", "nation", "customer", "orders", "lineitem", "part", "documents"):
+        c.register(t, load(spark, sf_dir, t))
+    c.register("events", load(spark, sf_dir, "events"), ts_col="ts")
+    return c
+
+
+# -- parser ----------------------------------------------------------------
+
+
+def test_parse_shapes():
+    stm = parse_statement(
+        "SELECT a, b*2 AS b2 NAMED c FROM t WHEN value_timestamp() > '2024' "
+        "WHERE x > 1 GROUP BY g HAVING count(*) > 2 ORDER BY a DESC LIMIT 5 OFFSET 2"
+    )
+    assert len(stm.select) == 2 and stm.named is not None
+    assert stm.when is not None and stm.where is not None
+    assert stm.group_by and stm.having is not None
+    assert stm.limit == 5 and stm.offset == 2
+
+
+def test_parse_operators_precedence():
+    e = parse_expression("1 + 2 * 3 = 7 AND NOT false")
+    # (1 + (2*3)) = 7 AND (NOT false)
+    from mldb_spark.dialect import ast
+
+    assert isinstance(e, ast.Binary) and e.op == "and"
+    cmp = e.left
+    assert isinstance(cmp, ast.Binary) and cmp.op == "="
+
+
+def test_parse_literals_and_case():
+    e = parse_expression("CASE WHEN x > 1 THEN 'big' ELSE 'small' END")
+    from mldb_spark.dialect import ast
+
+    assert isinstance(e, ast.Case) and len(e.branches) == 1
+    emb = parse_expression("[1, 2, 3]")
+    assert isinstance(emb, ast.EmbeddingLiteral) and len(emb.items) == 3
+    row = parse_expression("{a: 1, b: x + 1}")
+    assert isinstance(row, ast.RowLiteral) and row.fields[0][0] == "a"
+
+
+# -- translator vs duckdb ---------------------------------------------------
+
+
+def test_basic_projection_filter(ctx, duck):
+    df = ctx.query(
+        "SELECT c_custkey, upper(c_mktsegment) AS seg, c_acctbal * 2 AS dbl "
+        "FROM customer WHERE c_acctbal > 1000 ORDER BY c_custkey LIMIT 50"
+    )
+    problems = compare_spark_duck(
+        df,
+        duck,
+        """SELECT c_custkey, upper(c_mktsegment) AS seg, c_acctbal * 2 AS dbl
+           FROM customer WHERE c_acctbal > 1000 ORDER BY c_custkey LIMIT 50""",
+    )
+    assert problems == []
+
+
+def test_group_by_aggregates(ctx, duck):
+    df = ctx.query(
+        "SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    problems = compare_spark_duck(
+        df,
+        duck,
+        """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    )
+    assert problems == []
+
+
+def test_join(ctx, duck):
+    df = ctx.query(
+        "SELECT n_name, count(*) AS n FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"
+    )
+    problems = compare_spark_duck(
+        df,
+        duck,
+        """SELECT n_name, count(*) AS n FROM customer
+           JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name""",
+    )
+    assert problems == []
+
+
+def test_distinct_on(ctx, duck):
+    df = ctx.query(
+        "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice "
+        "FROM orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey"
+    )
+    problems = compare_spark_duck(
+        df,
+        duck,
+        """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_custkey, o_totalprice DESC, o_orderkey) rn
+             FROM orders) WHERE rn = 1""",
+    )
+    assert problems == []
+
+
+def test_when_temporal_filter(ctx, duck):
+    df = ctx.query(
+        "SELECT event_type, count(*) AS n FROM events "
+        "WHEN value_timestamp() BETWEEN '2024-01-10' AND '2024-01-20' "
+        "GROUP BY event_type ORDER BY event_type"
+    )
+    problems = compare_spark_duck(
+        df,
+        duck,
+        """SELECT event_type, count(*) AS n FROM events
+           WHERE ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-20'
+           GROUP BY event_type ORDER BY event_type""",
+    )
+    assert problems == []
+
+
+def test_named_and_rowname(ctx):
+    df = ctx.query(
+        "SELECT c_acctbal NAMED c_mktsegment + '-' + cast(c_custkey AS string) "
+        "FROM customer LIMIT 10"
+    )
+    rows = df.collect()
+    assert "rowName" in df.columns
+    assert all("-" in r["rowName"] for r in rows)
+
+
+def test_wildcard_excluding(ctx):
+    df = ctx.query("SELECT * EXCLUDING (o_orderdate, o_order*) FROM orders LIMIT 1")
+    assert set(df.columns) == {"o_custkey", "o_totalprice"}
+    df2 = ctx.query("SELECT o_order* FROM orders LIMIT 1")
+    assert set(df2.columns) == {"o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority"}
+
+
+def test_open_schema_null(ctx):
+    df = ctx.query("SELECT no_such_column AS ghost, c_custkey FROM customer LIMIT 3")
+    rows = df.collect()
+    assert all(r["ghost"] is None for r in rows)
+
+
+def test_cast_failure_null(ctx):
+    df = ctx.query(
+        "SELECT cast(o_orderstatus AS integer) AS bad FROM orders LIMIT 5"
+    )
+    assert all(r["bad"] is None for r in df.collect())
+
+
+def test_params(ctx):
+    df = ctx.query(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > $floor",
+        params={"floor": 300000},
+    )
+    n = df.collect()[0]["n"]
+    assert 0 < n < 1500
+
+
+def test_embedding_and_row_literal(ctx):
+    df = ctx.query("SELECT [1, 2, 3] AS v, {a: 1, b: 'x'} AS r FROM region LIMIT 1")
+    row = df.collect()[0]
+    assert row["v"] == [1, 2, 3]
+    assert row["r"]["a"] == 1 and row["r"]["b"] == "x"
+
+
+def test_subselect(ctx, duck):
+    df = ctx.query(
+        "SELECT seg, count(*) AS n FROM "
+        "(SELECT upper(c_mktsegment) AS seg FROM customer WHERE c_acctbal > 0) "
+        "GROUP BY seg ORDER BY seg"
+    )
+    problems = compare_spark_duck(
+        df,
+        duck,
+        """SELECT seg, count(*) AS n FROM
+           (SELECT upper(c_mktsegment) AS seg FROM customer WHERE c_acctbal > 0)
+           GROUP BY seg ORDER BY seg""",
+    )
+    assert problems == []
+
+
+def test_horizontal_and_builtin_functions(ctx, duck):
+    df = ctx.query(
+        "SELECT l_orderkey, horizontal_max(l_quantity, l_discount) AS hmax, "
+        "round(sqrt(l_extendedprice), 4) AS rootp "
+        "FROM lineitem WHERE l_orderkey % 97 = 0 ORDER BY l_orderkey, l_linenumber"
+    )
+    problems = compare_spark_duck(
+        df,
+        duck,
+        """SELECT l_orderkey, greatest(l_quantity, l_discount) AS hmax,
+           round(sqrt(l_extendedprice), 4) AS rootp
+           FROM lineitem WHERE l_orderkey % 97 = 0 ORDER BY l_orderkey, l_linenumber""",
+    )
+    assert problems == []
+
+
+def test_having(ctx, duck):
+    df = ctx.query(
+        "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey "
+        "HAVING n >= 12 ORDER BY o_custkey"
+    )
+    problems = compare_spark_duck(
+        df,
+        duck,
+        """SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+           HAVING count(*) >= 12 ORDER BY o_custkey""",
+    )
+    assert problems == []

@@ -10,9 +10,17 @@ from mldb_spark.queries import QUERIES
 from mldb_spark.testing import compare_spark_duck
 
 
-# deliberately rows-only: engine-internal hashes (xxhash64 simhash)
-# and seeded-plane LSH have no cross-engine SQL replay
-ROWS_ONLY = {"q35_simhash_dedup", "q36_lsh_ann"}
+# deliberately rows-only: engine-internal hashes (xxhash64 simhash),
+# seeded-plane LSH, and MLlib estimators (kmeans||/LBFGS/eigensolver
+# internals) have no cross-engine SQL replay; their real verification
+# lives in tests/test_operators.py and tests/test_ml.py invariants
+ROWS_ONLY = {
+    "q35_simhash_dedup",
+    "q36_lsh_ann",
+    "q47_kmeans",
+    "q48_classifier_eval",
+    "q49_pca",
+}
 
 
 def test_every_query_has_an_oracle_or_is_flagged():
