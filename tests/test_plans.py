@@ -1,0 +1,71 @@
+"""Physical-plan assertions: the scale contract, pinned in CI.
+
+These tests read .explain output and require that the plans stay the
+plans we designed — filters reach the parquet scan, projections
+prune the read schema, dimension joins broadcast. A regression here
+is invisible at sf0.001 correctness but fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mldb_spark.catalog import load
+from mldb_spark.queries import (
+    q01_pricing_summary,
+    q02_top_revenue_parts,
+    q05_region_revenue,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(q01_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in schema and "l_quantity" in schema
+    assert "l_extendedprice" not in schema and "l_returnflag" not in schema
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = _plan(q02_top_revenue_parts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # part must never shuffle lineitem
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(q05_region_revenue(spark, sf_dir))
+    # region, nation and the explicit broadcasts: at least 2 BHJ
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = _plan(q01_pricing_summary(spark, sf_dir))
+    # partial (map-side) then final hash aggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_for_in_subquery(spark, sf_dir):
+    from mldb_spark.queries import q15_in_subquery
+
+    plan = _plan(q15_in_subquery(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
+    # AQE only materializes codegen spans in the FINAL plan — run the
+    # query, then inspect the executed plan
+    df = q01_pricing_summary(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    # the executed plan renders codegen spans as "*(n) Operator"
+    assert "*(" in plan
