@@ -231,11 +231,17 @@ class Parser:
         raise SyntaxError(f"unexpected token {t}")
 
     def _row_field(self) -> tuple[str, ast.Expr]:
+        # {*} — aggregates-of-rows over every column in scope
+        if self.peek().kind == "op" and self.peek().value == "*":
+            self.next()
+            return ("*", ast.ColumnRef("*"))
         name_tok = self.next()
         if name_tok.kind not in ("ident", "string"):
             raise SyntaxError(f"bad row-literal field name {name_tok}")
-        self.expect_op(":")
-        return (name_tok.value, self.parse_expr())
+        if self.accept_op(":"):
+            return (name_tok.value, self.parse_expr())
+        # bare column shorthand: {x, y} == {x: x, y: y}
+        return (name_tok.value, ast.ColumnRef(name_tok.value))
 
     def _maybe_call(self, name: str) -> ast.Expr:
         # dotted column path: a.b.c

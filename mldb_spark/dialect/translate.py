@@ -337,7 +337,32 @@ class Binder:
         args = [self.bind(a) for a in e.args]
         return _scalar_fn(name, args, e.args)
 
+    _ROW_AGG = {
+        "count": lambda c: F.count(c),
+        "sum": lambda c: F.sum(c),
+        "avg": lambda c: F.avg(c),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+    }
+
     def _aggregate(self, e: ast.FunctionCall) -> Column:
+        # aggregates of rows: agg({*}) / agg({x, y}) expand to a
+        # struct of per-column aggregates at plan time (reference
+        # RegisterAggregator row path, sql/builtin_aggregators.cc:
+        # 50-500; doc ValueExpression.md §Aggregates of rows)
+        if (
+            len(e.args) == 1
+            and isinstance(e.args[0], ast.RowLiteral)
+            and e.name in self._ROW_AGG
+        ):
+            agg = self._ROW_AGG[e.name]
+            fields: list[Column] = []
+            for fname, fexpr in e.args[0].fields:
+                if fname == "*":
+                    fields.extend(agg(F.col(c)).alias(c) for c in self.columns)
+                else:
+                    fields.append(agg(self.bind(fexpr)).alias(fname))
+            return F.struct(*fields)
         if e.name == "count":
             if len(e.args) == 1 and isinstance(e.args[0], ast.Literal) and e.args[0].value == "*":
                 return F.count(F.lit(1))

@@ -116,11 +116,11 @@ ORDER BY o_custkey
 
 ORACLES["q07_events_pivot"] = """
 SELECT user_id,
-       round(sum(CASE WHEN event_type = 'click' THEN "value" END), 2) AS click,
-       round(sum(CASE WHEN event_type = 'error' THEN "value" END), 2) AS error,
-       round(sum(CASE WHEN event_type = 'purchase' THEN "value" END), 2) AS purchase,
-       round(sum(CASE WHEN event_type = 'signup' THEN "value" END), 2) AS signup,
-       round(sum(CASE WHEN event_type = 'view' THEN "value" END), 2) AS view
+       coalesce(round(sum(CASE WHEN event_type = 'click' THEN "value" END), 2), 0.0) AS click,
+       coalesce(round(sum(CASE WHEN event_type = 'error' THEN "value" END), 2), 0.0) AS error,
+       coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN "value" END), 2), 0.0) AS purchase,
+       coalesce(round(sum(CASE WHEN event_type = 'signup' THEN "value" END), 2), 0.0) AS signup,
+       coalesce(round(sum(CASE WHEN event_type = 'view' THEN "value" END), 2), 0.0) AS view
 FROM events
 GROUP BY user_id
 ORDER BY user_id
@@ -620,6 +620,29 @@ SELECT user_id, event_type, "value", event_id FROM (
                             ORDER BY user_id, "value" DESC, event_id) AS rn
   FROM events WHERE ts >= TIMESTAMP '2024-01-15'
 ) WHERE rn = 1
+"""
+
+ORACLES["q52_date_parts"] = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       count(DISTINCT month(o_orderdate)) AS n_months
+FROM orders GROUP BY 1, 2 ORDER BY yr, qtr
+"""
+
+ORACLES["q53_dist_table"] = """
+WITH dt AS (
+  SELECT o_orderkey, o_custkey,
+         count(o_totalprice) OVER w AS dt_count,
+         coalesce(round(avg(o_totalprice) OVER w + 1e-9, 4), -1.0) AS dt_avg,
+         coalesce(round(min(o_totalprice) OVER w, 2), -1.0) AS dt_min,
+         coalesce(round(max(o_totalprice) OVER w, 2), -1.0) AS dt_max
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT * FROM dt WHERE o_custkey % 20 = 0 ORDER BY o_orderkey
 """
 
 ORACLES["q31_embedding_neardup"] = f"""

@@ -185,7 +185,10 @@ def q07_events_pivot(spark: SparkSession, sf: str) -> DataFrame:
         pivot_values=EVENT_TYPES,
         agg=F.round(F.sum("value"), 2),
     )
-    return out.orderBy("user_id")
+    # absent (user, type) cells -> 0.0 rather than NULL doubles:
+    # nullable floats round-trip as NaN through pandas/Arrow, which
+    # breaks NULL-vs-NaN parity in hash comparisons
+    return out.na.fill(0.0, list(EVENT_TYPES)).orderBy("user_id")
 
 
 def q08_melt_part(spark: SparkSession, sf: str) -> DataFrame:
@@ -1003,6 +1006,55 @@ def q51_dialect_when_distinct(spark: SparkSession, sf: str) -> DataFrame:
         "FROM events WHEN value_timestamp() >= $start "
         "ORDER BY user_id, value DESC, event_id",
         params={"start": "2024-01-15"},
+    )
+
+
+def q52_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """date_part family (sql/builtin_functions.cc:1535 — 16 units)
+    + date_trunc: order seasonality rollup."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.countDistinct(F.month("o_orderdate")).alias("n_months"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+def q53_dist_table(spark: SparkSession, sf: str) -> DataFrame:
+    """experimental.distTable.train (plugins/feature_gen/
+    dist_table_procedure.cc:842): leak-free running distribution
+    stats (count/avg/min/max of strictly-prior outcomes) per key."""
+    from mldb_spark.operators.relational import dist_table
+
+    orders = load(spark, sf, "orders")
+    dt = dist_table(
+        orders,
+        seq_cols=[F.col("o_orderdate"), F.col("o_orderkey")],
+        key_cols=["o_custkey"],
+        value_col=F.col("o_totalprice"),
+        prefix="dt",
+    )
+    return (
+        dt.filter(F.col("o_custkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "dt_count",
+            # -1.0 sentinel for "no prior outcomes" keeps the float
+            # columns non-nullable (NULL doubles round-trip as NaN
+            # through pandas/Arrow and break hash parity)
+            F.coalesce(F.round(F.col("dt_avg") + 1e-9, 4), F.lit(-1.0)).alias("dt_avg"),
+            F.coalesce(F.round(F.col("dt_min"), 2), F.lit(-1.0)).alias("dt_min"),
+            F.coalesce(F.round(F.col("dt_max"), 2), F.lit(-1.0)).alias("dt_max"),
+        )
+        .orderBy("o_orderkey")
     )
 
 

@@ -53,10 +53,13 @@ def canonical_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def compare_spark_duck(df, con, sql: str) -> list[str]:
-    """Return a list of problems (empty = parity)."""
-    pdf = df.toPandas()
-    s_cols = list(pdf.columns)
-    s_rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    """Return a list of problems (empty = parity).
+
+    Spark rows come via collect(), NOT toPandas(): pandas coerces
+    NULL doubles to NaN, which would falsely diverge from DuckDB's
+    NULLs."""
+    s_cols = list(df.columns)
+    s_rows = [tuple(r) for r in df.collect()]
     res = con.execute(sql)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
