@@ -59,6 +59,7 @@ def shingle_rows(
     id_col: str = "doc_id",
     text_col: str = "text",
     keep_cols: tuple[str, ...] = (),
+    sep: str = " ",
 ) -> DataFrame:
     """n-word shingles as ROWS: (id, [keep_cols...], sh).
 
@@ -82,7 +83,7 @@ def shingle_rows(
     staged = toks.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        F.concat_ws(" ", *leads).alias("sh"),
+        F.concat_ws(sep, *leads).alias("sh"),
         leads[-1].isNotNull().alias("__full"),
     )
     return staged.filter(F.col("__full")).drop("__full")

@@ -45,6 +45,42 @@ def tokenize(text: Column) -> Column:
     )
 
 
+def tokenize_opts(
+    text: Column,
+    split_chars: str | None = None,
+    min_token_length: int = 1,
+    ngram_range: tuple[int, int] = (1, 1),
+    limit: int | None = None,
+    offset: int = 0,
+) -> Column:
+    """tokenize() with the reference's option surface
+    (sql/tokenize.cc; doc ValueExpression.md §tokenize: splitChars,
+    ngramRange, minTokenLength, limit, offset). N-grams are joined
+    with '_'. Per-row API form — for corpus-scale n-gram generation
+    use dedup.shingle_rows (linear posexplode+lead), since the array
+    lambdas here re-evaluate their input per element."""
+    import re as _re
+
+    pattern = (
+        "[" + _re.escape(split_chars) + "]+" if split_chars else TOKEN_SPLIT_RE
+    )
+    toks = F.filter(
+        F.split(F.lower(text), pattern),
+        lambda t: (t != F.lit("")) & (F.length(t) >= min_token_length),
+    )
+    lo, hi = ngram_range
+    parts = [
+        toks if n == 1 else word_shingles(toks, n, sep="_")
+        for n in range(max(lo, 1), hi + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.concat(out, p)
+    if offset or limit is not None:
+        out = F.slice(out, offset + 1, limit if limit is not None else (1 << 30))
+    return out
+
+
 def tokenize_counts(text: Column) -> Column:
     """Bag-of-words as MAP<token, count> — the reference's tokenize()
     output shape (one sparse column per token, flattened)."""
@@ -75,7 +111,7 @@ def bpe_ish_count(text: Column) -> Column:
     return alpha_units + other
 
 
-def word_shingles(tokens: Column, n: int = 3) -> Column:
+def word_shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:
     """n-word shingles ('w1 w2 w3') from a token array — the unit set
     for near-dup Jaccard/MinHash (more discriminative than unigrams
     when documents share a small vocabulary). Empty when the doc has
@@ -93,7 +129,7 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
         F.transform(
             F.sequence(F.lit(1), count),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
+                sep, *[F.element_at(tokens, (i + j).cast("int")) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))

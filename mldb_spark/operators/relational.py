@@ -92,6 +92,31 @@ def pivot_agg(
     return df.groupBy(*group_keys).pivot(pivot_col, list(pivot_values)).agg(agg)
 
 
+def atom_dataset(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    atoms: dict[str, Column],
+    column_col: str = "column",
+    value_col: str = "value",
+) -> DataFrame:
+    """atom_dataset(expr): one output row per atom of a row value,
+    with `column` (the atom's path) and `value` columns.
+
+    Reference: sql/table_expression_operations.h:210-240 (.cc:640-770)
+    — the row_dataset/atom_dataset table constructs. Values are cast
+    to a common double type (the map form requires it; the reference's
+    variant atoms map to typed long layouts when heterogeneous —
+    SURVEY §7.4 hard-part #1). Narrow transform, no shuffle.
+    """
+    m = F.create_map(
+        *[x for name, col in atoms.items() for x in (F.lit(name), col.cast("double"))]
+    )
+    return df.select(
+        *[F.col(c) for c in id_cols],
+        F.explode(m).alias(column_col, value_col),
+    )
+
+
 def merge_datasets(dfs: Sequence[DataFrame], on: str = "rowName") -> DataFrame:
     """Column-wise merge of N datasets: same rows enriched with the
     union of columns; on column collision the LAST dataset wins.

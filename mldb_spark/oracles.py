@@ -645,6 +645,42 @@ WITH dt AS (
 SELECT * FROM dt WHERE o_custkey % 20 = 0 ORDER BY o_orderkey
 """
 
+ORACLES["q54_transpose"] = """
+SELECT event_type AS "row", count(*) AS n_cells,
+       count(DISTINCT CAST(user_id AS VARCHAR)) AS n_columns,
+       round(sum("value"), 2) AS sum_value
+FROM events GROUP BY 1 ORDER BY "row"
+"""
+
+ORACLES["q55_atom_dataset"] = """
+WITH atoms AS (
+  SELECT o_orderkey, 'price' AS "column", o_totalprice AS "value" FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'priority', TRY_CAST(substr(o_orderpriority, 1, 1) AS DOUBLE) FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'month', CAST(month(o_orderdate) AS DOUBLE) FROM orders
+)
+SELECT "column", count("value") AS n,
+       round(sum("value"), 2) AS total,
+       round(min("value"), 2) AS vmin,
+       round(max("value"), 2) AS vmax
+FROM atoms GROUP BY 1 ORDER BY "column"
+"""
+
+ORACLES["q56_bigram_counts"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks), 1)),
+                               i -> toks[i] || '_' || toks[i+1])) AS bigram
+  FROM t
+)
+SELECT bigram, count(*) AS freq
+FROM s GROUP BY bigram
+ORDER BY freq DESC, bigram
+LIMIT 20
+"""
+
 ORACLES["q31_embedding_neardup"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
        {_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim

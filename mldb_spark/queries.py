@@ -1058,6 +1058,68 @@ def q53_dist_table(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q54_transpose(spark: SparkSession, sf: str) -> DataFrame:
+    """transposed dataset (builtin/transposed_dataset.cc:393): on the
+    cell-triple layout the transpose is a pure rename — rows become
+    columns. Aggregate over the transposed view."""
+    from mldb_spark.operators.relational import transpose_cells
+
+    cells = events_to_cells(load(spark, sf, "events"))
+    t = transpose_cells(cells)  # row=event_type, column=user
+    return (
+        t.groupBy("row")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.countDistinct("column").alias("n_columns"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("row")
+    )
+
+
+def q55_atom_dataset(spark: SparkSession, sf: str) -> DataFrame:
+    """atom_dataset (sql/table_expression_operations.h:210-240): one
+    row per atom of a computed row value, then per-atom stats."""
+    from mldb_spark.operators.relational import atom_dataset
+
+    orders = load(spark, sf, "orders")
+    atoms = atom_dataset(
+        orders,
+        id_cols=["o_orderkey"],
+        atoms={
+            "price": F.col("o_totalprice"),
+            "priority": F.substring("o_orderpriority", 1, 1).try_cast("double"),
+            "month": F.month("o_orderdate").cast("double"),
+        },
+    )
+    return (
+        atoms.groupBy("column")
+        .agg(
+            F.count("value").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.min("value"), 2).alias("vmin"),
+            F.round(F.max("value"), 2).alias("vmax"),
+        )
+        .orderBy("column")
+    )
+
+
+def q56_bigram_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """tokenize with ngramRange (sql/tokenize.cc options): top-20
+    corpus bigrams. Generated via the linear shingle-row path
+    (posexplode+lead), '_'-joined per the tokenize n-gram format."""
+    from mldb_spark.dedup import shingle_rows
+
+    docs = load(spark, sf, "documents")
+    return (
+        shingle_rows(docs, 2, sep="_")
+        .groupBy(F.col("sh").alias("bigram"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "bigram")
+        .limit(20)
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -79,6 +79,25 @@ def test_fetcher_file_urls_and_errors(spark):
     assert out[3]["error"].startswith("ValueError")
 
 
+def test_tokenize_opts(spark):
+    from mldb_spark.functions.text import tokenize_opts
+
+    df = spark.createDataFrame([("The quick, brown fox! ok",)], "t string")
+
+    def run(**kw):
+        return df.select(tokenize_opts(F.col("t"), **kw).alias("x")).collect()[0]["x"]
+
+    assert run() == ["the", "quick", "brown", "fox", "ok"]
+    assert run(min_token_length=3) == ["the", "quick", "brown", "fox"]
+    assert run(ngram_range=(2, 2)) == [
+        "the_quick", "quick_brown", "brown_fox", "fox_ok"
+    ]
+    both = run(ngram_range=(1, 2))
+    assert "the" in both and "the_quick" in both and len(both) == 9
+    assert run(limit=2, offset=1) == ["quick", "brown"]
+    assert run(split_chars=",") == ["the quick", " brown fox! ok"]
+
+
 def test_aggregates_of_rows_dialect(spark, sf_dir):
     from mldb_spark.catalog import load
     from mldb_spark.dialect import MldbContext
