@@ -96,3 +96,41 @@ class Mldb:
         from mldb_spark.operators.relational import summary_statistics
 
         return summary_statistics(self.dataset(dataset))
+
+    # -- function entities (§2.12) ------------------------------------------
+
+    def create_sql_expression_function(self, name: str, select_sql: str) -> None:
+        """sql.expression function entity (builtin/sql_functions.cc:613):
+        a named SQL lambda — row in, computed columns out. The select
+        list is parsed once; applying the function binds it against
+        the input DataFrame's schema (open-schema NULL rules apply).
+        """
+        from mldb_spark.dialect.parser import Parser
+        from mldb_spark.dialect.translate import Binder, _expr_name
+        from mldb_spark.dialect import ast as _ast
+
+        parser = Parser("select " + select_sql)
+        stm = parser.parse_subselect()
+
+        def apply(df: DataFrame, params: dict[str, object] | None = None) -> DataFrame:
+            binder = Binder(df.columns, params or {}, dtypes=dict(df.dtypes))
+            cols = []
+            for i, it in enumerate(stm.select):
+                if not isinstance(it, _ast.ExprItem):
+                    raise ValueError("sql.expression takes plain select items")
+                cols.append(binder.bind(it.expr).alias(it.alias or _expr_name(it.expr, i)))
+            return df.select("*", *cols)
+
+        self.functions.register(name, apply)
+
+    def create_sql_query_function(self, name: str, sql: str) -> None:
+        """sql.query function entity (builtin/sql_functions.cc:316):
+        a parameterized single query applied by name with $params."""
+
+        def run(params: dict[str, object] | None = None) -> DataFrame:
+            return self.query(sql, params)
+
+        self.functions.register(name, run)
+
+    def apply_function(self, name: str, *args, **kwargs):
+        return self.functions.apply(name, *args, **kwargs)

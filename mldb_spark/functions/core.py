@@ -86,6 +86,28 @@ def geo_distance(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     return r * F.lit(2.0) * F.asin(F.sqrt(a))
 
 
+def likelihood_ratio(outcome: Column, feature: Column) -> dict[str, Column]:
+    """Log-likelihood ratio of a boolean feature given a boolean
+    outcome: ln(P(feature|outcome) / P(feature|not outcome)), from
+    the four cell counts of the 2x2 contingency table.
+
+    Reference: the likelihood_ratio aggregate
+    (sql/builtin_aggregators.cc:947, undocumented upstream); this is
+    the standard log-LR it computes, exposed as aggregate Columns so
+    it runs inside any groupBy. Returns the component counts too —
+    at scale you keep them (they re-aggregate; the ratio itself
+    doesn't)."""
+    o = outcome.cast("boolean")
+    f = feature.cast("boolean")
+    n_to = F.sum((o & f).cast("long"))
+    n_o = F.sum(o.cast("long"))
+    n_tn = F.sum((~o & f).cast("long"))
+    n_n = F.sum((~o).cast("long"))
+    llr = F.log((n_to / n_o) / (n_tn / n_n))
+    return {"n_true_outcome": n_o, "n_feat_true": n_to, "n_false_outcome": n_n,
+            "n_feat_false": n_tn, "llr": llr}
+
+
 def row_hash(key: Column) -> Column:
     """Deterministic 64-bit row hash.
 

@@ -23,12 +23,12 @@ class FunctionRegistry:
     def register(self, name: str, fn: Callable[[DataFrame], DataFrame]) -> None:
         self._fns[name] = fn
 
-    def apply(self, name: str, df: DataFrame) -> DataFrame:
+    def apply(self, name: str, *args, **kwargs) -> DataFrame:
         if name not in self._fns:
             raise KeyError(
                 f"unknown function '{name}' (registered: {sorted(self._fns)})"
             )
-        return self._fns[name](df)
+        return self._fns[name](*args, **kwargs)
 
     def names(self) -> list[str]:
         return sorted(self._fns)

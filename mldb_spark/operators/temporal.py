@@ -93,6 +93,30 @@ def when_filter(cells: DataFrame, predicate: Column) -> DataFrame:
     return cells.filter(predicate)
 
 
+def cell_timestamps(
+    cells: DataFrame,
+    row_col: str = "row",
+    column_col: str = "column",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """earliest_timestamp / latest_timestamp / distinct_timestamps
+    per cell (sql/builtin_functions.cc:1070-1120): the timestamp
+    metadata view of a superposed cell."""
+    return cells.groupBy(row_col, column_col).agg(
+        F.min(ts_col).alias("earliest_timestamp"),
+        F.max(ts_col).alias("latest_timestamp"),
+        F.countDistinct(ts_col).alias("n_distinct_timestamps"),
+    )
+
+
+def restamp(cells: DataFrame, new_ts, ts_col: str = "ts") -> DataFrame:
+    """The @ / at() operator (sql/builtin_functions.cc:1154; doc
+    TypeSystem.md §Data Point Timestamps): re-stamp values with a new
+    timestamp. Metadata-only projection."""
+    ts = new_ts if isinstance(new_ts, Column) else F.lit(new_ts).cast("timestamp")
+    return cells.withColumn(ts_col, ts)
+
+
 def events_to_cells(events: DataFrame) -> DataFrame:
     """Bridge: the events table (event_id, ts, user_id, event_type,
     value, props) viewed as sparse temporal cells — row = user,

@@ -681,6 +681,34 @@ ORDER BY freq DESC, bigram
 LIMIT 20
 """
 
+ORACLES["q57_cell_timestamps"] = """
+SELECT CAST(user_id AS VARCHAR) AS "row", event_type AS "column",
+       min(ts) AS earliest_timestamp,
+       max(ts) AS latest_timestamp,
+       count(DISTINCT ts) AS n_distinct_timestamps
+FROM events GROUP BY 1, 2 ORDER BY "row", "column"
+"""
+
+ORACLES["q58_likelihood_ratio"] = """
+WITH t AS (
+  SELECT event_type,
+         "value" > 100 AS o,
+         dayofweek(ts) IN (0, 6) AS f  -- duckdb: Sunday=0, Saturday=6
+  FROM events
+),
+c AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT) AS n_true_outcome,
+         CAST(sum(CASE WHEN o AND f THEN 1 ELSE 0 END) AS BIGINT) AS n_feat_true,
+         CAST(sum(CASE WHEN NOT o THEN 1 ELSE 0 END) AS BIGINT) AS n_false_outcome,
+         CAST(sum(CASE WHEN (NOT o) AND f THEN 1 ELSE 0 END) AS BIGINT) AS n_feat_false
+  FROM t GROUP BY event_type
+)
+SELECT event_type, n_true_outcome, n_feat_true, n_false_outcome, n_feat_false,
+       round(ln((n_feat_true / n_true_outcome) / (n_feat_false / n_false_outcome)), 6) AS llr
+FROM c ORDER BY event_type
+"""
+
 ORACLES["q31_embedding_neardup"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
        {_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim

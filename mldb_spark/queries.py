@@ -1120,6 +1120,39 @@ def q56_bigram_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q57_cell_timestamps(spark: SparkSession, sf: str) -> DataFrame:
+    """earliest_timestamp / latest_timestamp / distinct_timestamps
+    (sql/builtin_functions.cc:1070-1120) over the sparse temporal
+    cells view."""
+    from mldb_spark.operators.temporal import cell_timestamps
+
+    cells = events_to_cells(load(spark, sf, "events"))
+    return cell_timestamps(cells).orderBy("row", "column")
+
+
+def q58_likelihood_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """likelihood_ratio aggregate (sql/builtin_aggregators.cc:947):
+    log-LR of weekend activity (feature) given high-value events
+    (outcome), per event type."""
+    from mldb_spark.functions.core import likelihood_ratio
+
+    ev = load(spark, sf, "events")
+    outcome = F.col("value") > 100
+    feature = F.dayofweek("ts").isin(1, 7)  # Sunday=1, Saturday=7
+    parts = likelihood_ratio(outcome, feature)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            parts["n_true_outcome"].alias("n_true_outcome"),
+            parts["n_feat_true"].alias("n_feat_true"),
+            parts["n_false_outcome"].alias("n_false_outcome"),
+            parts["n_feat_false"].alias("n_feat_false"),
+            F.round(parts["llr"], 6).alias("llr"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

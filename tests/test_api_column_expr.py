@@ -53,3 +53,47 @@ def test_mldb_api_roundtrip(spark, sf_dir):
 
     train, test = mldb.split("orders", [0.8, 0.2])
     assert abs(train.count() + test.count() - mldb.dataset("orders").count()) == 0
+
+
+def test_sql_expression_function(spark, sf_dir):
+    mldb = Mldb(spark)
+    mldb.create_dataset("orders", load(spark, sf_dir, "orders"))
+    mldb.create_sql_expression_function(
+        "pricing", "o_totalprice * 1.1 AS with_tax, upper(o_orderstatus) AS status"
+    )
+    out = mldb.apply_function("pricing", mldb.dataset("orders"))
+    row = out.limit(1).collect()[0]
+    assert abs(row["with_tax"] - row["o_totalprice"] * 1.1) < 1e-9
+    assert row["status"] == row["o_orderstatus"].upper()
+    # open schema: expression over a missing column yields NULL
+    mldb.create_sql_expression_function("ghost", "no_such + 1 AS g")
+    assert mldb.apply_function("ghost", mldb.dataset("orders")).limit(1).collect()[0]["g"] is None
+
+
+def test_sql_query_function(spark, sf_dir):
+    mldb = Mldb(spark)
+    mldb.create_dataset("orders", load(spark, sf_dir, "orders"))
+    mldb.create_sql_query_function(
+        "big_orders",
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > $floor",
+    )
+    n1 = mldb.apply_function("big_orders", {"floor": 100000}).collect()[0]["n"]
+    n2 = mldb.apply_function("big_orders", {"floor": 300000}).collect()[0]["n"]
+    assert n1 > n2 > 0
+
+
+def test_restamp_and_cell_timestamps(spark, sf_dir):
+    from mldb_spark.operators.temporal import (
+        cell_timestamps,
+        events_to_cells,
+        restamp,
+    )
+
+    cells = events_to_cells(load(spark, sf_dir, "events"))
+    stamped = restamp(cells, "2030-01-01 00:00:00")
+    ts = cell_timestamps(stamped).limit(5).collect()
+    assert all(
+        r["earliest_timestamp"] == r["latest_timestamp"]
+        and r["n_distinct_timestamps"] == 1
+        for r in ts
+    )
