@@ -183,6 +183,40 @@ def quality_score(text: Column) -> Column:
     return F.round(length_term + len_term + stop_term + noise_term, 4)
 
 
+def filter_stopwords(tokens: Column, stopwords: tuple[str, ...] | None = None) -> Column:
+    """filter_stopwords function (plugins/nlp/nlp.cc:108): drop
+    stopword tokens from a token array."""
+    words = stopwords or ENGLISH_STOPWORDS
+    return F.filter(tokens, lambda t: ~t.isin(*words))
+
+
+_SUFFIXES = ("ational", "iveness", "fulness", "ization", "ations",
+             "ings", "edly", "ies", "ing", "ed", "es", "ly", "s")
+
+
+def stem(token: Column) -> Column:
+    """Suffix-stripping stemmer in pure Column expressions — a
+    lightweight stand-in for the reference's Snowball stemmer
+    (plugins/nlp/nlp.cc:213 `stemmer`; the Snowball library is not in
+    this container). Longest-suffix-first, guarded so stems keep >= 3
+    chars; deterministic and JVM-side."""
+    out = token
+    done = F.lit(False)
+    for suf in _SUFFIXES:
+        applies = ~done & token.endswith(suf) & (F.length(token) - len(suf) >= 3)
+        out = F.when(
+            applies, token.substr(F.lit(1), F.length(token) - len(suf))
+        ).otherwise(out)
+        done = done | applies
+    return out
+
+
+def stem_tokens(tokens: Column) -> Column:
+    """stemmerdoc equivalent (plugins/nlp/nlp.cc:284): stem every
+    token of an array."""
+    return F.transform(tokens, lambda t: stem(t))
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse
     whitespace/punct runs to single spaces, trim."""

@@ -186,6 +186,117 @@ def tfidf_table(
     )
 
 
+def svm_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    name: str = "svm",
+    registry: FunctionRegistry = GLOBAL_REGISTRY,
+):
+    """svm.train (plugins/jml/svm.cc:464) → MLlib LinearSVC; registers
+    a margin-score function."""
+    from pyspark.ml.classification import LinearSVC
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    model = LinearSVC(maxIter=50, regParam=0.01).fit(
+        assembler.transform(df).withColumn("label", F.col(label_col).cast("double"))
+    )
+
+    def score(d: DataFrame) -> DataFrame:
+        out = model.transform(assembler.transform(d))
+        return out.withColumn(
+            "margin", vector_to_array(F.col("rawPrediction")).getItem(1)
+        ).drop("features", "rawPrediction", "prediction")
+
+    registry.register(name, score)
+    return model
+
+
+def random_forest_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    num_trees: int = 50,
+    seed: int = 42,
+    name: str = "rf",
+    registry: FunctionRegistry = GLOBAL_REGISTRY,
+):
+    """randomforest.binary.train (plugins/jml/randomforest_procedure.cc:411)
+    → MLlib RandomForestClassifier. MLlib does the feature bucketizing
+    the reference hand-rolls (core/bucket.h) internally."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    model = RandomForestClassifier(numTrees=num_trees, seed=seed).fit(
+        assembler.transform(df).withColumn("label", F.col(label_col).cast("double"))
+    )
+
+    def score(d: DataFrame) -> DataFrame:
+        out = model.transform(assembler.transform(d))
+        return out.withColumn(
+            "score", vector_to_array(F.col("probability")).getItem(1)
+        ).drop("features", "rawPrediction", "probability", "prediction")
+
+    registry.register(name, score)
+    return model
+
+
+def gaussian_clustering_train(
+    df: DataFrame,
+    array_col: str,
+    k: int = 4,
+    seed: int = 42,
+    name: str = "gmm",
+    registry: FunctionRegistry = GLOBAL_REGISTRY,
+):
+    """gaussianclustering.train (plugins/jml/em_interface.cc:383) →
+    MLlib GaussianMixture (EM); registers a soft-assignment function."""
+    from pyspark.ml.clustering import GaussianMixture
+
+    model = GaussianMixture(k=k, seed=seed, featuresCol="features").fit(
+        _to_vector(df, array_col)
+    )
+
+    def assign(d: DataFrame) -> DataFrame:
+        return model.transform(_to_vector(d, array_col)).drop("features", "probability")
+
+    registry.register(name, assign)
+    return model
+
+
+def word2vec_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    vector_size: int = 32,
+    min_count: int = 2,
+    seed: int = 42,
+):
+    """Word2Vec over the corpus (the reference only IMPORTS word2vec
+    binaries, plugins/nlp/word2vec.cc:248 — training distributed is
+    the Spark-native upgrade). Returns (model, vectors_df) where
+    vectors_df is (word, vector ARRAY<FLOAT>) — the same embedding-
+    dataset shape import.word2vec produces."""
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    toks = docs.withColumn("tokens", tokenize(F.col(text_col)))
+    model = Word2Vec(
+        vectorSize=vector_size,
+        minCount=min_count,
+        seed=seed,
+        inputCol="tokens",
+        outputCol="w2v",
+    ).fit(toks)
+    vectors = model.getVectors().select(
+        "word", vector_to_array(F.col("vector")).alias("vector")
+    )
+    return model, vectors
+
+
 def pca_train(df: DataFrame, array_col: str, k: int = 8):
     """svd.train equivalent: PCA over the embedding column. Returns
     (model, explained_variance list). Row embeddings come from
