@@ -66,6 +66,21 @@ class InList(Expr):
 
 
 @dataclass
+class InSelect(Expr):
+    operand: Expr
+    subquery: "SelectStatement"
+    negated: bool = False
+
+
+@dataclass
+class InKeysValues(Expr):
+    operand: Expr
+    source: Expr  # a map-typed expression
+    which: str  # 'keys' | 'values'
+    negated: bool = False
+
+
+@dataclass
 class LikeOp(Expr):
     operand: Expr
     pattern: Expr

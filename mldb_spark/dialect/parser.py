@@ -157,6 +157,24 @@ class Parser:
             return ast.Between(lhs, low, self.parse_expr(5), negated)
         if self.accept_kw("in"):
             self.expect_op("(")
+            # IN (SELECT …) — membership via semi/anti join
+            if self.peek().kind == "kw" and self.peek().value == "select":
+                sub = self.parse_subselect()
+                self.expect_op(")")
+                return ast.InSelect(lhs, sub, negated)
+            # IN (KEYS OF expr) / IN (VALUES OF expr) — contextual
+            # keywords (reference InExpression KEYS/VALUES forms)
+            if (
+                self.peek().kind == "ident"
+                and self.peek().value.lower() in ("keys", "values")
+                and self.peek(1).kind == "ident"
+                and self.peek(1).value.lower() == "of"
+            ):
+                which = self.next().value.lower()
+                self.next()  # OF
+                source = self.parse_expr()
+                self.expect_op(")")
+                return ast.InKeysValues(lhs, source, which, negated)
             items = [self.parse_expr()]
             while self.accept_op(","):
                 items.append(self.parse_expr())

@@ -211,6 +211,15 @@ class Binder:
             c = self.bind(e.operand)
             out = c.isin(*[v.value for v in e.items if isinstance(v, ast.Literal)])
             return ~out if e.negated else out
+        if isinstance(e, ast.InSelect):
+            raise ValueError(
+                "IN (SELECT …) is only supported in WHERE conjuncts"
+            )
+        if isinstance(e, ast.InKeysValues):
+            src = self.bind(e.source)
+            arr = F.map_keys(src) if e.which == "keys" else F.map_values(src)
+            out = F.array_contains(arr, self.bind(e.operand))
+            return ~out if e.negated else out
         if isinstance(e, ast.LikeOp):
             if not isinstance(e.pattern, ast.Literal):
                 raise ValueError("LIKE pattern must be a literal")
@@ -417,6 +426,14 @@ def _contains_aggregate(e: ast.Expr) -> bool:
     return False
 
 
+def _conjuncts(e: ast.Expr) -> list[ast.Expr]:
+    """AND-split a predicate (reference AnnotatedJoinCondition's
+    clause decomposition, sql/join_utils.h:61-68, applied to WHERE)."""
+    if isinstance(e, ast.Binary) and e.op == "and":
+        return _conjuncts(e.left) + _conjuncts(e.right)
+    return [e]
+
+
 def _substitute(e: ast.Expr, mapping: list[tuple[ast.Expr, str]]) -> ast.Expr:
     """Replace any subtree equal to a mapped expression with a
     ColumnRef to its output name (dataclass equality = structural)."""
@@ -519,7 +536,27 @@ class MldbContext:
         if stm.when is not None:
             df = df.filter(binder.bind(stm.when).cast("boolean"))
         if stm.where is not None:
-            df = df.filter(binder.bind(stm.where).cast("boolean"))
+            # IN (SELECT …) conjuncts become semi/anti joins (the
+            # reference routes these through set-membership
+            # generators, core/dataset.cc:1573-1650; Spark's
+            # left_semi/left_anti is the distributed equivalent)
+            residual: list[ast.Expr] = []
+            for conj in _conjuncts(stm.where):
+                if isinstance(conj, ast.InSelect):
+                    sub = self._statement(conj.subquery, params)
+                    if len(sub.columns) != 1:
+                        raise ValueError("IN (SELECT …) needs a 1-column subquery")
+                    how = "left_anti" if conj.negated else "left_semi"
+                    df = df.join(
+                        sub, binder.bind(conj.operand) == sub[sub.columns[0]], how
+                    )
+                else:
+                    residual.append(conj)
+            if residual:
+                combined = residual[0]
+                for r in residual[1:]:
+                    combined = ast.Binary("and", combined, r)
+                df = df.filter(binder.bind(combined).cast("boolean"))
 
         is_agg = bool(stm.group_by) or any(
             isinstance(it, ast.ExprItem) and _contains_aggregate(it.expr)

@@ -211,6 +211,51 @@ def test_horizontal_and_builtin_functions(ctx, duck):
     assert problems == []
 
 
+def test_in_select_semi_and_anti(ctx, duck):
+    df = ctx.query(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem "
+        "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40) "
+        "AND l_quantity > 10 GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    problems = compare_spark_duck(
+        df,
+        duck,
+        """SELECT l_returnflag, count(*) AS n FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+             AND l_quantity > 10 GROUP BY l_returnflag ORDER BY l_returnflag""",
+    )
+    assert problems == []
+
+    inn = ctx.query(
+        "SELECT count(*) AS n FROM lineitem WHERE l_partkey IN "
+        "(SELECT p_partkey FROM part WHERE p_size > 40)"
+    ).collect()[0]["n"]
+    out = ctx.query(
+        "SELECT count(*) AS n FROM lineitem WHERE l_partkey NOT IN "
+        "(SELECT p_partkey FROM part WHERE p_size > 40)"
+    ).collect()[0]["n"]
+    total = ctx.query("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert inn + out == total and inn > 0 and out > 0
+
+
+def test_in_keys_values_of(ctx, spark):
+    from pyspark.sql import functions as F
+
+    m = spark.createDataFrame([(1,), (2,)], "id int").select(
+        "id", F.create_map(F.lit("a"), F.col("id"), F.lit("b"), F.col("id") * 10).alias("m")
+    )
+    ctx.register("mapped", m)
+    assert ctx.query(
+        "SELECT count(*) AS n FROM mapped WHERE 'a' IN (KEYS OF m)"
+    ).collect()[0]["n"] == 2
+    assert ctx.query(
+        "SELECT count(*) AS n FROM mapped WHERE 20 IN (VALUES OF m)"
+    ).collect()[0]["n"] == 1
+    assert ctx.query(
+        "SELECT count(*) AS n FROM mapped WHERE 'z' NOT IN (KEYS OF m)"
+    ).collect()[0]["n"] == 2
+
+
 def test_having(ctx, duck):
     df = ctx.query(
         "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey "
