@@ -60,6 +60,30 @@ class Catalog:
                 pass
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a DataFrame as a bucketed (+optionally sorted) table.
+
+    This is the co-located-join path for repeated big-fact joins: two
+    tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle (Catalyst recognizes the compatible hash
+    partitioning). At 100 TB, bucketing the fact tables on their join
+    keys once at ingest amortizes every subsequent join/groupBy on
+    that key. Requires a Hive-less Spark catalog (saveAsTable with
+    bucketBy works against the default in-memory catalog + warehouse
+    dir).
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Runtime confs this engine depends on, set defensively because
     the harness may hand us a session built elsewhere:

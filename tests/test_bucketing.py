@@ -1,0 +1,34 @@
+"""Bucketed-table co-located joins: the repeated-join scale path.
+
+Two tables bucketed on the join key with equal bucket counts must
+join without a shuffle exchange on either side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mldb_spark.catalog import load, write_bucketed
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    write_bucketed(li.select("l_orderkey", "l_quantity"), "b_lineitem", ["l_orderkey"], 8)
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders", ["o_orderkey"], 8)
+    try:
+        a = spark.table("b_lineitem")
+        b = spark.table("b_orders")
+        joined = a.join(
+            b.hint("merge"), a["l_orderkey"] == b["o_orderkey"]
+        ).groupBy().agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # neither join input may carry a hashpartitioning exchange —
+        # the bucket layout already provides the distribution
+        join_section = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+        assert "Exchange hashpartitioning" not in join_section
+        n = joined.collect()[0]["n"]
+        assert n == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")

@@ -256,6 +256,22 @@ def test_in_keys_values_of(ctx, spark):
     ).collect()[0]["n"] == 2
 
 
+def test_left_join_preserves_unmatched(ctx, duck):
+    df = ctx.query(
+        "SELECT n_name, count(c_custkey) AS n_cust FROM nation "
+        "LEFT JOIN customer ON n_nationkey = c_nationkey "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+    problems = compare_spark_duck(
+        df,
+        duck,
+        """SELECT n_name, count(c_custkey) AS n_cust FROM nation
+           LEFT JOIN customer ON n_nationkey = c_nationkey
+           GROUP BY n_name ORDER BY n_name""",
+    )
+    assert problems == []
+
+
 def test_having(ctx, duck):
     df = ctx.query(
         "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey "
