@@ -140,6 +140,17 @@ class TableRef:
 
 
 @dataclass
+class TableFunction:
+    """FROM-clause dataset function: merge(ds…), sample(ds, frac
+    [, seed]), transpose(ds) (reference
+    sql/builtin_dataset_functions.cc:107-213)."""
+
+    name: str
+    args: list[object]  # dataset names (str) or numeric literals
+    alias: str | None = None
+
+
+@dataclass
 class Join:
     left: "TableRef | Join"
     right: TableRef

@@ -408,6 +408,27 @@ class Parser:
         t = self.next()
         if t.kind != "ident":
             raise SyntaxError(f"expected table name, got {t}")
+        # FROM-clause dataset function: name(arg, …)
+        if self.peek().kind == "op" and self.peek().value == "(":
+            self.next()
+            args: list[object] = []
+            while not (self.peek().kind == "op" and self.peek().value == ")"):
+                a = self.next()
+                if a.kind == "ident":
+                    args.append(a.value)
+                elif a.kind == "number":
+                    args.append(float(a.value) if "." in a.value else int(a.value))
+                else:
+                    raise SyntaxError(f"bad dataset-function arg {a}")
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            alias = None
+            if self.accept_kw("as"):
+                alias = self.next().value
+            elif self.peek().kind == "ident":
+                alias = self.next().value
+            return ast.TableFunction(t.value.lower(), args, alias)
         alias = None
         if self.accept_kw("as"):
             alias = self.next().value

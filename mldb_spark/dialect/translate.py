@@ -505,9 +505,46 @@ class MldbContext:
         if isinstance(src, ast.TableRef):
             df, meta = self._table(src.name)
             return df, meta["rowName"], meta["ts"]
+        if isinstance(src, ast.TableFunction):
+            return self._table_function(src), None, None
         if isinstance(src, ast.Join):
             return self._join(src, params), None, None
         raise ValueError(f"unsupported FROM {src!r}")
+
+    def _table_function(self, tf: ast.TableFunction) -> DataFrame:
+        """FROM-clause dataset functions (reference
+        sql/builtin_dataset_functions.cc: transpose :107, merge :173,
+        sample :213)."""
+        if tf.name == "merge":
+            from mldb_spark.operators.relational import merge_datasets
+
+            dfs = []
+            for a in tf.args:
+                if not isinstance(a, str):
+                    raise ValueError("merge() takes dataset names")
+                df, meta = self._table(a)
+                on = meta["rowName"]
+                if not on:
+                    raise ValueError(
+                        f"merge() needs datasets with a rowName column ({a} has none)"
+                    )
+                dfs.append(df.withColumnRenamed(on, "rowName") if on != "rowName" else df)
+            return merge_datasets(dfs)
+        if tf.name == "sample":
+            df, _ = self._table(str(tf.args[0]))
+            fraction = float(tf.args[1]) if len(tf.args) > 1 else 0.1
+            seed = int(tf.args[2]) if len(tf.args) > 2 else 0
+            return df.sample(fraction=fraction, seed=seed)
+        if tf.name == "transpose":
+            from mldb_spark.operators.relational import transpose_cells
+
+            df, _ = self._table(str(tf.args[0]))
+            if not {"row", "column"}.issubset(df.columns):
+                raise ValueError(
+                    "transpose() needs the cell layout (row, column, …)"
+                )
+            return transpose_cells(df)
+        raise ValueError(f"unknown dataset function {tf.name!r}")
 
     def _table(self, name: str):
         if name not in self._datasets:

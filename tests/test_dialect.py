@@ -256,6 +256,36 @@ def test_in_keys_values_of(ctx, spark):
     ).collect()[0]["n"] == 2
 
 
+def test_from_clause_dataset_functions(ctx, spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mldb_spark.catalog import load
+
+    # sample(ds, fraction, seed): deterministic subset
+    n = ctx.query("SELECT count(*) AS n FROM sample(orders, 0.5, 42)").collect()[0]["n"]
+    total = ctx.query("SELECT count(*) AS n FROM orders").collect()[0]["n"]
+    assert 0 < n < total
+
+    # transpose(cells): rows and columns swap
+    cells = spark.createDataFrame(
+        [("r1", "c1", 1.0), ("r2", "c1", 2.0)], "row string, column string, value double"
+    )
+    ctx.register("cellset", cells)
+    out = ctx.query(
+        "SELECT row, count(*) AS n FROM transpose(cellset) GROUP BY row"
+    ).collect()
+    assert {(r["row"], r["n"]) for r in out} == {("c1", 2)}
+
+    # merge(a, b): column-wise union on rowName, later dataset wins
+    a = spark.createDataFrame([("k1", 1), ("k2", 2)], "rowName string, x int")
+    b = spark.createDataFrame([("k1", 10), ("k3", 3)], "rowName string, y int")
+    ctx.register("ma", a, row_name_col="rowName")
+    ctx.register("mb", b, row_name_col="rowName")
+    rows = {r["rowName"]: r for r in ctx.query("SELECT * FROM merge(ma, mb)").collect()}
+    assert rows["k1"]["x"] == 1 and rows["k1"]["y"] == 10
+    assert rows["k3"]["x"] is None and rows["k3"]["y"] == 3
+
+
 def test_left_join_preserves_unmatched(ctx, duck):
     df = ctx.query(
         "SELECT n_name, count(c_custkey) AS n_cust FROM nation "
