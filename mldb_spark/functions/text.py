@@ -200,15 +200,16 @@ def stem(token: Column) -> Column:
     (plugins/nlp/nlp.cc:213 `stemmer`; the Snowball library is not in
     this container). Longest-suffix-first, guarded so stems keep >= 3
     chars; deterministic and JVM-side."""
-    out = token
-    done = F.lit(False)
+    # single chained CASE: F.when branches already evaluate in order
+    # with first-match-wins, so no "done" accumulator is needed — an
+    # accumulator would re-embed every prior condition at each level
+    # and grow the expression tree exponentially (2^13 nodes)
+    expr = None
     for suf in _SUFFIXES:
-        applies = ~done & token.endswith(suf) & (F.length(token) - len(suf) >= 3)
-        out = F.when(
-            applies, token.substr(F.lit(1), F.length(token) - len(suf))
-        ).otherwise(out)
-        done = done | applies
-    return out
+        cond = token.endswith(suf) & (F.length(token) - len(suf) >= 3)
+        stemmed = token.substr(F.lit(1), F.length(token) - len(suf))
+        expr = F.when(cond, stemmed) if expr is None else expr.when(cond, stemmed)
+    return expr.otherwise(token)
 
 
 def stem_tokens(tokens: Column) -> Column:

@@ -14,7 +14,7 @@ DuckDB-vs-Spark type notes honored here:
 
 from __future__ import annotations
 
-from mldb_spark.functions.text import STOPWORDS
+from mldb_spark.functions.text import _SUFFIXES, STOPWORDS
 
 # shared SQL fragments -------------------------------------------------------
 
@@ -707,6 +707,35 @@ c AS (
 SELECT event_type, n_true_outcome, n_feat_true, n_false_outcome, n_feat_false,
        round(ln((n_feat_true / n_true_outcome) / (n_feat_false / n_false_outcome)), 6) AS llr
 FROM c ORDER BY event_type
+"""
+
+# stem ladder mirroring functions.text.stem: first matching suffix
+# wins, guarded so stems keep >= 3 chars
+_STEM_CASE = "CASE " + " ".join(
+    f"WHEN ends_with(tok, '{suf}') AND length(tok) - {len(suf)} >= 3 "
+    f"THEN substr(tok, 1, length(tok) - {len(suf)})"
+    for suf in _SUFFIXES
+) + " ELSE tok END"
+
+ORACLES["q59_stemmed_vocab"] = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents)
+SELECT {_STEM_CASE} AS stem, count(*) AS freq
+FROM toks
+GROUP BY 1
+ORDER BY freq DESC, stem
+LIMIT 20
+"""
+
+_ALL_STOP = ", ".join(
+    f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws})
+)
+
+ORACLES["q60_stopword_filtered"] = f"""
+WITH toks AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents)
+SELECT lang, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN tok NOT IN ({_ALL_STOP}) THEN 1 ELSE 0 END) AS BIGINT) AS n_content,
+       count(DISTINCT CASE WHEN tok NOT IN ({_ALL_STOP}) THEN tok END) AS n_content_vocab
+FROM toks GROUP BY lang ORDER BY lang
 """
 
 ORACLES["q31_embedding_neardup"] = f"""

@@ -1153,6 +1153,42 @@ def q58_likelihood_ratio(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q59_stemmed_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """stemmer/stemmerdoc (plugins/nlp/nlp.cc:213,284): top-20 stems
+    by frequency. The suffix ladder is deterministic CASE logic, so
+    the SQL oracle replays it from the same suffix table."""
+    from mldb_spark.functions.text import stem
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    return (
+        toks.select(stem(F.col("tok")).alias("stem"))
+        .groupBy("stem")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "stem")
+        .limit(20)
+    )
+
+
+def q60_stopword_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """filter_stopwords (plugins/nlp/nlp.cc:108): per-language content
+    token counts after dropping stopwords (all four inventories)."""
+    docs = load(spark, sf, "documents")
+    all_stop = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
+    toks = docs.select("lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((~F.col("tok").isin(*all_stop)).cast("long")).alias("n_content"),
+            F.countDistinct(
+                F.when(~F.col("tok").isin(*all_stop), F.col("tok"))
+            ).alias("n_content_vocab"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
