@@ -35,11 +35,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(qs.items()):
-        t0 = time.time()
+        best = None
         try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
+            # best-of-2: the first run absorbs plan compilation and any
+            # transient host contention; the min is the steady-state
+            # per-query cost
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 3)
         except Exception as e:  # a broken query must not hide the rest
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
