@@ -84,6 +84,25 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> None:
+    """Persist an event table partitioned by time — the layout that
+    turns every WHEN/time-range filter into partition pruning (only
+    the in-window directories are scanned). This is the storage twin
+    of the continuous dataset's chunk commits; at 100 TB the
+    partition column IS the primary pruning axis."""
+    from pyspark.sql import functions as F
+
+    part = F.date_format(F.date_trunc(granularity, F.col(ts_col)), "yyyy-MM-dd")
+    df.withColumn("__part", part).write.mode("overwrite").partitionBy(
+        "__part"
+    ).parquet(path)
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Runtime confs this engine depends on, set defensively because
     the harness may hand us a session built elsewhere:

@@ -297,6 +297,22 @@ def word2vec_train(
     return model, vectors
 
 
+def tsne_train(df: DataFrame, array_col: str, n_components: int = 2):
+    """tsne.train (plugins/jml/tsne_interface.cc:452) — STUB.
+
+    t-SNE is a driver-side visualization aid over a few thousand
+    points, not a distributed algorithm; the reference runs it
+    single-node too. scikit-learn is not in this container, so this
+    raises with the exact recipe; the contract (sampled collect →
+    sklearn TSNE → re-join coordinates by id) is fixed."""
+    raise NotImplementedError(
+        "tsne.train needs scikit-learn (not installed): collect a "
+        "<=10k-row sample of the embedding column, run "
+        "sklearn.manifold.TSNE(n_components=%d).fit_transform, and "
+        "createDataFrame the (id, x, y) coordinates back" % n_components
+    )
+
+
 def pca_train(df: DataFrame, array_col: str, k: int = 8):
     """svd.train equivalent: PCA over the embedding column. Returns
     (model, explained_variance list). Row embeddings come from

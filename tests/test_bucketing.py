@@ -11,6 +11,30 @@ from pyspark.sql import functions as F
 from mldb_spark.catalog import load, write_bucketed
 
 
+def test_time_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from mldb_spark.catalog import write_time_partitioned
+
+    ev = load(spark, sf_dir, "events")
+    out = str(tmp_path / "ev_parts")
+    write_time_partitioned(ev, out)
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # a time filter on the partition column must prune partitions
+    one_day = back.filter(F.col("__part") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__part" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_tsne_stub_contract(spark, sf_dir):
+    import pytest
+
+    from mldb_spark.ml.procedures import tsne_train
+
+    with pytest.raises(NotImplementedError, match="scikit-learn"):
+        tsne_train(load(spark, sf_dir, "embeddings"), "embedding")
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
