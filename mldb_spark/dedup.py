@@ -258,27 +258,48 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_near_duplicates(
-    docs: DataFrame,
+def _simhash_segments(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) for the max_hamming+1 disjoint bit-segments of a
+    64-bit fingerprint. Pigeonhole: a pair differing in <= max_hamming
+    bits cannot differ in every one of max_hamming+1 segments, so
+    blocking on each segment guarantees FULL candidate recall at the
+    requested radius. Widths differ by at most one bit."""
+    b = min(64, max_hamming + 1)
+    base, extra = divmod(64, b)
+    segs, off = [], 0
+    for s in range(b):
+        w = base + (1 if s < extra else 0)
+        segs.append((off, w))
+        off += w
+    return segs
+
+
+def simhash_pairs(
+    sig: DataFrame,
     max_hamming: int = 8,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    sim_col: str = "simhash",
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit quarters (a pair within
-    hamming distance <= 48/16 must share at least one quarter for
-    max_hamming <= 3 per the pigeonhole principle; with 4 blocks any
-    pair with <=3 differing quarters collides). Practical fast path
-    for near-exact template dedup."""
-    sh = simhash64(docs, id_col, text_col)
-    blocks = [
-        F.shiftright(F.col("simhash"), 16 * q).bitwiseAND(F.lit(0xFFFF)).alias(f"q{q}")
-        for q in range(4)
+    """Near-dup pairs from a (id, simhash) signature table.
+
+    Blocks on max_hamming+1 disjoint bit-segments (see
+    _simhash_segments): exact recall for the requested radius — unlike
+    fixed-quarter blocking, which silently drops pairs whose differing
+    bits spread across every quarter. Each segment is one equi-self-join
+    on the segment value; larger radii mean narrower (less selective)
+    segments, so candidate volume grows with max_hamming — the honest
+    cost of exact recall; keep the radius small (<=8) for web-scale runs.
+    """
+    segs = _simhash_segments(max_hamming)
+    seg_cols = [
+        F.shiftright(F.col(sim_col), off).bitwiseAND(F.lit((1 << w) - 1)).alias(f"s{i}")
+        for i, (off, w) in enumerate(segs)
     ]
-    sh = sh.select(F.col(id_col), F.col("simhash"), *blocks)
+    sh = sig.select(F.col(id_col), F.col(sim_col).alias("__sh"), *seg_cols).persist()
     pairs = None
-    for q in range(4):
-        a = sh.select(F.col(f"q{q}").alias("bk"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-        b = sh.select(F.col(f"q{q}").alias("bk"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    for i in range(len(segs)):
+        a = sh.select(F.col(f"s{i}").alias("bk"), F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+        b = sh.select(F.col(f"s{i}").alias("bk"), F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
         cand = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
         pairs = cand if pairs is None else pairs.unionByName(cand)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -288,3 +309,16 @@ def simhash_near_duplicates(
         .agg(F.min("hamming").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs over documents: simhash64 signatures +
+    radius-sized segment blocking (simhash_pairs) — full recall for
+    pairs within max_hamming bits. Practical fast path for near-exact
+    template dedup."""
+    return simhash_pairs(simhash64(docs, id_col, text_col), max_hamming, id_col)

@@ -738,11 +738,35 @@ SELECT lang, count(*) AS n_tokens,
 FROM toks GROUP BY lang ORDER BY lang
 """
 
+# q31 replays the hyperplane-band LSH blocking bit-for-bit: the same
+# seeded planes (similarity.seeded_planes) inlined as literal arrays,
+# the same 4 bands of 4 bits, then exact cosine rescoring. Candidate
+# sets match because both engines take sign of a sequential float64
+# dot product over identical literals.
+from mldb_spark.similarity import seeded_planes as _seeded_planes
+
+_Q31_PLANES = _seeded_planes(64)
+_Q31_SIG = "concat(" + ", ".join(
+    "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+    + ", ".join(repr(x) for x in p)
+    + "]) >= 0 THEN '1' ELSE '0' END)"
+    for p in _Q31_PLANES
+) + ")"
+_Q31_BANDS = " OR ".join(
+    f"substr(a.s, {b * 4 + 1}, 4) = substr(b.s, {b * 4 + 1}, 4)" for b in range(4)
+)
+
 ORACLES["q31_embedding_neardup"] = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-       {_COS.format(a="a.embedding", b="b.embedding")} AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.label = b.label
-WHERE a.vec_id < b.vec_id
-  AND {_COS.format(a="a.embedding", b="b.embedding")} >= 0.4
+WITH sig AS (
+  SELECT vec_id, embedding, {_Q31_SIG} AS s FROM embeddings
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM sig a JOIN sig b
+    ON a.vec_id < b.vec_id AND ({_Q31_BANDS})
+)
+SELECT id_a, id_b, {_COS.format(a="va", b="vb")} AS cos_sim
+FROM cand
+WHERE {_COS.format(a="va", b="vb")} >= 0.4
 ORDER BY id_a, id_b
 """

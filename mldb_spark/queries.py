@@ -628,34 +628,17 @@ def q30_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
 
 def q31_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above a threshold, blocked by
-    a candidate key (label here; an LSH band or IVF cell in the
-    unlabeled case — see mldb_spark.similarity.lsh_topk). Blocking
-    turns the O(n²) cross join into an equi-join (shuffle on the
-    block key), which is the only shape that survives 100× corpus
-    growth; the cosine itself is an Arrow-batched numpy kernel."""
-    from mldb_spark.similarity import cosine_pandas
+    random-hyperplane LSH bands (fixed seeded planes so the DuckDB
+    oracle replays the identical candidate set). The per-band
+    equi-self-join on the band key is the only shape that survives
+    100× corpus growth — no label blocking, no O(n²) theta-join; the
+    exact rescoring cosine is an Arrow-batched numpy kernel."""
+    from mldb_spark.similarity import embedding_cosine_near_duplicates, seeded_planes
 
     emb = load(spark, sf, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-        F.col("label").alias("label"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-        F.col("label").alias("label"),
-    )
-    return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            "label",
-            F.round(cosine_pandas(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.4)
-        .orderBy("id_a", "id_b")
-    )
+    return embedding_cosine_near_duplicates(
+        emb, threshold=0.4, planes=seeded_planes(64), bands=4
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -697,11 +680,13 @@ def q34_shingle_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 def q35_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (xxhash64 bit votes — Spark-internal
-    hash, so verified by invariant tests rather than a SQL oracle)."""
+    hash, so verified by invariant tests rather than a SQL oracle).
+    Radius 8 with radius-sized segment blocking: full recall at the
+    requested radius (9 segments of ~7 bits) with selective keys."""
     from mldb_spark.dedup import simhash_near_duplicates
 
     docs = load(spark, sf, "documents")
-    return simhash_near_duplicates(docs, max_hamming=16)
+    return simhash_near_duplicates(docs, max_hamming=8)
 
 
 def q36_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:

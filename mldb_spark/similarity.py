@@ -117,24 +117,48 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def seeded_planes(dim: int, num_planes: int = 16, seed: int = 13) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded numpy, rounded to 6
+    decimals so the same literals replay exactly in a SQL oracle)."""
+    rng = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in row] for row in rng.standard_normal((num_planes, dim))]
+
+
 def embedding_cosine_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,
-    block_mod: int = 1,
+    planes: list[list[float]] | None = None,
+    bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine >= threshold.
+    """Near-dup pairs by embedding cosine >= threshold, blocked by
+    random-hyperplane LSH bands.
 
-    block_mod=1 is the exact all-pairs form (only for modest corpus
-    sizes); at scale set block_mod>1 only with an LSH/IVF blocking
-    key instead — the all-pairs crossJoin is the thing this module
-    exists to avoid (cf. the reference's 100M-pair cross-join guard,
-    builtin/joined_dataset.cc:516-521)."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    The plane bit-signature is split into `bands` bands; vectors
+    sharing any band key become candidates (per-band equi-self-join —
+    a shuffle hash join on the band key, never the O(n²) theta-join;
+    cf. the reference's 100M-pair cross-join guard,
+    builtin/joined_dataset.cc:516-521). Candidates are deduped then
+    rescored exactly with the Arrow-batched numpy cosine. Recall is
+    approximate and rises with fewer planes per band or more bands;
+    with fixed seeded planes the whole pipeline is engine-replayable.
+    """
+    if planes is None:
+        dim = len(vectors.select(vec_col).first()[0])
+        planes = seeded_planes(dim)
+    sig = random_hyperplane_signature(F.col(vec_col), planes)
+    base = vectors.select(F.col(id_col), F.col(vec_col), sig.alias("__sig")).persist()
+    r = len(planes) // bands
+    cands = None
+    for bi in range(bands):
+        key = F.substring(F.col("__sig"), bi * r + 1, r)
+        a = base.select(key.alias("bk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = base.select(key.alias("bk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+        cands = cand if cands is None else cands.unionByName(cand)
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cands.dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",

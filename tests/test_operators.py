@@ -134,6 +134,38 @@ def test_simhash_near_duplicates(spark):
     assert any(p["id_a"] == 1 and p["id_b"] == 2 and p["hamming"] == 0 for p in pairs)
 
 
+def test_simhash_pairs_planted_recall(spark):
+    # planted signatures: recall must be EXACT at the requested radius,
+    # even when the differing bits spread across every 16-bit quarter
+    # (the case the old fixed-quarter blocking silently dropped).
+    from mldb_spark.dedup import _simhash_segments, simhash_pairs
+
+    base = 0x0123456789ABCDEF
+    # 15 flipped bits spread across all four quarters: bits 1,5,9 in
+    # each quarter plus 13,29,45 — hamming(base, far) == 15
+    flip = 0
+    for bit in (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49, 53, 57):
+        flip |= 1 << bit
+    far = base ^ flip
+    near = base ^ (1 << 2)  # hamming 1
+    sig = spark.createDataFrame(
+        [(1, base), (2, far), (3, near)], "doc_id long, simhash long"
+    )
+    got15 = {(p["id_a"], p["id_b"]): p["hamming"] for p in simhash_pairs(sig, 15).collect()}
+    assert got15[(1, 2)] == 15 and got15[(1, 3)] == 1
+    # below the radius the hamming-15 pair must be excluded but the
+    # hamming-1 pair kept
+    got8 = {(p["id_a"], p["id_b"]) for p in simhash_pairs(sig, 8).collect()}
+    assert (1, 2) not in got8 and (1, 3) in got8
+    # segment partition covers all 64 bits exactly once
+    for h in (0, 3, 8, 15, 63, 64, 100):
+        segs = _simhash_segments(h)
+        assert sum(w for _, w in segs) == 64
+        assert segs[0][0] == 0
+        for (o1, w1), (o2, _) in zip(segs, segs[1:]):
+            assert o1 + w1 == o2
+
+
 def test_brute_force_topk_and_lsh(spark, sf_dir):
     from mldb_spark.catalog import load
 

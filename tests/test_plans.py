@@ -61,6 +61,17 @@ def test_semi_join_for_in_subquery(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_neardup_blocking_never_nested_loop(spark, sf_dir):
+    # the LSH-banded near-dup must plan as per-band equi-joins; a
+    # BroadcastNestedLoopJoin here means the blocking key was lost and
+    # the pair join degenerated to O(n²) — fatal at corpus scale
+    from mldb_spark.queries import q31_embedding_neardup
+
+    plan = _plan(q31_embedding_neardup(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     # AQE only materializes codegen spans in the FINAL plan — run the
     # query, then inspect the executed plan
