@@ -314,11 +314,114 @@ def tsne_train(df: DataFrame, array_col: str, n_components: int = 2):
 
 
 def pca_train(df: DataFrame, array_col: str, k: int = 8):
-    """svd.train equivalent: PCA over the embedding column. Returns
-    (model, explained_variance list). Row embeddings come from
-    model.transform; column loadings from model.pc — the reference's
-    rowOutput/columnOutput pair (svd.cc)."""
+    """PCA over a dense embedding column. Returns (model,
+    explained_variance list). For the reference svd.train's full
+    row/column output contract over sparse cell data, use svd_train."""
     from pyspark.ml.feature import PCA
 
     model = PCA(k=k, inputCol="features", outputCol="pca").fit(_to_vector(df, array_col))
     return model, [float(x) for x in model.explainedVariance]
+
+
+def svd_train(
+    cells: DataFrame,
+    row_col: str = "row_id",
+    column_col: str = "column",
+    value_col: str = "value",
+    k: int = 8,
+    name: str = "svd",
+    registry: FunctionRegistry = GLOBAL_REGISTRY,
+):
+    """svd.train (plugins/embedding/svd.cc:1023,1028): truncated SVD of
+    a long-format sparse matrix (row, column, value), emitting the
+    reference's THREE outputs:
+
+    - row embeddings dataset (rowOutput): one row per input row,
+      embedding = U·Σ = X·V (the projection of the row into the
+      latent space);
+    - column embeddings dataset (columnOutput): one row per column,
+      embedding = the column's right-singular-vector loadings (V) —
+      what the reference's reddit chain clusters
+      (testing/reddit_benchmark.py:23-103);
+    - `{name}.embedRow` applied function: embeds any long-format
+      rowset via x·V — consistent with rowOutput by construction.
+
+    Spark-first shape: the factorization runs on MLlib's distributed
+    IndexedRowMatrix.computeSVD (one of the few places the RDD API is
+    the genuine distributed kernel — the Gram matrix is n_cols², so
+    cap the column space like any LSA pipeline: CountVectorizer-style
+    min_df/vocab_size upstream). Row/column index maps are dataset-
+    sized DataFrames; only the vocab-sized column map is collected.
+
+    Returns (row_embeddings, column_embeddings, singular_values).
+    """
+    from pyspark.mllib.linalg import Vectors
+    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
+
+    spark = cells.sparkSession
+    col_rows = cells.select(column_col).distinct().orderBy(column_col).collect()
+    col_idx = {r[column_col]: i for i, r in enumerate(col_rows)}
+    n_cols = len(col_idx)
+    if k > min(n_cols, 2**31):
+        raise ValueError(f"k={k} exceeds column count {n_cols}")
+    bidx = spark.sparkContext.broadcast(col_idx)
+
+    # dense row index without a global window: sort once, zipWithIndex
+    # (distributed, order-preserving over sorted partitions)
+    row_map = (
+        cells.select(row_col).distinct().orderBy(row_col)
+        .rdd.map(lambda r: r[0]).zipWithIndex()
+        .toDF([row_col, "__ridx"])
+    )
+    indexed = cells.join(row_map, row_col).select("__ridx", column_col, value_col)
+    ccol, vcol = column_col, value_col
+    vec_rows = (
+        indexed.rdd.map(lambda r: (r["__ridx"], (bidx.value[r[ccol]], float(r[vcol]))))
+        .groupByKey()
+        .map(lambda kv: IndexedRow(kv[0], Vectors.sparse(n_cols, sorted(kv[1]))))
+    )
+    svd = IndexedRowMatrix(vec_rows).computeSVD(k, computeU=True)
+    sigma = [float(x) for x in svd.s]
+
+    u_df = svd.U.rows.map(
+        lambda r: (int(r.index), [float(x) for x in r.vector])
+    ).toDF(["__ridx", "__u"])
+    row_emb = (
+        row_map.join(u_df, "__ridx")
+        .select(
+            F.col(row_col),
+            F.expr(
+                "transform(__u, (x, i) -> x * element_at(array({}), i + 1))".format(
+                    ", ".join(repr(s) for s in sigma)
+                )
+            ).alias("embedding"),
+        )
+    )
+
+    v = svd.V.toArray()  # n_cols x k, local (vocab-sized)
+    col_emb = spark.createDataFrame(
+        [(c, [float(x) for x in v[i]]) for c, i in col_idx.items()],
+        f"{column_col} string, embedding array<double>",
+    )
+
+    def embed_rows(d: DataFrame) -> DataFrame:
+        """x·V per row of a long-format (row, column, value) rowset:
+        broadcast-join the vocab-sized V table, per-dimension partial
+        sums, then reassemble the ordered embedding array — all
+        codegen'd aggregates, no Python in the row path."""
+        contrib = d.join(F.broadcast(col_emb), column_col).select(
+            F.col(row_col),
+            F.col(value_col),
+            F.posexplode("embedding").alias("dim", "vj"),
+        )
+        per_dim = contrib.groupBy(row_col, "dim").agg(
+            F.sum(F.col("vj") * F.col(value_col)).alias("c")
+        )
+        return per_dim.groupBy(row_col).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("embedding")
+        )
+
+    registry.register(f"{name}.embedRow", embed_rows)
+    return row_emb, col_emb, sigma

@@ -1160,17 +1160,61 @@ def q60_stopword_filtered(spark: SparkSession, sf: str) -> DataFrame:
     token counts after dropping stopwords (all four inventories)."""
     docs = load(spark, sf, "documents")
     all_stop = tuple(sorted({w for ws in STOPWORDS.values() for w in ws}))
-    toks = docs.select("lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+    # materialize is_stop ONCE per token row; repeating the 30-element
+    # isin inside each aggregate forces the conditional back into the
+    # wide shuffle three times over
+    toks = docs.select(
+        "lang", F.explode(tokenize(F.col("text"))).alias("tok")
+    ).withColumn("is_content", ~F.col("tok").isin(*all_stop))
     return (
         toks.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum((~F.col("tok").isin(*all_stop)).cast("long")).alias("n_content"),
+            F.sum(F.col("is_content").cast("long")).alias("n_content"),
             F.countDistinct(
-                F.when(~F.col("tok").isin(*all_stop), F.col("tok"))
+                F.when(F.col("is_content"), F.col("tok"))
             ).alias("n_content_vocab"),
         )
         .orderBy("lang")
+    )
+
+
+def q61_svd_term_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """svd.train's full output contract (plugins/embedding/svd.cc:
+    1023,1028) driving the reference's reddit chain
+    (testing/reddit_benchmark.py:23-103): tokenize → doc-term counts
+    → truncated distributed SVD → k-means over the COLUMN (term)
+    embeddings. Rows-only gate: MLlib's SVD/Lloyd internals are not
+    SQL-replayable; the algebraic invariants (reconstruction,
+    embedRow == rowOutput) are pinned in tests/test_ml.py."""
+    from mldb_spark.ml.procedures import kmeans_train, svd_train
+
+    docs = load(spark, sf, "documents")
+    cells = (
+        docs.select(F.col("doc_id"), F.explode(tokenize(F.col("text"))).alias("column"))
+        .groupBy("doc_id", "column")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    # min_df prune caps the column space (the Gram matrix is n_cols² —
+    # standard LSA practice, same role as the reference's vocab cut)
+    vocab = (
+        cells.groupBy("column")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 3)
+        .select("column")
+    )
+    cells = cells.join(F.broadcast(vocab), "column")
+    _row_emb, col_emb, _sigma = svd_train(
+        cells, row_col="doc_id", k=8, name="q61_svd"
+    )
+    model, _centroids = kmeans_train(col_emb, "embedding", k=5, seed=7, name="q61_kmeans")
+    from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+    assigned = GLOBAL_REGISTRY.apply("q61_kmeans", col_emb)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms"), F.min("column").alias("first_term"))
+        .orderBy("cluster")
     )
 
 

@@ -87,3 +87,31 @@ def test_pca_variances(spark, sf_dir):
     assert all(v >= -1e-12 for v in variances)
     assert all(a >= b - 1e-12 for a, b in zip(variances, variances[1:]))
     assert sum(variances) <= 1.0 + 1e-9
+
+
+def test_svd_train_full_contract(spark):
+    # planted rank-3 matrix: k=3 SVD must reconstruct it exactly, and
+    # the registered embedRow function must reproduce rowOutput (both
+    # are X·V by construction)
+    import numpy as np
+
+    from mldb_spark.ml.procedures import svd_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    rng = np.random.RandomState(0)
+    A = rng.rand(20, 3) @ rng.rand(3, 10)
+    cells = [(i, f"c{j:02d}", float(A[i, j])) for i in range(20) for j in range(10)]
+    df = spark.createDataFrame(cells, "row_id long, column string, value double")
+    reg = FunctionRegistry()
+    row_emb, col_emb, sigma = svd_train(df, k=3, name="svd_t", registry=reg)
+    assert len(sigma) == 3 and sigma == sorted(sigma, reverse=True)
+    R = {r["row_id"]: r["embedding"] for r in row_emb.collect()}
+    V = {r["column"]: r["embedding"] for r in col_emb.collect()}
+    assert len(R) == 20 and len(V) == 10
+    for i in range(20):
+        for j in range(10):
+            approx = sum(R[i][t] * V[f"c{j:02d}"][t] for t in range(3))
+            assert abs(approx - A[i, j]) < 1e-6
+    E = {r["row_id"]: r["embedding"] for r in reg.apply("svd_t.embedRow", df).collect()}
+    for i in range(20):
+        assert np.allclose(E[i], R[i], atol=1e-6)
