@@ -209,7 +209,18 @@ class Binder:
             return ~out if e.negated else out
         if isinstance(e, ast.InList):
             c = self.bind(e.operand)
-            out = c.isin(*[v.value for v in e.items if isinstance(v, ast.Literal)])
+            # literals go through isin (one codegen'd IN); every other
+            # item (params, column refs, computed exprs) is bound and
+            # OR'd as an equality — silently dropping them would return
+            # wrong rows with no error
+            lits = [v.value for v in e.items if isinstance(v, ast.Literal)]
+            out = c.isin(*lits) if lits else None
+            for item in e.items:
+                if not isinstance(item, ast.Literal):
+                    eq = c == self.bind(item)
+                    out = eq if out is None else (out | eq)
+            if out is None:
+                out = F.lit(False)
             return ~out if e.negated else out
         if isinstance(e, ast.InSelect):
             raise ValueError(
@@ -242,7 +253,10 @@ class Binder:
 
     def _column(self, name: str) -> Column:
         if name in self.colset:
-            return F.col(name)
+            # backticks: a literal column name containing a dot (quoted
+            # identifiers, merged open-schema data) must not be parsed
+            # as struct-field access
+            return F.col(f"`{name}`") if "." in name else F.col(name)
         # qualified a.b where full dotted name isn't a column: try as-is
         # via backticks (struct access), else open-schema NULL
         head = name.split(".", 1)[0]
@@ -624,14 +638,26 @@ class MldbContext:
         if stm.order_by and not stm.distinct_on:
             out_binder = Binder(out.columns, params, row_name_col, ts_col)
             order_cols = []
-            for o in stm.order_by:
-                c = (
-                    out_binder.bind(o.expr)
-                    if (isinstance(o.expr, ast.ColumnRef) and o.expr.name in out.columns)
-                    else binder.bind(o.expr)
-                )
+            hidden: list[Column] = []
+            hidden_names: list[str] = []
+            for i, o in enumerate(stm.order_by):
+                if isinstance(o.expr, ast.ColumnRef) and o.expr.name in out.columns:
+                    c = out_binder.bind(o.expr)
+                elif is_agg:
+                    c = binder.bind(o.expr)
+                else:
+                    # resolve-then-drop semantics: sort expressions may
+                    # reference source columns the SELECT list dropped —
+                    # project them as hidden __ord columns, sort, drop
+                    hidden.append(binder.bind(o.expr).alias(f"__ord{i}"))
+                    hidden_names.append(f"__ord{i}")
+                    c = F.col(f"__ord{i}")
                 order_cols.append(c if o.ascending else F.desc(c))
+            if hidden:
+                out = self._plain_select(df, stm, binder, row_name_col, extra_cols=hidden)
             out = out.orderBy(*order_cols)
+            if hidden_names:
+                out = out.drop(*hidden_names)
         if stm.offset:
             out = out.offset(stm.offset)
         if stm.limit is not None:
@@ -650,7 +676,7 @@ class MldbContext:
             picked.append(F.col(c))
         return picked
 
-    def _plain_select(self, df, stm, binder, row_name_col) -> DataFrame:
+    def _plain_select(self, df, stm, binder, row_name_col, extra_cols=()) -> DataFrame:
         cols: list[Column] = []
         for i, it in enumerate(stm.select):
             if isinstance(it, ast.Wildcard):
@@ -662,7 +688,7 @@ class MldbContext:
             cols.append(binder.bind(stm.named).cast("string").alias("rowName"))
         elif row_name_col and row_name_col not in {getattr(c, "_alias", None) for c in cols}:
             pass  # rowName carried implicitly only when NAMED given
-        return df.select(*cols)
+        return df.select(*cols, *extra_cols)
 
     def _aggregate_select(self, df, stm, binder) -> DataFrame:
         # group keys get internal __g{i} aliases so the post-agg

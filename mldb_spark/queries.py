@@ -535,12 +535,18 @@ def q26_language_id(spark: SparkSession, sf: str) -> DataFrame:
     work is a codegen'd shuffle instead of per-row interpreted array
     lambdas that re-tokenize the text once per language."""
     docs = load(spark, sf, "documents")
-    toks = docs.select("doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("tok"))
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
     hit_cols = [
         F.sum(F.col("tok").isin(*ws).cast("int")).alias(lang)
         for lang, ws in sorted(STOPWORDS.items())
     ]
-    hits = toks.groupBy("doc_id", "lang").agg(*hit_cols)
+    # LEFT join the hit counts back onto docs: a doc whose text
+    # tokenizes to nothing yields no exploded rows, but must still
+    # surface (as guessed='und') exactly like the SQL oracle does
+    per_doc = toks.groupBy("doc_id").agg(*hit_cols)
+    hits = docs.select("doc_id", "lang").join(per_doc, "doc_id", "left").fillna(
+        0, subset=[lang for lang, _ in sorted(STOPWORDS.items())]
+    )
     de, en, es, fr = (F.col(x) for x in ("de", "en", "es", "fr"))
     guessed = (
         F.when((de >= en) & (de >= es) & (de >= fr) & (de > 0), "de")

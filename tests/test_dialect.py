@@ -314,3 +314,33 @@ def test_having(ctx, duck):
            HAVING count(*) >= 12 ORDER BY o_custkey""",
     )
     assert problems == []
+
+
+def test_order_by_dropped_source_column(ctx):
+    # resolve-then-drop: sort by a source column the SELECT list drops
+    rows = ctx.query(
+        "SELECT c_name FROM customer ORDER BY c_acctbal DESC LIMIT 3"
+    ).collect()
+    assert [r.asDict().keys() for r in rows][0] == {"c_name": None}.keys()
+    ref = (
+        load(ctx.spark, "/root/testdata/sf0.001", "customer")
+        .orderBy("c_acctbal", ascending=False).limit(3).select("c_name").collect()
+    )
+    assert [r["c_name"] for r in rows] == [r["c_name"] for r in ref]
+
+
+def test_in_list_non_literal_items(ctx):
+    # non-literal IN items must participate, not be silently dropped
+    rows = ctx.query(
+        "SELECT count(*) AS n FROM orders WHERE o_orderpriority IN ('1-URGENT', o_comment)"
+    ).collect()
+    urgent = ctx.query(
+        "SELECT count(*) AS n FROM orders WHERE o_orderpriority = '1-URGENT'"
+    ).collect()
+    assert rows[0]["n"] >= urgent[0]["n"] > 0
+
+    rows = ctx.query(
+        "SELECT count(*) AS n FROM orders WHERE o_orderpriority IN ($p)",
+        params={"p": "1-URGENT"},
+    ).collect()
+    assert rows[0]["n"] == urgent[0]["n"]
