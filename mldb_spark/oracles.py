@@ -770,3 +770,44 @@ FROM cand
 WHERE {_COS.format(a="va", b="vb")} >= 0.4
 ORDER BY id_a, id_b
 """
+
+# q62/q63 replay the md5-derived bucket assignment exactly:
+# bucket(x, bits) = CAST('0x'||substr(md5(x),1,8) AS BIGINT) % 2^bits
+_BUCKET = "CAST(('0x' || substr(md5({x}),1,8)) AS BIGINT) % {n}"
+
+ORACLES["q62_feature_hash"] = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS feature FROM documents),
+h AS (
+  SELECT doc_id, {_BUCKET.format(x="feature", n=64)} AS bucket,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM toks GROUP BY doc_id, bucket
+)
+SELECT bucket, sum(weight) AS total_weight,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM h GROUP BY bucket ORDER BY bucket
+"""
+
+# pooling: dim j of word w = bucket('j:w', 10 bits) / 1024 — exact
+# binary rationals, so the avg/max pooling arithmetic is replayable
+_Q63_VEC = ", ".join(
+    _BUCKET.format(x="('{}:' || word)".format(j), n=1024) + " / 1024.0"
+    for j in range(4)
+)
+
+ORACLES["q63_pooling"] = f"""
+WITH bags AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+vocab AS (SELECT DISTINCT token AS word FROM bags),
+vectors AS (SELECT word, [{_Q63_VEC}] AS vector FROM vocab),
+per_doc AS (
+  SELECT b.doc_id,
+         avg(v.vector[1]) AS a0, avg(v.vector[4]) AS a3,
+         max(v.vector[1]) AS m0, max(v.vector[4]) AS m3
+  FROM bags b JOIN vectors v ON b.token = v.word
+  GROUP BY b.doc_id
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(p.a0), 6) AS avg_dim0, round(avg(p.a3), 6) AS avg_dim3,
+       round(avg(p.m0), 6) AS avg_maxdim0, round(avg(p.m3), 6) AS avg_maxdim3
+FROM documents d JOIN per_doc p USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""

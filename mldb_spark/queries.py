@@ -1224,6 +1224,63 @@ def q61_svd_term_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q62_feature_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """feature_hasher (plugins/feature_gen/feature_generators.cc:155):
+    hashing-trick bucketing of document tokens into 2^6 buckets; the
+    md5-derived bucket assignment replays exactly in the SQL oracle.
+    Corpus-level profile: per-bucket total weight + docs touching it."""
+    from mldb_spark.functions.feature_gen import feature_hash_rows
+
+    docs = load(spark, sf, "documents")
+    feats = docs.select(
+        F.col("doc_id"), F.explode(tokenize(F.col("text"))).alias("feature")
+    )
+    hashed = feature_hash_rows(feats, num_bits=6, id_col="doc_id", feat_col="feature")
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.sum("weight").alias("total_weight"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q63_pooling(spark: SparkSession, sf: str) -> DataFrame:
+    """pooling (builtin/pooling_function.cc:182): avg+max pooling of
+    per-token embedding vectors into document embeddings. The vector
+    table here is derived deterministically from md5 so the oracle
+    replays it; in production it is word2vec_train's output — same
+    (word, vector) shape. Returns a per-language summary of the first
+    pooled dimensions."""
+    from mldb_spark.functions.feature_gen import hash_bucket, pooling
+
+    docs = load(spark, sf, "documents")
+    bags = docs.select(F.col("doc_id"), F.explode(tokenize(F.col("text"))).alias("token"))
+    # deterministic pseudo-embedding: dim j of word w = (md5-bucket of
+    # "j:w" over 10 bits) / 1024 — engine-portable stand-in vocabulary
+    vocab = bags.select(F.col("token").alias("word")).distinct()
+    vec = F.array(
+        *[
+            (hash_bucket(F.concat(F.lit(f"{j}:"), F.col("word")), 10) / F.lit(1024.0))
+            for j in range(4)
+        ]
+    )
+    vectors = vocab.select("word", vec.alias("vector"))
+    pooled = pooling(bags, vectors, aggregators=("avg", "max"), id_col="doc_id")
+    joined = docs.select("doc_id", "lang").join(pooled, "doc_id")
+    dims = [F.col("embedding").getItem(i) for i in range(8)]
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            *[F.round(F.avg(dims[i]), 6).alias(f"avg_dim{i}") for i in (0, 3)],
+            *[F.round(F.avg(dims[4 + i]), 6).alias(f"avg_maxdim{i}") for i in (0, 3)],
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

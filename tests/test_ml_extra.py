@@ -78,3 +78,44 @@ def test_filter_stopwords_and_stem(spark):
     assert stems["quickly"] == "quick"
     assert stems["jumped"] == "jump"
     assert stems["the"] == "the"  # guard: stem would drop below 3 chars
+
+
+def test_feature_hasher_modes(spark):
+    from mldb_spark.functions.feature_gen import (
+        feature_hash_rows,
+        hashed_feature_vector,
+    )
+
+    feats = spark.createDataFrame(
+        [(1, "color", "red"), (1, "size", "xl"), (2, "color", "red"), (2, "color", "blue")],
+        "doc_id long, feature string, val string",
+    )
+    cols = feature_hash_rows(feats, num_bits=4, feat_col="feature").collect()
+    # columns mode: doc 2's two 'color' features land in ONE bucket, weight 2
+    d2 = [r for r in cols if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["weight"] == 2.0
+    # columnsAndValues mode distinguishes red vs blue
+    cav = feature_hash_rows(
+        feats, num_bits=8, feat_col="feature", value_col="val", mode="columnsAndValues"
+    )
+    assert cav.filter("doc_id = 2").count() == 2
+    vec = hashed_feature_vector(cav, num_bits=8).collect()
+    for r in vec:
+        assert len(r["features"]) == 256
+        assert abs(sum(r["features"]) - 2.0) < 1e-12  # each doc has 2 unit features
+
+
+def test_pooling_contract(spark):
+    from mldb_spark.functions.feature_gen import pooling
+
+    bags = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (3, "zzz")], "doc_id long, token string"
+    )
+    vectors = spark.createDataFrame(
+        [("a", [1.0, 3.0]), ("b", [3.0, 5.0])], "word string, vector array<double>"
+    )
+    out = {r["doc_id"]: r["embedding"] for r in
+           pooling(bags, vectors, aggregators=("avg", "max", "sum")).collect()}
+    assert out[1] == [2.0, 4.0, 3.0, 5.0, 4.0, 8.0]  # avg | max | sum
+    assert out[2] == [1.0, 3.0, 1.0, 3.0, 1.0, 3.0]
+    assert out[3] == [0.0] * 6  # no vocabulary hit -> zeros (reference contract)
