@@ -357,6 +357,53 @@ def stats_table(
     )
 
 
+def stats_table_bag_of_words(
+    docs: DataFrame,
+    text_col: Column,
+    outcome_col: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """statsTable.bagOfWords.train
+    (plugins/feature_gen/stats_table_procedure.cc:992-1007): per-WORD
+    outcome counts over a tokenized corpus — the text-CTR feature
+    tool. A word counts once per document (bag semantics); outcome is
+    a boolean column expression. Output: (word, n_docs, n_pos) — the
+    table statsTable.bagOfWords.posneg features read from.
+
+    Plan: explode distinct tokens (one shuffle on the doc id is
+    avoided entirely — explode is map-side), then one hash groupBy on
+    the word. Linear, codegen'd, 100 TB-shaped."""
+    from mldb_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.explode(F.array_distinct(tokenize(text_col))).alias("word"),
+        outcome_col.cast("long").alias("__pos"),
+    )
+    return toks.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__pos").alias("n_pos"),
+    )
+
+
+def bow_posneg(
+    stats: DataFrame,
+    num_words: int = 20,
+    min_docs: int = 5,
+    laplace: float = 1.0,
+) -> DataFrame:
+    """statsTable.bagOfWords.posneg function
+    (stats_table_procedure.cc:1013): the num_words most
+    positive-predictive words with Laplace-smoothed P(pos|word),
+    filtered to words seen in >= min_docs documents."""
+    p = (F.col("n_pos") + F.lit(laplace)) / (F.col("n_docs") + F.lit(2.0 * laplace))
+    return (
+        stats.filter(F.col("n_docs") >= min_docs)
+        .select("word", "n_docs", "n_pos", F.round(p, 6).alias("p_pos"))
+        .orderBy(F.desc("p_pos"), F.desc("n_docs"), "word")
+        .limit(num_words)
+    )
+
+
 def dist_table(
     df: DataFrame,
     seq_cols: Sequence[Column],

@@ -811,3 +811,19 @@ SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
 FROM documents d JOIN per_doc p USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang
 """
+
+ORACLES["q64_bow_stats_table"] = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(list_distinct({_TOKS})) AS word FROM documents
+),
+stats AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM toks GROUP BY word
+)
+SELECT word, n_docs, n_pos,
+       round((n_pos + 1.0) / (n_docs + 2.0), 6) AS p_pos
+FROM stats WHERE n_docs >= 5
+ORDER BY p_pos DESC, n_docs DESC, word
+LIMIT 20
+"""

@@ -1281,6 +1281,20 @@ def q63_pooling(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q64_bow_stats_table(spark: SparkSession, sf: str) -> DataFrame:
+    """statsTable.bagOfWords.train + posneg
+    (plugins/feature_gen/stats_table_procedure.cc:992-1013): per-word
+    outcome counts (outcome: document is English), then the 20 most
+    positive-predictive words with Laplace-smoothed P(pos|word)."""
+    from mldb_spark.operators.relational import bow_posneg, stats_table_bag_of_words
+
+    docs = load(spark, sf, "documents")
+    stats = stats_table_bag_of_words(
+        docs, F.col("text"), F.col("lang") == "en", id_col="doc_id"
+    )
+    return bow_posneg(stats, num_words=20, min_docs=5)
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
