@@ -202,14 +202,19 @@ def bucketize_approx(
     num_buckets: int,
     output_col: str = "bucket",
     relative_error: float = 0.001,
+    cuts: Sequence[float] | None = None,
 ) -> DataFrame:
-    """Scale path for bucketize: approxQuantile cut points (one
-    lightweight aggregation) + a broadcast range lookup — no global
-    sort, no single reducer."""
-    qs = [i / num_buckets for i in range(1, num_buckets)]
-    cuts = df.approxQuantile(value_col, qs, relative_error)
+    """Scale path for bucketize: cut points + a map-side range lookup
+    — no global sort, no single reducer. cuts=None computes them with
+    approxQuantile (one lightweight aggregation); passing explicit
+    cuts (len num_buckets-1, ascending) makes the assignment a pure
+    column expression any engine can replay. Buckets are 1-based:
+    bucket k ⇔ value <= cuts[k-1] (first match), else num_buckets."""
+    if cuts is None:
+        qs = [i / num_buckets for i in range(1, num_buckets)]
+        cuts = df.approxQuantile(value_col, qs, relative_error)
     expr = F.lit(num_buckets)
-    for i, cut in enumerate(reversed(cuts)):
+    for i, cut in enumerate(reversed(list(cuts))):
         expr = F.when(F.col(value_col) <= cut, F.lit(num_buckets - 1 - i)).otherwise(expr)
     return df.withColumn(output_col, expr)
 

@@ -207,9 +207,21 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
 
-ORACLES["q16_bucketize"] = """
+# q16 replays the fixed-cut range lookup (queries.Q16_CUTS) as the
+# identical first-match CASE ladder — no ntile, no global sort
+from mldb_spark.queries import Q16_CUTS as _Q16_CUTS
+
+_Q16_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN c_acctbal <= {c} THEN {i + 1}" for i, c in enumerate(_Q16_CUTS)
+    )
+    + " ELSE 10 END"
+)
+
+ORACLES["q16_bucketize"] = f"""
 WITH b AS (
-  SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+  SELECT c_acctbal, CAST({_Q16_CASE} AS BIGINT) AS bucket
   FROM customer
 )
 SELECT bucket, count(*) AS n,

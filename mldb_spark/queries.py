@@ -346,13 +346,25 @@ def q15_in_subquery(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# fixed decile-ish boundaries over c_acctbal's [-999.99, 9999.99]
+# domain — literal so the DuckDB oracle replays the same CASE ladder
+Q16_CUTS = [100.0, 1200.0, 2300.0, 3400.0, 4500.0, 5600.0, 6700.0, 7800.0, 8900.0]
+
+
 def q16_bucketize(spark: SparkSession, sf: str) -> DataFrame:
-    """bucketize procedure (plugins/feature_gen/bucketize_procedure.cc:255):
-    decile buckets of customers by account balance, then per-bucket
-    stats. Deterministic total order via (acctbal, custkey)."""
+    """bucketize procedure (plugins/feature_gen/bucketize_procedure.cc:255)
+    on the SCALE path: fixed cut points + map-side range lookup
+    (operators.relational.bucketize_approx) — a pure column
+    expression, no global ntile window serializing the fact table
+    through one reducer. The cuts are literals so the SQL oracle
+    replays the identical CASE ladder; at 100 TB they'd come from one
+    approxQuantile pass instead (same downstream plan)."""
+    from mldb_spark.operators.relational import bucketize_approx
+
     cust = load(spark, sf, "customer")
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
-    bucketed = cust.withColumn("bucket", F.ntile(10).over(w).cast("long"))
+    bucketed = bucketize_approx(
+        cust, "c_acctbal", 10, cuts=Q16_CUTS
+    ).withColumn("bucket", F.col("bucket").cast("long"))
     return (
         bucketed.groupBy("bucket")
         .agg(

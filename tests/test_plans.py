@@ -72,6 +72,16 @@ def test_neardup_blocking_never_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bucketize_gate_no_global_window(spark, sf_dir):
+    # q16 must assign buckets with a map-side range lookup; a global
+    # ntile window serializes the whole fact table through ONE task
+    from mldb_spark.queries import q16_bucketize
+
+    plan = _plan(q16_bucketize(spark, sf_dir))
+    assert "ntile" not in plan
+    assert "Window" not in plan
+
+
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     # AQE only materializes codegen spans in the FINAL plan — run the
     # query, then inspect the executed plan
