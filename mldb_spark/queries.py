@@ -1307,6 +1307,103 @@ def q64_bow_stats_table(spark: SparkSession, sf: str) -> DataFrame:
     return bow_posneg(stats, num_words=20, min_docs=5)
 
 
+def _order_features(spark: SparkSession, sf: str):
+    orders = load(spark, sf, "orders")
+    return orders.select(
+        F.col("o_orderkey"),
+        F.substring("o_orderpriority", 1, 1).try_cast("double").alias("f_priority"),
+        F.month("o_orderdate").cast("double").alias("f_month"),
+        (F.col("o_custkey") % 100).cast("double").alias("f_cust"),
+        (F.col("o_totalprice") > 150000).cast("double").alias("label"),
+    ).na.drop()
+
+
+def q65_random_forest(spark: SparkSession, sf: str) -> DataFrame:
+    """randomforest.binary.train (plugins/jml/randomforest_procedure.cc:411)
+    → RandomForestClassifier with fixed seed; AUC/accuracy over a held-out
+    split. Rows-only: tree induction internals are engine-specific."""
+    from mldb_spark.ml.procedures import classifier_test, random_forest_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    reg = FunctionRegistry()
+    feats = _order_features(spark, sf)
+    train = feats.filter(F.col("o_orderkey") % 5 != 0)
+    test = feats.filter(F.col("o_orderkey") % 5 == 0)
+    random_forest_train(
+        train, ["f_priority", "f_month", "f_cust"], "label",
+        num_trees=20, seed=7, name="rf_q65", registry=reg,
+    )
+    return classifier_test(reg.apply("rf_q65", test), "label", "score")
+
+
+def q66_svm_margin(spark: SparkSession, sf: str) -> DataFrame:
+    """svm.train (plugins/jml/svm.cc:464) → LinearSVC; margin-score
+    summary per true label over a held-out split. Rows-only."""
+    from mldb_spark.ml.procedures import svm_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    reg = FunctionRegistry()
+    feats = _order_features(spark, sf)
+    train = feats.filter(F.col("o_orderkey") % 5 != 0)
+    test = feats.filter(F.col("o_orderkey") % 5 == 0)
+    svm_train(train, ["f_priority", "f_month", "f_cust"], "label", name="svm_q66", registry=reg)
+    scored = reg.apply("svm_q66", test)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("margin"), 4).alias("avg_margin"),
+        )
+        .orderBy("label")
+    )
+
+
+def q67_gaussian_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """gaussianclustering.train (plugins/jml/em_interface.cc:383) →
+    GaussianMixture with fixed seed over the embeddings; per-component
+    assignment counts. Rows-only: EM trajectory is engine-internal."""
+    from mldb_spark.ml.procedures import gaussian_clustering_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    reg = FunctionRegistry()
+    emb = load(spark, sf, "embeddings")
+    gaussian_clustering_train(emb, "embedding", k=4, seed=42, name="gmm_q67", registry=reg)
+    assigned = reg.apply("gmm_q67", emb)
+    return (
+        assigned.groupBy("prediction")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("prediction")
+    )
+
+
+def q68_probabilizer(spark: SparkSession, sf: str) -> DataFrame:
+    """probabilizer.train (plugins/jml/probabilizer.cc:292): Platt
+    calibration of classifier scores; per-score-decile calibrated
+    probability bounds (must be monotone in the score). Rows-only."""
+    from mldb_spark.ml.procedures import classifier_train, probabilizer_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    reg = FunctionRegistry()
+    feats = _order_features(spark, sf)
+    train = feats.filter(F.col("o_orderkey") % 5 != 0)
+    test = feats.filter(F.col("o_orderkey") % 5 == 0)
+    classifier_train(train, ["f_priority", "f_month", "f_cust"], "label", "clf_q68", reg)
+    scored = reg.apply("clf_q68", train)
+    probabilizer_train(scored, "score", "label", "prob_q68", reg)
+    calibrated = reg.apply("prob_q68", reg.apply("clf_q68", test))
+    decile = F.least(F.lit(9), F.floor(F.col("score") * 10)).cast("long")
+    return (
+        calibrated.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("prob"), 4).alias("min_prob"),
+            F.round(F.max("prob"), 4).alias("max_prob"),
+        )
+        .orderBy("decile")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
