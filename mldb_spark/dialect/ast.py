@@ -128,9 +128,34 @@ class ExprItem(SelectItem):
 
 
 @dataclass
+class Index(Expr):
+    """Postfix output extraction: fn({...})[accessor] / expr[key]
+    (reference sql/sql_expression_operations.h:488-531)."""
+
+    operand: Expr
+    key: Expr
+
+
+@dataclass
 class Wildcard(SelectItem):
     prefix: str  # '' for bare *
     excluding: list[str] = field(default_factory=list)  # names or prefixes 'p*'
+    rename: str | None = None  # 'y* AS z*' → prefix='y', rename='z'
+
+
+@dataclass
+class ColumnExprItem(SelectItem):
+    """COLUMN EXPR (AS name WHERE cond ORDER BY ... OFFSET n LIMIT m)
+    — programmatic column selection (reference SelectExpression.md:
+    44-128). Clause expressions run over column METADATA (columnName,
+    rowCount, ...), not row data."""
+
+    as_expr: Expr | None = None
+    where: Expr | None = None
+    order_by: list["OrderItem"] = field(default_factory=list)
+    offset: int = 0
+    limit: int | None = None
+    structured: bool = False
 
 
 @dataclass

@@ -138,8 +138,23 @@ class Parser:
             elif t.kind == "op" and t.value in ("*", "/", "%") and min_bp <= 6:
                 op = self.next().value
                 lhs = ast.Binary(op, lhs, self.parse_expr(7))
+            elif t.kind == "op" and t.value == "[":
+                # postfix output extraction fn({...})[accessor] — binds
+                # tighter than every operator
+                self.next()
+                key = self._index_key()
+                self.expect_op("]")
+                lhs = ast.Index(lhs, key)
             else:
                 return lhs
+
+    def _index_key(self) -> ast.Expr:
+        # bare identifier keys are field-name literals ([score] means
+        # the 'score' output), everything else is a full expression
+        t = self.peek()
+        if t.kind == "ident" and self.peek(1).kind == "op" and self.peek(1).value == "]":
+            return ast.Literal(self.next().value)
+        return self.parse_expr()
 
     def _postfix_predicate(self, lhs: ast.Expr) -> ast.Expr:
         negated = False
@@ -314,6 +329,16 @@ class Parser:
 
     def _select_item(self) -> ast.SelectItem:
         t = self.peek()
+        # COLUMN EXPR (…) — programmatic column selection
+        if (
+            t.kind in ("ident", "kw")
+            and t.value.lower() == "column"
+            and self.peek(1).kind in ("ident", "kw")
+            and self.peek(1).value.lower() == "expr"
+        ):
+            self.next()
+            self.next()
+            return self._column_expr_item()
         # bare * or prefix* (ident immediately followed by *)
         if t.kind == "op" and t.value == "*":
             self.next()
@@ -340,6 +365,31 @@ class Parser:
             alias = alias_tok.value
         return ast.ExprItem(e, alias)
 
+    def _column_expr_item(self) -> ast.ColumnExprItem:
+        item = ast.ColumnExprItem()
+        t = self.peek()
+        if t.kind in ("ident", "kw") and t.value.lower() == "structured":
+            self.next()
+            item.structured = True
+        self.expect_op("(")
+        if self.accept_kw("as"):
+            item.as_expr = self.parse_expr()
+        if self.accept_kw("where"):
+            item.where = self.parse_expr()
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            item.order_by.append(self._order_item())
+            while self.accept_op(","):
+                item.order_by.append(self._order_item())
+        if self.accept_kw("offset"):
+            tok = self.next()
+            item.offset = int(tok.value)
+        if self.accept_kw("limit"):
+            tok = self.next()
+            item.limit = int(tok.value)
+        self.expect_op(")")
+        return item
+
     def _wildcard_tail(self, prefix: str) -> ast.Wildcard:
         wc = ast.Wildcard(prefix)
         if self.accept_kw("excluding"):
@@ -348,6 +398,15 @@ class Parser:
             while self.accept_op(","):
                 wc.excluding.append(self._excluding_name())
             self.expect_op(")")
+        # y* AS z* — wildcard prefix rename (SelectExpression.md:29-40)
+        if self.accept_kw("as"):
+            tgt = self.next()
+            if tgt.kind != "ident":
+                raise SyntaxError(f"bad wildcard rename target {tgt}")
+            if not (self.peek().kind == "op" and self.peek().value == "*"):
+                raise SyntaxError("wildcard rename target must end with *")
+            self.next()
+            wc.rename = tgt.value
         return wc
 
     def _excluding_name(self) -> str:

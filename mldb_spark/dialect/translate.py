@@ -249,6 +249,13 @@ class Binder:
             return F.struct(*[self.bind(x).alias(n) for n, x in e.fields])
         if isinstance(e, ast.FunctionCall):
             return self._call(e)
+        if isinstance(e, ast.Index):
+            # output extraction: struct field, map key or array index —
+            # Spark's ExtractValue resolves all three uniformly
+            c = self.bind(e.operand)
+            if isinstance(e.key, ast.Literal):
+                return c.getItem(e.key.value)
+            return c[self.bind(e.key)]
         raise ValueError(f"cannot bind {e!r}")
 
     def _column(self, name: str) -> Column:
@@ -416,6 +423,32 @@ class Binder:
                 raise ValueError("latest() needs a timestamp column")
             return F.max_by(self.bind(e.args[0]), F.col(self.ts_col))
         raise ValueError(f"unknown aggregate {e.name}")
+
+
+class _ColumnMetaBinder(Binder):
+    """Binder for COLUMN EXPR clause expressions: the column-context
+    builtins (SelectExpression.md:83-101) resolve against the
+    column_stats metadata relation (columnName, rowCount, ...)."""
+
+    def __init__(self, columns: list[str], params: dict | None = None):
+        super().__init__(columns, params)
+
+    def _call(self, e: ast.FunctionCall) -> Column:
+        n = e.name
+        if n in ("columnname", "columnpath"):
+            return F.col("columnName")
+        if n == "rowcount":
+            return F.col("rowCount")
+        if n == "columnpathlength":
+            return F.size(F.split(F.col("columnName"), r"\."))
+        if n == "columnpathelement":
+            if not (e.args and isinstance(e.args[0], ast.Literal)):
+                raise ValueError("columnPathElement needs a literal index")
+            i = int(e.args[0].value)
+            parts = F.split(F.col("columnName"), r"\.")
+            # element_at is 1-based; negative indexes count from the end
+            return F.element_at(parts, i + 1 if i >= 0 else i)
+        return super()._call(e)
 
 
 def _contains_aggregate(e: ast.Expr) -> bool:
@@ -673,14 +706,51 @@ class MldbContext:
                 continue
             if c in excl_exact or any(c.startswith(p) for p in excl_pref):
                 continue
-            picked.append(F.col(c))
+            if wc.rename is not None:
+                # y* AS z*: swap the matched prefix in the output name
+                picked.append(F.col(c).alias(wc.rename + c[len(wc.prefix):]))
+            else:
+                picked.append(F.col(c))
         return picked
+
+    def _expand_column_expr(
+        self, df: DataFrame, item: ast.ColumnExprItem, params: dict
+    ) -> list[Column]:
+        """Two-phase COLUMN EXPR (SelectExpression.md:44-128): phase 1
+        evaluates the clause expressions over column METADATA
+        (operators.relational.column_stats — one aggregate pass, one
+        metadata-sized collect), phase 2 is a plain pruned projection
+        of the picked columns. The data never flows through phase 1."""
+        from mldb_spark.operators.relational import column_stats
+
+        stats = column_stats(df)
+        binder = _ColumnMetaBinder(stats.columns, params)
+        if item.where is not None:
+            stats = stats.filter(binder.bind(item.where).cast("boolean"))
+        order = []
+        for o in item.order_by:
+            c = binder.bind(o.expr)
+            order.append(c if o.ascending else F.desc(c))
+        stats = stats.orderBy(*order, "columnName") if order else stats.orderBy("columnName")
+        name_col = (
+            binder.bind(item.as_expr).cast("string")
+            if item.as_expr is not None
+            else F.col("columnName")
+        )
+        rows = stats.select(F.col("columnName"), name_col.alias("__out")).collect()
+        end = item.offset + item.limit if item.limit is not None else None
+        rows = rows[item.offset : end]
+        if not rows:
+            raise ValueError("COLUMN EXPR selected no columns")
+        return [F.col(r["columnName"]).alias(r["__out"]) for r in rows]
 
     def _plain_select(self, df, stm, binder, row_name_col, extra_cols=()) -> DataFrame:
         cols: list[Column] = []
         for i, it in enumerate(stm.select):
             if isinstance(it, ast.Wildcard):
                 cols.extend(self._expand_wildcard(it, df.columns))
+            elif isinstance(it, ast.ColumnExprItem):
+                cols.extend(self._expand_column_expr(df, it, binder.params))
             else:
                 name = it.alias or _expr_name(it.expr, i)
                 cols.append(binder.bind(it.expr).alias(name))

@@ -839,3 +839,10 @@ FROM stats WHERE n_docs >= 5
 ORDER BY p_pos DESC, n_docs DESC, word
 LIMIT 20
 """
+
+ORACLES["q69_column_expr_dialect"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+FROM lineitem
+WHERE l_orderkey % 97 = 0
+ORDER BY l_orderkey, l_linenumber
+"""

@@ -1404,6 +1404,21 @@ def q68_probabilizer(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q69_column_expr_dialect(spark: SparkSession, sf: str) -> DataFrame:
+    """COLUMN EXPR in the SQL dialect (SelectExpression.md:44-128):
+    programmatic column selection with WHERE/ORDER BY/LIMIT over
+    column metadata, then a per-row aggregate of the picked columns.
+    Phase 1 touches only metadata; phase 2 is a pruned scan."""
+    ctx = _dialect_ctx(spark, sf)
+    return ctx.query(
+        "SELECT l_orderkey, l_linenumber, "
+        "COLUMN EXPR (WHERE columnName() LIKE 'l_%price' OR columnName() = 'l_quantity' "
+        "ORDER BY columnName() LIMIT 2) "
+        "FROM lineitem WHERE l_orderkey % 97 = 0 "
+        "ORDER BY l_orderkey, l_linenumber"
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

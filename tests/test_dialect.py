@@ -344,3 +344,40 @@ def test_in_list_non_literal_items(ctx):
         params={"p": "1-URGENT"},
     ).collect()
     assert rows[0]["n"] == urgent[0]["n"]
+
+
+def test_column_expr_in_dialect(ctx):
+    # WHERE + ORDER BY + LIMIT over column metadata
+    df = ctx.query(
+        "SELECT COLUMN EXPR (WHERE columnName() LIKE 'c_%' "
+        "ORDER BY columnName() LIMIT 3) FROM customer LIMIT 1"
+    )
+    assert df.columns == sorted(df.columns) and len(df.columns) == 3
+    # AS rename expression + columnPathElement/columnPathLength builtins
+    df2 = ctx.query(
+        "SELECT COLUMN EXPR (AS columnName() + '_x' WHERE columnPathLength() = 1 "
+        "AND columnName() = 'c_acctbal') FROM customer LIMIT 1"
+    )
+    assert df2.columns == ["c_acctbal_x"]
+    # OFFSET skips the first ranked column
+    df3 = ctx.query(
+        "SELECT COLUMN EXPR (WHERE columnName() LIKE 'c_%' "
+        "ORDER BY columnName() OFFSET 1 LIMIT 2) FROM customer LIMIT 1"
+    )
+    assert df3.columns == sorted(df.columns)[1:3]
+
+
+def test_wildcard_rename(ctx):
+    df = ctx.query("SELECT c_a* AS bal_* FROM customer LIMIT 1")
+    assert df.columns == ["bal_cctbal"]
+    df2 = ctx.query("SELECT c_* EXCLUDING (c_name, c_comment) AS x_* FROM customer LIMIT 1")
+    assert all(c.startswith("x_") for c in df2.columns)
+    assert "x_name" not in df2.columns
+
+
+def test_index_extraction(ctx):
+    row = ctx.query(
+        "SELECT {score: 0.25 + 0.5, label: 'pos'}[score] AS s, "
+        "[10, 20, 30][1] AS second FROM customer LIMIT 1"
+    ).collect()[0]
+    assert row["s"] == 0.75 and row["second"] == 20
