@@ -133,12 +133,45 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
     if name == "e":
         return F.lit(2.718281828459045)
     if name == "try":
-        # try(expr[, fallback]) — reference row-level error absorb
-        # (builtin_functions.cc:3447). Spark lacks generic expression
-        # try; map to coalesce-with-fallback over the already
-        # NULL-on-error bound form.
+        # try(expr[, fallback]) — reference row-level error absorber
+        # (builtin_functions.cc:3447). PARTIAL: this engine binds
+        # fallible exprs through NULL-on-error forms (try_cast,
+        # try_divide, try_element_at), so try() reduces to coalesce
+        # over the already-absorbed NULL. Exprs that THROW in Spark
+        # (ANSI overflow, malformed regex) are not absorbed — route
+        # those through an explicit try_* function instead.
         return F.coalesce(*args) if len(args) > 1 else args[0]
+    if name == "base64_encode":
+        return F.base64(args[0].cast("binary"))
+    if name == "base64_decode":
+        return F.unbase64(args[0])
+    if name == "blob_length":
+        return F.octet_length(args[0].cast("binary")).cast("long")
+    if name == "print_json":
+        # struct/map/array inputs serialize structurally; scalars are
+        # their JSON literal form
+        if raw_args and isinstance(raw_args[0], (ast.RowLiteral, ast.EmbeddingLiteral)):
+            return F.to_json(args[0])
+        return F.to_json(F.struct(args[0].alias("v"))).substr(F.lit(6), F.length(F.to_json(F.struct(args[0].alias("v")))) - 6)
+    if name == "parse_json":
+        # flat-object form → MAP<string,string>; nested JSON should use
+        # the json path extraction functions instead
+        return F.from_json(args[0], "map<string,string>")
     raise ValueError(f"unknown function {name!r}")
+
+
+def _literal_int(e: ast.Expr) -> int | None:
+    """Literal integer, including the parsed Unary('-') negative form."""
+    if isinstance(e, ast.Literal) and isinstance(e.value, (int, float)):
+        return int(e.value)
+    if (
+        isinstance(e, ast.Unary)
+        and e.op == "-"
+        and isinstance(e.operand, ast.Literal)
+        and isinstance(e.operand.value, (int, float))
+    ):
+        return -int(e.operand.value)
+    return None
 
 
 class Binder:
@@ -356,6 +389,24 @@ class Binder:
         if name == "rowhash":
             base = F.col(self.row_name_col) if self.row_name_col else F.lit(None)
             return F.xxhash64(base)
+        if name in ("rowpath", "rowpathelement", "rowpathlength"):
+            # row path pseudo-functions (reference sql/sql_expression.cc
+            # rowPath family): paths are '.'-separated rowName segments
+            if not self.row_name_col:
+                raise ValueError(f"{name}() needs a dataset with a rowName column")
+            parts = F.split(F.col(self.row_name_col).cast("string"), r"\.")
+            if name == "rowpath":
+                return parts
+            if name == "rowpathlength":
+                return F.size(parts).cast("long")
+            i = _literal_int(e.args[0]) if e.args else None
+            if i is None:
+                raise ValueError("rowPathElement(n) needs a literal index")
+            return F.element_at(parts, i + 1 if i >= 0 else i)
+        if name == "columncount":
+            # columns of the bound relation, minus engine-internal ones
+            n_cols = len([c for c in self.columns if not c.startswith("__")])
+            return F.lit(n_cols).cast("long")
         if name == "value_timestamp" or name == "latest_timestamp" or name == "earliest_timestamp":
             if not self.ts_col:
                 raise ValueError(f"{name}() needs a dataset with a timestamp column")
@@ -442,9 +493,9 @@ class _ColumnMetaBinder(Binder):
         if n == "columnpathlength":
             return F.size(F.split(F.col("columnName"), r"\."))
         if n == "columnpathelement":
-            if not (e.args and isinstance(e.args[0], ast.Literal)):
+            i = _literal_int(e.args[0]) if e.args else None
+            if i is None:
                 raise ValueError("columnPathElement needs a literal index")
-            i = int(e.args[0].value)
             parts = F.split(F.col("columnName"), r"\.")
             # element_at is 1-based; negative indexes count from the end
             return F.element_at(parts, i + 1 if i >= 0 else i)
@@ -756,8 +807,7 @@ class MldbContext:
                 cols.append(binder.bind(it.expr).alias(name))
         if stm.named is not None:
             cols.append(binder.bind(stm.named).cast("string").alias("rowName"))
-        elif row_name_col and row_name_col not in {getattr(c, "_alias", None) for c in cols}:
-            pass  # rowName carried implicitly only when NAMED given
+        # without NAMED, rowName is not carried implicitly
         return df.select(*cols, *extra_cols)
 
     def _aggregate_select(self, df, stm, binder) -> DataFrame:

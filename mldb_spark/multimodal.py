@@ -127,17 +127,16 @@ def decode_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = row["content"]
+            # column-wise zip, not iterrows: per-row Series construction
+            # is the slow path inside an Arrow batch
+            for mid, content in zip(pdf["media_id"].to_list(), pdf["content"].to_list()):
                 try:
                     if content is None or len(content) == 0:
                         raise ValueError("empty content")
                     px = _fake_decode(bytes(content), out_w, out_h)
-                    out.append(
-                        (row["media_id"], out_w, out_h, px.ravel().tolist(), None)
-                    )
+                    out.append((mid, out_w, out_h, px.ravel().tolist(), None))
                 except Exception as e:  # error-as-column, never fail the job
-                    out.append((row["media_id"], None, None, None, str(e)))
+                    out.append((mid, None, None, None, str(e)))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "pixels", "error"]
             )
@@ -178,16 +177,15 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = row["content"]
+            for mid, content in zip(pdf["media_id"].to_list(), pdf["content"].to_list()):
                 try:
                     if content is None or len(content) == 0:
                         raise ValueError("empty content")
                     for i in range(n_frames):
                         h = hashlib.md5(bytes(content) + i.to_bytes(4, "big")).hexdigest()
-                        out.append((row["media_id"], i, h, None))
+                        out.append((mid, i, h, None))
                 except Exception as e:
-                    out.append((row["media_id"], None, None, str(e)))
+                    out.append((mid, None, None, str(e)))
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "frame_md5", "error"]
             )

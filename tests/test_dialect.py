@@ -381,3 +381,38 @@ def test_index_extraction(ctx):
         "[10, 20, 30][1] AS second FROM customer LIMIT 1"
     ).collect()[0]
     assert row["s"] == 0.75 and row["second"] == 20
+
+
+def test_encoding_fns(ctx):
+    row = ctx.query(
+        "SELECT base64_encode('hello') AS b64, "
+        "base64_decode(base64_encode('hello')) AS rt, "
+        "blob_length('hello') AS bl, "
+        "print_json({a: 1, b: 'x'}) AS pj, "
+        "print_json(42) AS pjs, "
+        "parse_json('{\"k\": \"v\"}')['k'] AS pk "
+        "FROM customer LIMIT 1"
+    ).collect()[0]
+    assert row["b64"] == "aGVsbG8="
+    assert bytes(row["rt"]) == b"hello"
+    assert row["bl"] == 5
+    assert row["pj"] == '{"a":1,"b":"x"}'
+    assert row["pjs"] == "42"
+    assert row["pk"] == "v"
+
+
+def test_row_path_pseudocolumns(ctx, spark):
+    from mldb_spark.dialect import MldbContext
+
+    c2 = MldbContext(spark)
+    df = spark.createDataFrame(
+        [("a.b.c", 1), ("x.y", 2)], "rn string, v long"
+    )
+    c2.register("t", df, row_name_col="rn")
+    rows = c2.query(
+        "SELECT rowPathLength() AS n, rowPathElement(0) AS head, "
+        "rowPathElement(-1) AS tail, columnCount() AS nc FROM t ORDER BY v"
+    ).collect()
+    assert rows[0]["n"] == 3 and rows[0]["head"] == "a" and rows[0]["tail"] == "c"
+    assert rows[1]["n"] == 2 and rows[1]["tail"] == "y"
+    assert rows[0]["nc"] == 2
