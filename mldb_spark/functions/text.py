@@ -229,3 +229,18 @@ def doc_fingerprint(text: Column) -> Column:
     xxhash64) so any SQL engine reproduces it byte-for-byte; at scale
     the fingerprint is the exact-dedup shuffle key."""
     return F.md5(normalize_text(text))
+
+
+def tokensplit(text: Column, tokens: list[str], insert: str = " ") -> Column:
+    """tokensplit function (plugins/textual/tokensplit.cc:287): insert
+    a split character before every occurrence of a dictionary token
+    (emoji, hashtags, ticker symbols...) so a later tokenize pass
+    separates them. Longest tokens match first, mirroring the
+    reference's longest-match walk. Pure regexp_replace — codegen'd,
+    oracle-replayable."""
+    import re as _re
+
+    alternation = "|".join(
+        _re.escape(t) for t in sorted(tokens, key=len, reverse=True)
+    )
+    return F.regexp_replace(text, f"({alternation})", insert + "$1")

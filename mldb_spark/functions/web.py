@@ -1,0 +1,122 @@
+"""Web-content enricher functions: user-agent parsing and HTML text
+extraction (SURVEY §2.12).
+
+Reference parity:
+- http.useragent / parse_useragent
+  (plugins/html/useragent_function.cc:106): the reference wraps
+  ua-parser with its regexes.yaml database; this engine ships a
+  compact heuristic covering the major browser/OS/device families and
+  the spider flag — pure Column expressions (regexp_extract + CASE),
+  no Python in the row path, so the whole parse is codegen'd and a
+  SQL oracle can replay it.
+- parse_html / html text extraction (plugins/html/parse_html.cc:353):
+  the reference uses hubbub; here a regexp pipeline strips
+  script/style blocks, comments and tags and decodes the common
+  entities — the 95% case for web-corpus text mining. html_links
+  extracts href targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_BROWSERS = [
+    # order matters: Edge/Opera embed Chrome's token, Chrome embeds
+    # Safari's — first match wins
+    ("Edge", r"(?:Edg|Edge)/(\d+[\.\d]*)"),
+    ("Opera", r"(?:OPR|Opera)/(\d+[\.\d]*)"),
+    ("Chrome", r"Chrome/(\d+[\.\d]*)"),
+    ("Firefox", r"Firefox/(\d+[\.\d]*)"),
+    ("Safari", r"Version/(\d+[\.\d]*).*Safari"),
+    ("IE", r"MSIE (\d+[\.\d]*)"),
+]
+
+_OSES = [
+    ("Windows", r"Windows NT (\d+[\.\d]*)"),
+    ("iOS", r"(?:iPhone|iPad).*OS (\d+[_\d]*)"),
+    ("Mac OS X", r"Mac OS X (\d+[_\.\d]*)"),
+    ("Android", r"Android (\d+[\.\d]*)"),
+    ("Linux", r"(Linux)"),
+]
+
+_SPIDER_RE = r"(?i)(bot|crawler|spider|slurp|archiver|fetch|scrape)"
+
+
+def parse_useragent(ua: Column) -> Column:
+    """Struct(browser_family, browser_version, os_family, os_version,
+    device_brand, device_model, is_spider) from a user-agent string —
+    the output surface of the reference's http.useragent function
+    (plugins/html/useragent_function.cc:95-104)."""
+    # fold families in reverse so the FIRST listed family wins
+    # (chained when() would re-embed prior conditions; this stays a
+    # flat ladder of independent rlike tests)
+    browser = F.lit("Other")
+    bver = F.lit("")
+    for fam, rx in reversed(_BROWSERS):
+        hit = ua.rlike(rx)
+        browser = F.when(hit, F.lit(fam)).otherwise(browser)
+        bver = F.when(hit, F.regexp_extract(ua, rx, 1)).otherwise(bver)
+    osfam = F.lit("Other")
+    osver = F.lit("")
+    for fam, rx in reversed(_OSES):
+        hit = ua.rlike(rx)
+        osfam = F.when(hit, F.lit(fam)).otherwise(osfam)
+        ver = (
+            F.lit("")
+            if fam == "Linux"
+            else F.regexp_replace(F.regexp_extract(ua, rx, 1), "_", ".")
+        )
+        osver = F.when(hit, ver).otherwise(osver)
+    brand = (
+        F.when(ua.contains("iPhone"), F.lit("Apple"))
+        .when(ua.contains("iPad"), F.lit("Apple"))
+        .when(ua.contains("Macintosh"), F.lit("Apple"))
+        .when(ua.rlike(r"(?i)samsung|sm-"), F.lit("Samsung"))
+        .when(ua.rlike(r"(?i)pixel"), F.lit("Google"))
+        .otherwise(F.lit(""))
+    )
+    model = (
+        F.when(ua.contains("iPhone"), F.lit("iPhone"))
+        .when(ua.contains("iPad"), F.lit("iPad"))
+        .when(ua.rlike(r"(?i)pixel \d"), F.regexp_extract(ua, r"(?i)(Pixel \d\w*)", 1))
+        .when(ua.rlike(r"SM-\w+"), F.regexp_extract(ua, r"(SM-\w+)", 1))
+        .otherwise(F.lit(""))
+    )
+    return F.struct(
+        browser.alias("browser_family"),
+        bver.alias("browser_version"),
+        osfam.alias("os_family"),
+        osver.alias("os_version"),
+        brand.alias("device_brand"),
+        model.alias("device_model"),
+        ua.rlike(_SPIDER_RE).alias("is_spider"),
+    )
+
+
+_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+]
+
+
+def html_text(html: Column) -> Column:
+    """Visible text from HTML: drop script/style/comments, strip
+    tags, decode common entities, squeeze whitespace (reference
+    parse_html extractText, plugins/html/parse_html.cc:353)."""
+    # separate script/style passes: backreference-free patterns replay
+    # in RE2 engines (DuckDB) as well as Java regex
+    t = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, rep in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_links(html: Column) -> Column:
+    """Array of href targets (single- or double-quoted)."""
+    return F.regexp_extract_all(
+        html, F.lit(r"""(?i)href\s*=\s*["']([^"']+)["']"""), F.lit(1)
+    )

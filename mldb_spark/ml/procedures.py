@@ -297,20 +297,170 @@ def word2vec_train(
     return model, vectors
 
 
-def tsne_train(df: DataFrame, array_col: str, n_components: int = 2):
-    """tsne.train (plugins/jml/tsne_interface.cc:452) — STUB.
+def _tsne_exact(X, n_components=2, perplexity=15.0, n_iter=500, seed=42):
+    """Exact t-SNE (van der Maaten & Hinton 2008) in numpy: pairwise
+    Gaussian affinities with per-point perplexity calibration, then
+    gradient descent on the KL divergence against the Student-t
+    low-dim kernel. O(n²) — for the <=10k-point visualization samples
+    the procedure collects, same regime the reference's single-node
+    implementation targets."""
+    import numpy as np
 
-    t-SNE is a driver-side visualization aid over a few thousand
-    points, not a distributed algorithm; the reference runs it
-    single-node too. scikit-learn is not in this container, so this
-    raises with the exact recipe; the contract (sampled collect →
-    sklearn TSNE → re-join coordinates by id) is fixed."""
-    raise NotImplementedError(
-        "tsne.train needs scikit-learn (not installed): collect a "
-        "<=10k-row sample of the embedding column, run "
-        "sklearn.manifold.TSNE(n_components=%d).fit_transform, and "
-        "createDataFrame the (id, x, y) coordinates back" % n_components
+    n = X.shape[0]
+    rng = np.random.RandomState(seed)
+    D = np.square(X[:, None, :] - X[None, :, :]).sum(-1)
+    P = np.zeros((n, n))
+    target = np.log(min(perplexity, max(2.0, (n - 1) / 3.0)))
+    for i in range(n):
+        lo, hi, beta = 1e-20, 1e20, 1.0
+        Di = np.delete(D[i], i)
+        for _ in range(50):
+            Pi = np.exp(-Di * beta)
+            s = Pi.sum()
+            if s <= 1e-300:
+                beta, hi = (lo + beta) / 2.0, beta
+                continue
+            Pi = Pi / s
+            H = -(Pi * np.log(np.maximum(Pi, 1e-300))).sum()
+            if abs(H - target) < 1e-5:
+                break
+            if H > target:
+                lo, beta = beta, beta * 2 if hi >= 1e20 else (beta + hi) / 2
+            else:
+                hi, beta = beta, (lo + beta) / 2
+        row = np.exp(-np.delete(D[i], i) * beta)
+        row = row / max(row.sum(), 1e-300)
+        P[i, np.arange(n) != i] = row
+    P = (P + P.T) / (2.0 * n)
+    P = np.maximum(P, 1e-12)
+
+    Y = rng.randn(n, n_components) * 1e-4
+    dY = np.zeros_like(Y)
+    gains = np.ones_like(Y)
+    momentum = 0.5
+    # sklearn-style auto learning rate: too-hot steps explode the
+    # layout during exaggeration and strand it in a diffuse state
+    exaggeration = 12.0
+    exag_until = min(250, n_iter // 2)
+    lr = max(n / (4.0 * exaggeration), 50.0)
+    for it in range(n_iter):
+        num = 1.0 / (1.0 + np.square(Y[:, None, :] - Y[None, :, :]).sum(-1))
+        np.fill_diagonal(num, 0.0)
+        Q = np.maximum(num / num.sum(), 1e-12)
+        PQ = (P * (exaggeration if it < exag_until else 1.0)) - Q
+        grad = 4.0 * ((PQ * num)[:, :, None] * (Y[:, None, :] - Y[None, :, :])).sum(1)
+        gains = np.where(np.sign(grad) != np.sign(dY), gains + 0.2, gains * 0.8)
+        gains = np.maximum(gains, 0.01)
+        dY = momentum * dY - lr * gains * grad
+        Y = Y + dY
+        Y = Y - Y.mean(0)
+        if it == exag_until:
+            momentum = 0.8
+    return Y
+
+
+def tsne_train(
+    df: DataFrame,
+    array_col: str,
+    id_col: str = "vec_id",
+    n_components: int = 2,
+    perplexity: float = 15.0,
+    max_rows: int = 5000,
+    seed: int = 42,
+):
+    """tsne.train (plugins/jml/tsne_interface.cc:452): 2-D/3-D
+    embedding for visualization. Like the reference, t-SNE is a
+    single-node algorithm over a bounded sample: collect up to
+    max_rows (deterministic id order), run the exact numpy solver,
+    and return the (id, x[, y[, z]]) coordinate DataFrame."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, array_col).orderBy(id_col).limit(max_rows).collect()
     )
+    ids = [r[id_col] for r in rows]
+    X = np.array([r[array_col] for r in rows], dtype=np.float64)
+    Y = _tsne_exact(X, n_components, perplexity, seed=seed)
+    coords = [(i, *[float(v) for v in y]) for i, y in zip(ids, Y)]
+    names = ["x", "y", "z"][:n_components]
+    schema = f"{id_col} long, " + ", ".join(f"{n} double" for n in names)
+    return df.sparkSession.createDataFrame(coords, schema)
+
+
+def classifier_explain(
+    model,
+    feature_cols: list[str],
+    name: str = "explain",
+    registry: FunctionRegistry = GLOBAL_REGISTRY,
+):
+    """classifier.explain (plugins/jml/classifier.cc:1502) for linear
+    models: per-feature contribution = coefficient * feature value,
+    plus the bias — the additive decomposition of the decision margin.
+    Registers `name` adding explain_<feature> columns and a bias
+    column; pure Column arithmetic over broadcast coefficients."""
+    coefs = [float(c) for c in model.coefficients]
+    bias = float(model.intercept)
+    if len(coefs) != len(feature_cols):
+        raise ValueError("feature_cols length != model coefficients")
+
+    def explain(d: DataFrame) -> DataFrame:
+        out = d
+        for c, w in zip(feature_cols, coefs):
+            out = out.withColumn(f"explain_{c}", F.round(F.col(c) * F.lit(w), 6))
+        return out.withColumn("bias", F.lit(round(bias, 6)))
+
+    registry.register(name, explain)
+    return explain
+
+
+def classifier_experiment(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    folds: int = 3,
+    hash_col: str | None = None,
+    name: str = "experiment",
+    registry: FunctionRegistry = GLOBAL_REGISTRY,
+) -> DataFrame:
+    """classifier.experiment (plugins/jml/experiment_procedure.cc:618):
+    k-fold train/test harness. Fold assignment is a deterministic
+    hash-mod on hash_col (crc32 of the concatenated features when no
+    id column is given), so reruns and engines agree on the split.
+    Returns one row per fold: (fold, n_train, n_test, auc, accuracy).
+    Each fold's fit/evaluate is a distributed job; the loop over
+    folds is a driver-side harness exactly like the reference's."""
+    key = F.col(hash_col) if hash_col else F.crc32(F.concat_ws("|", *feature_cols))
+    tagged = df.withColumn("__fold", F.pmod(key.cast("long"), F.lit(folds)))
+    results = []
+    for k in range(folds):
+        train = tagged.filter(F.col("__fold") != k)
+        test = tagged.filter(F.col("__fold") == k)
+        reg = FunctionRegistry()
+        classifier_train(train, feature_cols, label_col, f"{name}_f{k}", reg)
+        scored = reg.apply(f"{name}_f{k}", test)
+        m = classifier_test(scored, label_col, "score").collect()[0]
+        results.append(
+            (k, train.count(), test.count(), round(m["auc"], 6), round(m["accuracy"], 6))
+        )
+    return df.sparkSession.createDataFrame(
+        results, "fold int, n_train long, n_test long, auc double, accuracy double"
+    )
+
+
+def permuter_run(param_grid: dict[str, list], fn) -> list[dict]:
+    """permuter.run (builtin/permuter_procedure.cc:206): run a
+    procedure once per element of the cartesian parameter product.
+    fn(params: dict) -> result; returns [{**params, 'result': ...}].
+    The driver loop launches one distributed job per combination —
+    the harness itself is control flow, like the reference's."""
+    import itertools
+
+    keys = sorted(param_grid)
+    out = []
+    for combo in itertools.product(*[param_grid[k] for k in keys]):
+        params = dict(zip(keys, combo))
+        out.append({**params, "result": fn(params)})
+    return out
 
 
 def pca_train(df: DataFrame, array_col: str, k: int = 8):

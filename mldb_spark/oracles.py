@@ -846,3 +846,94 @@ FROM lineitem
 WHERE l_orderkey % 97 = 0
 ORDER BY l_orderkey, l_linenumber
 """
+
+# q70: the same family/regex tables the Spark ladder uses, as CASE
+# chains — imported from functions.web so the two stay in sync
+from mldb_spark.functions.web import _BROWSERS as _UA_BROWSERS
+from mldb_spark.functions.web import _OSES as _UA_OSES
+from mldb_spark.functions.web import _SPIDER_RE as _UA_SPIDER
+from mldb_spark.queries import Q70_UAS as _Q70_UAS
+
+_Q70_VALUES = ", ".join(f"({i}, '{ua}')" for i, ua in enumerate(_Q70_UAS))
+_Q70_BROWSER = (
+    "CASE "
+    + " ".join(
+        f"WHEN regexp_matches(ua, '{rx}') THEN '{fam}'" for fam, rx in _UA_BROWSERS
+    )
+    + " ELSE 'Other' END"
+)
+_Q70_OS = (
+    "CASE "
+    + " ".join(f"WHEN regexp_matches(ua, '{rx}') THEN '{fam}'" for fam, rx in _UA_OSES)
+    + " ELSE 'Other' END"
+)
+
+ORACLES["q70_parse_useragent"] = f"""
+WITH uas(id, ua) AS (VALUES {_Q70_VALUES})
+SELECT CAST(id AS BIGINT) AS id,
+       {_Q70_BROWSER} AS browser_family,
+       {_Q70_OS} AS os_family,
+       regexp_matches(ua, '{_UA_SPIDER}') AS is_spider
+FROM uas ORDER BY id
+"""
+
+# q71: identical regexp strip chain over the same synthetic markup
+_Q71_HTML = (
+    "'<html><head><script>var x=1;</script></head><body><p>' || text || "
+    "'</p><!-- c --><a href=''http://x.example/a''>link &amp; more</a></body></html>'"
+)
+_Q71_TXT = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace(replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace({h},"
+    " '(?is)<script[^>]*>.*?</script>', ' ', 'g'),"
+    " '(?is)<style[^>]*>.*?</style>', ' ', 'g'),"
+    " '(?s)<!--.*?-->', ' ', 'g'),"
+    " '<[^>]+>', ' ', 'g'),"
+    " '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),"
+    " '&quot;', '\"'), '&#39;', ''''), '&apos;', ''''),"
+    " '\\s+', ' ', 'g'))"
+)
+
+ORACLES["q71_html_text"] = f"""
+WITH t AS (SELECT lang, {_Q71_TXT.format(h=_Q71_HTML)} AS txt FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(txt, ' '))) AS BIGINT) AS n_words
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["q72_tokensplit"] = """
+WITH t AS (
+  SELECT source,
+         len(string_split_regex(text, '\\s+')) AS n0,
+         len(string_split_regex(regexp_replace(text, '(data|the)', ' \\1', 'g'), '\\s+')) AS n1
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n0) AS BIGINT) AS tokens_before,
+       CAST(sum(n1) AS BIGINT) AS tokens_after
+FROM t GROUP BY source ORDER BY source
+"""
+
+ORACLES["q73_sentiwordnet"] = f"""
+WITH swn0 AS (
+  SELECT column0 AS pos, CAST(column2 AS DOUBLE) AS p, CAST(column3 AS DOUBLE) AS n,
+         unnest(string_split(column4, ' ')) AS term
+  FROM read_csv('/root/repo/mldb_spark/data/sentiwordnet_sample.tsv',
+                delim='\t', header=false, all_varchar=true)
+),
+swn1 AS (
+  SELECT regexp_replace(term, '#\\d+$', '') AS word, pos,
+         round(avg(p), 6) AS sp, round(avg(n), 6) AS sn
+  FROM swn0 GROUP BY 1, 2
+),
+by_word AS (
+  SELECT word, round(avg(sp), 6) AS p, round(avg(sn), 6) AS n
+  FROM swn1 GROUP BY word
+),
+toks AS (SELECT lang, unnest({_TOKS}) AS word FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_hits,
+       round(avg(p), 6) AS avg_pos, round(avg(n), 6) AS avg_neg
+FROM toks JOIN by_word USING (word)
+GROUP BY lang ORDER BY lang
+"""

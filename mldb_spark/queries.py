@@ -1360,13 +1360,18 @@ def q66_svm_margin(spark: SparkSession, sf: str) -> DataFrame:
 
 def q67_gaussian_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """gaussianclustering.train (plugins/jml/em_interface.cc:383) →
-    GaussianMixture with fixed seed over the embeddings; per-component
-    assignment counts. Rows-only: EM trajectory is engine-internal."""
+    GaussianMixture with fixed seed over an 8-dim slice of the
+    embeddings (full-rank covariance needs n >> dim — at sf0.001 the
+    corpus is 50 vectors, so 64-dim covariances are degenerate);
+    per-component assignment counts. Rows-only: EM trajectory is
+    engine-internal."""
     from mldb_spark.ml.procedures import gaussian_clustering_train
     from mldb_spark.ml.registry import FunctionRegistry
 
     reg = FunctionRegistry()
-    emb = load(spark, sf, "embeddings")
+    emb = load(spark, sf, "embeddings").withColumn(
+        "embedding", F.slice("embedding", 1, 8)
+    )
     gaussian_clustering_train(emb, "embedding", k=4, seed=42, name="gmm_q67", registry=reg)
     assigned = reg.apply("gmm_q67", emb)
     return (
@@ -1417,6 +1422,143 @@ def q69_column_expr_dialect(spark: SparkSession, sf: str) -> DataFrame:
         "FROM lineitem WHERE l_orderkey % 97 = 0 "
         "ORDER BY l_orderkey, l_linenumber"
     )
+
+
+# fixed user-agent corpus for the parse gate — literal in both engines
+Q70_UAS = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 Edg/119.0.2151.72",
+    "Googlebot/2.1 (+http://www.google.com/bot.html)",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.6 Safari/605.1.15",
+    "Mozilla/5.0 (Linux; Android 13; SM-G991B) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0.0.0 Mobile Safari/537.36",
+    "curl/8.4.0",
+]
+
+
+def q70_parse_useragent(spark: SparkSession, sf: str) -> DataFrame:
+    """http.useragent (plugins/html/useragent_function.cc:106): parse
+    a fixed user-agent corpus into browser/os/device families + the
+    spider flag. Pure regexp Column ladder, replayed by the oracle's
+    identical CASE/regexp_extract chain."""
+    from mldb_spark.functions.web import parse_useragent
+
+    df = spark.createDataFrame([(i, ua) for i, ua in enumerate(Q70_UAS)], "id long, ua string")
+    return (
+        df.select("id", parse_useragent(F.col("ua")).alias("p"))
+        .select(
+            "id",
+            F.col("p.browser_family").alias("browser_family"),
+            F.col("p.os_family").alias("os_family"),
+            F.col("p.is_spider").alias("is_spider"),
+        )
+        .orderBy("id")
+    )
+
+
+def q71_html_text(spark: SparkSession, sf: str) -> DataFrame:
+    """parse_html text extraction (plugins/html/parse_html.cc:353):
+    wrap document text in markup deterministically, strip it back,
+    count recovered tokens per language. The strip chain is regexp
+    only, so the oracle replays it."""
+    from mldb_spark.functions.web import html_text
+
+    docs = load(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var x=1;</script></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><!-- c --><a href='http://x.example/a'>link &amp; more</a></body></html>"),
+    )
+    return (
+        docs.select("lang", html_text(html).alias("txt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("txt"), " "))).cast("long").alias("n_words"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q72_tokensplit(spark: SparkSession, sf: str) -> DataFrame:
+    """tokensplit (plugins/textual/tokensplit.cc:287): insert spaces
+    before dictionary tokens, then compare the token-count delta per
+    source — the enricher's effect measured corpus-wide."""
+    from mldb_spark.functions.text import tokensplit
+
+    docs = load(spark, sf, "documents")
+    split_txt = tokensplit(F.col("text"), ["data", "the"], insert=" ")
+    return (
+        docs.select(
+            "source",
+            F.size(F.split(F.col("text"), r"\s+")).alias("n0"),
+            F.size(F.split(split_txt, r"\s+")).alias("n1"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n0").cast("long").alias("tokens_before"),
+            F.sum("n1").cast("long").alias("tokens_after"),
+        )
+        .orderBy("source")
+    )
+
+
+def q73_sentiwordnet(spark: SparkSession, sf: str) -> DataFrame:
+    """import.sentiwordnet (plugins/nlp/sentiwordnet.cc:187) + a
+    sentiment join: per-language mean positive/negative scores of the
+    document tokens found in the lexicon. The lexicon import (synset
+    explode, #rank strip, per-(word,pos) averages) is replayed by the
+    oracle from the same TSV fixture."""
+    import os
+
+    from mldb_spark.sources.nlp_io import import_sentiwordnet
+
+    path = os.path.join(os.path.dirname(__file__), "data", "sentiwordnet_sample.tsv")
+    swn = import_sentiwordnet(spark, path)
+    by_word = swn.groupBy("word").agg(
+        F.round(F.avg("senti_pos"), 6).alias("p"),
+        F.round(F.avg("senti_neg"), 6).alias("n"),
+    )
+    docs = load(spark, sf, "documents")
+    toks = docs.select("lang", F.explode(tokenize(F.col("text"))).alias("word"))
+    return (
+        toks.join(F.broadcast(by_word), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.round(F.avg("p"), 6).alias("avg_pos"),
+            F.round(F.avg("n"), 6).alias("avg_neg"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q74_classifier_experiment(spark: SparkSession, sf: str) -> DataFrame:
+    """classifier.experiment (plugins/jml/experiment_procedure.cc:618):
+    3-fold deterministic-hash split harness over the order features.
+    Rows-only: per-fold optimizer trajectories are engine-internal."""
+    from mldb_spark.ml.procedures import classifier_experiment
+
+    feats = _order_features(spark, sf)
+    return classifier_experiment(
+        feats, ["f_priority", "f_month", "f_cust"], "label", folds=3, hash_col="o_orderkey"
+    )
+
+
+def q75_tsne(spark: SparkSession, sf: str) -> DataFrame:
+    """tsne.train (plugins/jml/tsne_interface.cc:452): 2-D map of a
+    bounded embedding sample (exact numpy solver, seeded). Rows-only:
+    the layout is seed-deterministic but engine-specific; the cluster
+    -separation invariant is pinned in tests/test_ml_extra.py."""
+    from mldb_spark.ml.procedures import tsne_train
+
+    emb = load(spark, sf, "embeddings")
+    coords = tsne_train(emb, "embedding", max_rows=300, perplexity=12.0)
+    return coords.select(
+        "vec_id", F.round("x", 4).alias("x"), F.round("y", 4).alias("y")
+    ).orderBy("vec_id")
 
 
 QUERIES = {

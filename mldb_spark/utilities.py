@@ -1,0 +1,91 @@
+"""Utility procedures (SURVEY §2.13 'utilities').
+
+Reference parity:
+- list.files (builtin: files listing procedure): enumerate files
+  under a root into a dataset (path, name, size_bytes, mtime).
+- dataset.stats: per-column stats + row count of a dataset — wraps
+  operators.relational.column_stats.
+- serial (serial procedure runner): run a list of procedures in
+  order, collecting per-step status.
+- null / mock: no-op procedure and a deterministic mock dataset for
+  harness tests.
+
+These are driver-side harness pieces by nature (the reference's are
+too); the datasets they produce are metadata-sized.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def list_files(
+    spark: SparkSession,
+    root: str,
+    recursive: bool = True,
+    pattern: str | None = None,
+) -> DataFrame:
+    """list.files: files under root as a dataset. pattern is a glob
+    fnmatch on the file NAME."""
+    import fnmatch
+
+    rows = []
+    if recursive:
+        walker = os.walk(root)
+    else:
+        walker = [(root, [], [f for f in os.listdir(root) if os.path.isfile(os.path.join(root, f))])]
+    for dirpath, _dirs, files in walker:
+        for f in files:
+            if pattern and not fnmatch.fnmatch(f, pattern):
+                continue
+            full = os.path.join(dirpath, f)
+            st = os.stat(full)
+            rows.append((full, f, int(st.st_size), float(st.st_mtime)))
+    return spark.createDataFrame(
+        rows, "path string, name string, size_bytes long, mtime double"
+    )
+
+
+def dataset_stats(df: DataFrame) -> DataFrame:
+    """dataset.stats: one row per column with count/distinct stats
+    (single aggregate pass via column_stats)."""
+    from mldb_spark.operators.relational import column_stats
+
+    return column_stats(df)
+
+
+def serial_run(steps: list[tuple[str, callable]]) -> list[dict]:
+    """serial procedure: run (name, fn) steps in order; stop on first
+    failure. Returns per-step {name, ok, seconds, error}."""
+    out = []
+    for name, fn in steps:
+        t0 = time.time()
+        try:
+            fn()
+            out.append({"name": name, "ok": True, "seconds": round(time.time() - t0, 3), "error": None})
+        except Exception as e:
+            out.append({"name": name, "ok": False, "seconds": round(time.time() - t0, 3), "error": str(e)})
+            break
+    return out
+
+
+def null_procedure() -> None:
+    """null procedure: does nothing, successfully."""
+    return None
+
+
+def mock_dataset(spark: SparkSession, n_rows: int = 100, seed: int = 1) -> DataFrame:
+    """Deterministic mock dataset (id, category, value) for harness
+    tests — generated JVM-side with sequence+hash, no driver loop."""
+    return (
+        spark.range(n_rows)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("cat"), (F.crc32(F.concat(F.lit(seed), F.col("id"))) % 5).cast("string")).alias("category"),
+            (F.crc32(F.concat(F.lit(seed + 1), F.col("id"))) % 1000 / 1000.0).alias("value"),
+        )
+    )

@@ -119,3 +119,141 @@ def test_pooling_contract(spark):
     assert out[1] == [2.0, 4.0, 3.0, 5.0, 4.0, 8.0]  # avg | max | sum
     assert out[2] == [1.0, 3.0, 1.0, 3.0, 1.0, 3.0]
     assert out[3] == [0.0] * 6  # no vocabulary hit -> zeros (reference contract)
+
+
+def test_tsne_separates_clusters(spark):
+    import numpy as np
+
+    from mldb_spark.ml.procedures import tsne_train
+
+    rng = np.random.RandomState(3)
+    pts = [(i, (rng.randn(8) + (0 if i < 20 else 8)).tolist()) for i in range(40)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    coords = tsne_train(df, "embedding", perplexity=8.0).collect()
+    assert len(coords) == 40 and set(coords[0].asDict()) == {"vec_id", "x", "y"}
+    A = np.array([[r["x"], r["y"]] for r in coords if r["vec_id"] < 20])
+    B = np.array([[r["x"], r["y"]] for r in coords if r["vec_id"] >= 20])
+    # cluster separation survives the projection: centroid distance
+    # dominates within-cluster spread
+    d = np.linalg.norm(A.mean(0) - B.mean(0))
+    spread = max(A.std(), B.std())
+    assert d > 2 * spread
+
+
+def test_classifier_explain_additivity(spark):
+    from mldb_spark.ml.procedures import classifier_explain, classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    data = spark.createDataFrame(
+        [(float(i), float(i % 5), 1.0 if i > 50 else 0.0) for i in range(100)],
+        "x double, noise double, label double",
+    )
+    reg = FunctionRegistry()
+    model = classifier_train(data, ["x", "noise"], "label", "clf_e", reg)
+    classifier_explain(model, ["x", "noise"], "explain_e", reg)
+    row = reg.apply("explain_e", data.limit(3)).collect()[0]
+    # margin decomposition: sum of contributions + bias = w·x + b
+    margin = row["explain_x"] + row["explain_noise"] + row["bias"]
+    import math
+
+    w = [float(c) for c in model.coefficients]
+    expect = w[0] * row["x"] + w[1] * row["noise"] + float(model.intercept)
+    assert math.isclose(margin, expect, abs_tol=1e-4)
+
+
+def test_classifier_experiment_folds(spark):
+    from mldb_spark.ml.procedures import classifier_experiment
+
+    data = spark.createDataFrame(
+        [(float(i), float((i * 7) % 13), 1.0 if i % 3 == 0 else 0.0) for i in range(120)],
+        "f1 double, f2 double, label double",
+    )
+    res = classifier_experiment(data, ["f1", "f2"], "label", folds=3).collect()
+    assert len(res) == 3
+    assert sum(r["n_test"] for r in res) == 120
+    for r in res:
+        assert 0.0 <= r["auc"] <= 1.0 and 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_permuter_run(spark):
+    from mldb_spark.ml.procedures import permuter_run
+
+    got = permuter_run({"a": [1, 2], "b": ["x", "y"]}, lambda p: p["a"] * 10 + len(p["b"]))
+    assert len(got) == 4
+    assert {(g["a"], g["b"]) for g in got} == {(1, "x"), (1, "y"), (2, "x"), (2, "y")}
+
+
+def test_import_sentiwordnet_and_word2vec(spark, tmp_path):
+    from mldb_spark.sources.nlp_io import (
+        export_word2vec_binary,
+        import_sentiwordnet,
+        import_word2vec,
+    )
+
+    swn = tmp_path / "swn.txt"
+    swn.write_text(
+        "# SentiWordNet v3.0 comment line\n"
+        "a\t00001740\t0.125\t0\tgood#1 unspoiled#2\tfine gloss\n"
+        "a\t00002098\t0.5\t0.125\tgood#2\tanother gloss\n"
+        "n\t00003553\t0\t0.75\tbad#1\tnegative gloss\n"
+    )
+    sw = import_sentiwordnet(spark, str(swn))
+    rows = {(r["word"], r["pos"]): r for r in sw.collect()}
+    assert rows[("good", "a")]["senti_pos"] == 0.3125  # avg(0.125, 0.5)
+    assert rows[("bad", "n")]["senti_neg"] == 0.75
+    assert abs(rows[("unspoiled", "a")]["senti_obj"] - 0.875) < 1e-9
+
+    vecs = spark.createDataFrame(
+        [("alpha", [1.0, 2.0, 3.0]), ("beta", [-1.5, 0.25, 4.0])],
+        "word string, vector array<double>",
+    )
+    w2v = tmp_path / "vecs.bin"
+    export_word2vec_binary(vecs, str(w2v))
+    back = {r["word"]: r["vector"] for r in import_word2vec(spark, str(w2v)).collect()}
+    assert back["alpha"] == [1.0, 2.0, 3.0]
+    assert back["beta"] == [-1.5, 0.25, 4.0]
+    limited = import_word2vec(spark, str(w2v), limit=1)
+    assert limited.count() == 1
+
+
+def test_tokensplit_and_web_fns(spark):
+    from mldb_spark.functions.text import tokensplit
+    from mldb_spark.functions.web import html_links, html_text, parse_useragent
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("I love #spark#data and $AAPL!",)], "t string"
+    )
+    out = df.select(
+        tokensplit(F.col("t"), ["#spark", "#data", "$AAPL"]).alias("s")
+    ).collect()[0]["s"]
+    assert out == "I love  #spark #data and  $AAPL!"
+
+    html = (
+        "<html><head><style>.x{color:red}</style><script>var a=1;</script></head>"
+        "<body><h1>Title</h1><p>Hello &amp; <b>world</b></p>"
+        "<a href='http://a.example/x'>link</a><!-- note --></body></html>"
+    )
+    hdf = spark.createDataFrame([(html,)], "h string")
+    row = hdf.select(
+        html_text(F.col("h")).alias("txt"), html_links(F.col("h")).alias("links")
+    ).collect()[0]
+    assert row["txt"] == "Title Hello & world link"
+    assert row["links"] == ["http://a.example/x"]
+
+    uas = spark.createDataFrame(
+        [
+            ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+             "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",),
+            ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) "
+             "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Mobile/15E148 Safari/604.1",),
+            ("Googlebot/2.1 (+http://www.google.com/bot.html)",),
+        ],
+        "ua string",
+    )
+    parsed = uas.select(parse_useragent(F.col("ua")).alias("p")).select("p.*").collect()
+    assert parsed[0]["browser_family"] == "Chrome" and parsed[0]["os_family"] == "Windows"
+    assert parsed[0]["browser_version"].startswith("120")
+    assert parsed[1]["browser_family"] == "Safari" and parsed[1]["os_family"] == "iOS"
+    assert parsed[1]["device_model"] == "iPhone" and parsed[1]["os_version"] == "17.1"
+    assert parsed[2]["is_spider"] is True and parsed[0]["is_spider"] is False

@@ -209,3 +209,33 @@ def test_summary_statistics(spark, sf_dir):
     rows = {r["column"]: r for r in out.collect()}
     assert rows["p_size"]["count"] > 0 and rows["p_size"]["avg"] is not None
     assert rows["p_type"]["avg"] is None
+
+
+def test_utilities(spark, tmp_path):
+    from mldb_spark.utilities import (
+        dataset_stats,
+        list_files,
+        mock_dataset,
+        null_procedure,
+        serial_run,
+    )
+
+    (tmp_path / "a.txt").write_text("xx")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "b.csv").write_text("1,2,3")
+    files = list_files(spark, str(tmp_path))
+    assert files.count() == 2
+    assert list_files(spark, str(tmp_path), pattern="*.csv").collect()[0]["name"] == "b.csv"
+    assert list_files(spark, str(tmp_path), recursive=False).count() == 1
+
+    md = mock_dataset(spark, 50)
+    assert md.count() == 50
+    stats = dataset_stats(md)
+    assert {r["columnName"] for r in stats.collect()} == {"id", "category", "value"}
+
+    log = serial_run([
+        ("ok1", null_procedure),
+        ("boom", lambda: (_ for _ in ()).throw(RuntimeError("x"))),
+        ("never", null_procedure),
+    ])
+    assert [s["ok"] for s in log] == [True, False]

@@ -20,6 +20,13 @@ ROWS_ONLY = {
     "q47_kmeans",
     "q48_classifier_eval",
     "q49_pca",
+    "q61_svd_term_clusters",
+    "q65_random_forest",
+    "q66_svm_margin",
+    "q67_gaussian_clusters",
+    "q68_probabilizer",
+    "q74_classifier_experiment",
+    "q75_tsne",
 }
 
 
