@@ -362,6 +362,47 @@ def stats_table(
     )
 
 
+def stats_table_totals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    outcome_col: Column,
+    prefix: str = "st",
+) -> DataFrame:
+    """statsTable.train's persisted table: TOTAL counts and positive-
+    outcome counts per key (stats_table_procedure.cc:986) — the table
+    the named statsTable.getCounts function reads at apply time
+    (unlike stats_table's leak-free rolling counts for training rows).
+    """
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias(f"{prefix}_count"),
+        F.sum(outcome_col.cast("long")).alias(f"{prefix}_outcomes"),
+    )
+
+
+def stats_table_get_counts(
+    totals: DataFrame,
+    key_cols: Sequence[str],
+    name: str = "statsTable.getCounts",
+    prefix: str = "st",
+    registry=None,
+):
+    """Named statsTable.getCounts function form
+    (stats_table_procedure.cc:1013): joins the trained totals onto any
+    rowset by the key columns; unseen keys get zero counts. The totals
+    table is key-cardinality-sized → broadcast join, no shuffle of the
+    applied rowset."""
+    from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+    reg = registry if registry is not None else GLOBAL_REGISTRY
+
+    def get_counts(d: DataFrame) -> DataFrame:
+        out = d.join(F.broadcast(totals), list(key_cols), "left")
+        return out.fillna(0, subset=[f"{prefix}_count", f"{prefix}_outcomes"])
+
+    reg.register(name, get_counts)
+    return get_counts
+
+
 def stats_table_bag_of_words(
     docs: DataFrame,
     text_col: Column,

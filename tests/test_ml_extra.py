@@ -257,3 +257,37 @@ def test_tokensplit_and_web_fns(spark):
     assert parsed[1]["browser_family"] == "Safari" and parsed[1]["os_family"] == "iOS"
     assert parsed[1]["device_model"] == "iPhone" and parsed[1]["os_version"] == "17.1"
     assert parsed[2]["is_spider"] is True and parsed[0]["is_spider"] is False
+
+
+def test_stats_table_named_function(spark):
+    from pyspark.sql import functions as F
+
+    from mldb_spark.ml.registry import FunctionRegistry
+    from mldb_spark.operators.relational import stats_table_get_counts, stats_table_totals
+
+    train = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("a", 1), ("b", 0)], "k string, y int"
+    )
+    totals = stats_table_totals(train, ["k"], F.col("y") == 1)
+    reg = FunctionRegistry()
+    stats_table_get_counts(totals, ["k"], "st.getCounts", registry=reg)
+    apply_to = spark.createDataFrame([("a",), ("b",), ("zzz",)], "k string")
+    rows = {r["k"]: r for r in reg.apply("st.getCounts", apply_to).collect()}
+    assert rows["a"]["st_count"] == 3 and rows["a"]["st_outcomes"] == 2
+    assert rows["b"]["st_count"] == 1 and rows["b"]["st_outcomes"] == 0
+    assert rows["zzz"]["st_count"] == 0 and rows["zzz"]["st_outcomes"] == 0
+
+
+def test_import_git(spark):
+    from mldb_spark.sources.git_io import import_git
+
+    df = import_git(spark, "/root/repo", limit=5)
+    rows = df.collect()
+    assert 1 <= len(rows) <= 5
+    head = rows[0]
+    assert len(head["commit"]) == 40
+    assert head["files_changed"] >= 1 and head["insertions"] >= 0
+    assert isinstance(head["parents"], list)
+    # no-stats variant still yields the commit metadata
+    lite = import_git(spark, "/root/repo", limit=2, import_stats=False).collect()
+    assert len(lite) == 2 and lite[0]["files_changed"] == 0
