@@ -142,42 +142,40 @@ def minhash_near_duplicates(
     threshold. Output: (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     sig = minhash_signatures(docs, num_hashes, id_col, text_col, shingle_words)
-    # the per-band self-joins reference the signature table 2×bands
-    # times; without persisting, Spark re-runs the whole shingle+hash
-    # pipeline for each arm. At scale the signature table is an
-    # artifact you'd write to storage anyway — in-memory persist is
-    # its small-job equivalent (it is ids + fixed-width hashes, tiny
-    # next to the corpus).
+    # the signature table feeds pair generation AND the two rescoring
+    # joins; persist so the shingle+hash pipeline runs once (at scale
+    # the signature table is an artifact you'd write to storage anyway
+    # — it is ids + fixed-width hashes, tiny next to the corpus).
     sig = sig.persist()
     r = num_hashes // bands
-    band_cols = [
-        F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * r + j}") for j in range(r)])).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    sig = sig.select(F.col(id_col), *[F.col(f"mh{i}") for i in range(num_hashes)], *band_cols)
-
-    pairs = None
-    for b in range(bands):
-        a = sig.select(
-            F.col(f"band{b}").alias("bk"),
-            F.col(id_col).alias("id_a"),
-            *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
-        )
-        bb = sig.select(
-            F.col(f"band{b}").alias("bk"),
-            F.col(id_col).alias("id_b"),
-            *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
-        )
-        cand = a.join(bb, "bk").filter(F.col("id_a") < F.col("id_b"))
-        pairs = cand if pairs is None else pairs.unionByName(cand)
-
+    band_vals = F.array(
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(b)), *[F.col(f"mh{b * r + j}") for j in range(r)]))
+            for b in range(bands)
+        ]
+    )
+    # EXPLODED banding: one row per (band, key) and a single
+    # equi-self-join — not a union of per-band joins (each arm would
+    # re-shuffle, and wide signature columns would ride through the
+    # candidate join). Signatures rejoin after pair dedup.
+    band_rows = sig.select(F.col(id_col), F.posexplode(band_vals).alias("band", "bk"))
+    a = band_rows.select("band", "bk", F.col(id_col).alias("id_a"))
+    b = band_rows.select("band", "bk", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["band", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)])
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)
     )
     return (
-        pairs.select("id_a", "id_b", (matches / F.lit(float(num_hashes))).alias("est_jaccard"))
-        .groupBy("id_a", "id_b")
-        .agg(F.max("est_jaccard").alias("est_jaccard"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(float(num_hashes))).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
 
@@ -291,22 +289,34 @@ def simhash_pairs(
     cost of exact recall; keep the radius small (<=8) for web-scale runs.
     """
     segs = _simhash_segments(max_hamming)
-    seg_cols = [
-        F.shiftright(F.col(sim_col), off).bitwiseAND(F.lit((1 << w) - 1)).alias(f"s{i}")
-        for i, (off, w) in enumerate(segs)
-    ]
-    sh = sig.select(F.col(id_col), F.col(sim_col).alias("__sh"), *seg_cols).persist()
-    pairs = None
-    for i in range(len(segs)):
-        a = sh.select(F.col(f"s{i}").alias("bk"), F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-        b = sh.select(F.col(f"s{i}").alias("bk"), F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
-        cand = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
-        pairs = cand if pairs is None else pairs.unionByName(cand)
+    seg_vals = F.array(
+        *[
+            F.shiftright(F.col("__sh"), off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in segs
+        ]
+    )
+    # EXPLODED banding: one (segment, value) row per signature segment
+    # and a SINGLE equi-self-join on (seg, bk) — a union of per-segment
+    # joins would re-evaluate the signature subtree once per arm.
+    # Signatures rejoin only after the candidate pairs are deduped, so
+    # the wide columns never ride through the pair-generation shuffle.
+    sh = sig.select(F.col(id_col), F.col(sim_col).alias("__sh"))
+    seg_rows = sh.select(F.col(id_col), F.posexplode(seg_vals).alias("seg", "bk"))
+    a = seg_rows.select(F.col("seg"), F.col("bk"), F.col(id_col).alias("id_a"))
+    b = seg_rows.select(F.col("seg"), F.col("bk"), F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["seg", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        pairs.select("id_a", "id_b", ham.alias("hamming"))
-        .groupBy("id_a", "id_b")
-        .agg(F.min("hamming").alias("hamming"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -1214,11 +1214,15 @@ def q61_svd_term_clusters(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("value"))
     )
     # min_df prune caps the column space (the Gram matrix is n_cols² —
-    # standard LSA practice, same role as the reference's vocab cut)
+    # standard LSA practice, same role as the reference's top-N vocab
+    # cut). Relative threshold: the vocab must not grow with the
+    # corpus, or the Gram matrix does.
+    n_docs = docs.count()
+    min_df = max(3, n_docs // 200)
     vocab = (
         cells.groupBy("column")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 3)
+        .filter(F.col("df") >= min_df)
         .select("column")
     )
     cells = cells.join(F.broadcast(vocab), "column")

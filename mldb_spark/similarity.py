@@ -148,17 +148,30 @@ def embedding_cosine_near_duplicates(
         dim = len(vectors.select(vec_col).first()[0])
         planes = seeded_planes(dim)
     sig = random_hyperplane_signature(F.col(vec_col), planes)
-    base = vectors.select(F.col(id_col), F.col(vec_col), sig.alias("__sig")).persist()
+    base = vectors.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
     r = len(planes) // bands
-    cands = None
-    for bi in range(bands):
-        key = F.substring(F.col("__sig"), bi * r + 1, r)
-        a = base.select(key.alias("bk"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        b = base.select(key.alias("bk"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-        cand = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
-        cands = cand if cands is None else cands.unionByName(cand)
+    # EXPLODED banding: one row per (band, key) and a single
+    # equi-self-join on (band, bk) — a union of per-band joins would
+    # re-evaluate the signature (its dot products) once per arm and
+    # shuffle the vectors through every candidate join. Vectors rejoin
+    # only after the pair set is deduped.
+    band_vals = F.array(
+        *[F.substring(F.col("__sig"), bi * r + 1, r) for bi in range(bands)]
+    )
+    band_rows = base.select(F.col(id_col), F.posexplode(band_vals).alias("band", "bk"))
+    a = band_rows.select("band", "bk", F.col(id_col).alias("id_a"))
+    b = band_rows.select("band", "bk", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["band", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        cands.dropDuplicates(["id_a", "id_b"])
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
