@@ -191,3 +191,116 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(sample, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (reference parse_exif, sql/builtin_image_functions.cc:71-100)
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {
+    0x010E: "imageDescription",
+    0x010F: "cameraMake",
+    0x0110: "cameraModel",
+    0x0112: "imageOrientation",
+    0x0131: "software",
+    0x0132: "imageDateTime",
+    0x8827: "isoSpeed",
+    0x9003: "originalDateTime",
+    0x9004: "digitizedDateTime",
+    0x829A: "exposureTime",
+    0x829D: "fStop",
+    0x920A: "lensFocalLength",
+    0xA002: "imageWidth",
+    0xA003: "imageHeight",
+}
+
+EXIF_SCHEMA = (
+    "media_id long, cameraMake string, cameraModel string, software string, "
+    "imageDescription string, imageOrientation int, imageDateTime string, "
+    "originalDateTime string, digitizedDateTime string, imageWidth int, "
+    "imageHeight int, isoSpeed int, fStop double, exposureTime double, "
+    "lensFocalLength double, error string"
+)
+
+_EXIF_FIELDS = [f.split()[0] for f in EXIF_SCHEMA.split(", ")][1:-1]
+
+
+def _parse_exif_bytes(data: bytes) -> dict:
+    """Pure-bytes EXIF reader (no codec libraries): walks JPEG APP1 →
+    TIFF header → IFD0 → Exif sub-IFD, decoding the reference's core
+    output fields (sql/builtin_image_functions.cc:71-100). Raises on
+    anything that is not a JPEG-with-EXIF or raw TIFF."""
+    import struct as _s
+
+    if data[:2] == b"\xff\xd8":  # JPEG: find APP1 Exif segment
+        off = 2
+        tiff = None
+        while off + 4 <= len(data) and data[off] == 0xFF:
+            marker, seglen = data[off + 1], _s.unpack(">H", data[off + 2:off + 4])[0]
+            if marker == 0xE1 and data[off + 4:off + 10] == b"Exif\x00\x00":
+                tiff = data[off + 10:off + 2 + seglen]
+                break
+            off += 2 + seglen
+        if tiff is None:
+            raise ValueError("no EXIF APP1 segment")
+    elif data[:2] in (b"II", b"MM"):
+        tiff = data
+    else:
+        raise ValueError("not a JPEG or TIFF payload")
+
+    endian = "<" if tiff[:2] == b"II" else ">"
+    if _s.unpack(endian + "H", tiff[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic")
+
+    def read_ifd(ifd_off: int, out: dict) -> None:
+        n = _s.unpack(endian + "H", tiff[ifd_off:ifd_off + 2])[0]
+        for i in range(n):
+            e = ifd_off + 2 + 12 * i
+            tag, typ, cnt = _s.unpack(endian + "HHI", tiff[e:e + 8])
+            size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}.get(typ, 1) * cnt
+            val_off = e + 8 if size <= 4 else _s.unpack(endian + "I", tiff[e + 8:e + 12])[0]
+            raw = tiff[val_off:val_off + size]
+            if tag == 0x8769:  # Exif sub-IFD pointer
+                read_ifd(_s.unpack(endian + "I", tiff[e + 8:e + 12])[0], out)
+                continue
+            name = _EXIF_TAGS.get(tag)
+            if name is None:
+                continue
+            if typ == 2:  # ASCII
+                out[name] = raw.split(b"\x00")[0].decode("ascii", errors="replace")
+            elif typ == 3:  # SHORT
+                out[name] = _s.unpack(endian + "H", raw[:2])[0]
+            elif typ == 4:  # LONG
+                out[name] = _s.unpack(endian + "I", raw[:4])[0]
+            elif typ in (5, 10):  # RATIONAL
+                num, den = _s.unpack(endian + ("ii" if typ == 10 else "II"), raw[:8])
+                out[name] = float(num) / den if den else None
+
+    out: dict = {}
+    read_ifd(_s.unpack(endian + "I", tiff[4:8])[0], out)
+    return out
+
+
+def parse_exif(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """parse_exif over a binary media column: one row per input with
+    the reference's core EXIF fields, error-as-column (never fails
+    the job). mapInPandas with column-wise batch iteration — same
+    batch mechanics as decode_images."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"].to_list(), pdf[content_col].to_list()):
+                rec = {k: None for k in _EXIF_FIELDS}
+                err = None
+                try:
+                    if content is None:
+                        raise ValueError("empty content")
+                    rec.update({k: v for k, v in _parse_exif_bytes(bytes(content)).items()
+                                if k in rec})
+                except Exception as e:
+                    err = str(e)
+                out.append((mid, *[rec[k] for k in _EXIF_FIELDS], err))
+            yield pd.DataFrame(out, columns=["media_id", *_EXIF_FIELDS, "error"])
+
+    return df.select("media_id", content_col).mapInPandas(run, EXIF_SCHEMA)

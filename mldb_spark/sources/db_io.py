@@ -1,0 +1,95 @@
+"""External database bridges (SURVEY §2.1 importers).
+
+Reference parity: the postgresql.* plugin family (dataset / query /
+import) and mongodb.* bridges. Spark-first, these ARE the JDBC and
+connector data sources — the value this layer adds is the reference's
+config surface mapped onto the options Spark needs, with the
+partitioned-read parameters (partitionColumn/numPartitions/bounds)
+made first-class because an unpartitioned JDBC read is a single-task
+scan — the 100 TB anti-pattern.
+
+The drivers (postgres JDBC jar, mongo-spark connector) are not in
+this container; option assembly is pure and unit-tested, `.load()`
+requires the jar at runtime exactly like any Spark deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def jdbc_options(
+    host: str,
+    database: str,
+    table_or_query: str,
+    user: str,
+    password: str,
+    port: int = 5432,
+    is_query: bool = False,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    fetch_size: int = 10000,
+) -> dict[str, str]:
+    """The reference's postgresql.dataset/query config → Spark JDBC
+    options. Partitioned reads need (partition_column, bounds): Spark
+    then issues num_partitions range-sliced queries instead of one
+    full-table scan through a single task."""
+    opts = {
+        "url": f"jdbc:postgresql://{host}:{port}/{database}",
+        "user": user,
+        "password": password,
+        "driver": "org.postgresql.Driver",
+        "fetchsize": str(fetch_size),
+    }
+    if is_query:
+        opts["query"] = table_or_query
+    else:
+        opts["dbtable"] = table_or_query
+    if partition_column is not None:
+        if is_query:
+            raise ValueError("partitioned reads need dbtable, not query")
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column needs lower_bound and upper_bound")
+        opts.update(
+            partitionColumn=partition_column,
+            numPartitions=str(num_partitions),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+        )
+    return opts
+
+
+def postgresql_dataset(spark: SparkSession, **kwargs) -> DataFrame:
+    """postgresql.dataset: table as a DataFrame. Pass partition_column
+    + bounds for a parallel read (see jdbc_options)."""
+    return spark.read.format("jdbc").options(**jdbc_options(**kwargs)).load()
+
+
+def postgresql_query(spark: SparkSession, query: str, **kwargs) -> DataFrame:
+    """postgresql.query: server-side query pushdown (the whole query
+    runs in postgres; Spark reads the result)."""
+    return (
+        spark.read.format("jdbc")
+        .options(**jdbc_options(table_or_query=query, is_query=True, **kwargs))
+        .load()
+    )
+
+
+def mongodb_dataset(
+    spark: SparkSession,
+    connection_uri: str,
+    database: str,
+    collection: str,
+) -> DataFrame:
+    """mongodb.dataset via the mongo-spark connector (package
+    org.mongodb.spark:mongo-spark-connector — not bundled here; add it
+    with spark.jars.packages in a deployment)."""
+    return (
+        spark.read.format("mongodb")
+        .option("connection.uri", connection_uri)
+        .option("database", database)
+        .option("collection", collection)
+        .load()
+    )

@@ -81,3 +81,61 @@ def test_sample_frames(spark):
         for r in good.filter(F.col("media_id") == 1).collect()
     )
     assert len({h for _, h in one}) == 3
+
+
+def _synthetic_exif_jpeg() -> bytes:
+    """Minimal JPEG wrapping a little-endian TIFF/EXIF block: IFD0
+    with Make/Model/Orientation/DateTime + an Exif sub-IFD with
+    FNumber (rational) and ISO."""
+    import struct
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack("<HHI4s", tag, typ, cnt, val)
+
+    # strings stored past the IFDs
+    make, model, dt = b"ACME\x00", b"Cam9000\x00", b"2024:01:02 03:04:05\x00"
+    # layout: header(8) + ifd0(2+5*12+4) + exif_ifd(2+2*12+4) + data
+    ifd0_off = 8
+    ifd0_size = 2 + 5 * 12 + 4
+    exif_off = ifd0_off + ifd0_size
+    exif_size = 2 + 2 * 12 + 4
+    data_off = exif_off + exif_size
+    make_off, model_off = data_off, data_off + len(make)
+    dt_off = model_off + len(model)
+    fnum_off = dt_off + len(dt)
+
+    tiff = struct.pack("<2sHI", b"II", 42, ifd0_off)
+    tiff += struct.pack("<H", 5)
+    tiff += entry(0x010F, 2, len(make), struct.pack("<I", make_off))
+    tiff += entry(0x0110, 2, len(model), struct.pack("<I", model_off))
+    tiff += entry(0x0112, 3, 1, struct.pack("<HH", 6, 0))
+    tiff += entry(0x0132, 2, len(dt), struct.pack("<I", dt_off))
+    tiff += entry(0x8769, 4, 1, struct.pack("<I", exif_off))
+    tiff += struct.pack("<I", 0)  # next IFD
+    tiff += struct.pack("<H", 2)
+    tiff += entry(0x829D, 5, 1, struct.pack("<I", fnum_off))
+    tiff += entry(0x8827, 3, 1, struct.pack("<HH", 400, 0))
+    tiff += struct.pack("<I", 0)
+    tiff += make + model + dt + struct.pack("<II", 28, 10)  # f/2.8
+
+    app1 = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
+    return b"\xff\xd8" + seg + b"\xff\xd9"
+
+
+def test_parse_exif(spark):
+    from mldb_spark.multimodal import parse_exif
+
+    good = _synthetic_exif_jpeg()
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"\x00\x01not an image"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in parse_exif(df).collect()}
+    r1 = rows[1]
+    assert r1["cameraMake"] == "ACME" and r1["cameraModel"] == "Cam9000"
+    assert r1["imageOrientation"] == 6
+    assert r1["imageDateTime"] == "2024:01:02 03:04:05"
+    assert abs(r1["fStop"] - 2.8) < 1e-9 and r1["isoSpeed"] == 400
+    assert r1["error"] is None
+    assert rows[2]["error"] is not None and rows[2]["cameraMake"] is None
