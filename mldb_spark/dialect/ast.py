@@ -156,6 +156,7 @@ class ColumnExprItem(SelectItem):
     offset: int = 0
     limit: int | None = None
     structured: bool = False
+    select_expr: Expr | None = None  # (SELECT f(value())) transform
 
 
 @dataclass

@@ -372,6 +372,10 @@ class Parser:
             self.next()
             item.structured = True
         self.expect_op("(")
+        # COLUMN EXPR (SELECT <expr> ...) — per-column value transform
+        # (value() is the column's value, SelectExpression.md:126-128)
+        if self.accept_kw("select"):
+            item.select_expr = self.parse_expr()
         if self.accept_kw("as"):
             item.as_expr = self.parse_expr()
         if self.accept_kw("where"):

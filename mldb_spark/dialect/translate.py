@@ -502,6 +502,24 @@ class _ColumnMetaBinder(Binder):
         return super()._call(e)
 
 
+class _ColumnValueBinder(Binder):
+    """Binder for the per-column transform inside COLUMN EXPR
+    (SELECT f(value())): value() is the current column, columnName()
+    its name as a literal."""
+
+    def __init__(self, self_columns: str, params: dict | None = None):
+        super().__init__([self_columns], params)
+        self._colname = self_columns
+
+    def _call(self, e: ast.FunctionCall) -> Column:
+        if e.name == "value":
+            name = self._colname
+            return F.col(f"`{name}`") if "." in name else F.col(name)
+        if e.name in ("columnname", "columnpath"):
+            return F.lit(self._colname)
+        return super()._call(e)
+
+
 def _contains_aggregate(e: ast.Expr) -> bool:
     if isinstance(e, ast.FunctionCall):
         if e.name in AGGREGATE_FNS:
@@ -793,7 +811,15 @@ class MldbContext:
         rows = rows[item.offset : end]
         if not rows:
             raise ValueError("COLUMN EXPR selected no columns")
-        return [F.col(r["columnName"]).alias(r["__out"]) for r in rows]
+        if item.select_expr is None:
+            return [F.col(r["columnName"]).alias(r["__out"]) for r in rows]
+        # (SELECT f(value())): apply the transform per picked column —
+        # value() binds to the column itself, columnName() to its name
+        out = []
+        for r in rows:
+            vb = _ColumnValueBinder(self_columns=r["columnName"], params=params)
+            out.append(vb.bind(item.select_expr).alias(r["__out"]))
+        return out
 
     def _plain_select(self, df, stm, binder, row_name_col, extra_cols=()) -> DataFrame:
         cols: list[Column] = []

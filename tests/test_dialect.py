@@ -416,3 +416,23 @@ def test_row_path_pseudocolumns(ctx, spark):
     assert rows[0]["n"] == 3 and rows[0]["head"] == "a" and rows[0]["tail"] == "c"
     assert rows[1]["n"] == 2 and rows[1]["tail"] == "y"
     assert rows[0]["nc"] == 2
+
+
+def test_column_expr_value_transform(ctx):
+    # (SELECT f(value())) applies the transform to every picked column
+    rows = ctx.query(
+        "SELECT COLUMN EXPR (SELECT value() * 2 WHERE columnName() IN "
+        "('c_acctbal', 'c_custkey') ORDER BY columnName()) "
+        "FROM customer ORDER BY c_custkey LIMIT 1"
+    ).collect()
+    base = ctx.query(
+        "SELECT c_acctbal, c_custkey FROM customer ORDER BY c_custkey LIMIT 1"
+    ).collect()[0]
+    assert rows[0]["c_acctbal"] == base["c_acctbal"] * 2
+    assert rows[0]["c_custkey"] == base["c_custkey"] * 2
+    # transform + rename together
+    named = ctx.query(
+        "SELECT COLUMN EXPR (SELECT value() + 1 AS columnName() + '_inc' "
+        "WHERE columnName() = 'c_custkey') FROM customer LIMIT 1"
+    )
+    assert named.columns == ["c_custkey_inc"]
