@@ -160,6 +160,22 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
     raise ValueError(f"unknown function {name!r}")
 
 
+def _is_const_expr(e: ast.Expr) -> bool:
+    """Static constness: literal trees (and operators over them) are
+    const; anything touching a column, parameter or function is not."""
+    if isinstance(e, ast.Literal):
+        return True
+    if isinstance(e, ast.Unary):
+        return _is_const_expr(e.operand)
+    if isinstance(e, ast.Binary):
+        return _is_const_expr(e.left) and _is_const_expr(e.right)
+    if isinstance(e, ast.EmbeddingLiteral):
+        return all(_is_const_expr(x) for x in e.items)
+    if isinstance(e, ast.RowLiteral):
+        return all(_is_const_expr(x) for _, x in e.fields)
+    return False
+
+
 def _literal_int(e: ast.Expr) -> int | None:
     """Literal integer, including the parsed Unary('-') negative form."""
     if isinstance(e, ast.Literal) and isinstance(e.value, (int, float)):
@@ -413,6 +429,14 @@ class Binder:
             return F.col(self.ts_col)
         if name == "now":
             return F.current_timestamp()
+        if name == "static_type":
+            # reference static_type (introspection): the bound
+            # expression's runtime type name (Spark typeof)
+            return F.typeof(self.bind(e.args[0]))
+        if name == "__isconst":
+            # bind-time constant detection over the AST — pure literals
+            # and operator trees of literals are const
+            return F.lit(1 if _is_const_expr(e.args[0]) else 0).cast("int")
         if name in AGGREGATE_FNS:
             return self._aggregate(e)
         args = [self.bind(a) for a in e.args]

@@ -1565,6 +1565,22 @@ def q75_tsne(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q76_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF coarse-quantization ANN (the scale path between brute-force
+    q30 and hyperplane-LSH q36): k-means cells + n_probe cell probes +
+    exact rescoring. Rows-only: kmeans|| init is engine-internal; the
+    subset/ordering invariants are pinned in tests."""
+    from mldb_spark.similarity import ivf_topk
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, n_cells=8, n_probe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

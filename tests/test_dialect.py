@@ -436,3 +436,13 @@ def test_column_expr_value_transform(ctx):
         "WHERE columnName() = 'c_custkey') FROM customer LIMIT 1"
     )
     assert named.columns == ["c_custkey_inc"]
+
+
+def test_introspection_fns(ctx):
+    row = ctx.query(
+        "SELECT static_type(c_acctbal) AS t1, static_type('x') AS t2, "
+        "__isconst(1 + 2 * 3) AS k1, __isconst(c_acctbal) AS k2, "
+        "__isconst([1, 2]) AS k3 FROM customer LIMIT 1"
+    ).collect()[0]
+    assert row["t1"] == "double" and row["t2"] == "string"
+    assert row["k1"] == 1 and row["k2"] == 0 and row["k3"] == 1

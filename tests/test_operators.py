@@ -239,3 +239,22 @@ def test_utilities(spark, tmp_path):
         ("never", null_procedure),
     ])
     assert [s["ok"] for s in log] == [True, False]
+
+
+def test_ivf_topk_invariants(spark, sf_dir):
+    from mldb_spark.catalog import load
+    from mldb_spark.similarity import brute_force_topk, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_cells=4, n_probe=2).collect()
+    assert 1 <= len(approx) <= 5
+    assert [r["rank"] for r in approx] == list(range(1, len(approx) + 1))
+    # approximate best can never beat the exact best
+    assert approx[0]["cos_sim"] <= exact[0]["cos_sim"] + 1e-9
+    # full probe degenerates to the exact result set
+    full = ivf_topk(emb, queries, k=5, n_cells=4, n_probe=4).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]

@@ -27,6 +27,7 @@ ROWS_ONLY = {
     "q68_probabilizer",
     "q74_classifier_experiment",
     "q75_tsne",
+    "q76_ivf_ann",
 }
 
 
