@@ -92,3 +92,83 @@ def windowed_rollup(
             "total_value",
         )
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+_SESSION_STATE_SCHEMA = "start double, last double, n long, total double"
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key session windows with an idle-gap close rule — the
+    reference's sessionization transform lifted onto a stream.
+
+    A session closes when (a) a gap > gap_seconds appears between
+    consecutive events inside a batch, or (b) the processing-time
+    timeout fires with no new events for the key. One emitted row per
+    CLOSED session; the open tail session rides in the group state
+    (bounded: 4 scalars per key)."""
+    import pandas as pd  # local import: workers ship this closure
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = float(gap_seconds)
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, pd.Timestamp(start, unit="s"), pd.Timestamp(last, unit="s"), n, total)],
+                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+            )
+            return
+        ts_vals, vals = [], []
+        for pdf in pdfs:
+            ts_vals.extend(pdf[ts_col].astype("int64").to_list())
+            vals.extend(pdf[value_col].to_list())
+        order = sorted(range(len(ts_vals)), key=lambda i: ts_vals[i])
+        events = [(ts_vals[i] / 1e9, float(vals[i])) for i in order]
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+        closed = []
+        for t, v in events:
+            if start is None:
+                start, last, n, total = t, t, 0, 0.0
+            elif t - last > gap:
+                closed.append((start, last, n, total))
+                start, last, n, total = t, t, 0, 0.0
+            n, total, last = n + 1, total + v, max(last, t)
+        state.update((start, last, n, total))
+        state.setTimeoutDuration(int(gap * 1000))
+        if closed:
+            yield pd.DataFrame(
+                [
+                    (user_id, pd.Timestamp(s, unit="s"), pd.Timestamp(e, unit="s"), n_, tot)
+                    for s, e, n_, tot in closed
+                ],
+                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+            )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUTPUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
