@@ -26,13 +26,17 @@ def test_time_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "__part" in plan.split("PartitionFilters")[1].split("]")[0]
 
 
-def test_tsne_stub_contract(spark, sf_dir):
-    import pytest
-
+def test_tsne_real_contract(spark, sf_dir):
+    # tsne_train is a real solver now (was a stub): bounded sample in,
+    # (id, x, y) coordinates out
     from mldb_spark.ml.procedures import tsne_train
 
-    with pytest.raises(NotImplementedError, match="scikit-learn"):
-        tsne_train(load(spark, sf_dir, "embeddings"), "embedding")
+    coords = tsne_train(
+        load(spark, sf_dir, "embeddings"), "embedding", max_rows=30, perplexity=5.0
+    )
+    rows = coords.collect()
+    assert len(rows) == 30
+    assert set(rows[0].asDict()) == {"vec_id", "x", "y"}
 
 
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
