@@ -36,6 +36,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in sorted(qs.items()):
         best = None
+        # queries that persist intermediates (LSH signatures, MLlib
+        # internals) must not bleed executor memory into later
+        # queries' timings — each query starts from a cold cache
+        spark.catalog.clearCache()
         try:
             # best-of-2: the first run absorbs plan compilation and any
             # transient host contention; the min is the steady-state
