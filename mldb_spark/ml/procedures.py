@@ -509,6 +509,10 @@ def svd_train(
     from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
 
     spark = cells.sparkSession
+    # the cell table feeds THREE passes (column map, row map, matrix
+    # build) — persist it so the upstream pipeline (tokenize/joins in
+    # the callers) runs once
+    cells = cells.persist()
     col_rows = cells.select(column_col).distinct().orderBy(column_col).collect()
     col_idx = {r[column_col]: i for i, r in enumerate(col_rows)}
     n_cols = len(col_idx)
@@ -524,12 +528,23 @@ def svd_train(
         .toDF([row_col, "__ridx"])
     )
     indexed = cells.join(row_map, row_col).select("__ridx", column_col, value_col)
-    ccol, vcol = column_col, value_col
-    vec_rows = (
-        indexed.rdd.map(lambda r: (r["__ridx"], (bidx.value[r[ccol]], float(r[vcol]))))
-        .groupByKey()
-        .map(lambda kv: IndexedRow(kv[0], Vectors.sparse(n_cols, sorted(kv[1]))))
+    # group CELLS → per-row pair lists in DataFrame land (codegen'd
+    # hash aggregate); Python touches each row exactly once to build
+    # the mllib SparseVector — an RDD groupByKey here would serialize
+    # every cell through Python and shuffle pickled tuples
+    grouped = indexed.groupBy("__ridx").agg(
+        F.collect_list(F.struct(F.col(column_col).alias("c"), F.col(value_col).alias("v"))).alias("__pairs")
     )
+    vec_rows = grouped.rdd.map(
+        lambda r: IndexedRow(
+            r["__ridx"],
+            Vectors.sparse(n_cols, sorted((bidx.value[p["c"]], float(p["v"])) for p in r["__pairs"])),
+        )
+    )
+    # computeSVD(computeU=True) makes several passes over the matrix
+    # (Gram aggregate, then U = A·V·Σ⁻¹); without caching each pass
+    # re-runs the whole upstream pipeline through the Python workers
+    vec_rows = vec_rows.cache()
     svd = IndexedRowMatrix(vec_rows).computeSVD(k, computeU=True)
     sigma = [float(x) for x in svd.s]
 
