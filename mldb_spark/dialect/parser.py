@@ -145,6 +145,11 @@ class Parser:
                 key = self._index_key()
                 self.expect_op("]")
                 lhs = ast.Index(lhs, key)
+            elif t.kind == "op" and t.value == "@" and min_bp <= 6:
+                # x @ ts — timestamp re-stamping (binds at the
+                # multiplicative level per the reference's table)
+                self.next()
+                lhs = ast.Binary("@", lhs, self.parse_expr(7))
             else:
                 return lhs
 

@@ -31,6 +31,11 @@ from mldb_spark.dialect.parser import parse_statement
 AGGREGATE_FNS = {
     "count", "sum", "avg", "min", "max", "count_distinct", "variance",
     "stddev", "string_agg", "earliest", "latest", "vertical_avg",
+    # temporal_* over a flat observation table: each row is one timed
+    # observation, so the value-history aggregates ARE the group
+    # aggregates (the cells layout goes through operators.temporal)
+    "temporal_count", "temporal_sum", "temporal_avg", "temporal_min",
+    "temporal_max", "temporal_earliest", "temporal_latest",
 }
 
 _CAST_TYPES = {
@@ -158,6 +163,15 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         # the json path extraction functions instead
         return F.from_json(args[0], "map<string,string>")
     raise ValueError(f"unknown function {name!r}")
+
+
+def _restamp_ts(e: ast.Expr) -> ast.Expr | None:
+    """The stamp expression of `x @ ts` / at(x, ts), else None."""
+    if isinstance(e, ast.Binary) and e.op == "@":
+        return e.right
+    if isinstance(e, ast.FunctionCall) and e.name == "at" and len(e.args) == 2:
+        return e.args[1]
+    return None
 
 
 def _is_const_expr(e: ast.Expr) -> bool:
@@ -325,6 +339,9 @@ class Binder:
         return F.lit(None)
 
     def _binary(self, e: ast.Binary) -> Column:
+        if e.op == "@":
+            # re-stamping passes the value through (see at() in _call)
+            return self.bind(e.left)
         l, r = self.bind(e.left), self.bind(e.right)
         op = e.op
         if op == "and":
@@ -424,9 +441,22 @@ class Binder:
             n_cols = len([c for c in self.columns if not c.startswith("__")])
             return F.lit(n_cols).cast("long")
         if name == "value_timestamp" or name == "latest_timestamp" or name == "earliest_timestamp":
+            # value_timestamp(x @ t) / value_timestamp(at(x, t)) is the
+            # stamp itself; argument-less (or plain-column) forms read
+            # the row's timestamp column
+            if e.args:
+                stamp = _restamp_ts(e.args[0])
+                if stamp is not None:
+                    return self.bind(stamp).cast("timestamp")
             if not self.ts_col:
                 raise ValueError(f"{name}() needs a dataset with a timestamp column")
             return F.col(self.ts_col)
+        if name == "at":
+            # at(x, ts): the value of x re-stamped at ts. Timestamps
+            # are row metadata in this engine, so the VALUE passes
+            # through; the stamp is observable via value_timestamp(...)
+            # (bound above) and WHEN, which filter on the row ts.
+            return self.bind(e.args[0])
         if name == "now":
             return F.current_timestamp()
         if name == "static_type":
@@ -489,14 +519,18 @@ class Binder:
         if e.name == "string_agg":
             sep = e.args[1].value if len(e.args) > 1 else ","  # type: ignore[union-attr]
             return F.concat_ws(str(sep), F.array_sort(F.collect_list(self.bind(e.args[0]))))
-        if e.name == "earliest":
+        if e.name in ("earliest", "temporal_earliest"):
             if not self.ts_col:
                 raise ValueError("earliest() needs a timestamp column")
             return F.min_by(self.bind(e.args[0]), F.col(self.ts_col))
-        if e.name == "latest":
+        if e.name in ("latest", "temporal_latest"):
             if not self.ts_col:
                 raise ValueError("latest() needs a timestamp column")
             return F.max_by(self.bind(e.args[0]), F.col(self.ts_col))
+        if e.name.startswith("temporal_"):
+            base = e.name.removeprefix("temporal_")
+            fn = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[base]
+            return fn(self.bind(e.args[0]))
         raise ValueError(f"unknown aggregate {e.name}")
 
 

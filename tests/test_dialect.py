@@ -446,3 +446,26 @@ def test_introspection_fns(ctx):
     ).collect()[0]
     assert row["t1"] == "double" and row["t2"] == "string"
     assert row["k1"] == 1 and row["k2"] == 0 and row["k3"] == 1
+
+
+def test_restamp_and_temporal_aggregates(ctx):
+    # @ / at(): the value passes through; value_timestamp of a
+    # stamped expr is the stamp
+    row = ctx.query(
+        "SELECT o_totalprice @ '2020-06-01' AS v, "
+        "value_timestamp(o_totalprice @ '2020-06-01') AS t1, "
+        "value_timestamp(at(o_totalprice, '2021-02-03')) AS t2, "
+        "o_totalprice AS base FROM orders LIMIT 1"
+    ).collect()[0]
+    assert row["v"] == row["base"]
+    assert str(row["t1"]).startswith("2020-06-01")
+    assert str(row["t2"]).startswith("2021-02-03")
+
+    # temporal_* aggregates over the timed events table
+    rows = ctx.query(
+        "SELECT user_id, temporal_count(\"value\") AS n, "
+        "temporal_min(\"value\") AS lo, temporal_latest(\"value\") AS last_v "
+        "FROM events GROUP BY user_id ORDER BY user_id LIMIT 5"
+    ).collect()
+    assert len(rows) == 5 and all(r["n"] >= 1 for r in rows)
+    assert all(r["lo"] is not None and r["last_v"] is not None for r in rows)
