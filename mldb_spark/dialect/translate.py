@@ -633,7 +633,37 @@ def _substitute(e: ast.Expr, mapping: list[tuple[ast.Expr, str]]) -> ast.Expr:
         )
     if isinstance(e, ast.FunctionCall):
         return ast.FunctionCall(e.name, [_substitute(a, mapping) for a in e.args])
+    if isinstance(e, ast.Index):
+        return ast.Index(_substitute(e.operand, mapping), _substitute(e.key, mapping))
     return e
+
+
+def _walk(e: ast.Expr):
+    """Yield every node of an expression tree (pre-order)."""
+    yield e
+    children: list[ast.Expr] = []
+    if isinstance(e, ast.Unary):
+        children = [e.operand]
+    elif isinstance(e, ast.Binary):
+        children = [e.left, e.right]
+    elif isinstance(e, ast.Between):
+        children = [e.operand, e.low, e.high]
+    elif isinstance(e, ast.Case):
+        children = ([e.operand] if e.operand else []) + [
+            x for c, v in e.branches for x in (c, v)
+        ] + ([e.otherwise] if e.otherwise else [])
+    elif isinstance(e, ast.FunctionCall):
+        children = list(e.args)
+    elif isinstance(e, ast.Index):
+        children = [e.operand, e.key]
+    elif isinstance(e, ast.InList):
+        children = [e.operand, *e.items]
+    elif isinstance(e, ast.EmbeddingLiteral):
+        children = list(e.items)
+    elif isinstance(e, ast.RowLiteral):
+        children = [x for _, x in e.fields]
+    for c in children:
+        yield from _walk(c)
 
 
 def _expr_name(e: ast.Expr, idx: int) -> str:
@@ -654,6 +684,7 @@ class MldbContext:
         self.spark = spark
         self._datasets: dict[str, DataFrame] = {}
         self._meta: dict[str, dict[str, str | None]] = {}
+        self._functions: dict[str, object] = {}
 
     def register(
         self,
@@ -664,6 +695,63 @@ class MldbContext:
     ) -> None:
         self._datasets[name] = df
         self._meta[name] = {"rowName": row_name_col, "ts": ts_col}
+
+    def register_function(self, name: str, fn) -> None:
+        """Applied-function entity usable from SQL: `fn({…})[output]`
+        in a SELECT applies the registered DataFrame transform (a
+        trained model scorer, a stats-table lookup, …) to the rowset
+        once, then extracts the named output column — the reference's
+        `SELECT my_classifier({features: {*}})[score]` pattern. The
+        argument row literal is informational (the transform closure
+        already knows its input columns)."""
+        self._functions[name.lower()] = fn
+
+    def _apply_row_functions(self, df: DataFrame, stm: ast.SelectStatement):
+        """Rewrite `fn({…})[out]` select items over registered
+        functions: apply each distinct fn to the rowset once, then
+        substitute the call with a reference to its output column."""
+        if not self._functions:
+            return df, stm
+        mapping: list[tuple[ast.Expr, str]] = []
+        applied: set[str] = set()
+        accessed: set[int] = set()
+        for it in stm.select:
+            if not isinstance(it, ast.ExprItem):
+                continue
+            for node in _walk(it.expr):
+                if (
+                    isinstance(node, ast.Index)
+                    and isinstance(node.operand, ast.FunctionCall)
+                    and node.operand.name in self._functions
+                    and isinstance(node.key, ast.Literal)
+                ):
+                    fname = node.operand.name
+                    if fname not in applied:
+                        df = self._functions[fname](df)
+                        applied.add(fname)
+                    mapping.append((node, str(node.key.value)))
+                    accessed.add(id(node.operand))
+            for node in _walk(it.expr):
+                if (
+                    isinstance(node, ast.FunctionCall)
+                    and node.name in self._functions
+                    and id(node) not in accessed
+                ):
+                    raise ValueError(
+                        f"registered function {node.name!r} needs an output "
+                        f"accessor: {node.name}({{…}})[output_column]"
+                    )
+        if not mapping:
+            return df, stm
+        import dataclasses
+
+        new_select = [
+            dataclasses.replace(it, expr=_substitute(it.expr, mapping))
+            if isinstance(it, ast.ExprItem)
+            else it
+            for it in stm.select
+        ]
+        return df, dataclasses.replace(stm, select=new_select)
 
     def query(self, sql: str, params: dict[str, object] | None = None) -> DataFrame:
         return self._statement(parse_statement(sql), params or {})
@@ -741,6 +829,9 @@ class MldbContext:
 
     def _statement(self, stm: ast.SelectStatement, params) -> DataFrame:
         df, row_name_col, ts_col = self._resolve_from(stm, params)
+        # applied-function entities: fn({…})[out] rewrites to an
+        # output-column reference after applying the transform once
+        df, stm = self._apply_row_functions(df, stm)
         binder = Binder(df.columns, params, row_name_col, ts_col, dict(df.dtypes))
 
         # WHEN: temporal filter on the row timestamp (tabular layout)

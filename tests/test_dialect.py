@@ -469,3 +469,37 @@ def test_restamp_and_temporal_aggregates(ctx):
     ).collect()
     assert len(rows) == 5 and all(r["n"] >= 1 for r in rows)
     assert all(r["lo"] is not None and r["last_v"] is not None for r in rows)
+
+
+def test_registered_function_in_sql(ctx, spark):
+    # the reference's `SELECT my_fn({features: {*}})[output]` pattern:
+    # a trained scorer registered on the context, applied from SQL
+    import pytest
+
+    from mldb_spark.dialect import MldbContext
+    from mldb_spark.ml.procedures import classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    data = spark.createDataFrame(
+        [(float(i), float(i % 7), 1.0 if i > 50 else 0.0) for i in range(100)],
+        "x double, noise double, label double",
+    )
+    reg = FunctionRegistry()
+    classifier_train(data, ["x", "noise"], "label", "my_clf", reg)
+
+    c2 = MldbContext(spark)
+    c2.register("d", data)
+    c2.register_function("my_clf", lambda d: reg.apply("my_clf", d))
+    rows = c2.query(
+        "SELECT x, my_clf({x, noise})[score] AS s FROM d "
+        "WHERE label = 1 ORDER BY x LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+    assert all(0.0 <= r["s"] <= 1.0 for r in rows)
+    # scores must vary with x for a fitted separator
+    hi = c2.query("SELECT my_clf({x})[score] AS s FROM d ORDER BY x DESC LIMIT 1").collect()[0]["s"]
+    lo = c2.query("SELECT my_clf({x})[score] AS s FROM d ORDER BY x ASC LIMIT 1").collect()[0]["s"]
+    assert hi > lo
+
+    with pytest.raises(ValueError, match="output"):
+        c2.query("SELECT my_clf({x}) FROM d LIMIT 1")
