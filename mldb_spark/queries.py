@@ -1581,6 +1581,33 @@ def q76_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q77_sql_applied_function(spark: SparkSession, sf: str) -> DataFrame:
+    """Applied-function entity called from dialect SQL — the
+    reference's `SELECT my_fn({features})[output]` pattern
+    (sql_expression_operations.h:488-531): train a scorer, register
+    it on the context, score + aggregate entirely in SQL. Rows-only:
+    the LBFGS fit is engine-internal."""
+    from mldb_spark.dialect import MldbContext
+    from mldb_spark.ml.procedures import classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    feats = _order_features(spark, sf)
+    reg = FunctionRegistry()
+    classifier_train(
+        feats.filter(F.col("o_orderkey") % 5 != 0),
+        ["f_priority", "f_month", "f_cust"], "label", "q77_clf", reg,
+    )
+    ctx = MldbContext(spark)
+    ctx.register("orders_feat", feats.filter(F.col("o_orderkey") % 5 == 0))
+    ctx.register_function("q77_clf", lambda d: reg.apply("q77_clf", d))
+    return ctx.query(
+        "SELECT label, count(*) AS n, "
+        "round(min(q77_clf({f_priority, f_month, f_cust})[score]), 4) AS min_score, "
+        "round(max(q77_clf({f_priority, f_month, f_cust})[score]), 4) AS max_score "
+        "FROM orders_feat GROUP BY label ORDER BY label"
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

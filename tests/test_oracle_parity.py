@@ -28,6 +28,7 @@ ROWS_ONLY = {
     "q74_classifier_experiment",
     "q75_tsne",
     "q76_ivf_ann",
+    "q77_sql_applied_function",
 }
 
 
