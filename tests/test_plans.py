@@ -82,6 +82,23 @@ def test_bucketize_gate_no_global_window(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_minhash_banding_single_candidate_join(spark, sf_dir):
+    # exploded banding: candidate generation must be ONE equi-join on
+    # (band, key) plus two signature rejoins — a union of per-band
+    # arms shows up as extra joins re-evaluating the signature subtree
+    from mldb_spark.queries import q33_minhash_pairs
+
+    plan = _plan(q33_minhash_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert n_joins <= 3, f"minhash banding regressed to {n_joins} joins"
+
+
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     # AQE only materializes codegen spans in the FINAL plan — run the
     # query, then inspect the executed plan
