@@ -590,10 +590,15 @@ FROM part
 """
 
 ORACLES["q44_levenshtein"] = """
+WITH s AS (
+  SELECT p_partkey, p_name,
+         string_split(p_name, ' ')[1] || '|' ||
+         CAST(CAST(floor(length(p_name) / 4) AS BIGINT) AS VARCHAR) AS blk
+  FROM part WHERE p_partkey % 50 = 1
+)
 SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-WHERE a.p_partkey % 50 = 1 AND b.p_partkey % 50 = 1
+FROM s a JOIN s b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
 ORDER BY id_a, id_b
 """
 

