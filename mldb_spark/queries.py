@@ -1623,6 +1623,59 @@ def q77_sql_applied_function(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q78_classifier_explain(spark: SparkSession, sf: str) -> DataFrame:
+    """classifier.explain (plugins/jml/classifier.cc:1502): per-label
+    mean feature contributions (coef·x decomposition of the margin)
+    over a held-out split. Rows-only: coefficients depend on the
+    engine-internal fit."""
+    from mldb_spark.ml.procedures import classifier_explain, classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    reg = FunctionRegistry()
+    feats = _order_features(spark, sf)
+    cols = ["f_priority", "f_month", "f_cust"]
+    model = classifier_train(
+        feats.filter(F.col("o_orderkey") % 5 != 0), cols, "label", "q78_clf", reg
+    )
+    classifier_explain(model, cols, "q78_explain", reg)
+    explained = reg.apply("q78_explain", feats.filter(F.col("o_orderkey") % 5 == 0))
+    return (
+        explained.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[F.round(F.avg(f"explain_{c}"), 4).alias(f"avg_{c}") for c in cols],
+            F.round(F.avg("bias"), 4).alias("avg_bias"),
+        )
+        .orderBy("label")
+    )
+
+
+def q79_word2vec_pooling(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's word2vec → pooling NLP pipeline
+    (plugins/nlp/word2vec.cc + builtin/pooling_function.cc): train
+    embeddings on the corpus, avg-pool each document's word vectors,
+    summarize pooled-embedding norms per language. Rows-only: Word2Vec
+    negative sampling is engine-internal."""
+    from mldb_spark.functions.feature_gen import pooling
+    from mldb_spark.functions.vector import l2_norm
+    from mldb_spark.ml.procedures import word2vec_train
+
+    docs = load(spark, sf, "documents")
+    _model, vectors = word2vec_train(docs, vector_size=16, min_count=5, seed=7)
+    vectors = vectors.withColumnRenamed("vector", "vector")
+    bags = docs.select(F.col("doc_id"), F.explode(tokenize(F.col("text"))).alias("token"))
+    pooled = pooling(bags, vectors, aggregators=("avg",), id_col="doc_id")
+    joined = docs.select("doc_id", "lang").join(pooled, "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

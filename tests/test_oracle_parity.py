@@ -29,6 +29,8 @@ ROWS_ONLY = {
     "q75_tsne",
     "q76_ivf_ann",
     "q77_sql_applied_function",
+    "q78_classifier_explain",
+    "q79_word2vec_pooling",
 }
 
 
