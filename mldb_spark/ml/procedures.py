@@ -70,6 +70,7 @@ def classifier_train(
     label_col: str,
     name: str = "classifier",
     registry: FunctionRegistry = GLOBAL_REGISTRY,
+    max_iter: int = 50,
 ):
     """Binary classifier (logistic regression — the reference's 'glz'
     default, ClassifierConf.md). Returns the model; registers `name`
@@ -80,7 +81,7 @@ def classifier_train(
 
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
     train = assembler.transform(df).withColumn("label", F.col(label_col).cast("double"))
-    model = LogisticRegression(maxIter=50, regParam=0.01).fit(train)
+    model = LogisticRegression(maxIter=max_iter, regParam=0.01).fit(train)
 
     def score(d: DataFrame) -> DataFrame:
         scored = model.transform(assembler.transform(d))
@@ -367,6 +368,7 @@ def tsne_train(
     perplexity: float = 15.0,
     max_rows: int = 5000,
     seed: int = 42,
+    n_iter: int = 500,
 ):
     """tsne.train (plugins/jml/tsne_interface.cc:452): 2-D/3-D
     embedding for visualization. Like the reference, t-SNE is a
@@ -380,7 +382,7 @@ def tsne_train(
     )
     ids = [r[id_col] for r in rows]
     X = np.array([r[array_col] for r in rows], dtype=np.float64)
-    Y = _tsne_exact(X, n_components, perplexity, seed=seed)
+    Y = _tsne_exact(X, n_components, perplexity, n_iter=n_iter, seed=seed)
     coords = [(i, *[float(v) for v in y]) for i, y in zip(ids, Y)]
     names = ["x", "y", "z"][:n_components]
     schema = f"{id_col} long, " + ", ".join(f"{n} double" for n in names)
@@ -421,6 +423,7 @@ def classifier_experiment(
     hash_col: str | None = None,
     name: str = "experiment",
     registry: FunctionRegistry = GLOBAL_REGISTRY,
+    max_iter: int = 50,
 ) -> DataFrame:
     """classifier.experiment (plugins/jml/experiment_procedure.cc:618):
     k-fold train/test harness. Fold assignment is a deterministic
@@ -436,7 +439,7 @@ def classifier_experiment(
         train = tagged.filter(F.col("__fold") != k)
         test = tagged.filter(F.col("__fold") == k)
         reg = FunctionRegistry()
-        classifier_train(train, feature_cols, label_col, f"{name}_f{k}", reg)
+        classifier_train(train, feature_cols, label_col, f"{name}_f{k}", reg, max_iter=max_iter)
         scored = reg.apply(f"{name}_f{k}", test)
         m = classifier_test(scored, label_col, "score").collect()[0]
         results.append(

@@ -1562,7 +1562,8 @@ def q74_classifier_experiment(spark: SparkSession, sf: str) -> DataFrame:
 
     feats = _order_features(spark, sf)
     return classifier_experiment(
-        feats, ["f_priority", "f_month", "f_cust"], "label", folds=3, hash_col="o_orderkey"
+        feats, ["f_priority", "f_month", "f_cust"], "label",
+        folds=3, hash_col="o_orderkey", max_iter=20,
     )
 
 
@@ -1574,7 +1575,7 @@ def q75_tsne(spark: SparkSession, sf: str) -> DataFrame:
     from mldb_spark.ml.procedures import tsne_train
 
     emb = load(spark, sf, "embeddings")
-    coords = tsne_train(emb, "embedding", max_rows=300, perplexity=12.0)
+    coords = tsne_train(emb, "embedding", max_rows=300, perplexity=12.0, n_iter=300)
     return coords.select(
         "vec_id", F.round("x", 4).alias("x"), F.round("y", 4).alias("y")
     ).orderBy("vec_id")
