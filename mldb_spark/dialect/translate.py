@@ -158,6 +158,12 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         if raw_args and isinstance(raw_args[0], (ast.RowLiteral, ast.EmbeddingLiteral)):
             return F.to_json(args[0])
         return F.to_json(F.struct(args[0].alias("v"))).substr(F.lit(6), F.length(F.to_json(F.struct(args[0].alias("v")))) - 6)
+    if name == "porter_stem":
+        # real Porter 1980 via Arrow-batched UDF (the reference's
+        # stemmer applied function with {algorithm: 'porter'})
+        from mldb_spark.functions.text import porter_stem_udf
+
+        return porter_stem_udf()(args[0])
     if name == "parse_json":
         # flat-object form → MAP<string,string>; nested JSON should use
         # the json path extraction functions instead

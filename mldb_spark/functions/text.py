@@ -218,6 +218,170 @@ def stem_tokens(tokens: Column) -> Column:
     return F.transform(tokens, lambda t: stem(t))
 
 
+def _p_cons(w: str, i: int) -> bool:
+    ch = w[i]
+    if ch in "aeiou":
+        return False
+    if ch == "y":
+        return i == 0 or not _p_cons(w, i - 1)
+    return True
+
+
+def _p_measure(stem: str) -> int:
+    """m in [C](VC)^m[V] — the Porter 'measure' of a stem."""
+    m, i, n = 0, 0, len(stem)
+    while i < n and _p_cons(stem, i):
+        i += 1
+    while i < n:
+        while i < n and not _p_cons(stem, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _p_cons(stem, i):
+            i += 1
+    return m
+
+
+def _p_has_vowel(stem: str) -> bool:
+    return any(not _p_cons(stem, i) for i in range(len(stem)))
+
+
+def _p_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _p_cons(w, len(w) - 1)
+
+
+def _p_cvc(w: str) -> bool:
+    return (
+        len(w) >= 3
+        and _p_cons(w, len(w) - 3)
+        and not _p_cons(w, len(w) - 2)
+        and _p_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+_P_STEP2 = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+)
+_P_STEP3 = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+_P_STEP4 = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+)
+
+
+def porter_stem(word: str) -> str:
+    """The classic Porter stemming algorithm (Porter 1980, 'An
+    algorithm for suffix stripping') — real parity with the
+    reference's `stemmer` applied function (plugins/nlp/nlp.cc:213,
+    which wraps Snowball's english/porter stemmers). Pure Python;
+    used through the Arrow-batched UDFs below. Words shorter than 3
+    characters pass through unchanged, as in Porter's definition."""
+    w = word
+    if len(w) < 3:
+        return w
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _p_measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _p_has_vowel(w[:-2]):
+            w, flag = w[:-2], True
+        elif w.endswith("ing") and _p_has_vowel(w[:-3]):
+            w, flag = w[:-3], True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _p_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _p_measure(w) == 1 and _p_cvc(w):
+                w += "e"
+
+    # step 1c
+    if w.endswith("y") and _p_has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in _P_STEP2:
+        if w.endswith(suf):
+            if _p_measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in _P_STEP3:
+        if w.endswith(suf):
+            if _p_measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4
+    for suf in _P_STEP4:
+        if w.endswith(suf):
+            stem_part = w[: -len(suf)]
+            if _p_measure(stem_part) > 1 and (
+                suf != "ion" or (stem_part and stem_part[-1] in "st")
+            ):
+                w = stem_part
+            break
+
+    # step 5a
+    if w.endswith("e"):
+        m = _p_measure(w[:-1])
+        if m > 1 or (m == 1 and not _p_cvc(w[:-1])):
+            w = w[:-1]
+
+    # step 5b
+    if _p_measure(w) > 1 and _p_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def porter_stem_udf():
+    """Arrow-batched scalar UDF: string column → Porter stem. The UDF
+    boundary is unavoidable (Porter needs measure-counting loops SQL
+    can't express); batching keeps it off the per-row slow path."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def _stem(s):
+        return s.map(lambda x: porter_stem(x) if x is not None else None)
+
+    return pandas_udf(_stem, StringType())
+
+
+def porter_stem_tokens_udf():
+    """Arrow-batched UDF: array<string> column → array of Porter
+    stems (the reference's `stemmerdoc`, plugins/nlp/nlp.cc:284)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    def _stem_doc(s):
+        return s.map(
+            lambda toks: None if toks is None else [porter_stem(t) for t in toks]
+        )
+
+    return pandas_udf(_stem_doc, ArrayType(StringType()))
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse
     whitespace/punct runs to single spaces, trim."""

@@ -1677,6 +1677,29 @@ def q79_word2vec_pooling(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q80_porter_stems(spark: SparkSession, sf: str) -> DataFrame:
+    """Real Porter stemming parity (plugins/nlp/nlp.cc:213 `stemmer`
+    with {algorithm: 'porter'}): top-20 Porter stems by document
+    frequency. Rows-only: the measure-counting loops of Porter 1980
+    are not SQL-replayable in DuckDB, so the gate checks shape while
+    pytest pins the algorithm against the paper's vectors. The stem
+    runs inside ONE Arrow-batched UDF pass before the groupBy, so the
+    shuffle key is the already-stemmed token — at 100 TB the UDF cost
+    is one linear scan, and the aggregation is partial map-side."""
+    from mldb_spark.functions.text import porter_stem_udf
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+    stem_fn = porter_stem_udf()
+    return (
+        toks.select(stem_fn(F.col("tok")).alias("stem"))
+        .groupBy("stem")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "stem")
+        .limit(20)
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -448,6 +448,15 @@ def test_introspection_fns(ctx):
     assert row["k1"] == 1 and row["k2"] == 0 and row["k3"] == 1
 
 
+def test_porter_stem_in_sql(ctx):
+    rows = ctx.query(
+        "SELECT porter_stem('relational') AS a, porter_stem('controlling') AS b, "
+        "porter_stem(lower(c_mktsegment)) AS seg FROM customer LIMIT 1"
+    ).collect()[0]
+    assert rows["a"] == "relat" and rows["b"] == "control"
+    assert isinstance(rows["seg"], str)
+
+
 def test_restamp_and_temporal_aggregates(ctx):
     # @ / at(): the value passes through; value_timestamp of a
     # stamped expr is the stamp

@@ -80,6 +80,62 @@ def test_filter_stopwords_and_stem(spark):
     assert stems["the"] == "the"  # guard: stem would drop below 3 chars
 
 
+PORTER_VECTORS = {
+    # every worked example in Porter 1980 §§ step 1a–5b plus the
+    # paper's chained derivations — pins the real algorithm, not a
+    # lookalike ladder
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "caress": "caress",
+    "cats": "cat", "feed": "feed", "agreed": "agre", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file", "happy": "happi", "sky": "sky", "relational": "relat",
+    "conditional": "condit", "rational": "ration", "valenci": "valenc",
+    "hesitanci": "hesit", "digitizer": "digit", "conformabli": "conform",
+    "radicalli": "radic", "differentli": "differ", "vileli": "vile",
+    "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "revival": "reviv", "allowance": "allow",
+    "inference": "infer", "airliner": "airlin", "gyroscopic": "gyroscop",
+    "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+    "replacement": "replac", "adjustment": "adjust", "dependent": "depend",
+    "adoption": "adopt", "communism": "commun", "activate": "activ",
+    "angulariti": "angular", "homologous": "homolog", "effective": "effect",
+    "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+    "cease": "ceas", "controlling": "control", "rolling": "roll",
+    "generalizations": "gener", "oscillators": "oscil",
+}
+
+
+def test_porter_stem_paper_vectors():
+    from mldb_spark.functions.text import porter_stem
+
+    bad = {
+        w: (porter_stem(w), want)
+        for w, want in PORTER_VECTORS.items()
+        if porter_stem(w) != want
+    }
+    assert bad == {}
+
+
+def test_porter_stem_udfs(spark):
+    from mldb_spark.functions.text import porter_stem_tokens_udf, porter_stem_udf
+
+    words = list(PORTER_VECTORS)[:10]
+    df = spark.createDataFrame([(w,) for w in words] + [(None,)], "w string")
+    out = {r["w"]: r["s"] for r in df.select("w", porter_stem_udf()(F.col("w")).alias("s")).collect()}
+    assert out[None] is None
+    for w in words:
+        assert out[w] == PORTER_VECTORS[w]
+    doc = spark.createDataFrame([(words,)], "toks array<string>")
+    stemmed = doc.select(porter_stem_tokens_udf()(F.col("toks")).alias("s")).collect()[0]["s"]
+    assert stemmed == [PORTER_VECTORS[w] for w in words]
+
+
 def test_feature_hasher_modes(spark):
     from mldb_spark.functions.feature_gen import (
         feature_hash_rows,

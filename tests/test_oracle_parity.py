@@ -31,6 +31,7 @@ ROWS_ONLY = {
     "q77_sql_applied_function",
     "q78_classifier_explain",
     "q79_word2vec_pooling",
+    "q80_porter_stems",  # Porter's measure loops aren't SQL-replayable
 }
 
 
