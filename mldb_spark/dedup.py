@@ -310,7 +310,13 @@ def simhash_pairs(
     # joins would re-evaluate the signature subtree once per arm.
     # Signatures rejoin only after the candidate pairs are deduped, so
     # the wide columns never ride through the pair-generation shuffle.
-    sh = sig.select(F.col(id_col), F.col(sim_col).alias("__sh"))
+    # persist the narrow (id, hash) table: it feeds BOTH self-join
+    # sides and BOTH signature rejoins, and upstream of it sits the
+    # whole tokenize + 64-vote aggregation — without the persist that
+    # subtree re-executes once per consumer (exchange reuse is not
+    # guaranteed across differently-aliased branches). 16 bytes/row,
+    # so at 100 TB of text this is still only ~GBs of executor cache.
+    sh = sig.select(F.col(id_col), F.col(sim_col).alias("__sh")).persist()
     seg_rows = sh.select(F.col(id_col), F.posexplode(seg_vals).alias("seg", "bk"))
     a = seg_rows.select(F.col("seg"), F.col("bk"), F.col(id_col).alias("id_a"))
     b = seg_rows.select(F.col("seg"), F.col("bk"), F.col(id_col).alias("id_b"))

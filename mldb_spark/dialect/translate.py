@@ -712,12 +712,27 @@ class MldbContext:
         already knows its input columns)."""
         self._functions[name.lower()] = fn
 
+    def _lookup_function(self, name: str):
+        """Resolve an applied-function name: context-local first, then
+        the global ML registry — so a model trained through
+        ml.procedures (classifier_train, kmeans_train, …) is callable
+        from SQL by its training name with no explicit
+        register_function step (the reference's behavior: PUT
+        /v1/procedures with a functionName creates the function
+        entity automatically)."""
+        fn = self._functions.get(name.lower())
+        if fn is not None:
+            return fn
+        from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+        if name in GLOBAL_REGISTRY.names():
+            return lambda d: GLOBAL_REGISTRY.apply(name, d)
+        return None
+
     def _apply_row_functions(self, df: DataFrame, stm: ast.SelectStatement):
         """Rewrite `fn({…})[out]` select items over registered
         functions: apply each distinct fn to the rowset once, then
         substitute the call with a reference to its output column."""
-        if not self._functions:
-            return df, stm
         mapping: list[tuple[ast.Expr, str]] = []
         applied: set[str] = set()
         accessed: set[int] = set()
@@ -728,19 +743,19 @@ class MldbContext:
                 if (
                     isinstance(node, ast.Index)
                     and isinstance(node.operand, ast.FunctionCall)
-                    and node.operand.name in self._functions
+                    and self._lookup_function(node.operand.name) is not None
                     and isinstance(node.key, ast.Literal)
                 ):
                     fname = node.operand.name
                     if fname not in applied:
-                        df = self._functions[fname](df)
+                        df = self._lookup_function(fname)(df)
                         applied.add(fname)
                     mapping.append((node, str(node.key.value)))
                     accessed.add(id(node.operand))
             for node in _walk(it.expr):
                 if (
                     isinstance(node, ast.FunctionCall)
-                    and node.name in self._functions
+                    and self._lookup_function(node.name) is not None
                     and id(node) not in accessed
                 ):
                     raise ValueError(

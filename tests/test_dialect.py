@@ -512,3 +512,24 @@ def test_registered_function_in_sql(ctx, spark):
 
     with pytest.raises(ValueError, match="output"):
         c2.query("SELECT my_clf({x}) FROM d LIMIT 1")
+
+
+def test_global_registry_model_auto_visible_in_sql(spark):
+    # training with the default registry makes the model callable from
+    # SQL by its training name — no register_function step (mirrors the
+    # reference's functionName auto-creation on procedure runs)
+    from mldb_spark.dialect import MldbContext
+    from mldb_spark.ml.procedures import classifier_train
+
+    data = spark.createDataFrame(
+        [(float(i), 1.0 if i > 50 else 0.0) for i in range(100)],
+        "x double, label double",
+    )
+    classifier_train(data, ["x"], "label", "auto_clf_dialect")
+
+    c = MldbContext(spark)
+    c.register("d", data)
+    rows = c.query(
+        "SELECT x, auto_clf_dialect({x})[score] AS s FROM d ORDER BY x DESC LIMIT 3"
+    ).collect()
+    assert len(rows) == 3 and all(0.0 <= r["s"] <= 1.0 for r in rows)
