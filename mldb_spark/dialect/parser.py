@@ -25,7 +25,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>'(?:[^']|'')*')
   | (?P<param>\$[A-Za-z_][A-Za-z_0-9]*)
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<op><>|!=|>=|<=|=|<|>|\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|,|\.|:|&|\||\^|~|@)
+  | (?P<op><>|!=|>=|<=|=|<|>|\|\||\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|,|\.|:|&|\||\^|~|@)
     """,
     re.VERBOSE,
 )
@@ -132,7 +132,7 @@ class Parser:
             elif t.kind == "op" and t.value in self._CMP and min_bp <= 4:
                 op = self.next().value
                 lhs = ast.Binary("!=" if op == "<>" else op, lhs, self.parse_expr(5))
-            elif t.kind == "op" and t.value in ("+", "-", "&", "|", "^") and min_bp <= 5:
+            elif t.kind == "op" and t.value in ("+", "-", "&", "|", "^", "||") and min_bp <= 5:
                 op = self.next().value
                 lhs = ast.Binary(op, lhs, self.parse_expr(6))
             elif t.kind == "op" and t.value in ("*", "/", "%") and min_bp <= 6:

@@ -378,6 +378,9 @@ class Binder:
             return l <= r
         if op == ">=":
             return l >= r
+        if op == "||":
+            # ANSI/reference string concatenation
+            return F.concat(l.cast("string"), r.cast("string"))
         if op == "&":
             return l.bitwiseAND(r)
         if op == "|":

@@ -942,3 +942,85 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_hits,
 FROM toks JOIN by_word USING (word)
 GROUP BY lang ORDER BY lang
 """
+
+# --- importers / exporters / streaming / dialect gates (q81-q90) -----------
+
+ORACLES["q81_import_text"] = """
+WITH src AS (
+  SELECT * FROM read_csv('/root/repo/mldb_spark/data/products_sample.csv', header=true)
+  WHERE stock >= 30
+)
+SELECT category, count(*) AS n, round(sum(price), 2) AS total_price,
+       CAST(sum(stock) AS BIGINT) AS total_stock
+FROM src GROUP BY category ORDER BY category
+"""
+
+ORACLES["q82_import_json"] = """
+SELECT ("user").geo.cc AS cc, count(*) AS n, round(sum(v), 2) AS total_v,
+       min(("user").name) AS first_user
+FROM read_json_auto('/root/repo/mldb_spark/data/events_sample.jsonl')
+GROUP BY 1 ORDER BY cc
+"""
+
+ORACLES["q83_export_csv_roundtrip"] = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["q84_streaming_rollup"] = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+       count(*) AS n, round(sum("value"), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+"""
+
+ORACLES["q85_variance_stddev"] = """
+SELECT l_returnflag,
+       round(var_samp(l_quantity) + 1e-9, 4) AS var_qty,
+       round(stddev_samp(l_quantity) + 1e-9, 4) AS std_qty,
+       round(var_pop(l_discount) + 1e-9, 6) AS varp_disc,
+       round(stddev_pop(l_discount) + 1e-9, 6) AS stdp_disc
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLES["q86_named_rowname"] = """
+SELECT c_name AS name, c_acctbal AS bal,
+       'cust-' || c_custkey AS "rowName"
+FROM customer WHERE c_acctbal > 9000 ORDER BY bal DESC, name LIMIT 20
+"""
+
+ORACLES["q87_keys_of"] = """
+SELECT p_brand AS brand, count(*) AS n FROM part
+WHERE list_contains(
+  list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> t <> ''),
+  'widget')
+GROUP BY p_brand ORDER BY brand
+"""
+
+ORACLES["q88_structured_mutable"] = """
+WITH probe(row_name, r_key, r_name, weight) AS (
+  VALUES ('r1', 1, 'AMERICA', 2.5), ('r2', 2, 'ASIA', 4.0),
+         ('r3', 3, 'EUROPE', 1.25), ('r4', 4, 'AFRICA', 3.75),
+         ('r5', 0, 'MIDDLE EAST', 0.5)
+)
+SELECT probe.row_name, region.r_name AS region,
+       round(CAST(probe.weight AS DOUBLE) * 2, 2) AS w2
+FROM probe JOIN region ON probe.r_name = region.r_name
+ORDER BY probe.row_name
+"""
+
+ORACLES["q89_word2vec_import"] = """
+WITH vecs(word, vector) AS (
+  VALUES ('alpha', [1.0, 2.0, 2.0]), ('beta', [0.0, 3.0, 4.0]),
+         ('gamma', [6.0, 8.0, 0.0]), ('delta', [1.0, 0.0, 0.0])
+)
+SELECT word,
+       round(sqrt(list_dot_product(CAST(vector AS DOUBLE[]),
+                                   CAST(vector AS DOUBLE[]))), 4) AS norm
+FROM vecs ORDER BY word
+"""
+
+ORACLES["q90_fetcher_blob"] = """
+SELECT 'products_sample.csv' AS name, CAST(size AS BIGINT) AS n_bytes,
+       md5(decode(content)) AS content_md5
+FROM read_blob('/root/repo/mldb_spark/data/products_sample.csv')
+"""

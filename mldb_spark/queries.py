@@ -21,6 +21,8 @@ engines):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1697,6 +1699,241 @@ def q80_porter_stems(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), "stem")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Importers / exporters / streaming as oracle-checked gates (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+_FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+
+
+def q81_import_text(spark: SparkSession, sf: str) -> DataFrame:
+    """import.text end-to-end (plugins/textual/importtext_procedure.cc:
+    1435): CSV with quoted delimiters, schema inference, per-line WHERE
+    pushdown, then a rollup. Oracle replays DuckDB read_csv over the
+    same fixture — a real cross-engine differential of the reader."""
+    from mldb_spark.sources.text_io import import_text
+
+    df = import_text(
+        spark,
+        f"{_FIXTURE_DIR}/products_sample.csv",
+        where=F.col("stock") >= 30,
+    )
+    return (
+        df.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+            F.sum("stock").cast("long").alias("total_stock"),
+        )
+        .orderBy("category")
+    )
+
+
+def q82_import_json(spark: SparkSession, sf: str) -> DataFrame:
+    """import.json + complex-type flattening (plugins/textual/
+    json_importer.cc:427; TypeSystem.md complex-type flattening):
+    nested user.geo structs flatten to dotted paths, then roll up by
+    country. Oracle: DuckDB read_json_auto struct access."""
+    from mldb_spark.sources.text_io import flatten_struct, import_json
+
+    df = flatten_struct(import_json(spark, f"{_FIXTURE_DIR}/events_sample.jsonl"))
+    return (
+        df.groupBy(F.col("`user.geo.cc`").alias("cc"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 2).alias("total_v"),
+            F.min("`user.name`").alias("first_user"),
+        )
+        .orderBy("cc")
+    )
+
+
+def q83_export_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """export.csv (plugins/textual/csv_export_procedure.cc:238)
+    round-trip: aggregate → CSV → re-import must be lossless for
+    atomic rows. Oracle replays the aggregate straight from parquet,
+    so any header/quote/type drift in the writer breaks the hash."""
+    from mldb_spark.sources.text_io import export_csv, import_text
+
+    li = load(spark, sf, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+    out = f"/tmp/mldb_spark_q83_{os.path.basename(sf)}"
+    export_csv(agg, out, single_file=True)
+    back = import_text(spark, out)
+    return back.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    ).orderBy("l_returnflag")
+
+
+def q84_streaming_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """continuous / continuous.window as a STREAMING gate
+    (builtin/continuous_dataset.cc:580): the events table replayed
+    through readStream (availableNow) into the watermarked tumbling
+    rollup, landed in a memory sink. In replay nothing is late, so
+    the result equals the batch GROUP BY — which is exactly what the
+    DuckDB oracle computes; green here means the streaming plan and
+    the batch plan agree cell-for-cell."""
+    from mldb_spark.streaming.continuous import windowed_rollup
+
+    import shutil
+
+    load(spark, sf, "events")  # sets session confs (nanosAsLong)
+    path = os.path.join(sf, "events.parquet")
+    raw = spark.read.parquet(path)
+    # the file-stream source watches a DIRECTORY of arriving files;
+    # stage the single parquet file into one (the reference's
+    # continuous-dataset ingest shape)
+    src_dir = f"/tmp/mldb_spark_q84_{os.path.basename(sf)}"
+    os.makedirs(src_dir, exist_ok=True)
+    staged = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(staged):
+        shutil.copy(path, staged)
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    rolled = windowed_rollup(stream, window="1 day", watermark="2 days")
+    sink = 'q84_sink_' + os.path.basename(sf).replace('.', '_')
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            F.col("window_start"),
+            "event_type",
+            "n",
+            F.round("total_value", 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q85_variance_stddev(spark: SparkSession, sf: str) -> DataFrame:
+    """variance / stddev aggregate family (sql/builtin_functions.cc
+    vertical aggregates; MLDB's variance is the sample form). Values
+    are quantity/discount-scaled so 4-decimal rounding sits far above
+    cross-engine accumulation error."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.var_samp("l_quantity") + F.lit(1e-9), 4).alias("var_qty"),
+            F.round(F.stddev_samp("l_quantity") + F.lit(1e-9), 4).alias("std_qty"),
+            F.round(F.var_pop("l_discount") + F.lit(1e-9), 6).alias("varp_disc"),
+            F.round(F.stddev_pop("l_discount") + F.lit(1e-9), 6).alias("stdp_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q86_named_rowname(spark: SparkSession, sf: str) -> DataFrame:
+    """NAMED row-naming through the dialect (SelectStatement NAMED
+    clause; rowName() builtin): computed row names come back as the
+    rowName output column. Oracle replays the concat."""
+    ctx = _dialect_ctx(spark, sf)
+    return ctx.query(
+        "SELECT c_name AS name, c_acctbal AS bal "
+        "NAMED 'cust-' || c_custkey "
+        "FROM customer WHERE c_acctbal > 9000 ORDER BY bal DESC, name LIMIT 20"
+    )
+
+
+def q87_keys_of(spark: SparkSession, sf: str) -> DataFrame:
+    """IN (KEYS OF expr) membership (InExpression KEYS OF form,
+    sql/sql_expression.cc) + jaccard_index over token sets: segments
+    whose name-keys overlap a probe row. Oracle replays with DuckDB
+    list operations."""
+    ctx = _dialect_ctx(spark, sf)
+    return ctx.query(
+        "SELECT p_brand AS brand, count(*) AS n FROM part "
+        "WHERE 'widget' IN (KEYS OF tokenize_counts(p_name)) "
+        "GROUP BY p_brand ORDER BY brand"
+    )
+
+
+def q88_structured_mutable(spark: SparkSession, sf: str) -> DataFrame:
+    """sub dataset / structured.mutable commit path (engine dataset
+    collection): literal rows committed through the API then queried
+    back joined against parquet. Oracle replays the literals as a
+    VALUES relation."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    rows = spark.createDataFrame(
+        [
+            ("r1", 1, "AMERICA", 2.5),
+            ("r2", 2, "ASIA", 4.0),
+            ("r3", 3, "EUROPE", 1.25),
+            ("r4", 4, "AFRICA", 3.75),
+            ("r5", 0, "MIDDLE EAST", 0.5),
+        ],
+        "row_name string, r_key int, r_name string, weight double",
+    )
+    m.create_dataset("q88_probe", rows, row_name_col="row_name")
+    ds = m.dataset("q88_probe")
+    reg = load(spark, sf, "region")
+    joined = ds.join(reg, ds.r_name == reg.r_name, "inner")
+    return joined.select(
+        "row_name",
+        reg.r_name.alias("region"),
+        F.round(F.col("weight") * 2, 2).alias("w2"),
+    ).orderBy("row_name")
+
+
+def q89_word2vec_import(spark: SparkSession, sf: str) -> DataFrame:
+    """import.word2vec binary round-trip (plugins/nlp/word2vec.cc:
+    248 reader / :34-56 format): literal vectors → binary file →
+    import → norms. Oracle replays the same literals, so a byte-order
+    or float-width bug in either codec path breaks the hash."""
+    from mldb_spark.sources.nlp_io import export_word2vec_binary, import_word2vec
+
+    words = [
+        ("alpha", [1.0, 2.0, 2.0]),
+        ("beta", [0.0, 3.0, 4.0]),
+        ("gamma", [6.0, 8.0, 0.0]),
+        ("delta", [1.0, 0.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(words, "word string, vector array<float>")
+    path = f"/tmp/mldb_spark_q89_{os.path.basename(sf)}.bin"
+    export_word2vec_binary(vecs, path)
+    back = import_word2vec(spark, path)
+    return back.select(
+        "word",
+        F.round(l2_norm(F.col("vector").cast("array<double>")), 4).alias("norm"),
+    ).orderBy("word")
+
+
+def q90_fetcher_blob(spark: SparkSession, sf: str) -> DataFrame:
+    """fetcher function over file:// (builtin/fetcher_plugin.cc):
+    fetch a fixture, return content length + md5. Oracle reads the
+    same file with DuckDB read_blob — both engines hash the same
+    bytes independently."""
+    from mldb_spark.sources.fetcher import fetch_dataset
+
+    paths = spark.createDataFrame(
+        [(f"file://{_FIXTURE_DIR}/products_sample.csv",)], "url string"
+    )
+    fetched = fetch_dataset(paths, "url")
+    return fetched.select(
+        F.element_at(F.split("url", "/"), -1).alias("name"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
     )
 
 
