@@ -122,16 +122,35 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One-shot loader used by query entry points (driver contract).
 
-    Normalizes nanosecond-precision timestamp columns (read as long
-    under nanosAsLong) back to TimestampType at microsecond
-    precision — a metadata-only projection, nothing materializes.
+    Normalizes timestamp encodings the testdata has shipped under:
+    - TIMESTAMP(NANOS) read as long under nanosAsLong → TimestampType
+      at microsecond precision;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+      TIMESTAMP_NTZ → TimestampType. With the session timezone pinned
+      to UTC this cast is wall-clock-exact, and it is what every
+      event-time consumer (unix_micros, withWatermark, window) needs —
+      Spark's event-time machinery requires TimestampType, not NTZ.
+    Both are metadata-only projections; nothing materializes.
     """
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    df = normalize_timestamps(df)
+    return df
 
+
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP and every
+    nanosAsLong `ts` column back to TimestampType(µs). Shared by the
+    batch loader and the streaming source so both sides of the
+    continuous dataset see identical event-time types."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    if dtypes.get("ts") == "bigint":
         # integer `div`, not `/`: ns-since-epoch (~1.7e18) exceeds
         # double mantissa precision, float division would round off µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, typ in dtypes.items():
+        if typ == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df

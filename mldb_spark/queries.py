@@ -1800,8 +1800,9 @@ def q84_streaming_rollup(spark: SparkSession, sf: str) -> DataFrame:
     if not os.path.exists(staged):
         shutil.copy(path, staged)
     stream = spark.readStream.schema(raw.schema).parquet(src_dir)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from mldb_spark.catalog import normalize_timestamps
+
+    stream = normalize_timestamps(stream)
     rolled = windowed_rollup(stream, window="1 day", watermark="2 days")
     sink = 'q84_sink_' + os.path.basename(sf).replace('.', '_')
     q = (
