@@ -973,7 +973,7 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
 """
 
-ORACLES["q85_variance_stddev"] = """
+ORACLES["q35_variance_stddev"] = """
 SELECT l_returnflag,
        round(var_samp(l_quantity) + 1e-9, 4) AS var_qty,
        round(stddev_samp(l_quantity) + 1e-9, 4) AS std_qty,
@@ -982,13 +982,13 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
-ORACLES["q86_named_rowname"] = """
+ORACLES["q36_named_rowname"] = """
 SELECT c_name AS name, c_acctbal AS bal,
        'cust-' || c_custkey AS "rowName"
 FROM customer WHERE c_acctbal > 9000 ORDER BY bal DESC, name LIMIT 20
 """
 
-ORACLES["q87_keys_of"] = """
+ORACLES["q47_keys_of"] = """
 SELECT p_brand AS brand, count(*) AS n FROM part
 WHERE list_contains(
   list_filter(string_split_regex(lower(p_name), '[^a-z0-9]+'), t -> t <> ''),
@@ -996,7 +996,7 @@ WHERE list_contains(
 GROUP BY p_brand ORDER BY brand
 """
 
-ORACLES["q88_structured_mutable"] = """
+ORACLES["q48_structured_mutable"] = """
 WITH probe(row_name, r_key, r_name, weight) AS (
   VALUES ('r1', 1, 'AMERICA', 2.5), ('r2', 2, 'ASIA', 4.0),
          ('r3', 3, 'EUROPE', 1.25), ('r4', 4, 'AFRICA', 3.75),
@@ -1008,7 +1008,7 @@ FROM probe JOIN region ON probe.r_name = region.r_name
 ORDER BY probe.row_name
 """
 
-ORACLES["q89_word2vec_import"] = """
+ORACLES["q49_word2vec_import"] = """
 WITH vecs(word, vector) AS (
   VALUES ('alpha', [1.0, 2.0, 2.0]), ('beta', [0.0, 3.0, 4.0]),
          ('gamma', [6.0, 8.0, 0.0]), ('delta', [1.0, 0.0, 0.0])

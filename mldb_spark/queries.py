@@ -698,7 +698,7 @@ def q34_shingle_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q35_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+def q85_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (xxhash64 bit votes — Spark-internal
     hash, so verified by invariant tests rather than a SQL oracle).
     Radius 8 with radius-sized segment blocking: full recall at the
@@ -709,7 +709,7 @@ def q35_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_near_duplicates(docs, max_hamming=8)
 
 
-def q36_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+def q86_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k neighbors (bucketed
     probe instead of full scan; deterministic seeded planes).
     Rows-only check: plane generation is engine-internal."""
@@ -935,7 +935,7 @@ def q46_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q47_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+def q87_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """kmeans.train (plugins/jml/kmeans_interface.cc:389): cluster the
     embeddings (k=8, fixed seed), return per-cluster sizes. Rows-only
     check: MLlib's kmeans|| init is engine-internal."""
@@ -953,7 +953,7 @@ def q47_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q48_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
+def q88_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
     """classifier.train + classifier.test (plugins/jml/classifier.cc:1491,
     accuracy.cc:1006): logistic regression predicting high-value
     orders from order features, evaluated with AUC/accuracy.
@@ -977,7 +977,7 @@ def q48_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
     return classifier_test(scored, "label", "score")
 
 
-def q49_pca(spark: SparkSession, sf: str) -> DataFrame:
+def q89_pca(spark: SparkSession, sf: str) -> DataFrame:
     """svd.train equivalent (plugins/embedding/svd.cc:1023): PCA over
     embeddings, one row per component with explained variance.
     Rows-only: eigensolver internals are engine-specific."""
@@ -1825,7 +1825,7 @@ def q84_streaming_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q85_variance_stddev(spark: SparkSession, sf: str) -> DataFrame:
+def q35_variance_stddev(spark: SparkSession, sf: str) -> DataFrame:
     """variance / stddev aggregate family (sql/builtin_functions.cc
     vertical aggregates; MLDB's variance is the sample form). Values
     are quantity/discount-scaled so 4-decimal rounding sits far above
@@ -1843,7 +1843,7 @@ def q85_variance_stddev(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q86_named_rowname(spark: SparkSession, sf: str) -> DataFrame:
+def q36_named_rowname(spark: SparkSession, sf: str) -> DataFrame:
     """NAMED row-naming through the dialect (SelectStatement NAMED
     clause; rowName() builtin): computed row names come back as the
     rowName output column. Oracle replays the concat."""
@@ -1855,7 +1855,7 @@ def q86_named_rowname(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q87_keys_of(spark: SparkSession, sf: str) -> DataFrame:
+def q47_keys_of(spark: SparkSession, sf: str) -> DataFrame:
     """IN (KEYS OF expr) membership (InExpression KEYS OF form,
     sql/sql_expression.cc) + jaccard_index over token sets: segments
     whose name-keys overlap a probe row. Oracle replays with DuckDB
@@ -1868,7 +1868,7 @@ def q87_keys_of(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q88_structured_mutable(spark: SparkSession, sf: str) -> DataFrame:
+def q48_structured_mutable(spark: SparkSession, sf: str) -> DataFrame:
     """sub dataset / structured.mutable commit path (engine dataset
     collection): literal rows committed through the API then queried
     back joined against parquet. Oracle replays the literals as a
@@ -1897,7 +1897,7 @@ def q88_structured_mutable(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("row_name")
 
 
-def q89_word2vec_import(spark: SparkSession, sf: str) -> DataFrame:
+def q49_word2vec_import(spark: SparkSession, sf: str) -> DataFrame:
     """import.word2vec binary round-trip (plugins/nlp/word2vec.cc:
     248 reader / :34-56 format): literal vectors → binary file →
     import → norms. Oracle replays the same literals, so a byte-order

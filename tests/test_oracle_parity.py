@@ -15,11 +15,11 @@ from mldb_spark.testing import compare_spark_duck
 # internals) have no cross-engine SQL replay; their real verification
 # lives in tests/test_operators.py and tests/test_ml.py invariants
 ROWS_ONLY = {
-    "q35_simhash_dedup",
-    "q36_lsh_ann",
-    "q47_kmeans",
-    "q48_classifier_eval",
-    "q49_pca",
+    "q85_simhash_dedup",
+    "q86_lsh_ann",
+    "q87_kmeans",
+    "q88_classifier_eval",
+    "q89_pca",
     "q61_svd_term_clusters",
     "q65_random_forest",
     "q66_svm_margin",
