@@ -732,16 +732,23 @@ def q86_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q37_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """summary.statistics procedure (builtin/summary_statistics_proc.cc:516):
-    per-column stats in ONE pass (single wide aggregate, map-side
-    partials) reshaped long via stack — no per-column rescan."""
+    """summary.statistics procedure (builtin/summary_statistics_proc.cc:516).
+
+    Two aggregates, NO Expand: multiple exact countDistincts inside one
+    wide agg compile to an Expand node (row multiplication x 2·n_cols
+    over the whole fact scan — the r2 bench regression). Instead:
+    (a) the non-distinct stats in one wide single-pass agg, and
+    (b) distinct counts over a stacked (column, value) long form —
+    each group carries ONE distinct column, which Catalyst plans as a
+    plain two-phase hash aggregate (map-side partial dedup on
+    (column, value), then count) — the shape that survives 100 TB.
+    The two 3-row results broadcast-join back together."""
     li = load(spark, sf, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__n"),
-            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
             F.round(F.min(c), 2).alias(f"{c}__min"),
             F.round(F.max(c), 2).alias(f"{c}__max"),
             round_avg(F.avg(c), 4).alias(f"{c}__avg"),
@@ -749,12 +756,22 @@ def q37_summary_stats(spark: SparkSession, sf: str) -> DataFrame:
         ]
     wide = li.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__n, {c}__nd, {c}__min, {c}__max, {c}__avg, {c}__sum" for c in cols
+        f"'{c}', {c}__n, {c}__min, {c}__max, {c}__avg, {c}__sum" for c in cols
     )
-    return wide.selectExpr(
-        f"stack({len(cols)}, {stack_args}) as "
-        "(column, n, n_distinct, vmin, vmax, vavg, vsum)"
-    ).orderBy("column")
+    stats = wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as (column, n, vmin, vmax, vavg, vsum)"
+    )
+    value_stack = ", ".join(f"'{c}', {c}" for c in cols)
+    distincts = (
+        li.selectExpr(f"stack({len(cols)}, {value_stack}) as (column, value)")
+        .groupBy("column")
+        .agg(F.countDistinct("value").alias("n_distinct"))
+    )
+    return (
+        stats.join(F.broadcast(distincts), "column")
+        .select("column", "n", "n_distinct", "vmin", "vmax", "vavg", "vsum")
+        .orderBy("column")
+    )
 
 
 def q38_merge_datasets(spark: SparkSession, sf: str) -> DataFrame:

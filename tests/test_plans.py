@@ -99,6 +99,16 @@ def test_minhash_banding_single_candidate_join(spark, sf_dir):
     assert n_joins <= 3, f"minhash banding regressed to {n_joins} joins"
 
 
+def test_summary_stats_no_expand(spark, sf_dir):
+    # multiple exact countDistincts in one agg compile to an Expand
+    # (row multiplication x 2·n_cols over the fact scan); q37 must
+    # keep the stacked-long single-distinct shape instead
+    from mldb_spark.queries import q37_summary_stats
+
+    plan = _plan(q37_summary_stats(spark, sf_dir))
+    assert "Expand" not in plan, "q37 regressed to multi-countDistinct Expand"
+
+
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     # AQE only materializes codegen spans in the FINAL plan — run the
     # query, then inspect the executed plan
