@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mldb_spark.caching import persist_tracked
 from mldb_spark.functions.text import doc_fingerprint, tokenize, word_shingles
 
 
@@ -146,7 +147,7 @@ def minhash_near_duplicates(
     # joins; persist so the shingle+hash pipeline runs once (at scale
     # the signature table is an artifact you'd write to storage anyway
     # — it is ids + fixed-width hashes, tiny next to the corpus).
-    sig = sig.persist()
+    sig = persist_tracked(sig)
     r = num_hashes // bands
     band_vals = F.array(
         *[
@@ -266,13 +267,13 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
-def _simhash_segments(max_hamming: int) -> list[tuple[int, int]]:
-    """(offset, width) for the max_hamming+1 disjoint bit-segments of a
-    64-bit fingerprint. Pigeonhole: a pair differing in <= max_hamming
-    bits cannot differ in every one of max_hamming+1 segments, so
-    blocking on each segment guarantees FULL candidate recall at the
-    requested radius. Widths differ by at most one bit."""
-    b = min(64, max_hamming + 1)
+def _simhash_segments(n_segments: int) -> list[tuple[int, int]]:
+    """(offset, width) for n disjoint bit-segments of a 64-bit
+    fingerprint. Generalized pigeonhole: a pair differing in <= h bits
+    differs in <= h segments, so with b segments it AGREES in >= b-h —
+    blocking on segments and requiring >= (b-h) collisions keeps FULL
+    candidate recall at radius h. Widths differ by at most one bit."""
+    b = max(1, min(64, n_segments))
     base, extra = divmod(64, b)
     segs, off = [], 0
     for s in range(b):
@@ -287,18 +288,33 @@ def simhash_pairs(
     max_hamming: int = 8,
     id_col: str = "doc_id",
     sim_col: str = "simhash",
+    min_collisions: int | None = None,
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from a (id, simhash) signature table.
 
-    Blocks on max_hamming+1 disjoint bit-segments (see
-    _simhash_segments): exact recall for the requested radius — unlike
-    fixed-quarter blocking, which silently drops pairs whose differing
-    bits spread across every quarter. Each segment is one equi-self-join
-    on the segment value; larger radii mean narrower (less selective)
-    segments, so candidate volume grows with max_hamming — the honest
-    cost of exact recall; keep the radius small (<=8) for web-scale runs.
+    Blocks on (max_hamming + min_collisions) disjoint bit-segments and
+    keeps a candidate pair only if it collides in >= min_collisions of
+    them. Generalized pigeonhole: a pair within max_hamming bits
+    differs in <= max_hamming segments, so it agrees in >=
+    min_collisions — recall stays EXACT at the requested radius, with
+    no off-by-one. min_collisions defaults to 2 for max_hamming >= 6
+    (the scale guard: per-segment keys shrink to ~7 bits at radius 8,
+    so a single-collision block admits ~n²/2⁷ candidates per segment
+    on a uniform corpus; requiring a second independent collision
+    multiplies that selectivity) and 1 for small radii where the
+    segments are wide enough to be selective on their own.
+
+    max_candidate_pairs (opt-in) is a hard guard mirroring the
+    reference's cross-join complexity cap (builtin/joined_dataset.cc:
+    516-521 caps at 100M): counts the surviving candidate pairs and
+    raises before the rescoring join if the blocking collapsed (e.g. a
+    corpus of near-identical templates all sharing segment values).
+    Costs one extra action on the (persisted) candidate table.
     """
-    segs = _simhash_segments(max_hamming)
+    if min_collisions is None:
+        min_collisions = 2 if max_hamming >= 6 else 1
+    segs = _simhash_segments(max_hamming + min_collisions)
     seg_vals = F.array(
         *[
             F.shiftright(F.col("__sh"), off).bitwiseAND(F.lit((1 << w) - 1))
@@ -316,16 +332,32 @@ def simhash_pairs(
     # subtree re-executes once per consumer (exchange reuse is not
     # guaranteed across differently-aliased branches). 16 bytes/row,
     # so at 100 TB of text this is still only ~GBs of executor cache.
-    sh = sig.select(F.col(id_col), F.col(sim_col).alias("__sh")).persist()
+    sh = persist_tracked(sig.select(F.col(id_col), F.col(sim_col).alias("__sh")))
     seg_rows = sh.select(F.col(id_col), F.posexplode(seg_vals).alias("seg", "bk"))
     a = seg_rows.select(F.col("seg"), F.col("bk"), F.col(id_col).alias("id_a"))
     b = seg_rows.select(F.col("seg"), F.col("bk"), F.col(id_col).alias("id_b"))
+    # groupBy(pair).count() replaces dropDuplicates: same shuffle, and
+    # the collision count doubles as the >=min_collisions prefilter
     cand = (
         a.join(b, ["seg", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__ncoll"))
+        .filter(F.col("__ncoll") >= min_collisions)
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if max_candidate_pairs is not None:
+        cand = persist_tracked(cand)
+        n_cand = cand.count()
+        if n_cand > max_candidate_pairs:
+            cand.unpersist()
+            sh.unpersist()
+            raise ValueError(
+                f"simhash blocking produced {n_cand} candidate pairs "
+                f"(> max_candidate_pairs={max_candidate_pairs}); the corpus "
+                "is too self-similar for this radius — lower max_hamming, "
+                "raise min_collisions, or pre-shard the corpus"
+            )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -514,8 +514,10 @@ def svd_train(
     spark = cells.sparkSession
     # the cell table feeds THREE passes (column map, row map, matrix
     # build) — persist it so the upstream pipeline (tokenize/joins in
-    # the callers) runs once
-    cells = cells.persist()
+    # the callers) runs once; tracked so release_cached() frees it
+    from mldb_spark.caching import persist_tracked
+
+    cells = persist_tracked(cells)
     col_rows = cells.select(column_col).distinct().orderBy(column_col).collect()
     col_idx = {r[column_col]: i for i, r in enumerate(col_rows)}
     n_cols = len(col_idx)

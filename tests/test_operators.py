@@ -158,12 +158,71 @@ def test_simhash_pairs_planted_recall(spark):
     got8 = {(p["id_a"], p["id_b"]) for p in simhash_pairs(sig, 8).collect()}
     assert (1, 2) not in got8 and (1, 3) in got8
     # segment partition covers all 64 bits exactly once
-    for h in (0, 3, 8, 15, 63, 64, 100):
-        segs = _simhash_segments(h)
+    for b in (1, 2, 9, 10, 17, 63, 64, 100):
+        segs = _simhash_segments(b)
         assert sum(w for _, w in segs) == 64
         assert segs[0][0] == 0
         for (o1, w1), (o2, _) in zip(segs, segs[1:]):
             assert o1 + w1 == o2
+
+
+def test_simhash_min_collisions_exact_recall(spark):
+    # the >=2-collision scale prefilter must NOT cost recall at exactly
+    # h == max_hamming: segments are sized max_hamming + min_collisions,
+    # so a pair differing in max_hamming bits still agrees in >=2
+    # segments (generalized pigeonhole). Plant the worst case: one
+    # differing bit in each of the first max_hamming segments.
+    from mldb_spark.dedup import _simhash_segments, simhash_pairs
+
+    max_hamming = 8
+    segs = _simhash_segments(max_hamming + 2)
+    base = 0x0123456789ABCDEF
+    flip = 0
+    for off, _w in segs[:max_hamming]:
+        flip |= 1 << off
+    worst = base ^ flip  # hamming == max_hamming, spread maximally
+    sig = spark.createDataFrame(
+        [(1, base), (2, worst)], "doc_id long, simhash long"
+    )
+    got = {
+        (p["id_a"], p["id_b"]): p["hamming"]
+        for p in simhash_pairs(sig, max_hamming, min_collisions=2).collect()
+    }
+    assert got == {(1, 2): max_hamming}
+
+
+def test_simhash_candidate_cap_guard(spark):
+    # identical signatures collide in every segment: 3 docs -> 3 pairs,
+    # which must trip a cap of 2 (the reference-style complexity guard)
+    import pytest
+
+    from mldb_spark.dedup import simhash_pairs
+
+    sig = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 7)], "doc_id long, simhash long"
+    )
+    with pytest.raises(ValueError, match="candidate pairs"):
+        simhash_pairs(sig, 4, max_candidate_pairs=2)
+    assert simhash_pairs(sig, 4, max_candidate_pairs=10).count() == 3
+
+
+def test_neardup_pipelines_release_cache(spark):
+    # persisted intermediates (signature tables, candidate pairs) are
+    # tracked; release_cached() must leave the executor cache empty —
+    # the service-loop hygiene contract
+    from mldb_spark.caching import release_cached
+    from mldb_spark.dedup import minhash_near_duplicates, simhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f h"), (3, "x y z w v u t")],
+        "doc_id long, text string",
+    )
+    minhash_near_duplicates(docs, num_hashes=8, bands=4).collect()
+    simhash_near_duplicates(docs, max_hamming=3).collect()
+    assert release_cached() >= 2
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+    assert release_cached() == 0
 
 
 def test_brute_force_topk_and_lsh(spark, sf_dir):
