@@ -389,6 +389,77 @@ def tsne_train(
     return df.sparkSession.createDataFrame(coords, schema)
 
 
+def tsne_embed_row(
+    train_df: DataFrame,
+    coords: DataFrame,
+    array_col: str,
+    id_col: str = "vec_id",
+    k: int = 3,
+    name: str | None = None,
+    registry: FunctionRegistry = GLOBAL_REGISTRY,
+):
+    """tsne.embedRow (plugins/jml/tsne_interface.cc:458): out-of-sample
+    embedding for a trained t-SNE map. t-SNE is non-parametric, so the
+    reference (and everyone else) interpolates: find the k nearest
+    TRAINING points in the original space and take the inverse-
+    distance-weighted mean of their map positions. A training row
+    lands exactly on its own map position (distance 0 dominates).
+
+    Scale shape: the trained map is bounded by tsne_train's max_rows
+    (<=5k x dim), so it broadcasts into an Arrow-batched mapInPandas
+    kernel — new rows stream through in one corpus scan, no shuffle,
+    no driver loop. Distances use the ||v||^2 + ||x||^2 - 2 v.x form
+    (one matmul per batch, never a (batch, n, dim) intermediate).
+    """
+    import numpy as np
+
+    out_names = [c for c in coords.columns if c != id_col]
+    joined = (
+        train_df.select(id_col, array_col)
+        .join(coords, id_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    if not joined:
+        raise ValueError("empty trained map")
+    X = np.array([r[array_col] for r in joined], dtype=np.float64)
+    Y = np.array([[r[c] for c in out_names] for r in joined], dtype=np.float64)
+    x_sq = (X * X).sum(1)
+    kk = min(k, X.shape[0])
+
+    def embed(d: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        schema = d.schema.simpleString()[7:-1] + ", " + ", ".join(
+            f"{c} double" for c in out_names
+        )
+        cols = d.columns
+
+        def fn(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.stack(pdf[array_col].to_numpy()).astype(np.float64)
+                d2 = np.maximum(
+                    (V * V).sum(1)[:, None] + x_sq[None, :] - 2.0 * (V @ X.T), 0.0
+                )
+                idx = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                nd = np.sqrt(np.take_along_axis(d2, idx, axis=1))
+                w = 1.0 / (nd + 1e-12)
+                w = w / w.sum(1, keepdims=True)
+                emb = (w[:, :, None] * Y[idx]).sum(1)
+                out = pdf[cols].copy()
+                for j, c in enumerate(out_names):
+                    out[c] = emb[:, j]
+                yield out
+
+        return d.mapInPandas(fn, schema)
+
+    if name:
+        registry.register(name, embed)
+    return embed
+
+
 def classifier_explain(
     model,
     feature_cols: list[str],

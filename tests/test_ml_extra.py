@@ -196,6 +196,38 @@ def test_tsne_separates_clusters(spark):
     assert d > 2 * spread
 
 
+def test_tsne_embed_row_interpolates(spark):
+    import numpy as np
+
+    from mldb_spark.ml.procedures import tsne_embed_row, tsne_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    rng = np.random.RandomState(7)
+    pts = [(i, (rng.randn(6) + (0 if i < 15 else 6)).tolist()) for i in range(30)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    coords = tsne_train(df, "embedding", perplexity=6.0, n_iter=300)
+    reg = FunctionRegistry()
+    embed = tsne_embed_row(df, coords, "embedding", k=3, name="tsne_e", registry=reg)
+
+    # a training row embeds (almost) exactly onto its own map position:
+    # distance 0 dominates the inverse-distance weights
+    got = {r["vec_id"]: (r["x"], r["y"]) for r in embed(df).collect()}
+    want = {r["vec_id"]: (r["x"], r["y"]) for r in coords.collect()}
+    for vid in (0, 7, 29):
+        assert abs(got[vid][0] - want[vid][0]) < 1e-6
+        assert abs(got[vid][1] - want[vid][1]) < 1e-6
+
+    # an unseen point near cluster B lands near B's map centroid
+    newbie = spark.createDataFrame(
+        [(999, (np.full(6, 6.05)).tolist())], "vec_id long, embedding array<double>"
+    )
+    out = reg.apply("tsne_e", newbie).collect()[0]
+    B = np.array([want[i] for i in range(15, 30)])
+    A = np.array([want[i] for i in range(15)])
+    p = np.array([out["x"], out["y"]])
+    assert np.linalg.norm(p - B.mean(0)) < np.linalg.norm(p - A.mean(0))
+
+
 def test_classifier_explain_additivity(spark):
     from mldb_spark.ml.procedures import classifier_explain, classifier_train
     from mldb_spark.ml.registry import FunctionRegistry
