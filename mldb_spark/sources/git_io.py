@@ -81,23 +81,110 @@ def import_git(
     )
 
 
-def import_xlsx(spark: SparkSession, path: str, sheet: str | None = None) -> DataFrame:
-    """experimental.import.xlsx (plugins/msoffice/xlsx_importer.cc:821)
-    — GATED: needs openpyxl, which is not in this container. When the
-    library is present, each sheet row becomes a dataset row with
-    header-derived column names (the reference's cell-grid contract)."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "import.xlsx needs openpyxl (not installed). With it: "
-            "load_workbook(path, read_only=True), take the header row "
-            "as column names, spark.createDataFrame(rows, names)."
-        ) from e
-    from openpyxl import load_workbook
+_XLSX_MAIN_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_REL_NS = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+)
+_PKG_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
-    wb = load_workbook(path, read_only=True)
-    ws = wb[sheet] if sheet else wb.active
-    it = ws.iter_rows(values_only=True)
-    header = [str(h) for h in next(it)]
-    return spark.createDataFrame([tuple(r) for r in it], header)
+
+def _col_index(cell_ref: str) -> int:
+    """'A1' -> 0, 'BC12' -> 54: base-26 bijective column letters."""
+    idx = 0
+    for ch in cell_ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _xlsx_cell_value(c, shared: list[str]):
+    """Decode one <c> element per ECMA-376: t='s' shared string,
+    t='str' formula result, t='b' boolean, t='inlineStr' nested <is>,
+    default numeric (int when exact)."""
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        is_el = c.find(f"{_XLSX_MAIN_NS}is")
+        return "".join(
+            el.text or "" for el in is_el.iter(f"{_XLSX_MAIN_NS}t")
+        ) if is_el is not None else None
+    v = c.find(f"{_XLSX_MAIN_NS}v")
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        return shared[int(v.text)]
+    if t == "str":
+        return v.text
+    if t == "b":
+        return v.text == "1"
+    num = float(v.text)
+    return int(num) if num.is_integer() and abs(num) < 2**53 else num
+
+
+def import_xlsx(spark: SparkSession, path: str, sheet: str | None = None) -> DataFrame:
+    """experimental.import.xlsx (plugins/msoffice/xlsx_importer.cc:821):
+    each sheet row becomes a dataset row with header-derived column
+    names (the reference's cell-grid contract).
+
+    Pure-stdlib reader — an xlsx is a zip of ECMA-376 XML parts:
+    workbook.xml names the sheets, the .rels part maps them to
+    worksheet XML files, sharedStrings.xml interns string cells.
+    Spreadsheets are dimension-sized inputs; the parse is driver-side
+    (like the reference's single-node importer) and the resulting
+    DataFrame distributes from there.
+    """
+    import os
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        # sheet name -> relationship id -> worksheet part path
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rel_target = {
+            r.get("Id"): r.get("Target")
+            for r in rels.iter(f"{_PKG_REL_NS}Relationship")
+        }
+        sheets = [
+            (s.get("name"), rel_target[s.get(f"{_XLSX_REL_NS}id")])
+            for s in wb.iter(f"{_XLSX_MAIN_NS}sheet")
+        ]
+        if not sheets:
+            raise ValueError(f"no worksheets in {path}")
+        if sheet is not None:
+            targets = [t for n, t in sheets if n == sheet]
+            if not targets:
+                raise ValueError(
+                    f"sheet {sheet!r} not in {[n for n, _ in sheets]}"
+                )
+            target = targets[0]
+        else:
+            target = sheets[0][1]
+        target = target if target.startswith("xl/") else os.path.join("xl", target)
+
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in ss.iter(f"{_XLSX_MAIN_NS}si"):
+                shared.append(
+                    "".join(t.text or "" for t in si.iter(f"{_XLSX_MAIN_NS}t"))
+                )
+
+        ws = ET.fromstring(z.read(target))
+        grid: list[dict[int, object]] = []
+        for row in ws.iter(f"{_XLSX_MAIN_NS}row"):
+            cells: dict[int, object] = {}
+            for i, c in enumerate(row.iter(f"{_XLSX_MAIN_NS}c")):
+                ref = c.get("r")
+                cells[_col_index(ref) if ref else i] = _xlsx_cell_value(c, shared)
+            grid.append(cells)
+
+    if not grid:
+        raise ValueError(f"empty worksheet in {path}")
+    width = max(max(cells, default=-1) for cells in grid) + 1
+    header = [
+        str(grid[0].get(j)) if grid[0].get(j) is not None else f"x{j}"
+        for j in range(width)
+    ]
+    data = [tuple(cells.get(j) for j in range(width)) for cells in grid[1:]]
+    return spark.createDataFrame(data, header)

@@ -379,3 +379,96 @@ def test_import_git(spark):
     # no-stats variant still yields the commit metadata
     lite = import_git(spark, "/root/repo", limit=2, import_stats=False).collect()
     assert len(lite) == 2 and lite[0]["files_changed"] == 0
+
+
+def _write_xlsx_fixture(path: str) -> None:
+    """Hand-roll a minimal ECMA-376 workbook: two sheets, shared +
+    inline strings, numerics, booleans, and a sparse row (missing B3)."""
+    import zipfile
+
+    content_types = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org'
+        '/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats'
+        '-package.relationships+xml"/></Types>'
+    )
+    root_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+        'openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    workbook = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.'
+        'org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.'
+        'org/officeDocument/2006/relationships"><sheets>'
+        '<sheet name="people" sheetId="1" r:id="rId1"/>'
+        '<sheet name="extra" sheetId="2" r:id="rId2"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+        'openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet2.xml"/>'
+        '<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/sharedStrings" '
+        'Target="sharedStrings.xml"/></Relationships>'
+    )
+    shared = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main" count="4" uniqueCount="4">'
+        "<si><t>name</t></si><si><t>score</t></si><si><t>alice</t></si>"
+        "<si><r><t>bo</t></r><r><t>b</t></r></si></sst>"
+    )
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet1 = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>ok</t></is></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>12.5</v></c>'
+        '<c r="C2" t="b"><v>1</v></c></row>'
+        '<row r="3"><c r="A3" t="s"><v>3</v></c><c r="C3" t="b"><v>0</v></c>'
+        "</row></sheetData></worksheet>"
+    )
+    sheet2 = (
+        f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>42</v></c></row></sheetData></worksheet>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet1)
+        z.writestr("xl/worksheets/sheet2.xml", sheet2)
+
+
+def test_import_xlsx(spark, tmp_path):
+    import pytest
+
+    from mldb_spark.sources.git_io import import_xlsx
+
+    path = str(tmp_path / "fixture.xlsx")
+    _write_xlsx_fixture(path)
+
+    df = import_xlsx(spark, path)
+    assert df.columns == ["name", "score", "ok"]
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["alice"]["score"] == 12.5 and rows["alice"]["ok"] is True
+    # rich-text shared string is concatenated; sparse B3 is NULL
+    assert rows["bob"]["score"] is None and rows["bob"]["ok"] is False
+
+    second = import_xlsx(spark, path, sheet="extra")
+    assert second.columns == ["k"]
+    assert second.collect()[0]["k"] == 42
+
+    with pytest.raises(ValueError, match="not in"):
+        import_xlsx(spark, path, sheet="nope")
