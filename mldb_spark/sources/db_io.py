@@ -61,6 +61,58 @@ def jdbc_options(
     return opts
 
 
+def jdbc_read(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **extra: str,
+) -> DataFrame:
+    """Engine-agnostic JDBC read — the execution path postgresql_
+    dataset/query resolve to, exposed directly so any database with a
+    driver jar on the classpath (the bundled Derby, or a deployed
+    postgres/mysql jar) goes through the same partitioned-read
+    plumbing. The live round-trip is smoke-tested in-container against
+    embedded Derby (tests/test_sources_streaming.py)."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partition_column needs lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in extra.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    dbtable: str,
+    driver: str | None = None,
+    mode: str = "overwrite",
+    **extra: str,
+) -> None:
+    """JDBC sink twin of jdbc_read (the reference's postgresql import
+    direction reversed — exporting a result table to a database)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", dbtable)
+    if driver:
+        writer = writer.option("driver", driver)
+    for k, v in extra.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
 def postgresql_dataset(spark: SparkSession, **kwargs) -> DataFrame:
     """postgresql.dataset: table as a DataFrame. Pass partition_column
     + bounds for a parallel read (see jdbc_options)."""
