@@ -574,14 +574,20 @@ class _ColumnValueBinder(Binder):
     (SELECT f(value())): value() is the current column, columnName()
     its name as a literal."""
 
-    def __init__(self, self_columns: str, params: dict | None = None):
+    def __init__(
+        self, self_columns: str, params: dict | None = None, ref: str | None = None
+    ):
         super().__init__([self_columns], params)
         self._colname = self_columns
+        # ref: field-access expression against the ORIGINAL frame (e.g.
+        # `a`.`b` for a struct leaf); defaults to the quoted name
+        self._ref = ref or (
+            f"`{self_columns}`" if "." in self_columns else self_columns
+        )
 
     def _call(self, e: ast.FunctionCall) -> Column:
         if e.name == "value":
-            name = self._colname
-            return F.col(f"`{name}`") if "." in name else F.col(name)
+            return F.col(self._ref)
         if e.name in ("columnname", "columnpath"):
             return F.lit(self._colname)
         return super()._call(e)
@@ -962,10 +968,25 @@ class MldbContext:
         evaluates the clause expressions over column METADATA
         (operators.relational.column_stats — one aggregate pass, one
         metadata-sized collect), phase 2 is a plain pruned projection
-        of the picked columns. The data never flows through phase 1."""
-        from mldb_spark.operators.relational import column_stats
+        of the picked columns. The data never flows through phase 1.
 
-        stats = column_stats(df)
+        Default (non-STRUCTURED) processes every ATOMIC leaf of the
+        flattened representation — nested struct fields participate as
+        dotted-path columns (SelectExpression.md:105-128); STRUCTURED
+        keeps the top-level columns whole so structured values can be
+        passed to functions intact. Arrays/maps stay atomic either way
+        (Spark schemas are positional, not path-sparse)."""
+        from mldb_spark.operators.relational import column_stats
+        from mldb_spark.sources.text_io import flatten_struct, leaf_refs
+
+        has_nested = any(hasattr(f.dataType, "fields") for f in df.schema.fields)
+        if not item.structured and has_nested:
+            ref_map = dict(leaf_refs(df.schema))
+            meta_df = flatten_struct(df)
+        else:
+            ref_map = {c: f"`{c}`" for c in df.columns}
+            meta_df = df
+        stats = column_stats(meta_df)
         binder = _ColumnMetaBinder(stats.columns, params)
         if item.where is not None:
             stats = stats.filter(binder.bind(item.where).cast("boolean"))
@@ -985,12 +1006,18 @@ class MldbContext:
         if not rows:
             raise ValueError("COLUMN EXPR selected no columns")
         if item.select_expr is None:
-            return [F.col(r["columnName"]).alias(r["__out"]) for r in rows]
+            return [
+                F.col(ref_map[r["columnName"]]).alias(r["__out"]) for r in rows
+            ]
         # (SELECT f(value())): apply the transform per picked column —
         # value() binds to the column itself, columnName() to its name
         out = []
         for r in rows:
-            vb = _ColumnValueBinder(self_columns=r["columnName"], params=params)
+            vb = _ColumnValueBinder(
+                self_columns=r["columnName"],
+                params=params,
+                ref=ref_map[r["columnName"]],
+            )
             out.append(vb.bind(item.select_expr).alias(r["__out"]))
         return out
 

@@ -252,8 +252,9 @@ def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFra
     cols = list(columns or df.columns)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for i, c in enumerate(cols):
-        aggs.append(F.count(F.col(c)).alias(f"__n{i}"))
-        aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__d{i}"))
+        # backtick-quote: flattened frames carry literal dotted names
+        aggs.append(F.count(F.col(f"`{c}`")).alias(f"__n{i}"))
+        aggs.append(F.approx_count_distinct(F.col(f"`{c}`")).alias(f"__d{i}"))
     row = df.agg(*aggs).collect()[0]
     dtypes = dict(df.dtypes)
     data = [

@@ -91,24 +91,34 @@ def import_json(
     return df
 
 
-def flatten_struct(df: DataFrame, sep: str = ".") -> DataFrame:
-    """Flatten nested structs to dotted-path atomic columns — the
-    reference's complex-type flattening rule (TypeSystem.md 'Complex
-    type flattening'; recordRowExpr 'will be flattened',
-    core/dataset.h:459-468)."""
-    cols: list[Column] = []
+def leaf_refs(schema, sep: str = ".") -> list[tuple[str, str]]:
+    """(dotted_name, field_access_ref) for every atomic leaf of a
+    schema, recursing into structs: a field b of struct a yields
+    ('a.b', '`a`.`b`'). The ref string is valid against the ORIGINAL
+    (unflattened) DataFrame; the name is its flattened alias."""
+    out: list[tuple[str, str]] = []
 
-    def walk(prefix: str, schema, path: str):
-        for field in schema.fields:
+    def walk(prefix: str, sch, path: str):
+        for field in sch.fields:
             full = f"{path}.`{field.name}`" if path else f"`{field.name}`"
             name = f"{prefix}{sep}{field.name}" if prefix else field.name
             if hasattr(field.dataType, "fields"):
                 walk(name, field.dataType, full)
             else:
-                cols.append(F.col(full).alias(name))
+                out.append((name, full))
 
-    walk("", df.schema, "")
-    return df.select(*cols)
+    walk("", schema, "")
+    return out
+
+
+def flatten_struct(df: DataFrame, sep: str = ".") -> DataFrame:
+    """Flatten nested structs to dotted-path atomic columns — the
+    reference's complex-type flattening rule (TypeSystem.md 'Complex
+    type flattening'; recordRowExpr 'will be flattened',
+    core/dataset.h:459-468)."""
+    return df.select(
+        *[F.col(ref).alias(name) for name, ref in leaf_refs(df.schema, sep)]
+    )
 
 
 def export_csv(

@@ -367,6 +367,40 @@ def test_column_expr_in_dialect(ctx):
     assert df3.columns == sorted(df.columns)[1:3]
 
 
+def test_column_expr_structured_nested(ctx, spark):
+    # default COLUMN EXPR flattens nested structs to atomic dotted-path
+    # leaves; STRUCTURED keeps the top-level columns whole
+    # (SelectExpression.md:105-128)
+    from mldb_spark.dialect import MldbContext
+
+    c2 = MldbContext(spark)
+    df = spark.createDataFrame(
+        [(1, (2.0, "a"), 10.0), (2, (4.0, "b"), 20.0)],
+        "id long, u struct<score: double, tag: string>, v double",
+    )
+    c2.register("nested", df)
+
+    flat = c2.query("SELECT COLUMN EXPR (ORDER BY columnName()) FROM nested")
+    assert flat.columns == ["id", "u.score", "u.tag", "v"]
+    row = flat.orderBy("id").collect()[0]
+    assert row["u.score"] == 2.0 and row["u.tag"] == "a"
+
+    structured = c2.query(
+        "SELECT COLUMN EXPR STRUCTURED (ORDER BY columnName()) FROM nested"
+    )
+    assert structured.columns == ["id", "u", "v"]
+    assert structured.orderBy("id").collect()[0]["u"]["tag"] == "a"
+
+    # leaf metadata participates: columnPathLength sees the dotted path,
+    # and the per-column transform binds value() to the struct FIELD
+    leaves = c2.query(
+        "SELECT COLUMN EXPR (SELECT value() * 2 WHERE columnPathLength() = 2 "
+        "AND columnPathElement(1) = 'score') FROM nested"
+    )
+    assert leaves.columns == ["u.score"]
+    assert sorted(r["u.score"] for r in leaves.collect()) == [4.0, 8.0]
+
+
 def test_wildcard_rename(ctx):
     df = ctx.query("SELECT c_a* AS bal_* FROM customer LIMIT 1")
     assert df.columns == ["bal_cctbal"]
