@@ -24,6 +24,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("mldb_spark_bench")
+    # stdout must stay parseable: exactly one JSON line at the end.
+    # Progress bars are disabled in get_spark; drop log chatter too.
+    spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
 
@@ -56,17 +59,17 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    summary = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    print(summary, flush=True)
 
 
 if __name__ == "__main__":

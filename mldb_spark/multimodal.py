@@ -193,6 +193,38 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(sample, FRAME_SCHEMA)
 
 
+def read_pixel(x: int, y: int, pixels="pixels", width="width", height="height"):
+    """ReadPixels (plugins/embedding/embedding.cc:1530): the pixel
+    value at (x, y) of a row-major decoded image — pure JVM Column
+    arithmetic (element_at is 1-based), NULL outside the bounds. The
+    decode stage is the stubbed step; this addressing layer is real
+    and runs codegen'd over whatever the decoder emits."""
+    px, w, h = F.col(pixels), F.col(width), F.col(height)
+    inb = (F.lit(x) >= 0) & (F.lit(x) < w) & (F.lit(y) >= 0) & (F.lit(y) < h)
+    return F.when(inb, F.element_at(px, F.lit(y) * w + F.lit(x) + 1))
+
+
+def proximate_pixels(
+    x: int,
+    y: int,
+    radius: int = 1,
+    pixels="pixels",
+    width="width",
+    height="height",
+):
+    """ProximateVoxels (plugins/embedding/embedding.cc:1685) in 2-D:
+    the (2r+1)² neighborhood around (x, y) as a flat row-major array,
+    NULL entries where the window leaves the image. Static radius →
+    a fixed-width F.array of element_at lookups, fully codegen'd (no
+    Python, no explode)."""
+    cells = [
+        read_pixel(x + dx, y + dy, pixels, width, height)
+        for dy in range(-radius, radius + 1)
+        for dx in range(-radius, radius + 1)
+    ]
+    return F.array(*cells)
+
+
 # ---------------------------------------------------------------------------
 # EXIF (reference parse_exif, sql/builtin_image_functions.cc:71-100)
 # ---------------------------------------------------------------------------

@@ -48,6 +48,10 @@ def get_spark(app_name: str = "mldb_spark", master: str | None = None) -> SparkS
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
+        # no console progress bars: harnesses capture stdout/stderr and
+        # 90 queries of \r-rewritten bars swamp (and truncate) the one
+        # JSON line the driver parses out of bench.py
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if master is not None:
         builder = builder.master(master)

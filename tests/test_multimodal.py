@@ -58,6 +58,28 @@ def test_decode_contract(spark):
     assert rows[4]["error"] is not None and rows[4]["pixels"] is None
 
 
+def test_read_pixel_and_proximate(spark):
+    # ReadPixels/ProximateVoxels addressing over decoded row-major
+    # pixels: pure Column lookups, NULL outside the image bounds
+    from mldb_spark.multimodal import proximate_pixels, read_pixel
+
+    decoded = spark.createDataFrame(
+        [(1, 3, 2, [10, 11, 12, 20, 21, 22])],
+        "media_id long, width int, height int, pixels array<int>",
+    )
+    row = decoded.select(
+        read_pixel(0, 0).alias("tl"),
+        read_pixel(2, 1).alias("br"),
+        read_pixel(3, 0).alias("oob_x"),
+        read_pixel(0, 2).alias("oob_y"),
+        proximate_pixels(1, 0, radius=1).alias("hood"),
+    ).collect()[0]
+    assert row["tl"] == 10 and row["br"] == 22
+    assert row["oob_x"] is None and row["oob_y"] is None
+    # 3x3 window centered at (1,0): top row out of bounds
+    assert row["hood"] == [None, None, None, 10, 11, 12, 20, 21, 22]
+
+
 def test_image_features(spark):
     media = attach_metadata(_media(spark))
     feats = image_features(decode_images(media))
