@@ -90,10 +90,25 @@ def import_word2vec(
     return spark.createDataFrame(rows, "word string, vector array<double>")
 
 
-def export_word2vec_binary(vectors: DataFrame, path: str) -> None:
+def export_word2vec_binary(
+    vectors: DataFrame, path: str, max_vocab: int = 10_000_000
+) -> None:
     """Write (word, vector) back to the word2vec binary format —
     round-trip partner of import_word2vec for interchange with
-    reference deployments. Vocabulary-sized collect."""
+    reference deployments.
+
+    The format is a single sequential file, so the vocabulary MUST
+    pass through the driver — inherent to the interchange format, not
+    a plan defect. max_vocab bounds that collect (10M rows x 300 dims
+    x 4B ≈ 12 GB — near the practical ceiling); corpora beyond it
+    should stay in parquet and be consumed distributed."""
+    n = vectors.count()
+    if n > max_vocab:
+        raise ValueError(
+            f"vocabulary {n} exceeds max_vocab={max_vocab}: the word2vec "
+            "binary format is a single driver-written file; keep larger "
+            "embedding tables in parquet instead"
+        )
     rows = vectors.select("word", "vector").collect()
     if not rows:
         raise ValueError("no vectors to export")
