@@ -313,7 +313,22 @@ def simhash_pairs(
     Costs one extra action on the (persisted) candidate table.
     """
     if min_collisions is None:
-        min_collisions = 2 if max_hamming >= 6 else 1
+        # cap so max_hamming + min_collisions never exceeds the 64
+        # available bits (at max_hamming >= 63 a second collision
+        # segment cannot exist)
+        min_collisions = min(2 if max_hamming >= 6 else 1, max(1, 64 - max_hamming))
+    if not 0 <= max_hamming < 64:
+        raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
+    if max_hamming + min_collisions > 64:
+        # _simhash_segments would silently clamp to 64 segments and the
+        # >= min_collisions filter would break exact recall at radius:
+        # a pair at distance h could agree in fewer than min_collisions
+        # of the clamped segments and be dropped
+        raise ValueError(
+            f"max_hamming ({max_hamming}) + min_collisions ({min_collisions}) "
+            f"exceeds the 64 fingerprint bits; lower min_collisions to "
+            f"<= {64 - max_hamming} to keep exact recall"
+        )
     segs = _simhash_segments(max_hamming + min_collisions)
     seg_vals = F.array(
         *[

@@ -168,6 +168,22 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         # flat-object form → MAP<string,string>; nested JSON should use
         # the json path extraction functions instead
         return F.from_json(args[0], "map<string,string>")
+    if name == "extract_domain":
+        # http family (sql/builtin_http_functions.cc:38-77); the
+        # options row literal {removeSubdomain: true|1} is a bind-time
+        # constant, like the reference's jsonDecode of arg 2
+        from mldb_spark.functions.web import extract_domain
+
+        remove_sub = False
+        if len(raw_args) == 2:
+            if not isinstance(raw_args[1], ast.RowLiteral):
+                raise ValueError(
+                    "extract_domain options must be a {removeSubdomain: ...} row"
+                )
+            opts = {k.lower(): v for k, v in raw_args[1].fields}
+            lit = opts.get("removesubdomain")
+            remove_sub = bool(isinstance(lit, ast.Literal) and lit.value)
+        return extract_domain(args[0], remove_sub)
     raise ValueError(f"unknown function {name!r}")
 
 
@@ -476,10 +492,77 @@ class Binder:
             # bind-time constant detection over the AST — pure literals
             # and operator trees of literals are const
             return F.lit(1 if _is_const_expr(e.args[0]) else 0).cast("int")
+        if name in ("flatten", "shape", "reshape", "slice"):
+            return self._tensor_call(e)
         if name in AGGREGATE_FNS:
             return self._aggregate(e)
         args = [self.bind(a) for a in e.args]
         return _scalar_fn(name, args, e.args)
+
+    def _expr_ndim(self, e: ast.Expr) -> int:
+        """Static embedding nesting depth of an expression (tensor
+        functions need it: Spark array ops are depth-typed while the
+        reference's EmbeddingValueInfo carries shape at bind time —
+        sql/expression_value.h:1801-1850)."""
+        from mldb_spark.functions.vector import ndim_of_dtype
+
+        if isinstance(e, ast.ColumnRef):
+            return ndim_of_dtype(self.dtypes.get(e.name, ""))
+        if isinstance(e, ast.EmbeddingLiteral):
+            return 1 + (self._expr_ndim(e.items[0]) if e.items else 0)
+        if isinstance(e, ast.FunctionCall):
+            if e.name in ("flatten", "shape"):
+                return 1
+            if e.name == "reshape" and len(e.args) >= 2:
+                shape = self._shape_literal(e.args[1])
+                return len(shape)
+            if e.name == "slice":
+                return max(0, self._expr_ndim(e.args[0]) - 1)
+            if e.name == "concat" and e.args:
+                return self._expr_ndim(e.args[0])
+            if e.name in ("normalize", "vector_sum", "vector_diff",
+                          "vector_product", "vector_quotient", "tokenize"):
+                return 1
+        return 0
+
+    def _shape_literal(self, e: ast.Expr) -> list[int]:
+        """A reshape() shape argument must be a literal embedding of
+        positive ints — the output Spark type depends on it, so it is
+        a bind-time constant (the reference also special-cases the
+        const shape path, builtin_functions.cc:2780)."""
+        if isinstance(e, ast.EmbeddingLiteral):
+            dims = [_literal_int(x) for x in e.items]
+            if all(d is not None and d > 0 for d in dims):
+                return [int(d) for d in dims]  # type: ignore[arg-type]
+        raise ValueError("reshape() needs a literal [d0, d1, ...] shape")
+
+    def _tensor_call(self, e: ast.FunctionCall) -> Column:
+        from mldb_spark.functions.vector import (
+            tensor_flatten,
+            tensor_reshape,
+            tensor_shape,
+            tensor_slice,
+        )
+
+        nd = self._expr_ndim(e.args[0])
+        if nd < 1:
+            raise ValueError(
+                f"{e.name}() requires an embedding argument (array-typed "
+                f"column or [...] literal)"
+            )
+        if e.name == "flatten":
+            return tensor_flatten(self.bind(e.args[0]), nd)
+        if e.name == "shape":
+            return tensor_shape(self.bind(e.args[0]), nd)
+        if e.name == "slice":
+            idx = _literal_int(e.args[1]) if len(e.args) == 2 else None
+            if idx is None:
+                raise ValueError("slice(val, index) needs a literal index")
+            return tensor_slice(self.bind(e.args[0]), idx, nd)
+        # reshape(val, shape[, newel])
+        shape = self._shape_literal(e.args[1])
+        fill = self.bind(e.args[2]) if len(e.args) == 3 else None
+        return tensor_reshape(self.bind(e.args[0]), shape, nd, fill)
 
     _ROW_AGG = {
         "count": lambda c: F.count(c),

@@ -56,3 +56,103 @@ def vector_product(a: Column, b: Column) -> Column:
 
 def vector_quotient(a: Column, b: Column) -> Column:
     return F.zip_with(a, b, lambda x, y: x / y)
+
+
+# --- tensor shape family (sql/builtin_functions.cc:2723-2977; doc ---------
+# ValueExpression.md §Vector space functions). Embeddings are nested
+# Spark arrays; the nesting DEPTH is a static property of the column
+# type, so every function below takes `ndim` and compiles to pure JVM
+# higher-order functions — no Python crossing, codegen-friendly at
+# any scan width.
+
+
+def ndim_of_dtype(dtype: str) -> int:
+    """Nesting depth of a Spark SQL type string:
+    'array<array<double>>' -> 2, 'array<float>' -> 1, scalar -> 0."""
+    return dtype.count("array<")
+
+
+def tensor_flatten(a: Column, ndim: int) -> Column:
+    """flatten (builtin_functions.cc:2723): n-d embedding -> 1-d,
+    row-major (last dimension fastest), e.g.
+    flatten([[1,2],[3,4]]) == [1,2,3,4]."""
+    if ndim < 1:
+        raise ValueError("flatten() requires an embedding argument")
+    for _ in range(ndim - 1):
+        a = F.flatten(a)
+    return a
+
+
+def tensor_shape(a: Column, ndim: int) -> Column:
+    """shape (builtin_functions.cc:2977): the size of each dimension
+    as a 1-d int array. Dim k is measured on the first element path
+    (embeddings are rectangular by contract)."""
+    if ndim < 1:
+        raise ValueError("shape() requires an embedding argument")
+    dims: list[Column] = []
+    cur = a
+    for _ in range(ndim):
+        dims.append(F.size(cur))
+        cur = F.get(cur, 0)
+    return F.array(*dims)
+
+
+def _prod(xs: list[int]) -> int:
+    out = 1
+    for x in xs:
+        out *= x
+    return out
+
+
+def _nest(flat: Column, shape: list[int]) -> Column:
+    """Build nested arrays of the given static shape from a 1-d slice
+    of exactly prod(shape) elements (row-major)."""
+    if len(shape) == 1:
+        return flat
+    inner = _prod(shape[1:])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(shape[0] - 1)),
+        lambda i: _nest(F.slice(flat, i * inner + 1, inner), shape[1:]),
+    )
+
+
+def tensor_reshape(
+    a: Column, shape: list[int], ndim_in: int = 1, fill: Column | None = None
+) -> Column:
+    """reshape (builtin_functions.cc:2725): reinterpret an embedding
+    as the given static shape, row-major. Two-arg form requires the
+    element counts to match (mismatch -> NULL, the engine's
+    fail-as-NULL convention standing in for the reference's query
+    error); three-arg form pads missing elements with `fill` and
+    truncates extras (reference reshape(val, shape, newel))."""
+    if any(d <= 0 for d in shape):
+        raise ValueError(f"reshape() needs positive dims, got {shape}")
+    flat = tensor_flatten(a, ndim_in) if ndim_in > 1 else a
+    total = _prod(shape)
+    if fill is not None:
+        flat = F.slice(
+            F.concat(flat, F.array_repeat(fill.cast("double"), total)), 1, total
+        )
+        return _nest(flat, shape)
+    return F.when(F.size(flat) == total, _nest(flat, shape))
+
+
+def tensor_slice(a: Column, index: int, ndim: int) -> Column:
+    """slice (doc ValueExpression.md §Vector space functions): select
+    the index-th element of the LAST dimension — for an m x n
+    embedding, slice(x, i) is the i-th COLUMN as an m-vector (0-based
+    indexing, matching embedding path addressing x.0, x.1, ...)."""
+    if ndim < 1:
+        raise ValueError("slice() requires an embedding argument")
+    if ndim == 1:
+        return F.get(a, index)
+    return F.transform(a, lambda row: tensor_slice(row, index, ndim - 1))
+
+
+def tensor_concat(*cols: Column) -> Column:
+    """concat (builtin_functions.cc:2947): join embeddings along the
+    FIRST dimension (1-d: ordinary concatenation; 2-d: vertical
+    stack) — shapes must agree on every other dimension, mirroring
+    calcShape's result[0] += shape[0] rule. Spark's array concat has
+    exactly this semantics on (nested) arrays."""
+    return F.concat(*cols)

@@ -120,3 +120,20 @@ def html_links(html: Column) -> Column:
     return F.regexp_extract_all(
         html, F.lit(r"""(?i)href\s*=\s*["']([^"']+)["']"""), F.lit(1)
     )
+
+
+def extract_domain(url: Column, remove_subdomain: bool = False) -> Column:
+    """extract_domain(url[, {removeSubdomain}]) — the reference's http
+    function family (sql/builtin_http_functions.cc:38-77): the host
+    part of a URL; with removeSubdomain, the last two dot-separated
+    labels unless the host is an IP address (the reference skips IPs
+    via Url::hostIsIpAddress). NULL in -> NULL out. Pure JVM
+    (parse_url + regexp), so it rides whole-stage codegen over a
+    100 TB url column."""
+    host = F.parse_url(url, F.lit("HOST"))
+    if not remove_subdomain:
+        return host
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$") | host.contains(":")
+    # rfind two dots from the end == capture the trailing two labels
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(is_ip | (two == ""), host).otherwise(two)

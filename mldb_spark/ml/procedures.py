@@ -428,10 +428,20 @@ def tsne_embed_row(
     kk = min(k, X.shape[0])
 
     def embed(d: DataFrame) -> DataFrame:
-        import pandas as pd
+        from pyspark.sql.types import DoubleType, StructField, StructType
 
-        schema = d.schema.simpleString()[7:-1] + ", " + ", ".join(
-            f"{c} double" for c in out_names
+        clash = [c for c in out_names if c in d.columns]
+        if clash:
+            raise ValueError(
+                f"input already has coordinate column(s) {clash}; rename "
+                f"them before embedding (outputs are {out_names})"
+            )
+        # copy the input schema and append the coord fields — string
+        # surgery on simpleString() breaks on nested/renderer-variant
+        # types and cannot detect name collisions
+        schema = StructType(
+            list(d.schema.fields)
+            + [StructField(c, DoubleType()) for c in out_names]
         )
         cols = d.columns
 

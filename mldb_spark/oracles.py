@@ -1024,3 +1024,22 @@ SELECT 'products_sample.csv' AS name, CAST(size AS BIGINT) AS n_bytes,
        md5(decode(content)) AS content_md5
 FROM read_blob('/root/repo/mldb_spark/data/products_sample.csv')
 """
+
+ORACLES["q91_tensor_ops"] = """
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       '8x8' AS shp,
+       round(CAST(embedding[4] AS DOUBLE) + CAST(embedding[12] AS DOUBLE) + CAST(embedding[20] AS DOUBLE) + CAST(embedding[28] AS DOUBLE) + CAST(embedding[36] AS DOUBLE) + CAST(embedding[44] AS DOUBLE) + CAST(embedding[52] AS DOUBLE) + CAST(embedding[60] AS DOUBLE), 5) AS col3_sum,
+       round(CAST(embedding[3] AS DOUBLE) + CAST(embedding[11] AS DOUBLE) + CAST(embedding[19] AS DOUBLE) + CAST(embedding[27] AS DOUBLE) + CAST(embedding[35] AS DOUBLE) + CAST(embedding[43] AS DOUBLE) + CAST(embedding[51] AS DOUBLE) + CAST(embedding[59] AS DOUBLE) + 1.0 + 1.0, 5) AS pad_col2_sum,
+       CAST(16 AS BIGINT) AS cat_len,
+       round(CAST(embedding[6] AS DOUBLE), 5) AS elem5,
+       CAST(0.0 AS DOUBLE) AS rt_err
+FROM embeddings WHERE vec_id < 20 ORDER BY vec_id
+"""
+
+ORACLES["q92_extract_domain"] = """
+SELECT CAST(c_custkey AS BIGINT) AS ck,
+       lower(replace(c_mktsegment, ' ', '')) || '.shop.example.com' AS host,
+       'example.com' AS domain,
+       '192.168.0.1' AS ip_host
+FROM customer WHERE c_custkey <= 100 ORDER BY ck
+"""

@@ -1955,6 +1955,68 @@ def q90_fetcher_blob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q91_tensor_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """Tensor shape family (sql/builtin_functions.cc:2723-2977): the
+    64-d embedding reinterpreted as an 8x8 matrix, then shape/slice/
+    flatten/concat/3-arg-reshape over it. The oracle replays each
+    output from the flat list with DuckDB list ops, so a row-major
+    ordering or padding-placement bug on the Spark side breaks the
+    hash (flatten(reshape(v)) must be the identity for rt_err = 0)."""
+    from mldb_spark.functions.vector import (
+        tensor_concat,
+        tensor_flatten,
+        tensor_reshape,
+        tensor_shape,
+        tensor_slice,
+    )
+
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 20)
+    v = F.col("embedding").cast("array<double>")
+    m = tensor_reshape(v, [8, 8], 1)
+    # 10x8 with two fill rows of 1.0: column 2 gains exactly +2.0
+    m_pad = tensor_reshape(v, [10, 8], 1, F.lit(1.0))
+    col3 = tensor_slice(m, 3, 2)
+    both = tensor_concat(col3, tensor_slice(m, 0, 2))
+    rt = F.zip_with(tensor_flatten(m, 2), v, lambda a, b: F.abs(a - b))
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.concat_ws("x", tensor_shape(m, 2).cast("array<string>")).alias("shp"),
+        F.round(F.aggregate(col3, F.lit(0.0), lambda a, x: a + x), 5).alias("col3_sum"),
+        F.round(
+            F.aggregate(tensor_slice(m_pad, 2, 2), F.lit(0.0), lambda a, x: a + x), 5
+        ).alias("pad_col2_sum"),
+        F.size(both).cast("long").alias("cat_len"),
+        F.round(tensor_slice(v, 5, 1), 5).alias("elem5"),
+        F.round(F.aggregate(rt, F.lit(0.0), lambda a, x: a + x), 9).alias("rt_err"),
+    ).orderBy("vec_id")
+
+
+def q92_extract_domain(spark: SparkSession, sf: str) -> DataFrame:
+    """extract_domain http family (sql/builtin_http_functions.cc:
+    38-77): URLs constructed from customer fields, host extracted with
+    parse_url and subdomain-stripped per the reference's last-two-
+    labels rule (IPs kept whole). The oracle knows the host it
+    constructed, so a parse or label-split bug on the Spark side
+    breaks the hash."""
+    from mldb_spark.functions.web import extract_domain
+
+    cust = load(spark, sf, "customer").filter(F.col("c_custkey") <= 100)
+    seg = F.lower(F.regexp_replace(F.col("c_mktsegment"), " ", ""))
+    url = F.concat(
+        F.lit("https://"),
+        seg,
+        F.lit(".shop.example.com/cust/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?ref=home"),
+    )
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("ck"),
+        extract_domain(url).alias("host"),
+        extract_domain(url, remove_subdomain=True).alias("domain"),
+        extract_domain(F.lit("http://192.168.0.1:8080/x"), True).alias("ip_host"),
+    ).orderBy("ck")
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

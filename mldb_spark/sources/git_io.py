@@ -174,17 +174,33 @@ def import_xlsx(spark: SparkSession, path: str, sheet: str | None = None) -> Dat
         grid: list[dict[int, object]] = []
         for row in ws.iter(f"{_XLSX_MAIN_NS}row"):
             cells: dict[int, object] = {}
-            for i, c in enumerate(row.iter(f"{_XLSX_MAIN_NS}c")):
+            # cells without an explicit r= ref take the next column
+            # after the last placed cell (ECMA-376 sequential rule),
+            # not their ordinal among present <c> elements — in a
+            # sparse row (A1, C1, <unref'd>) the unref'd cell is D1
+            next_idx = 0
+            for c in row.iter(f"{_XLSX_MAIN_NS}c"):
                 ref = c.get("r")
-                cells[_col_index(ref) if ref else i] = _xlsx_cell_value(c, shared)
+                idx = _col_index(ref) if ref else next_idx
+                cells[idx] = _xlsx_cell_value(c, shared)
+                next_idx = idx + 1
             grid.append(cells)
 
     if not grid:
         raise ValueError(f"empty worksheet in {path}")
     width = max(max(cells, default=-1) for cells in grid) + 1
-    header = [
-        str(grid[0].get(j)) if grid[0].get(j) is not None else f"x{j}"
-        for j in range(width)
-    ]
+    header: list[str] = []
+    seen: dict[str, int] = {}
+    for j in range(width):
+        h = grid[0].get(j)
+        name = str(h) if h is not None else f"x{j}"
+        # duplicate header cells would collide in createDataFrame;
+        # disambiguate with an ordinal suffix like pandas does
+        if name in seen:
+            seen[name] += 1
+            name = f"{name}.{seen[name]}"
+        else:
+            seen[name] = 0
+        header.append(name)
     data = [tuple(cells.get(j) for j in range(width)) for cells in grid[1:]]
     return spark.createDataFrame(data, header)

@@ -567,3 +567,34 @@ def test_global_registry_model_auto_visible_in_sql(spark):
         "SELECT x, auto_clf_dialect({x})[score] AS s FROM d ORDER BY x DESC LIMIT 3"
     ).collect()
     assert len(rows) == 3 and all(0.0 <= r["s"] <= 1.0 for r in rows)
+
+
+def test_tensor_functions_in_sql(ctx):
+    """flatten/reshape/shape/slice/concat (sql/builtin_functions.cc:
+    2723-2977): literal-embedding forms, row-major ordering, 0-based
+    slice on the LAST dimension, 3-arg reshape padding."""
+    row = ctx.query(
+        "SELECT shape(reshape([1, 2, 3, 4, 5, 6], [2, 3])) AS shp, "
+        "flatten(reshape([1, 2, 3, 4], [2, 2])) AS rt, "
+        "slice(reshape([1, 2, 3, 4, 5, 6], [2, 3]), 1) AS col1, "
+        "slice([10, 20, 30], 2) AS el2, "
+        "reshape([1, 2], [4], 0) AS padded, "
+        "concat([1, 2], [3]) AS cat "
+        "FROM region LIMIT 1"
+    ).collect()[0]
+    assert list(row["shp"]) == [2, 3]
+    assert [int(v) for v in row["rt"]] == [1, 2, 3, 4]
+    # slice picks the index-th element of the last dim => column 1
+    assert [int(v) for v in row["col1"]] == [2, 5]
+    assert int(row["el2"]) == 30
+    assert [int(v) for v in row["padded"]] == [1, 2, 0, 0]
+    assert [int(v) for v in row["cat"]] == [1, 2, 3]
+
+
+def test_tensor_reshape_mismatch_is_null(ctx):
+    # 2-arg reshape with a count mismatch -> NULL (engine fail-as-NULL
+    # convention; the reference raises a query error here)
+    row = ctx.query(
+        "SELECT reshape([1, 2, 3], [2, 2]) AS bad FROM region LIMIT 1"
+    ).collect()[0]
+    assert row["bad"] is None
