@@ -565,6 +565,7 @@ def svd_train(
     k: int = 8,
     name: str = "svd",
     registry: FunctionRegistry = GLOBAL_REGISTRY,
+    max_columns: int = 131072,
 ):
     """svd.train (plugins/embedding/svd.cc:1023,1028): truncated SVD of
     a long-format sparse matrix (row, column, value), emitting the
@@ -599,7 +600,21 @@ def svd_train(
     from mldb_spark.caching import persist_tracked
 
     cells = persist_tracked(cells)
-    col_rows = cells.select(column_col).distinct().orderBy(column_col).collect()
+    # the column map is the ONLY collect, and it is hard-capped: the
+    # limit bounds driver memory BEFORE anything materializes, and an
+    # over-cap vocabulary fails loudly instead of silently collecting
+    # an unbounded map (the Gram matrix is n_cols² — an unpruned
+    # column space is a caller bug, not something to soldier through)
+    col_rows = (
+        cells.select(column_col).distinct().orderBy(column_col)
+        .limit(max_columns + 1).collect()
+    )
+    if len(col_rows) > max_columns:
+        raise ValueError(
+            f"svd_train: column space exceeds max_columns={max_columns}; "
+            f"prune the vocabulary upstream (min_df / top-N cut) — the "
+            f"Gram matrix cost is quadratic in the column count"
+        )
     col_idx = {r[column_col]: i for i, r in enumerate(col_rows)}
     n_cols = len(col_idx)
     if k > min(n_cols, 2**31):

@@ -105,12 +105,34 @@ def partition_by_size(df: DataFrame, target_bytes: int = 256 << 20, avg_member_b
 
 def _fake_decode(content: bytes, out_w: int, out_h: int) -> np.ndarray:
     """STUB DECODER (no codecs in this container): deterministic
-    pseudo-pixels derived from the content md5, shaped (h, w). A real
-    deployment replaces this body with PIL/libvips decode+resize; the
-    signature and the callers stay identical."""
+    pseudo-pixels derived from the content md5, shaped (h, w). When
+    PIL is importable, decode_images routes to _pil_decode instead;
+    the signature and the callers stay identical."""
     seed = int.from_bytes(hashlib.md5(content).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, size=(out_h, out_w), dtype=np.uint8)
+
+
+def pil_available() -> bool:
+    """True when the real image codec (Pillow) is importable."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(content: bytes, out_w: int, out_h: int) -> np.ndarray:
+    """REAL decoder: Pillow decode -> grayscale -> resize, same
+    (h, w) uint8 contract as the stub. Only reachable when Pillow is
+    importable (pil_available)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content)).convert("L").resize((out_w, out_h))
+    return np.asarray(img, dtype=np.uint8)
 
 
 DECODED_SCHEMA = (
@@ -118,11 +140,24 @@ DECODED_SCHEMA = (
 )
 
 
-def decode_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+def decode_images(
+    df: DataFrame, out_w: int = 8, out_h: int = 8, decoder: str = "auto"
+) -> DataFrame:
     """Decode+resize stage: mapInPandas over the media table, emitting
     fixed-shape pixel arrays (row-major) with per-row error capture.
-    The stub decoder stands in for the codec; batch mechanics are
-    production-shaped."""
+
+    decoder: 'auto' routes through the REAL Pillow codec when it is
+    importable on the driver and the stub otherwise; 'pil' / 'stub'
+    force a path ('pil' raises if Pillow is absent). The choice is
+    resolved driver-side and shipped in the closure so a cluster with
+    mixed executor images decodes consistently."""
+    if decoder == "auto":
+        decoder = "pil" if pil_available() else "stub"
+    if decoder == "pil" and not pil_available():
+        raise ValueError("decoder='pil' but Pillow is not importable")
+    if decoder not in ("pil", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    decode_one = _pil_decode if decoder == "pil" else _fake_decode
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -133,7 +168,7 @@ def decode_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                 try:
                     if content is None or len(content) == 0:
                         raise ValueError("empty content")
-                    px = _fake_decode(bytes(content), out_w, out_h)
+                    px = decode_one(bytes(content), out_w, out_h)
                     out.append((mid, out_w, out_h, px.ravel().tolist(), None))
                 except Exception as e:  # error-as-column, never fail the job
                     out.append((mid, None, None, None, str(e)))

@@ -84,6 +84,39 @@ def temporal_agg(
     )
 
 
+def all_cells(
+    cells: DataFrame,
+    row_col: str = "row",
+    column_col: str = "column",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    where_latest: Column | None = None,
+) -> DataFrame:
+    """GET_ALL SELECT emission (sql/expression_value.h:86-91,940-944):
+    the reference evaluates WHERE/HAVING/calc at GET_LATEST but emits
+    SELECT output as GET_ALL (core/bound_queries.cc:385,394,1815) —
+    every timestamped value of a surviving row's cells appears in the
+    output, not just the latest one.
+
+    `where_latest` is a boolean expression over this view's
+    (column, value, ts) columns, tested against the row's LATEST cell
+    values (a row survives if ANY of its latest cells satisfies it —
+    the bare `WHERE x > k` single-column shape). Surviving rows then
+    emit their full superposition.
+
+    Scale shape: the WHERE runs on the collapsed latest view (one
+    partial-agg shuffle), survivors come back as a semi-join on the
+    row key — no wide pivot, no second pass over cell values, and the
+    cell scan itself is untouched (filters on row/ts still push
+    down).
+    """
+    if where_latest is None:
+        return cells
+    latest = latest_cells(cells, row_col, column_col, value_col, ts_col)
+    surviving = latest.filter(where_latest).select(row_col).distinct()
+    return cells.join(surviving, row_col, "left_semi")
+
+
 def when_filter(cells: DataFrame, predicate: Column) -> DataFrame:
     """WHEN clause: drop individual cells whose timestamp fails the
     predicate (rows survive as long as any cell survives). On the

@@ -1043,3 +1043,19 @@ SELECT CAST(c_custkey AS BIGINT) AS ck,
        '192.168.0.1' AS ip_host
 FROM customer WHERE c_custkey <= 100 ORDER BY ck
 """
+
+ORACLES["q93_get_all_cells"] = """
+WITH cells AS (
+  SELECT CAST(user_id AS VARCHAR) AS "row", event_type AS "column",
+         "value", ts
+  FROM events
+), surv AS (
+  SELECT DISTINCT "row" FROM (
+    SELECT "row", "column", arg_max("value", ts) AS latest_value
+    FROM cells GROUP BY 1, 2
+  ) WHERE "column" = 'purchase' AND latest_value > 900
+)
+SELECT c."row", c."column", round(c."value", 2) AS "value", c.ts
+FROM cells c JOIN surv USING ("row")
+ORDER BY c."row", c."column", c.ts
+"""

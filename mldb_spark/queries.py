@@ -1250,13 +1250,15 @@ def q61_svd_term_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # min_df prune caps the column space (the Gram matrix is n_cols² —
     # standard LSA practice, same role as the reference's top-N vocab
     # cut). Relative threshold: the vocab must not grow with the
-    # corpus, or the Gram matrix does.
-    n_docs = docs.count()
-    min_df = max(3, n_docs // 200)
+    # corpus, or the Gram matrix does. The corpus size rides in as a
+    # broadcast one-row cross join, so the threshold stays INSIDE the
+    # lazy plan — no separate eager count() action over the corpus.
+    n_docs_df = docs.select(F.count(F.lit(1)).alias("__ndocs"))
     vocab = (
         cells.groupBy("column")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs_df))
+        .filter(F.col("df") >= F.greatest(F.lit(3), (F.col("__ndocs") / 200).cast("long")))
         .select("column")
     )
     cells = cells.join(F.broadcast(vocab), "column")
@@ -2015,6 +2017,25 @@ def q92_extract_domain(spark: SparkSession, sf: str) -> DataFrame:
         extract_domain(url, remove_subdomain=True).alias("domain"),
         extract_domain(F.lit("http://192.168.0.1:8080/x"), True).alias("ip_host"),
     ).orderBy("ck")
+
+
+def q93_get_all_cells(spark: SparkSession, sf: str) -> DataFrame:
+    """GET_ALL superposition emission (sql/expression_value.h:86-91,
+    940-944; SELECT output is GET_ALL per core/bound_queries.cc:385,
+    394,1815): WHERE is evaluated against each row's LATEST cell
+    values, but surviving rows emit EVERY timestamped value. Oracle
+    replays it as a DuckDB arg_max latest view + semi-join back to the
+    full long-form cells."""
+    from mldb_spark.operators.temporal import all_cells
+
+    cells = events_to_cells(load(spark, sf, "events"))
+    out = all_cells(
+        cells,
+        where_latest=(F.col("column") == "purchase") & (F.col("value") > 900),
+    )
+    return out.select(
+        "row", "column", F.round("value", 2).alias("value"), "ts"
+    ).orderBy("row", "column", "ts")
 
 
 QUERIES = {

@@ -115,3 +115,19 @@ def test_svd_train_full_contract(spark):
     E = {r["row_id"]: r["embedding"] for r in reg.apply("svd_t.embedRow", df).collect()}
     for i in range(20):
         assert np.allclose(E[i], R[i], atol=1e-6)
+
+
+def test_svd_train_column_cap_raises(spark):
+    """svd_train must refuse an over-cap column space BEFORE collecting
+    the column map (the Gram matrix is n_cols**2; an unpruned vocab is
+    a caller bug that must fail loudly)."""
+    import pytest as _pytest
+
+    from mldb_spark.ml.procedures import svd_train
+
+    cells = spark.createDataFrame(
+        [(r, f"c{c}", 1.0) for r in range(4) for c in range(10)],
+        "row_id int, column string, value double",
+    )
+    with _pytest.raises(ValueError, match="max_columns"):
+        svd_train(cells, row_col="row_id", k=2, name="svd_cap", max_columns=5)

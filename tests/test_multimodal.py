@@ -161,3 +161,65 @@ def test_parse_exif(spark):
     assert abs(r1["fStop"] - 2.8) < 1e-9 and r1["isoSpeed"] == 400
     assert r1["error"] is None
     assert rows[2]["error"] is not None and rows[2]["cameraMake"] is None
+
+
+def _tiny_png() -> bytes:
+    """A valid 2x2 grayscale PNG (pixels 10,20 / 30,40), stdlib-only."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = b"\x00\x0a\x14" + b"\x00\x1e\x28"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_images_codec_gate(spark):
+    """decode_images routes through the REAL Pillow codec when
+    importable and the md5-derived stub otherwise — both paths pinned
+    by the content-hash contract (same bytes -> same pixels)."""
+    import hashlib
+
+    import numpy as np
+
+    from mldb_spark.multimodal import (
+        _fake_decode,
+        decode_images,
+        pil_available,
+    )
+
+    png = _tiny_png()
+    df = spark.createDataFrame([(1, bytearray(png))], "media_id long, content binary")
+    rows = decode_images(df, out_w=2, out_h=2).collect()
+    assert len(rows) == 1 and rows[0]["error"] is None
+    got = list(rows[0]["pixels"])
+
+    if pil_available():
+        # real codec: decode must reproduce the actual encoded pixels
+        assert got == [10, 20, 30, 40]
+    else:
+        # stub: deterministic pseudo-pixels seeded by the content md5
+        expected = _fake_decode(png, 2, 2).ravel().tolist()
+        assert got == expected
+        seed = int.from_bytes(hashlib.md5(png).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        assert got == rng.integers(0, 256, size=(2, 2), dtype=np.uint8).ravel().tolist()
+
+    # forcing the absent codec must fail loudly, never silently stub
+    if not pil_available():
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="pil"):
+            decode_images(df, decoder="pil")

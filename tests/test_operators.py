@@ -317,3 +317,40 @@ def test_ivf_topk_invariants(spark, sf_dir):
     # full probe degenerates to the exact result set
     full = ivf_topk(emb, queries, k=5, n_cells=4, n_probe=4).collect()
     assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+
+
+def test_get_all_cells_superposition(spark):
+    """GET_ALL emission invariants (sql/expression_value.h:940-944):
+    no-WHERE form is the identity; with WHERE, latest-per-cell over
+    the emitted superposition equals latest_cells of the surviving
+    rows, and the emitted count per cell equals temporal_count."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.operators.temporal import all_cells, latest_cells
+
+    cells = spark.createDataFrame(
+        [
+            ("u1", "x", 1.0, "2024-01-01"),
+            ("u1", "x", 5.0, "2024-01-03"),
+            ("u1", "y", 2.0, "2024-01-02"),
+            ("u2", "x", 9.0, "2024-01-01"),
+            ("u2", "x", 3.0, "2024-01-04"),   # latest x for u2 = 3.0
+            ("u3", "y", 7.0, "2024-01-01"),
+        ],
+        "row string, column string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    assert all_cells(cells).count() == cells.count()
+
+    # WHERE latest x > 4 — only u1 survives (u2's latest x is 3.0
+    # even though an OLDER value 9.0 would pass: WHERE reads LATEST)
+    out = all_cells(cells, where_latest=(F.col("column") == "x") & (F.col("value") > 4))
+    assert sorted(r["row"] for r in out.select("row").distinct().collect()) == ["u1"]
+    # the survivor emits its FULL superposition: both x values + y
+    assert out.count() == 3
+
+    got = {
+        (r["row"], r["column"]): r["value"]
+        for r in latest_cells(out).collect()
+    }
+    assert got == {("u1", "x"): 5.0, ("u1", "y"): 2.0}
