@@ -492,6 +492,32 @@ class Binder:
             # bind-time constant detection over the AST — pure literals
             # and operator trees of literals are const
             return F.lit(1 if _is_const_expr(e.args[0]) else 0).cast("int")
+        if name == "pyeval":
+            # inline Python lambda — the documented jseval replacement
+            # (builtin/js/js_function.cc:117-226 is the reference
+            # surface; the extension language here is Python)
+            from mldb_spark.functions.pyeval import pyeval_udf
+
+            if (
+                len(e.args) < 2
+                or not isinstance(e.args[0], ast.Literal)
+                or not isinstance(e.args[1], ast.Literal)
+            ):
+                raise ValueError(
+                    "pyeval('expr', 'a,b', args… [, {type: …}]) needs "
+                    "literal expression and argument-name strings"
+                )
+            src = str(e.args[0].value)
+            names = [s.strip() for s in str(e.args[1].value).split(",") if s.strip()]
+            rest = e.args[2:]
+            out_type = "number"
+            if rest and isinstance(rest[-1], ast.RowLiteral):
+                opts = {k.lower(): v for k, v in rest[-1].fields}
+                t = opts.get("type")
+                if isinstance(t, ast.Literal):
+                    out_type = str(t.value)
+                rest = rest[:-1]
+            return pyeval_udf(src, names, out_type)(*[self.bind(a) for a in rest])
         if name in ("flatten", "shape", "reshape", "slice"):
             return self._tensor_call(e)
         if name in AGGREGATE_FNS:

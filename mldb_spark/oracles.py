@@ -1059,3 +1059,11 @@ SELECT c."row", c."column", round(c."value", 2) AS "value", c.ts
 FROM cells c JOIN surv USING ("row")
 ORDER BY c."row", c."column", c.ts
 """
+
+ORACLES["q94_pyeval"] = """
+SELECT CAST(c_custkey AS BIGINT) AS k,
+       round(c_custkey * 2 + c_acctbal, 2) AS v,
+       lower(trim(c_mktsegment)) AS seg,
+       CAST(length(c_name) AS BIGINT) AS name_len
+FROM customer WHERE c_custkey <= 200 ORDER BY k
+"""

@@ -2038,6 +2038,25 @@ def q93_get_all_cells(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("row", "column", "ts")
 
 
+def q94_pyeval(spark: SparkSession, sf: str) -> DataFrame:
+    """pyeval inline lambda — the jseval replacement (builtin/js/
+    js_function.cc:117-226): arithmetic and string lambdas over
+    customer rows, replayed by the oracle as plain SQL expressions.
+    Exercises the full dialect path (parse → bind-time compile →
+    Arrow-batched evaluation)."""
+    from mldb_spark.dialect import MldbContext
+
+    ctx = MldbContext(spark)
+    ctx.register("customer", load(spark, sf, "customer"))
+    return ctx.query(
+        "SELECT c_custkey AS k, "
+        "round(pyeval('a * 2 + b', 'a,b', c_custkey, c_acctbal), 2) AS v, "
+        "pyeval('a.strip().lower()', 'a', c_mktsegment, {type: 'string'}) AS seg, "
+        "pyeval('len(a)', 'a', c_name, {type: 'integer'}) AS name_len "
+        "FROM customer WHERE c_custkey <= 200 ORDER BY k"
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

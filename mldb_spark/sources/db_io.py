@@ -129,15 +129,42 @@ def postgresql_query(spark: SparkSession, query: str, **kwargs) -> DataFrame:
     )
 
 
+def mongodb_connector_available(spark: SparkSession) -> bool:
+    """True when the mongo-spark connector is on the session's
+    classpath (org.mongodb.spark:mongo-spark-connector)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "com.mongodb.spark.sql.connector.MongoTableProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def mongodb_dataset(
     spark: SparkSession,
     connection_uri: str,
     database: str,
     collection: str,
 ) -> DataFrame:
-    """mongodb.dataset via the mongo-spark connector (package
-    org.mongodb.spark:mongo-spark-connector — not bundled here; add it
-    with spark.jars.packages in a deployment)."""
+    """mongodb.dataset (reference plugins/mongodb/): collection as a
+    DataFrame via the mongo-spark connector.
+
+    CONTRACT: this function is option assembly over Spark's
+    `format("mongodb")` source. The connector jar
+    (org.mongodb.spark:mongo-spark-connector) is NOT bundled; without
+    it this raises a RuntimeError naming the missing package at call
+    time — it never silently returns an empty or wrong result. With
+    the jar on the classpath (spark.jars.packages) the read is the
+    standard connector path, partitioned by the connector's own
+    partitioner. tests/test_sources_streaming.py gates its live
+    round-trip on mongodb_connector_available()."""
+    if not mongodb_connector_available(spark):
+        raise RuntimeError(
+            "mongodb_dataset requires the mongo-spark connector on the "
+            "classpath: add org.mongodb.spark:mongo-spark-connector via "
+            "spark.jars.packages (option-assembly-only without it)"
+        )
     return (
         spark.read.format("mongodb")
         .option("connection.uri", connection_uri)

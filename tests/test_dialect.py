@@ -598,3 +598,33 @@ def test_tensor_reshape_mismatch_is_null(ctx):
         "SELECT reshape([1, 2, 3], [2, 2]) AS bad FROM region LIMIT 1"
     ).collect()[0]
     assert row["bad"] is None
+
+
+def test_pyeval_inline_lambda(ctx):
+    """pyeval — the jseval replacement (builtin/js/js_function.cc:
+    117-226): inline Python lambda over row values, Arrow-batched,
+    default double output with {type: ...} override and NULL on
+    per-row failure."""
+    rows = ctx.query(
+        "SELECT c_custkey AS k, "
+        "pyeval('a * 2 + b', 'a,b', c_custkey, c_acctbal) AS v, "
+        "pyeval('a.split(\"#\")[0].upper()', 'a', c_mktsegment, {type: 'string'}) AS seg, "
+        "pyeval('a > 0', 'a', c_acctbal, {type: 'boolean'}) AS pos, "
+        "pyeval('1 / 0', 'a', c_custkey) AS err "
+        "FROM customer ORDER BY k LIMIT 3"
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["v"] is not None
+        assert r["seg"].isupper()
+        assert r["pos"] in (True, False)
+        assert r["err"] is None  # row-level failure -> NULL, job survives
+
+
+def test_pyeval_bind_time_errors(ctx):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compile"):
+        ctx.query("SELECT pyeval('a +', 'a', c_custkey) AS x FROM customer")
+    with _pytest.raises(ValueError, match="argument name"):
+        ctx.query("SELECT pyeval('1', 'a b', c_custkey) AS x FROM customer")
