@@ -566,6 +566,7 @@ def svd_train(
     name: str = "svd",
     registry: FunctionRegistry = GLOBAL_REGISTRY,
     max_columns: int = 131072,
+    gram_local_cap: int = 4096,
 ):
     """svd.train (plugins/embedding/svd.cc:1023,1028): truncated SVD of
     a long-format sparse matrix (row, column, value), emitting the
@@ -581,18 +582,24 @@ def svd_train(
     - `{name}.embedRow` applied function: embeds any long-format
       rowset via x·V — consistent with rowOutput by construction.
 
-    Spark-first shape: the factorization runs on MLlib's distributed
-    IndexedRowMatrix.computeSVD (one of the few places the RDD API is
-    the genuine distributed kernel — the Gram matrix is n_cols², so
-    cap the column space like any LSA pipeline: CountVectorizer-style
-    min_df/vocab_size upstream). Row/column index maps are dataset-
-    sized DataFrames; only the vocab-sized column map is collected.
+    Spark-first shape, two regimes by column count (the same cutover
+    MLlib's own computeSVD makes between local and distributed
+    eigensolvers):
+
+    - n_cols <= gram_local_cap: the Gram matrix XᵀX is computed as a
+      codegen'd self-join + hash aggregate (all JVM), collected
+      (n_cols² doubles — 128 MB at the 4096 default), and
+      eigendecomposed on the driver; row embeddings come back as the
+      X·V broadcast join. No Python touches cell rows at all — this
+      is the hot path for pruned LSA vocabularies.
+    - larger vocabularies: MLlib's distributed
+      IndexedRowMatrix.computeSVD (one of the few places the RDD API
+      is the genuine distributed kernel). Row/column index maps are
+      dataset-sized DataFrames; only the vocab-sized column map is
+      collected, hard-capped by max_columns.
 
     Returns (row_embeddings, column_embeddings, singular_values).
     """
-    from pyspark.mllib.linalg import Vectors
-    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
-
     spark = cells.sparkSession
     # the cell table feeds THREE passes (column map, row map, matrix
     # build) — persist it so the upstream pipeline (tokenize/joins in
@@ -619,52 +626,81 @@ def svd_train(
     n_cols = len(col_idx)
     if k > min(n_cols, 2**31):
         raise ValueError(f"k={k} exceeds column count {n_cols}")
-    bidx = spark.sparkContext.broadcast(col_idx)
 
-    # dense row index without a global window: sort once, zipWithIndex
-    # (distributed, order-preserving over sorted partitions)
-    row_map = (
-        cells.select(row_col).distinct().orderBy(row_col)
-        .rdd.map(lambda r: r[0]).zipWithIndex()
-        .toDF([row_col, "__ridx"])
-    )
-    indexed = cells.join(row_map, row_col).select("__ridx", column_col, value_col)
-    # group CELLS → per-row pair lists in DataFrame land (codegen'd
-    # hash aggregate); Python touches each row exactly once to build
-    # the mllib SparseVector — an RDD groupByKey here would serialize
-    # every cell through Python and shuffle pickled tuples
-    grouped = indexed.groupBy("__ridx").agg(
-        F.collect_list(F.struct(F.col(column_col).alias("c"), F.col(value_col).alias("v"))).alias("__pairs")
-    )
-    vec_rows = grouped.rdd.map(
-        lambda r: IndexedRow(
-            r["__ridx"],
-            Vectors.sparse(n_cols, sorted((bidx.value[p["c"]], float(p["v"])) for p in r["__pairs"])),
+    if n_cols <= gram_local_cap:
+        # Gram fast path: G = XᵀX via a per-row self-join (pair count
+        # per row is t², bounded by the pruned vocab) — all codegen'd
+        # JVM; the only Python is the n_cols×n_cols eigh on the
+        # driver. eigh(G) = V·Λ·Vᵀ with Λ = Σ², so V and σ=sqrt(λ)
+        # are exactly the right singular vectors/values of X.
+        import numpy as np
+
+        cidx_df = F.broadcast(
+            spark.createDataFrame(
+                [(c, i) for c, i in col_idx.items()],
+                f"{column_col} string, __ci int",
+            )
         )
-    )
-    # computeSVD(computeU=True) makes several passes over the matrix
-    # (Gram aggregate, then U = A·V·Σ⁻¹); without caching each pass
-    # re-runs the whole upstream pipeline through the Python workers
-    vec_rows = vec_rows.cache()
-    svd = IndexedRowMatrix(vec_rows).computeSVD(k, computeU=True)
-    sigma = [float(x) for x in svd.s]
-
-    u_df = svd.U.rows.map(
-        lambda r: (int(r.index), [float(x) for x in r.vector])
-    ).toDF(["__ridx", "__u"])
-    row_emb = (
-        row_map.join(u_df, "__ridx")
-        .select(
-            F.col(row_col),
-            F.expr(
-                "transform(__u, (x, i) -> x * element_at(array({}), i + 1))".format(
-                    ", ".join(repr(s) for s in sigma)
-                )
-            ).alias("embedding"),
+        a = cells.join(cidx_df, column_col).select(
+            F.col(row_col).alias("__r"),
+            F.col("__ci").alias("ci"),
+            F.col(value_col).alias("vi"),
         )
-    )
+        b = a.select(
+            F.col("__r"), F.col("ci").alias("cj"), F.col("vi").alias("vj")
+        )
+        g_rows = (
+            a.join(b, "__r")
+            .where(F.col("ci") <= F.col("cj"))
+            .groupBy("ci", "cj")
+            .agg(F.sum(F.col("vi") * F.col("vj")).alias("g"))
+            .collect()
+        )
+        G = np.zeros((n_cols, n_cols))
+        for r in g_rows:
+            G[r["ci"], r["cj"]] = r["g"]
+            G[r["cj"], r["ci"]] = r["g"]
+        lam, vec = np.linalg.eigh(G)  # ascending eigenvalues
+        order = np.argsort(lam)[::-1][:k]
+        sigma = [float(np.sqrt(max(float(lam[i]), 0.0))) for i in order]
+        v = vec[:, order]  # n_cols x k
+    else:
+        from pyspark.mllib.linalg import Vectors
+        from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
 
-    v = svd.V.toArray()  # n_cols x k, local (vocab-sized)
+        bidx = spark.sparkContext.broadcast(col_idx)
+        # dense row index without a global window: sort once,
+        # zipWithIndex (distributed, order-preserving over sorted
+        # partitions)
+        row_map = (
+            cells.select(row_col).distinct().orderBy(row_col)
+            .rdd.map(lambda r: r[0]).zipWithIndex()
+            .toDF([row_col, "__ridx"])
+        )
+        indexed = cells.join(row_map, row_col).select("__ridx", column_col, value_col)
+        # group CELLS → per-row pair lists in DataFrame land (codegen'd
+        # hash aggregate); Python touches each row exactly once to build
+        # the mllib SparseVector — an RDD groupByKey here would serialize
+        # every cell through Python and shuffle pickled tuples
+        grouped = indexed.groupBy("__ridx").agg(
+            F.collect_list(F.struct(F.col(column_col).alias("c"), F.col(value_col).alias("v"))).alias("__pairs")
+        )
+        vec_rows = grouped.rdd.map(
+            lambda r: IndexedRow(
+                r["__ridx"],
+                Vectors.sparse(n_cols, sorted((bidx.value[p["c"]], float(p["v"])) for p in r["__pairs"])),
+            )
+        )
+        # computeSVD(computeU=False): U is never materialized — row
+        # embeddings come from the same X·V broadcast join as
+        # embedRow (U·Σ = X·V), saving the A·V·Σ⁻¹ passes; without
+        # caching each pass re-runs the upstream pipeline through the
+        # Python workers
+        vec_rows = vec_rows.cache()
+        svd = IndexedRowMatrix(vec_rows).computeSVD(k, computeU=False)
+        sigma = [float(x) for x in svd.s]
+        v = svd.V.toArray()  # n_cols x k, local (vocab-sized)
+
     col_emb = spark.createDataFrame(
         [(c, [float(x) for x in v[i]]) for c, i in col_idx.items()],
         f"{column_col} string, embedding array<double>",
@@ -690,4 +726,8 @@ def svd_train(
         )
 
     registry.register(f"{name}.embedRow", embed_rows)
+    # rowOutput = U·Σ = X·V: the SAME broadcast-join kernel as
+    # embedRow, guaranteeing rowOutput/embedRow consistency by
+    # construction in both regimes
+    row_emb = embed_rows(cells)
     return row_emb, col_emb, sigma

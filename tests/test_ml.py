@@ -131,3 +131,31 @@ def test_svd_train_column_cap_raises(spark):
     )
     with _pytest.raises(ValueError, match="max_columns"):
         svd_train(cells, row_col="row_id", k=2, name="svd_cap", max_columns=5)
+
+
+def test_svd_train_distributed_path_matches_gram(spark):
+    """The two svd_train regimes (driver-eigh Gram vs distributed
+    MLlib computeSVD) must agree on singular values and on the row
+    embeddings up to per-component sign."""
+    import numpy as np
+
+    from mldb_spark.ml.procedures import svd_train
+
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(30, 6))
+    cells = spark.createDataFrame(
+        [(i, f"c{j}", float(A[i, j])) for i in range(30) for j in range(6)],
+        "row_id int, column string, value double",
+    )
+    r1, c1, s1 = svd_train(cells, row_col="row_id", k=3, name="svd_g")
+    r2, c2, s2 = svd_train(
+        cells, row_col="row_id", k=3, name="svd_d", gram_local_cap=0
+    )
+    assert np.allclose(s1, s2, atol=1e-6)
+    E1 = {r["row_id"]: np.array(r["embedding"]) for r in r1.collect()}
+    E2 = {r["row_id"]: np.array(r["embedding"]) for r in r2.collect()}
+    # per-component sign is arbitrary between eigensolvers: fix signs
+    # against row 0 then compare
+    sign = np.sign(E1[0] * E2[0])
+    for i in range(30):
+        assert np.allclose(E1[i], E2[i] * sign, atol=1e-6)
