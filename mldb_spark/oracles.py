@@ -1067,3 +1067,19 @@ SELECT CAST(c_custkey AS BIGINT) AS k,
        CAST(length(c_name) AS BIGINT) AS name_len
 FROM customer WHERE c_custkey <= 200 ORDER BY k
 """
+
+ORACLES["q95_xlsx_roundtrip"] = """
+WITH src(name, score, n, ok) AS (
+  VALUES ('alice', 12.5, 3, true), ('bob', -4.0, 0, false),
+         ('carol mae', 0.25, 7, true), ('dee & co <x>', 100.0, 2, false)
+)
+SELECT name, round(CAST(score AS DOUBLE), 2) AS score,
+       CAST(n AS BIGINT) AS n, ok
+FROM src ORDER BY name
+"""
+
+ORACLES["q96_jdbc_roundtrip"] = """
+SELECT r_name, count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""

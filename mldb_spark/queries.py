@@ -2057,6 +2057,60 @@ def q94_pyeval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q95_xlsx_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """experimental.import.xlsx (plugins/msoffice/xlsx_importer.cc:
+    821) as a lossless round-trip gate: literal rows → stdlib xlsx
+    writer → stdlib xlsx reader → projection. Oracle replays the same
+    literals as VALUES, so a cell-typing, ref-placement or
+    shared/inline-string bug in either codec direction breaks the
+    hash (mirrors the q49 word2vec round-trip pattern)."""
+    from mldb_spark.sources.git_io import export_xlsx, import_xlsx
+
+    src = spark.createDataFrame(
+        [
+            ("alice", 12.5, 3, True),
+            ("bob", -4.0, 0, False),
+            ("carol mae", 0.25, 7, True),
+            ("dee & co <x>", 100.0, 2, False),
+        ],
+        "name string, score double, n int, ok boolean",
+    )
+    path = f"/tmp/mldb_spark_q95_{os.path.basename(sf)}.xlsx"
+    export_xlsx(src, path)
+    back = import_xlsx(spark, path)
+    return back.select(
+        F.col("name"),
+        F.round(F.col("score").cast("double"), 2).alias("score"),
+        F.col("n").cast("long").alias("n"),
+        F.col("ok").cast("boolean").alias("ok"),
+    ).orderBy("name")
+
+
+def q96_jdbc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """postgresql.*-family JDBC bridge (plugins/postgresql/
+    postgresql_plugin.cc:820-843) as a LIVE round-trip gate against
+    the embedded Derby driver on Spark's classpath: aggregate the
+    region table → jdbc_write → jdbc_read → projection. Oracle
+    recomputes the aggregate directly, so a type-mapping or
+    truncation bug in either JDBC direction breaks the hash."""
+    from mldb_spark.sources.db_io import jdbc_read, jdbc_write
+
+    reg = load(spark, sf, "region")
+    nat = load(spark, sf, "nation")
+    agg = (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    url = "jdbc:derby:memory:mldbspark_q96;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    jdbc_write(agg, url, "q96_regions", driver=driver, mode="overwrite")
+    back = jdbc_read(spark, url, "q96_regions", driver=driver)
+    return back.select(
+        F.col("r_name"), F.col("n_nations").cast("long").alias("n_nations")
+    ).orderBy("r_name")
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

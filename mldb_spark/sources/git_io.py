@@ -203,4 +203,98 @@ def import_xlsx(spark: SparkSession, path: str, sheet: str | None = None) -> Dat
             seen[name] = 0
         header.append(name)
     data = [tuple(cells.get(j) for j in range(width)) for cells in grid[1:]]
+    # the reference-style numeric collapse (integral floats -> int,
+    # cell_value.h:73-78) can leave a column holding BOTH ints and
+    # floats (12.5 and 100.0->100); Spark cannot merge long/double on
+    # inference, so widen such columns back to float
+    for j in range(width):
+        vals = [row[j] for row in data]
+        has_float = any(isinstance(v, float) for v in vals)
+        has_int = any(type(v) is int for v in vals)
+        if has_float and has_int:
+            data = [
+                tuple(
+                    float(v) if i == j and type(v) is int else v
+                    for i, v in enumerate(row)
+                )
+                for row in data
+            ]
     return spark.createDataFrame(data, header)
+
+
+def export_xlsx(df: DataFrame, path: str, sheet: str = "Sheet1", max_rows: int = 1_048_576) -> None:
+    """xlsx export — the write twin of import_xlsx (the reference ships
+    import only, plugins/msoffice/xlsx_importer.cc; the writer makes
+    the codec round-trippable and gate-testable). Pure-stdlib zip+XML:
+    strings as inlineStr cells, ints/floats as numeric <v>, None as a
+    skipped cell. Spreadsheets are dimension-sized outputs, so the
+    collect is capped (Excel's own sheet limit is the default)."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(f"export_xlsx: more than {max_rows} rows")
+    cols = df.columns
+
+    def col_ref(j: int) -> str:
+        out = ""
+        j += 1
+        while j:
+            j, r = divmod(j - 1, 26)
+            out = chr(ord("A") + r) + out
+        return out
+
+    def cell(j: int, ri: int, v: object) -> str:
+        ref = f"{col_ref(j)}{ri}"
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    body = ['<row r="1">' + "".join(cell(j, 1, c) for j, c in enumerate(cols)) + "</row>"]
+    for i, r in enumerate(rows):
+        body.append(
+            f'<row r="{i + 2}">'
+            + "".join(cell(j, i + 2, r[c]) for j, c in enumerate(cols))
+            + "</row>"
+        )
+    sheet_xml = f'<?xml version="1.0"?><worksheet {ns}><sheetData>' + "".join(body) + "</sheetData></worksheet>"
+    content_types = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-'
+        'package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>'
+    )
+    root_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+        'openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>'
+    )
+    workbook = (
+        f'<?xml version="1.0"?><workbook {ns} xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships"><sheets>'
+        f'<sheet name="{escape(sheet)}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+        'openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet_xml)
