@@ -520,6 +520,20 @@ class Binder:
             return pyeval_udf(src, names, out_type)(*[self.bind(a) for a in rest])
         if name in ("flatten", "shape", "reshape", "slice"):
             return self._tensor_call(e)
+        if name == "st_contains_point" and len(e.args) == 3:
+            # geo family (sql/builtin_geo_functions.cc:71-282,
+            # registered ST_Contains_Point): Polygon coordinates are
+            # depth-3 arrays, MultiPolygon depth-4 — inferred like the
+            # tensor functions
+            from mldb_spark.functions.core import st_contains_point
+
+            nd = self._expr_ndim(e.args[0])
+            return st_contains_point(
+                self.bind(e.args[0]),
+                self.bind(e.args[1]),
+                self.bind(e.args[2]),
+                multi=nd >= 4,
+            )
         if name in AGGREGATE_FNS:
             return self._aggregate(e)
         args = [self.bind(a) for a in e.args]

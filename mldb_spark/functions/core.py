@@ -86,6 +86,58 @@ def geo_distance(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     return r * F.lit(2.0) * F.asin(F.sqrt(a))
 
 
+def _ring_crossings_odd(ring: Column, lat: Column, lon: Column) -> Column:
+    """Odd-crossings (ray-cast) test for one GeoJSON ring
+    (array of [lon, lat] points, implicitly closed): true when the
+    point is inside the ring. Pure JVM higher-order functions."""
+    # edges = zip(ring, rotate(ring, 1)); the rotation closes the loop
+    rot = F.concat(F.slice(ring, 2, F.size(ring) - 1), F.slice(ring, 1, 1))
+    edges = F.zip_with(
+        ring,
+        rot,
+        lambda a, b: F.struct(
+            a[0].alias("x1"), a[1].alias("y1"), b[0].alias("x2"), b[1].alias("y2")
+        ),
+    )
+    hits = F.filter(
+        edges,
+        lambda e: ((e["y1"] > lat) != (e["y2"] > lat))
+        & (
+            lon
+            < (e["x2"] - e["x1"]) * (lat - e["y1"]) / (e["y2"] - e["y1"])
+            + e["x1"]
+        ),
+    )
+    return F.size(hits) % 2 == 1
+
+
+def st_contains_point(rings: Column, lat: Column, lon: Column, multi: bool = False) -> Column:
+    """ST_Contains_Point (sql/builtin_geo_functions.cc:71-282):
+    point-in-polygon over GeoJSON coordinates. `rings` is the GeoJSON
+    `coordinates` member — for a Polygon an array of rings (ring 0
+    exterior, the rest holes, RFC 7946 §3.1.6), for a MultiPolygon
+    (multi=True) an array of polygons, any of which may contain.
+    Points are [lon, lat] pairs, rings implicitly closed.
+
+    Divergence note: the reference tests on the S2 sphere; this is
+    planar ray casting — identical verdicts except for polygons
+    spanning the antimeridian or with >~100 km edge curvature, the
+    standard trade for a codegen'd JVM expression (no geometry lib in
+    the row path)."""
+
+    def poly_contains(poly: Column) -> Column:
+        outer = _ring_crossings_odd(F.element_at(poly, 1), lat, lon)
+        holes = F.filter(
+            F.slice(poly, 2, F.greatest(F.size(poly) - 1, F.lit(0))),
+            lambda ring: _ring_crossings_odd(ring, lat, lon),
+        )
+        return outer & (F.size(holes) == 0)
+
+    if multi:
+        return F.size(F.filter(rings, poly_contains)) > 0
+    return poly_contains(rings)
+
+
 def likelihood_ratio(outcome: Column, feature: Column) -> dict[str, Column]:
     """Log-likelihood ratio of a boolean feature given a boolean
     outcome: ln(P(feature|outcome) / P(feature|not outcome)), from

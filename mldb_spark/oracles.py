@@ -1083,3 +1083,20 @@ SELECT r_name, count(*) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
 """
+
+ORACLES["q97_st_contains"] = """
+WITH pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS ck,
+         CAST(c_custkey % 97 AS DOUBLE) / 10.0 AS lat,
+         CAST((c_custkey * 7) % 89 AS DOUBLE) / 10.0 AS lon
+  FROM customer WHERE c_custkey <= 500
+), tests AS (
+  SELECT ck, lat, lon,
+         ((((8.85 - 0.05) * (lat - 0.05) - (0.15 - 0.05) * (lon - 0.05)) > 0 AND ((4.45 - 8.85) * (lat - 0.15) - (9.15 - 0.15) * (lon - 8.85)) > 0 AND ((0.05 - 4.45) * (lat - 9.15) - (0.05 - 9.15) * (lon - 4.45)) > 0) OR (((8.85 - 0.05) * (lat - 0.05) - (0.15 - 0.05) * (lon - 0.05)) < 0 AND ((4.45 - 8.85) * (lat - 0.15) - (9.15 - 0.15) * (lon - 8.85)) < 0 AND ((0.05 - 4.45) * (lat - 9.15) - (0.05 - 9.15) * (lon - 4.45)) < 0)) AS in_outer,
+         ((((5.55 - 3.05) * (lat - 2.05) - (2.15 - 2.05) * (lon - 3.05)) > 0 AND ((4.35 - 5.55) * (lat - 2.15) - (4.85 - 2.15) * (lon - 5.55)) > 0 AND ((3.05 - 4.35) * (lat - 4.85) - (2.05 - 4.85) * (lon - 4.35)) > 0) OR (((5.55 - 3.05) * (lat - 2.05) - (2.15 - 2.05) * (lon - 3.05)) < 0 AND ((4.35 - 5.55) * (lat - 2.15) - (4.85 - 2.15) * (lon - 5.55)) < 0 AND ((3.05 - 4.35) * (lat - 4.85) - (2.05 - 4.85) * (lon - 4.35)) < 0)) AS in_hole
+  FROM pts
+)
+SELECT ck, round(lat, 1) AS lat, round(lon, 1) AS lon,
+       (in_outer AND NOT in_hole) AS inside
+FROM tests ORDER BY ck
+"""

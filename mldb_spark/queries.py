@@ -2111,6 +2111,36 @@ def q96_jdbc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("r_name")
 
 
+# q97's polygon: triangle exterior + triangle hole, GeoJSON [lon, lat]
+# ring order; vertices at .x5 offsets so no test-grid point (0.1 steps)
+# lands exactly on an edge (keeps ray-cast vs sign-test boundary
+# conventions out of play)
+Q97_POLY = [
+    [[0.05, 0.05], [8.85, 0.15], [4.45, 9.15]],
+    [[3.05, 2.05], [5.55, 2.15], [4.35, 4.85]],
+]
+
+
+def q97_st_contains(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Contains_Point (sql/builtin_geo_functions.cc:71-282):
+    point-in-polygon with a hole ring (RFC 7946 §3.1.6) over a grid
+    of points derived from customer keys, ray-cast in pure JVM
+    higher-order functions. The oracle replays containment with
+    explicit edge-sign tests, so a crossing-parity or hole-logic bug
+    breaks the hash."""
+    from mldb_spark.functions.core import st_contains_point
+
+    cust = load(spark, sf, "customer").filter(F.col("c_custkey") <= 500)
+    lat = (F.col("c_custkey") % 97).cast("double") / 10.0
+    lon = ((F.col("c_custkey") * 7) % 89).cast("double") / 10.0
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("ck"),
+        F.round(lat, 1).alias("lat"),
+        F.round(lon, 1).alias("lon"),
+        st_contains_point(F.lit(Q97_POLY), lat, lon).alias("inside"),
+    ).orderBy("ck")
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -628,3 +628,19 @@ def test_pyeval_bind_time_errors(ctx):
         ctx.query("SELECT pyeval('a +', 'a', c_custkey) AS x FROM customer")
     with _pytest.raises(ValueError, match="argument name"):
         ctx.query("SELECT pyeval('1', 'a b', c_custkey) AS x FROM customer")
+
+
+def test_st_contains_point_in_sql(ctx):
+    """ST_Contains_Point (sql/builtin_geo_functions.cc:71-282) via
+    the dialect: literal GeoJSON coordinates, hole rings excluded."""
+    row = ctx.query(
+        "SELECT st_contains_point([[[0,0],[10,0],[10,10],[0,10]],"
+        "[[4,4],[6,4],[6,6],[4,6]]], 2, 5) AS inside, "
+        "st_contains_point([[[0,0],[10,0],[10,10],[0,10]],"
+        "[[4,4],[6,4],[6,6],[4,6]]], 5, 5) AS in_hole, "
+        "st_contains_point([[[0,0],[10,0],[10,10],[0,10]]], 20, 5) AS outside "
+        "FROM region LIMIT 1"
+    ).collect()[0]
+    assert row["inside"] is True
+    assert row["in_hole"] is False
+    assert row["outside"] is False
