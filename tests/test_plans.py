@@ -117,3 +117,56 @@ def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     plan = _plan(df)
     # the executed plan renders codegen spans as "*(n) Operator"
     assert "*(" in plan
+
+
+def test_get_all_cells_semi_join_no_second_pass(spark, sf_dir):
+    from mldb_spark.queries import q93_get_all_cells
+
+    plan = _plan(q93_get_all_cells(spark, sf_dir))
+    # WHERE-on-latest survivors come back as a SEMI join on the row
+    # key — never an inner join that would duplicate cells, never a
+    # nested loop
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tensor_ops_pushdown_and_pruning(spark, sf_dir):
+    from mldb_spark.queries import q91_tensor_ops
+
+    plan = _plan(q91_tensor_ops(spark, sf_dir))
+    # the vec_id filter reaches the parquet scan and only the two
+    # needed columns are read
+    assert "PushedFilters: [" in plan
+    assert "vec_id" in plan.split("PushedFilters")[1].split("]")[0]
+    schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "embedding" in schema and "label" not in schema
+
+
+def test_st_contains_stays_in_jvm(spark, sf_dir):
+    from mldb_spark.queries import q97_st_contains
+
+    plan = _plan(q97_st_contains(spark, sf_dir))
+    # ray casting is higher-order-function JVM work: no Python eval
+    # operators in the plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_svd_gram_fast_path_broadcasts_vocab(spark, sf_dir):
+    """The Gram fast path's row embeddings must come from a BROADCAST
+    join against the vocab-sized V table — a shuffle join on the
+    column key would move the whole corpus for a kB-sized dim."""
+    from mldb_spark.ml.procedures import svd_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    cells = spark.createDataFrame(
+        [(i, f"c{j}", float((i * 31 + j * 7) % 10)) for i in range(40) for j in range(5)],
+        "row_id int, column string, value double",
+    )
+    row_emb, _, _ = svd_train(
+        cells, row_col="row_id", k=2, name="svd_plan", registry=FunctionRegistry()
+    )
+    plan = _plan(row_emb)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
