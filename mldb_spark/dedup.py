@@ -395,3 +395,47 @@ def simhash_near_duplicates(
     pairs within max_hamming bits. Practical fast path for near-exact
     template dedup."""
     return simhash_pairs(simhash64(docs, id_col, text_col), max_hamming, id_col)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the rolling-hash fingerprint family; the reference's
+    md5 content fingerprint covers only EXACT dedup): hash every
+    k-token shingle, slide a `window`-wide frame over the hash
+    sequence keeping each frame's minimum, emit the distinct minima
+    as (id, fingerprint) rows.
+
+    Guarantee: two documents sharing a run of at least
+    k + window - 1 tokens share at least one fingerprint, so a
+    fingerprint equi-join finds all such overlaps — partial-overlap
+    detection that content-md5 cannot do.
+
+    Scale shape: everything per-document is JVM higher-order
+    functions over the token array (no shuffle, no Python); the
+    explode emits ~n_tokens/window rows per doc, and downstream
+    overlap joins group on the fingerprint — the same exploded-key
+    single-equi-join shape as MinHash banding. Hashes are the
+    md5-prefix integers both engines can replay (not xxhash64)."""
+    toks = tokenize(F.col(text_col))
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    minima = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(hashes, j, window)),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(minima)).alias("fingerprint")
+    )

@@ -1100,3 +1100,28 @@ SELECT ck, round(lat, 1) AS lat, round(lon, 1) AS lon,
        (in_outer AND NOT in_hole) AS inside
 FROM tests ORDER BY ck
 """
+
+ORACLES["q98_winnow_fingerprints"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 3, 1) + 1),
+                        i -> array_to_string(toks[i:i+3], ' ')) AS grams
+  FROM t
+), h AS (
+  SELECT doc_id,
+         list_transform(grams,
+                        gr -> CAST(('0x' || substr(md5(gr), 1, 8)) AS BIGINT)) AS hs
+  FROM g
+), m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                       j -> list_aggregate(hs[j:j+3], 'min'))) AS fps
+  FROM h
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       list_aggregate(fps, 'min') AS min_fp,
+       list_aggregate(fps, 'max') AS max_fp
+FROM m ORDER BY doc_id
+"""

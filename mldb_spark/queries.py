@@ -2141,6 +2141,28 @@ def q97_st_contains(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("ck")
 
 
+def q98_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer/Wilkerson/Aiken
+    SIGMOD 2003) over the documents table: k-token shingle hashes →
+    window minima → distinct fingerprints, summarized per doc. The
+    oracle replays the whole pipeline with DuckDB list ops over the
+    same md5-prefix hashes, so a shingle-ordering, window-slide or
+    dedup bug breaks the hash."""
+    from mldb_spark.dedup import winnow_fingerprints
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    fps = winnow_fingerprints(docs, k=4, window=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.min("fingerprint").alias("min_fp"),
+            F.max("fingerprint").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

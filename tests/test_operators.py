@@ -354,3 +354,32 @@ def test_get_all_cells_superposition(spark):
         for r in latest_cells(out).collect()
     }
     assert got == {("u1", "x"): 5.0, ("u1", "y"): 2.0}
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing theorem (Schleimer et al. 2003): documents sharing a
+    token run of length >= k + window - 1 share at least one
+    fingerprint; disjoint documents share none."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = k+w-1 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail one"),
+            (2, f"completely different opening {shared} other ending"),
+            (3, "unrelated text with no overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=4, window=4)
+    by_doc = {
+        r["doc_id"]: set(r["fps"])
+        for r in fps.groupBy("doc_id")
+        .agg(F.collect_set("fingerprint").alias("fps"))
+        .collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared 7-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
