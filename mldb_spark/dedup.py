@@ -439,3 +439,46 @@ def winnow_fingerprints(
     return docs.select(
         F.col(id_col), F.explode(F.array_distinct(minima)).alias("fingerprint")
     )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowing fingerprints:
+    docs sharing >= min_shared fingerprints (each implying a shared
+    k..k+window-1 token run). Output (id_a, id_b, shared_fps).
+
+    Scale shape: ONE equi-self-join on the fingerprint key — but a
+    boilerplate fingerprint appearing in d documents contributes d²
+    candidate rows, so fingerprints with document frequency >
+    max_fp_df are dropped first (the winnowing analogue of stopword
+    removal; a fingerprint shared by thousands of docs identifies
+    boilerplate, not meaningful overlap). The df-filter is one
+    partial-agg pass over the fingerprint table it already feeds."""
+    fps = persist_tracked(
+        winnow_fingerprints(docs, k, window, id_col, text_col).dropDuplicates(
+            [id_col, "fingerprint"]
+        )
+    )
+    rare = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_fp_df)
+        .select("fingerprint")
+    )
+    pruned = fps.join(rare, "fingerprint")
+    a = pruned.select("fingerprint", F.col(id_col).alias("id_a"))
+    b = pruned.select("fingerprint", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

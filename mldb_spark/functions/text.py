@@ -408,3 +408,26 @@ def tokensplit(text: Column, tokens: list[str], insert: str = " ") -> Column:
         _re.escape(t) for t in sorted(tokens, key=len, reverse=True)
     )
     return F.regexp_replace(text, f"({alternation})", insert + "$1")
+
+
+# GPT-2-style pretokenizer pattern, RE2-compatible (no lookahead, so
+# DuckDB's regexp engine replays it exactly): contractions, runs of
+# letters, runs of digits, runs of other non-space — each optionally
+# preceded by one space (the byte-pair-encoding pretokenization
+# convention).
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_pretokenize(text: Column) -> Column:
+    """BPE-style pretokens (the GPT-2 regex family, minus the
+    RE2-incompatible lookahead): the unit an LLM tokenizer's merge
+    table operates on. A real BPE vocab maps each pretoken to >= 1
+    ids, so the pretoken count is the standard lower-bound token
+    estimate for budget/quality filters at corpus scale — pure JVM
+    regexp, one pass, no vocab file in the row path."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+
+
+def bpe_pretoken_count(text: Column) -> Column:
+    """Pretoken count (LLM-token lower bound) as a long."""
+    return F.size(bpe_pretokenize(text)).cast("long")

@@ -1125,3 +1125,20 @@ SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
        list_aggregate(fps, 'max') AS max_fp
 FROM m ORDER BY doc_id
 """
+
+ORACLES["q99_bpe_token_budget"] = f"""
+WITH d AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text,
+           '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))
+           AS BIGINT) AS n_pre,
+         CAST(len({_TOKS}) AS BIGINT) AS n_words
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_pre) AS BIGINT) AS total_pretokens,
+       max(n_pre) AS max_pretokens,
+       round(avg(n_pre) + 1e-9, 4) AS avg_pretokens,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM d GROUP BY source ORDER BY source
+"""

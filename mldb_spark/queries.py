@@ -2163,6 +2163,33 @@ def q98_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q99_bpe_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-style pretokenization (the GPT-2 regex family, RE2-safe so
+    DuckDB replays it): per-source pretoken budget stats — the
+    standard corpus-size accounting an LLM data pipeline runs before
+    training. Whitespace token_count rides along for the
+    words-vs-pretokens ratio."""
+    from mldb_spark.functions.text import bpe_pretoken_count
+
+    docs = load(spark, sf, "documents")
+    per_doc = docs.select(
+        F.col("source"),
+        bpe_pretoken_count(F.col("text")).alias("n_pre"),
+        token_count(F.col("text")).alias("n_words"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_pre").alias("total_pretokens"),
+            F.max("n_pre").alias("max_pretokens"),
+            round_avg(F.avg("n_pre"), 4).alias("avg_pretokens"),
+            F.sum("n_words").alias("total_words"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

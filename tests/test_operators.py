@@ -383,3 +383,49 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     assert by_doc[1] & by_doc[2], "shared 7-token run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_overlap_pairs_oracle_parity(spark, duck, sf_dir):
+    """winnow_overlap_pairs hash-matches a full DuckDB replay (join +
+    df-guard + pair counts over the same md5-prefix hashes). Kept as a
+    pytest gate rather than a numbered query so the driver's scored
+    q01-q50 window composition stays frozen."""
+    from mldb_spark.catalog import load
+    from mldb_spark.dedup import winnow_overlap_pairs
+    from mldb_spark.testing import compare_spark_duck
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    got = winnow_overlap_pairs(docs, k=4, window=4, min_shared=2).orderBy(
+        "id_a", "id_b"
+    )
+    oracle = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 300
+), h AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(len(toks) - 3, 1) + 1),
+                          i -> array_to_string(toks[i:i+3], ' ')),
+           gr -> CAST(('0x' || substr(md5(gr), 1, 8)) AS BIGINT)) AS hs
+  FROM t
+), fp AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(hs) - 3, 1) + 1),
+             j -> list_aggregate(hs[j:j+3], 'min')))) AS fingerprint
+  FROM h
+), rare AS (
+  SELECT fingerprint FROM fp GROUP BY fingerprint HAVING count(*) <= 1000
+), pruned AS (
+  SELECT fp.* FROM fp JOIN rare USING (fingerprint)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM pruned a JOIN pruned b USING (fingerprint)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY id_a, id_b
+"""
+    problems = compare_spark_duck(got, duck, oracle)
+    assert problems == [], problems
