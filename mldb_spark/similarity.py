@@ -233,3 +233,40 @@ def embedding_cosine_near_duplicates(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q8"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    code_i = round(x_i / scale). Adds (out_col ARRAY<TINYINT>,
+    {out_col}_scale FLOAT) next to the original column.
+
+    Scale rationale: a 100 TB float32 embedding corpus becomes ~25 TB
+    as int8 — ANN candidate generation (bucket probing, coarse
+    scoring) reads the tinyint column and only the final rescoring
+    pass touches the float column, cutting scan bandwidth ~4x. The
+    whole transform is JVM higher-order functions; cosine on
+    dequantized vectors stays within ~1e-2 of exact (pinned in
+    tests), which is far inside the recall tolerance of any bucketed
+    ANN front-end."""
+    v = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    ) / F.lit(127.0)
+    return df.withColumn(f"{out_col}_scale", scale.cast("float")).withColumn(
+        out_col,
+        F.transform(v, lambda x: F.round(x / F.col(f"{out_col}_scale")).cast("tinyint")),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, q_col: str = "q8", out_col: str = "embedding_dq"
+) -> DataFrame:
+    """Inverse of quantize_embeddings: x_i ~ code_i * scale."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col), lambda c: (c.cast("double") * F.col(f"{q_col}_scale"))
+        ),
+    )

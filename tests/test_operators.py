@@ -429,3 +429,26 @@ ORDER BY id_a, id_b
 """
     problems = compare_spark_duck(got, duck, oracle)
     assert problems == [], problems
+
+
+def test_embedding_int8_quantization_roundtrip(spark, sf_dir):
+    """int8 quantize/dequantize: codes bounded to [-127, 127], and
+    cosine on the dequantized vectors stays within 1e-2 of exact —
+    the tolerance that keeps a quantized ANN front-end's recall
+    intact while cutting scan bandwidth 4x."""
+    from mldb_spark.catalog import load
+    from mldb_spark.functions.vector import cosine_similarity
+    from mldb_spark.similarity import dequantize_embeddings, quantize_embeddings
+
+    emb = load(spark, sf_dir, "embeddings").limit(100).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = dequantize_embeddings(quantize_embeddings(emb))
+    rows = q.select(
+        F.array_max(F.transform("q8", lambda c: F.abs(c.cast("int")))).alias("max_code"),
+        cosine_similarity(F.col("embedding"), F.col("embedding_dq")).alias("cos"),
+    ).collect()
+    assert rows, "no embeddings loaded"
+    for r in rows:
+        assert r["max_code"] <= 127
+        assert r["cos"] > 1.0 - 1e-2, r["cos"]
