@@ -270,3 +270,76 @@ def dequantize_embeddings(
             F.col(q_col), lambda c: (c.cast("double") * F.col(f"{q_col}_scale"))
         ),
     )
+
+
+def ivf_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    rerank: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF ANN with an int8 coarse-scoring layer: probed-cell
+    candidates are ranked by cosine over the tinyint codes (the
+    per-vector symmetric scales cancel in cosine, so the coarse score
+    needs ONLY the int8 column — 4x less scan bandwidth than float32
+    at 100 TB), and the float column is touched only for the
+    rerank*k coarse survivors per query, which are exact-rescored.
+    Recall vs the exact scan is pinned in tests; raise rerank to
+    trade bandwidth for recall."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = quantize_embeddings(corpus, vec_col, "__q8")
+    vecs = corpus.withColumn("__f", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__f", predictionCol="cell").fit(vecs)
+    assigned = km.transform(vecs).drop("__f")
+    centroids = [[float(x) for x in c] for c in km.clusterCenters()]
+
+    def sq_dist(c: list[float]):
+        arr = F.array(*[F.lit(x) for x in c])
+        diff = F.zip_with(F.col(vec_col), arr, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
+        return F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+
+    cells = F.array(
+        *[F.struct(sq_dist(c).alias("d"), F.lit(i).alias("cell")) for i, c in enumerate(centroids)]
+    )
+    probes = quantize_embeddings(
+        queries.select(query_id_col, vec_col), vec_col, "__qq8"
+    ).select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__qq8").alias("__qq"),
+        F.explode(
+            F.transform(F.slice(F.array_sort(cells), 1, n_probe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    # coarse pass: int8-only cosine (scales cancel), narrow columns
+    coarse = assigned.select(id_col, "cell", "__q8").join(
+        F.broadcast(probes), "cell"
+    ).filter(F.col(id_col) != F.col(query_id_col))
+    int_cos = cosine_similarity(
+        F.transform(F.col("__q8"), lambda c: c.cast("double")),
+        F.transform(F.col("__qq"), lambda c: c.cast("double")),
+    )
+    cw = Window.partitionBy(query_id_col).orderBy(F.desc("coarse"), F.asc(id_col))
+    survivors = (
+        coarse.select(F.col(query_id_col), F.col(id_col), F.col("__qvec"), int_cos.alias("coarse"))
+        .withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") <= rerank * k)
+    )
+    # exact rescoring touches the float column only for survivors
+    exact = survivors.join(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec")), id_col
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

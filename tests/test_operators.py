@@ -452,3 +452,23 @@ def test_embedding_int8_quantization_roundtrip(spark, sf_dir):
     for r in rows:
         assert r["max_code"] <= 127
         assert r["cos"] > 1.0 - 1e-2, r["cos"]
+
+
+def test_ivf_quantized_recall_vs_exact(spark, sf_dir):
+    """ivf_topk_quantized: int8 coarse scoring + exact rerank must
+    recover >= 80% of the exact brute-force top-10 at full probe
+    (isolating quantization loss from cell-probe loss)."""
+    from mldb_spark.catalog import load
+    from mldb_spark.similarity import brute_force_topk, ivf_topk_quantized
+
+    corpus = load(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = brute_force_topk(corpus, queries, k=10)
+    approx = ivf_topk_quantized(
+        corpus, queries, k=10, n_cells=4, n_probe=4, rerank=4
+    )
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(ap & ex) / len(ex) >= 0.8, f"recall {len(ap & ex)}/{len(ex)}"
