@@ -421,23 +421,43 @@ def winnow_fingerprints(
     explode emits ~n_tokens/window rows per doc, and downstream
     overlap joins group on the fingerprint — the same exploded-key
     single-equi-join shape as MinHash banding. Hashes are the
-    md5-prefix integers both engines can replay (not xxhash64)."""
-    toks = tokenize(F.col(text_col))
+    md5-prefix integers both engines can replay (not xxhash64).
+
+    Each stage is MATERIALIZED as a column before the next lambda
+    consumes it: an expression referenced inside a higher-order
+    lambda re-evaluates per element (the same pitfall shingle_rows
+    documents), which would make the tokenize/md5 work O(n²) per
+    document."""
+    toks = F.col("__toks")
     n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    hashes = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-    )
+    hashes = F.col("__hashes")
     n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
-    minima = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda j: F.array_min(F.slice(hashes, j, window)),
+    staged = (
+        docs.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .withColumn(
+            "__grams",
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
+        )
+        .withColumn(
+            "__hashes",
+            F.transform(
+                F.col("__grams"),
+                lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+            ),
+        )
+        .withColumn(
+            "__minima",
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda j: F.array_min(F.slice(hashes, j, window)),
+            ),
+        )
     )
-    return docs.select(
-        F.col(id_col), F.explode(F.array_distinct(minima)).alias("fingerprint")
+    return staged.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("__minima"))).alias("fingerprint")
     )
 
 
