@@ -85,3 +85,37 @@ def test_canonical_hash_detects_any_value_change(rows):
     cols = ["x"]
     changed = [(rows[0][0] + 1,)] + rows[1:]
     assert canonical_hash(rows, cols) != canonical_hash(changed, cols)
+
+
+# --- tensor family properties (spark-backed, small example budget) --------
+
+
+@given(
+    st.integers(1, 4),
+    st.integers(1, 4),
+    st.integers(0, 3),
+)
+@settings(max_examples=12, deadline=None)
+def test_tensor_reshape_flatten_roundtrip_property(spark, a, b, idx):
+    """flatten(reshape(v, [a, b])) == v for any a*b-element vector,
+    and slice picks the idx-th column (row-major layout invariants,
+    builtin_functions.cc:2723-2977)."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.functions.vector import (
+        tensor_flatten,
+        tensor_reshape,
+        tensor_slice,
+    )
+
+    n = a * b
+    v = [float(i * 7 % 11) for i in range(n)]
+    df = spark.range(1).select(F.lit(v).alias("v"))
+    m = tensor_reshape(F.col("v"), [a, b], 1)
+    out = df.select(
+        tensor_flatten(m, 2).alias("rt"),
+        (tensor_slice(m, min(idx, b - 1), 2)).alias("col"),
+    ).collect()[0]
+    assert [float(x) for x in out["rt"]] == v
+    j = min(idx, b - 1)
+    assert [float(x) for x in out["col"]] == [v[i * b + j] for i in range(a)]
