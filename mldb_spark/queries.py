@@ -972,24 +972,18 @@ def q87_kmeans(spark: SparkSession, sf: str) -> DataFrame:
 
 def q88_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
     """classifier.train + classifier.test (plugins/jml/classifier.cc:1491,
-    accuracy.cc:1006): logistic regression predicting high-value
-    orders from order features, evaluated with AUC/accuracy.
-    Rows-only: the optimizer trajectory is engine-internal."""
+    accuracy.cc:1006): logistic regression on the shared learnable
+    order features (see _order_features), evaluated with AUC/accuracy
+    over a held-out split. Rows-only: the optimizer trajectory is
+    engine-internal; the AUC floor lives in tests/test_ml_extra.py."""
     from mldb_spark.ml.procedures import classifier_test, classifier_train
     from mldb_spark.ml.registry import FunctionRegistry
 
     reg = FunctionRegistry()
-    orders = load(spark, sf, "orders")
-    feats = orders.select(
-        F.col("o_orderkey"),
-        F.substring("o_orderpriority", 1, 1).try_cast("double").alias("f_priority"),
-        F.month("o_orderdate").cast("double").alias("f_month"),
-        (F.col("o_custkey") % 100).cast("double").alias("f_cust"),
-        (F.col("o_totalprice") > 150000).cast("double").alias("label"),
-    ).na.drop()
+    feats = _order_features(spark, sf)
     train = feats.filter(F.col("o_orderkey") % 5 != 0)
     test = feats.filter(F.col("o_orderkey") % 5 == 0)
-    classifier_train(train, ["f_priority", "f_month", "f_cust"], "label", "clf", reg)
+    classifier_train(train, ["f_year", "f_month", "f_priority", "f_cust"], "label", "clf", reg)
     scored = reg.apply("clf", test)
     return classifier_test(scored, "label", "score")
 
@@ -1348,13 +1342,28 @@ def q64_bow_stats_table(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _order_features(spark: SparkSession, sf: str):
+    """Shared featurization for the ML gates. The testdata's columns
+    are mutually independent (no natural cross-column signal), so the
+    label is a KNOWN noisy linear rule of the features:
+    2*priority + month + (orderkey % 7) >= 16 — deterministic,
+    engine-independent, with the orderkey term as irreducible noise
+    and f_year/f_cust as pure-noise features the model must ignore.
+    A working trainer recovers the rule (AUC floor pinned in
+    tests/test_ml_extra.py); an earlier revision labeled on
+    o_totalprice, which no feature predicts, so every model converged
+    to the intercept and the gates only smoke-tested machinery."""
     orders = load(spark, sf, "orders")
+    prio = F.substring("o_orderpriority", 1, 1).try_cast("double")
+    month = F.month("o_orderdate").cast("double")
     return orders.select(
         F.col("o_orderkey"),
-        F.substring("o_orderpriority", 1, 1).try_cast("double").alias("f_priority"),
-        F.month("o_orderdate").cast("double").alias("f_month"),
+        (F.year("o_orderdate") - 1995).cast("double").alias("f_year"),
+        month.alias("f_month"),
+        prio.alias("f_priority"),
         (F.col("o_custkey") % 100).cast("double").alias("f_cust"),
-        (F.col("o_totalprice") > 150000).cast("double").alias("label"),
+        (2 * prio + month + (F.col("o_orderkey") % 7) >= 16)
+        .cast("double")
+        .alias("label"),
     ).na.drop()
 
 
@@ -1370,7 +1379,7 @@ def q65_random_forest(spark: SparkSession, sf: str) -> DataFrame:
     train = feats.filter(F.col("o_orderkey") % 5 != 0)
     test = feats.filter(F.col("o_orderkey") % 5 == 0)
     random_forest_train(
-        train, ["f_priority", "f_month", "f_cust"], "label",
+        train, ["f_year", "f_month", "f_priority", "f_cust"], "label",
         num_trees=20, seed=7, name="rf_q65", registry=reg,
     )
     return classifier_test(reg.apply("rf_q65", test), "label", "score")
@@ -1386,7 +1395,7 @@ def q66_svm_margin(spark: SparkSession, sf: str) -> DataFrame:
     feats = _order_features(spark, sf)
     train = feats.filter(F.col("o_orderkey") % 5 != 0)
     test = feats.filter(F.col("o_orderkey") % 5 == 0)
-    svm_train(train, ["f_priority", "f_month", "f_cust"], "label", name="svm_q66", registry=reg)
+    svm_train(train, ["f_year", "f_month", "f_priority", "f_cust"], "label", name="svm_q66", registry=reg)
     scored = reg.apply("svm_q66", test)
     return (
         scored.groupBy("label")
@@ -1432,7 +1441,7 @@ def q68_probabilizer(spark: SparkSession, sf: str) -> DataFrame:
     feats = _order_features(spark, sf)
     train = feats.filter(F.col("o_orderkey") % 5 != 0)
     test = feats.filter(F.col("o_orderkey") % 5 == 0)
-    classifier_train(train, ["f_priority", "f_month", "f_cust"], "label", "clf_q68", reg)
+    classifier_train(train, ["f_year", "f_month", "f_priority", "f_cust"], "label", "clf_q68", reg)
     scored = reg.apply("clf_q68", train)
     probabilizer_train(scored, "score", "label", "prob_q68", reg)
     calibrated = reg.apply("prob_q68", reg.apply("clf_q68", test))
@@ -1583,7 +1592,7 @@ def q74_classifier_experiment(spark: SparkSession, sf: str) -> DataFrame:
 
     feats = _order_features(spark, sf)
     return classifier_experiment(
-        feats, ["f_priority", "f_month", "f_cust"], "label",
+        feats, ["f_year", "f_month", "f_priority", "f_cust"], "label",
         folds=3, hash_col="o_orderkey", max_iter=20,
     )
 
@@ -1632,15 +1641,15 @@ def q77_sql_applied_function(spark: SparkSession, sf: str) -> DataFrame:
     reg = FunctionRegistry()
     classifier_train(
         feats.filter(F.col("o_orderkey") % 5 != 0),
-        ["f_priority", "f_month", "f_cust"], "label", "q77_clf", reg,
+        ["f_year", "f_month", "f_priority", "f_cust"], "label", "q77_clf", reg,
     )
     ctx = MldbContext(spark)
     ctx.register("orders_feat", feats.filter(F.col("o_orderkey") % 5 == 0))
     ctx.register_function("q77_clf", lambda d: reg.apply("q77_clf", d))
     return ctx.query(
         "SELECT label, count(*) AS n, "
-        "round(min(q77_clf({f_priority, f_month, f_cust})[score]), 4) AS min_score, "
-        "round(max(q77_clf({f_priority, f_month, f_cust})[score]), 4) AS max_score "
+        "round(min(q77_clf({f_year, f_month, f_priority, f_cust})[score]), 4) AS min_score, "
+        "round(max(q77_clf({f_year, f_month, f_priority, f_cust})[score]), 4) AS max_score "
         "FROM orders_feat GROUP BY label ORDER BY label"
     )
 
@@ -1655,7 +1664,7 @@ def q78_classifier_explain(spark: SparkSession, sf: str) -> DataFrame:
 
     reg = FunctionRegistry()
     feats = _order_features(spark, sf)
-    cols = ["f_priority", "f_month", "f_cust"]
+    cols = ["f_year", "f_month", "f_priority", "f_cust"]
     model = classifier_train(
         feats.filter(F.col("o_orderkey") % 5 != 0), cols, "label", "q78_clf", reg
     )

@@ -472,3 +472,25 @@ def test_import_xlsx(spark, tmp_path):
 
     with pytest.raises(ValueError, match="not in"):
         import_xlsx(spark, path, sheet="nope")
+
+
+def test_order_features_ml_gates_learn_planted_rule(spark, sf_dir):
+    """The shared ML-gate featurization plants a known noisy linear
+    rule (see queries._order_features): a working train/score/eval
+    path must recover it. AUC floor 0.85 holds with huge margin
+    (measured ~0.94); a feature-wiring or eval bug drops it to ~0.5."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.ml.procedures import classifier_test, classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+    from mldb_spark.queries import _order_features
+
+    feats = _order_features(spark, sf_dir)
+    train = feats.filter(F.col("o_orderkey") % 5 != 0)
+    test = feats.filter(F.col("o_orderkey") % 5 == 0)
+    reg = FunctionRegistry()
+    classifier_train(
+        train, ["f_year", "f_month", "f_priority", "f_cust"], "label", "auc_floor", reg
+    )
+    m = classifier_test(reg.apply("auc_floor", test), "label", "score").collect()[0]
+    assert m["auc"] > 0.85, m
