@@ -86,15 +86,48 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         "language_id": language_id, "quality_score": quality_score,
         "normalize_text": normalize_text, "tokenize_counts": tokenize_counts,
         "norm": l2_norm, "normalize": normalize, "md5": F.md5,
+        "asinh": F.asinh, "acosh": F.acosh, "atanh": F.atanh,
+        # isinf/isfinite (builtin_functions.cc math family): finite =
+        # non-null, not NaN, not +-inf
+        "isinf": lambda c: F.abs(c.cast("double")) == F.lit(float("inf")),
+        "isfinite": lambda c: c.isNotNull()
+        & ~F.isnan(c.cast("double"))
+        & (F.abs(c.cast("double")) != F.lit(float("inf"))),
+        # implicit_cast (builtin_functions.cc:970): string -> number
+        # when parseable. Typed-column divergence: the reference keeps
+        # the original string when unparseable (variant cells); a
+        # typed DataFrame column cannot mix, so unparseable -> NULL.
+        "implicit_cast": lambda c: c.try_cast("double"),
     }
     binary = {
         "pow": F.pow, "power": F.pow, "mod": F.pmod, "atan2": F.atan2,
         "quantize": quantize, "levenshtein_distance": F.levenshtein,
-        "regex_match": lambda c, p: c.rlike(p),
+        # regex_match is a FULL-string match in the reference
+        # (std::regex_match, builtin_functions.cc:1038); regex_search
+        # is the find-anywhere form (:1049). Spark's rlike is search
+        # semantics, so regex_match anchors the pattern.
+        "regex_search": lambda c, p: F.rlike(c, p),
         "jaccard_index": jaccard_index, "dot_product": dot_product,
         "cosine_similarity": cosine_similarity,
         "binomial_lb_80": binomial_lb_80, "binomial_ub_80": binomial_ub_80,
         "date_part": lambda unit, c: F.date_part(unit, c),
+        "replace_null": lambda c, v: F.coalesce(c, v),
+        "replace_inf": lambda c, v: F.when(
+            F.abs(c.cast("double")) == F.lit(float("inf")), v
+        ).otherwise(c),
+        "replace_not_finite": lambda c, v: F.when(
+            F.isnan(c.cast("double"))
+            | (F.abs(c.cast("double")) == F.lit(float("inf"))),
+            v,
+        ).otherwise(c),
+        # remove_prefix/suffix (builtin_functions.cc:993-1016): strip
+        # only when present, else unchanged
+        "remove_prefix": lambda c, p: F.when(
+            c.startswith(p), c.substr(F.length(p) + 1, F.length(c))
+        ).otherwise(c),
+        "remove_suffix": lambda c, s: F.when(
+            c.endswith(s), c.substr(F.lit(1), F.length(c) - F.length(s))
+        ).otherwise(c),
     }
     if name in simple and len(args) == 1:
         return simple[name](args[0])
@@ -102,6 +135,43 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         return binary[name](args[0], args[1])
     if name == "log":
         return F.log(args[0]) if len(args) == 1 else F.log(args[0], args[1])
+    if name == "regex_match":
+        if not isinstance(raw_args[1], ast.Literal):
+            raise ValueError("regex_match(str, regex) needs a literal pattern")
+        return args[0].rlike(f"^(?:{raw_args[1].value})$")
+    if name == "date_trunc":
+        # date_trunc(unit, ts) — unit is a bind-time literal (Spark's
+        # date_trunc takes the format as a plain string)
+        if not isinstance(raw_args[0], ast.Literal):
+            raise ValueError("date_trunc(unit, ts) needs a literal unit")
+        return F.date_trunc(str(raw_args[0].value), args[1])
+    if name == "split_part":
+        # split_part(str, delim, n) (builtin_functions.cc:1991);
+        # 1-based n, negative counts from the end
+        return F.split_part(args[0], args[1], args[2].cast("int"))
+    if name == "token_extract":
+        # token_extract(str, nth [, {splitChars}]) (tokenize.cc /
+        # builtin_functions.cc:1956): nth token, default ',' split,
+        # negative nth from the end (0-based like embedding paths)
+        split_chars = ","
+        if len(raw_args) == 3 and isinstance(raw_args[2], ast.RowLiteral):
+            opts = {k.lower(): v for k, v in raw_args[2].fields}
+            sc = opts.get("splitchars")
+            if isinstance(sc, ast.Literal):
+                split_chars = str(sc.value)
+        import re as _re
+
+        toks = F.split(args[0], "[" + _re.escape(split_chars) + "]")
+        n = _literal_int(raw_args[1])
+        if n is None:
+            raise ValueError("token_extract needs a literal token index")
+        return F.element_at(toks, n + 1 if n >= 0 else n)
+    if name == "extract_column":
+        # extract_column(name, row) (builtin_functions.cc:2400): pull
+        # one named field out of a row value
+        if not isinstance(raw_args[0], ast.Literal):
+            raise ValueError("extract_column(name, row) needs a literal name")
+        return args[1].getItem(str(raw_args[0].value))
     if name == "round":
         if len(args) != 2 or not isinstance(raw_args[1], ast.Literal):
             raise ValueError("round(x, d) needs a literal digit count")
@@ -379,7 +449,19 @@ class Binder:
         if op == "*":
             return l * r
         if op == "/":
-            return l / r
+            # reference semantics are C++ doubles (TypeSystem.md keeps
+            # inf/nan): x/0 = +-inf, 0/0 = nan. Spark's ANSI divide
+            # throws on /0 — even at constant-folding time — so route
+            # through try_divide (folds safely to NULL) and rewrite
+            # the NULL-on-zero case to the IEEE result.
+            safe = F.try_divide(l.cast("double"), r.cast("double"))
+            return F.when(
+                r.cast("double") == 0.0,
+                F.when(l.cast("double") > 0, F.lit(float("inf")))
+                .when(l.cast("double") < 0, F.lit(float("-inf")))
+                .when(l.cast("double") == 0, F.lit(float("nan")))
+                .otherwise(F.lit(None).cast("double")),
+            ).otherwise(safe)
         if op == "%":
             return l % r
         if op == "=":
@@ -476,6 +558,21 @@ class Binder:
             if not self.ts_col:
                 raise ValueError(f"{name}() needs a dataset with a timestamp column")
             return F.col(self.ts_col)
+        if name == "distinct_timestamps":
+            # distinct_timestamps(x) (builtin_functions.cc:1070-1120):
+            # all timestamps carried by the value. Wide rows carry one
+            # timestamp -> a one-element array; the full superposition
+            # form lives in operators.temporal.cell_timestamps /
+            # all_cells over the cells layout.
+            if e.args:
+                stamp = _restamp_ts(e.args[0])
+                if stamp is not None:
+                    return F.array(self.bind(stamp).cast("timestamp"))
+            if not self.ts_col:
+                raise ValueError(
+                    "distinct_timestamps() needs a dataset with a timestamp column"
+                )
+            return F.array(F.col(self.ts_col))
         if name == "at":
             # at(x, ts): the value of x re-stamped at ts. Timestamps
             # are row metadata in this engine, so the VALUE passes

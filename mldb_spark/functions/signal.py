@@ -63,3 +63,9 @@ def impulse(length: int, position: int = 0) -> Column:
     return F.array(
         *[F.lit(1.0) if i == position else F.lit(0.0) for i in range(length)]
     )
+
+
+def shifted_impulse(length: int, position: int) -> Column:
+    """shifted_impulse(len, pos) (sql/builtin_signal_functions.cc):
+    the named shifted form — impulse with an explicit position."""
+    return impulse(length, position)

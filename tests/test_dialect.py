@@ -644,3 +644,50 @@ def test_st_contains_point_in_sql(ctx):
     assert row["inside"] is True
     assert row["in_hole"] is False
     assert row["outside"] is False
+
+
+def test_scalar_fn_gap_sweep(ctx):
+    """Round-4 sweep of doc-listed scalar functions that were missing
+    or mis-specified (ValueExpression.md §300-700): full-match
+    regex_match vs find-anywhere regex_search, prefix/suffix
+    stripping, finiteness tests + replacements, split_part /
+    token_extract, date_trunc, implicit_cast, extract_column,
+    distinct_timestamps, asinh."""
+    row = ctx.query(
+        "SELECT regex_match('economy', 'eco') AS m_part, "
+        "regex_match('economy', 'eco.*') AS m_full, "
+        "regex_search('economy', 'con') AS s_part, "
+        "remove_prefix('prefix_x', 'prefix_') AS rp, "
+        "remove_prefix('no_match', 'prefix_') AS rp_miss, "
+        "remove_suffix('name.csv', '.csv') AS rs, "
+        "isfinite(1.5) AS fin, isinf(1.0 / 0.0) AS inf_t, "
+        "replace_null(NULL, 7) AS rn, "
+        "replace_inf(1.0 / 0.0, -1) AS ri, "
+        "replace_not_finite(sqrt(-1), 0) AS rnf, "
+        "split_part('a:b:c', ':', 2) AS sp, "
+        "split_part('a:b:c', ':', -1) AS sp_neg, "
+        "token_extract('x,y,z', 1) AS te, "
+        "token_extract('x|y|z', -1, {splitChars: '|'}) AS te_opts, "
+        "implicit_cast('12.5') AS ic, implicit_cast('abc') AS ic_bad, "
+        "extract_column('b', {a: 1, b: 42}) AS ec, "
+        "asinh(0) AS ash "
+        "FROM region LIMIT 1"
+    ).collect()[0]
+    assert row["m_part"] is False and row["m_full"] is True
+    assert row["s_part"] is True
+    assert row["rp"] == "x" and row["rp_miss"] == "no_match"
+    assert row["rs"] == "name"
+    assert row["fin"] is True and row["inf_t"] is True
+    assert row["rn"] == 7.0 and row["ri"] == -1.0 and row["rnf"] == 0.0
+    assert row["sp"] == "b" and row["sp_neg"] == "c"
+    assert row["te"] == "y" and row["te_opts"] == "z"
+    assert row["ic"] == 12.5 and row["ic_bad"] is None
+    assert row["ec"] == 42
+    assert row["ash"] == 0.0
+
+
+def test_distinct_timestamps_in_sql(ctx):
+    rows = ctx.query(
+        "SELECT distinct_timestamps(value) AS dts FROM events LIMIT 2"
+    ).collect()
+    assert all(len(r["dts"]) == 1 for r in rows)
