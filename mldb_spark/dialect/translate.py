@@ -47,6 +47,12 @@ _CAST_TYPES = {
 }
 
 
+def _mime_type_fn(c: Column) -> Column:
+    from mldb_spark.multimodal import sniff_mime
+
+    return sniff_mime(c.cast("binary"))
+
+
 def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Column:
     """Scalar builtin dispatch (families from SURVEY §2.9; reference
     registrations in sql/builtin_functions.cc)."""
@@ -98,6 +104,10 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         # the original string when unparseable (variant cells); a
         # typed DataFrame column cannot mix, so unparseable -> NULL.
         "implicit_cast": lambda c: c.try_cast("double"),
+        # hash (builtin_functions.cc:3388): deterministic value hash
+        "hash": lambda c: F.xxhash64(c),
+        # mime_type (builtin_functions.cc:3612): magic-byte sniff
+        "mime_type": _mime_type_fn,
     }
     binary = {
         "pow": F.pow, "power": F.pow, "mod": F.pmod, "atan2": F.atan2,

@@ -691,3 +691,12 @@ def test_distinct_timestamps_in_sql(ctx):
         "SELECT distinct_timestamps(value) AS dts FROM events LIMIT 2"
     ).collect()
     assert all(len(r["dts"]) == 1 for r in rows)
+
+
+def test_hash_and_mime_type_in_sql(ctx):
+    rows = ctx.query(
+        "SELECT hash(r_name) AS h, mime_type(CAST('GIF89a...' AS string)) AS mt "
+        "FROM region LIMIT 2"
+    ).collect()
+    assert all(isinstance(r["h"], int) for r in rows)
+    assert all(r["mt"] == "image/gif" for r in rows)
