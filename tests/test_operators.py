@@ -472,3 +472,36 @@ def test_ivf_quantized_recall_vs_exact(spark, sf_dir):
     ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     assert len(ap & ex) / len(ex) >= 0.8, f"recall {len(ap & ex)}/{len(ex)}"
+
+
+def test_round4_operator_edge_cases(spark):
+    """Empty/degenerate inputs for the round-4 operators: short docs
+    in winnowing, empty survivor sets in GET_ALL, NULL embeddings in
+    the tensor family."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.dedup import winnow_fingerprints
+    from mldb_spark.functions.vector import tensor_reshape, tensor_shape
+    from mldb_spark.operators.temporal import all_cells
+
+    # a doc shorter than k tokens still emits exactly one fingerprint
+    short = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    assert winnow_fingerprints(short, k=4, window=4).count() == 1
+
+    # WHERE nothing survives -> empty GET_ALL output, no error
+    cells = spark.createDataFrame(
+        [("u1", "x", 1.0, "2024-01-01")],
+        "row string, column string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = all_cells(cells, where_latest=F.col("value") > 99)
+    assert out.count() == 0
+
+    # NULL embedding -> NULL through reshape/shape, never an error
+    df = spark.createDataFrame([(1, None), (2, [1.0, 2.0])], "id long, v array<double>")
+    r = df.select(
+        "id",
+        tensor_reshape(F.col("v"), [2, 1], 1).alias("m"),
+        tensor_shape(F.col("v"), 1).alias("s"),
+    ).orderBy("id").collect()
+    assert r[0]["m"] is None
+    assert [int(x) for x in r[1]["s"]] == [2]
