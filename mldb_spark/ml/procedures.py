@@ -201,7 +201,10 @@ def svm_train(
     from pyspark.ml.functions import vector_to_array
 
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
-    model = LinearSVC(maxIter=50, regParam=0.01).fit(
+    # tol mirrors libsvm's default stopping eps (-e 0.001), the
+    # reference's actual convergence criterion (plugins/jml/svm.cc) —
+    # MLlib's 1e-6 default buys nothing but iterations here
+    model = LinearSVC(maxIter=50, regParam=0.01, tol=1e-3).fit(
         assembler.transform(df).withColumn("label", F.col(label_col).cast("double"))
     )
 
