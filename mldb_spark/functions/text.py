@@ -97,20 +97,6 @@ def token_count(text: Column) -> Column:
     return F.size(tokenize(text))
 
 
-def bpe_ish_count(text: Column) -> Column:
-    """BPE-flavored unit count: alpha runs count ~1 unit per 4 chars
-    (ceil), digits and other symbols 1 unit each. A deterministic
-    stand-in for a real BPE vocab (not shipped in this container)."""
-    toks = tokenize(text)
-    alpha_units = F.aggregate(
-        F.transform(toks, lambda t: F.ceil(F.length(t) / F.lit(4.0))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    other = F.size(F.regexp_extract_all(F.lower(text), F.lit("[^a-z0-9\\s]"), 0))
-    return alpha_units + other
-
-
 def word_shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:
     """n-word shingles ('w1 w2 w3') from a token array — the unit set
     for near-dup Jaccard/MinHash (more discriminative than unigrams
