@@ -162,3 +162,73 @@ def events_to_cells(events: DataFrame) -> DataFrame:
         F.col("value").alias("value"),
         F.col("ts").alias("ts"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join (backward): for every left row, attach the LATEST
+    right row with the same key and right.ts <= left.ts. The operator
+    the reference lacks (SURVEY §2.3 "not present") but every
+    event/training pipeline needs — feature values as-of a label
+    timestamp without leaking the future.
+
+    Scale shape: tag both sides, UNION, and run one keyed window
+    (last non-null over rows preceding) — a single shuffle on
+    (key, ts), no range cross-product, no per-row binary search. This
+    is the standard distributed as-of pattern; a broadcast-range join
+    would explode on dense right sides, and Spark has no native ASOF.
+
+    tolerance_seconds: matches older than the tolerance are dropped
+    (their right columns become NULL), mirroring pandas merge_asof.
+    """
+    from pyspark.sql import Window
+
+    rcols = [c for c in right.columns if c not in (key_col, ts_col)]
+    lt = left.withColumn("__is_left", F.lit(1))
+    rt = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
+    ).withColumn("__is_left", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows sort before left rows at the same timestamp so an
+    # exact-ts match is visible to the left row (ASOF <= semantics)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for c in rcols:
+        filled = filled.withColumn(
+            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+        )
+    filled = filled.withColumn(
+        "__match_ts",
+        F.last(
+            F.when(F.col("__is_left") == 0, F.col(ts_col)), ignorenulls=True
+        ).over(w),
+    )
+    out = filled.filter(F.col("__is_left") == 1).drop("__is_left")
+    if tolerance_seconds is not None:
+        stale = (
+            F.col("__match_ts").isNull()
+            | (
+                F.col(ts_col).cast("double") - F.col("__match_ts").cast("double")
+                > F.lit(float(tolerance_seconds))
+            )
+        )
+        for c in rcols:
+            out = out.withColumn(
+                f"{c}{suffix}", F.when(stale, F.lit(None)).otherwise(F.col(f"{c}{suffix}"))
+            )
+        out = out.withColumn(
+            "__match_ts", F.when(stale, F.lit(None)).otherwise(F.col("__match_ts"))
+        )
+    return out.withColumnRenamed("__match_ts", f"{ts_col}{suffix}")

@@ -505,3 +505,63 @@ def test_round4_operator_edge_cases(spark):
     ).orderBy("id").collect()
     assert r[0]["m"] is None
     assert [int(x) for x in r[1]["s"]] == [2]
+
+
+def test_asof_join_matches_duckdb_native(spark, duck, sf_dir):
+    """asof_join (union + keyed window) hash-matches DuckDB's native
+    ASOF JOIN: purchases pick up each user's latest prior view."""
+    from mldb_spark.catalog import load
+    from mldb_spark.operators.temporal import asof_join
+    from mldb_spark.testing import compare_spark_duck
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    # dedupe right on (user, ts) so the as-of pick is unambiguous in
+    # both engines
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    got = asof_join(left, right, "user_id", "ts").select(
+        "user_id",
+        "ts",
+        F.round("purchase_value", 2).alias("purchase_value"),
+        F.round("view_value_r", 2).alias("prior_view_value"),
+        F.col("ts_r").alias("view_ts"),
+    ).orderBy("user_id", "ts")
+    oracle = """
+WITH l AS (
+  SELECT user_id, ts, "value" AS purchase_value FROM events
+  WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, max("value") AS view_value FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT l.user_id, l.ts, round(l.purchase_value, 2) AS purchase_value,
+       round(r.view_value, 2) AS prior_view_value, r.ts AS view_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.user_id, l.ts
+"""
+    problems = compare_spark_duck(got, duck, oracle)
+    assert problems == [], problems
+
+
+def test_asof_join_tolerance(spark):
+    from mldb_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00"), (1, "2024-01-01 05:00:00")],
+        "k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["ts"].hour: r["v_r"]
+        for r in asof_join(left, right, "k", "ts", tolerance_seconds=3600).collect()
+    }
+    assert out[0] == 7.0      # 10 min old: inside tolerance
+    assert out[5] is None     # 5 h old: dropped
