@@ -12,6 +12,7 @@ query() runs the MLDB SQL dialect through the translator.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mldb_spark.dialect import MldbContext
 from mldb_spark.ml.registry import FunctionRegistry
@@ -123,12 +124,32 @@ class Mldb:
 
         self.functions.register(name, apply)
 
-    def create_sql_query_function(self, name: str, sql: str) -> None:
+    def create_sql_query_function(
+        self, name: str, sql: str, output: str = "FIRST_ROW"
+    ) -> None:
         """sql.query function entity (builtin/sql_functions.cc:316):
-        a parameterized single query applied by name with $params."""
+        a parameterized single query applied by name with $params.
+
+        output modes (doc functions/SqlQueryFunction.md):
+        - FIRST_ROW (default): the query's first row is the function
+          output (LIMIT 1 plan — the executor stops early);
+        - NAMED_COLUMNS: the result's (column, value) rows pivot into
+          ONE output row whose column names come from the `column`
+          column — the reference's dynamic-row constructor.
+        """
+        if output not in ("FIRST_ROW", "NAMED_COLUMNS"):
+            raise ValueError(f"unknown sql.query output mode {output!r}")
 
         def run(params: dict[str, object] | None = None) -> DataFrame:
-            return self.query(sql, params)
+            df = self.query(sql, params)
+            if output == "FIRST_ROW":
+                return df.limit(1)
+            cols = set(df.columns)
+            if not {"column", "value"} <= cols:
+                raise ValueError(
+                    "NAMED_COLUMNS needs `column` and `value` output columns"
+                )
+            return df.groupBy().pivot("column").agg(F.first("value"))
 
         self.functions.register(name, run)
 

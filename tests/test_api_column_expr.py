@@ -97,3 +97,24 @@ def test_restamp_and_cell_timestamps(spark, sf_dir):
         and r["n_distinct_timestamps"] == 1
         for r in ts
     )
+
+
+def test_sql_query_function_named_columns(spark, sf_dir):
+    """sql.query NAMED_COLUMNS output (builtin/sql_functions.cc:316;
+    doc SqlQueryFunction.md): (column, value) rows pivot into one
+    dynamic row."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.catalog import load
+
+    mldb = Mldb(spark)
+    mldb.create_dataset("region4", load(spark, sf_dir, "region"))
+    mldb.create_sql_query_function(
+        "region_row",
+        "SELECT r_name AS column, cast(r_regionkey AS string) AS value FROM region4",
+        output="NAMED_COLUMNS",
+    )
+    out = mldb.apply_function("region_row")
+    rows = out.collect()
+    assert len(rows) == 1
+    row = rows[0].asDict()
+    assert row.get("AMERICA") == "0" or "AMERICA" in row
