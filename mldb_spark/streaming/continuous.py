@@ -172,3 +172,22 @@ def stateful_sessionize(
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Ingest-time exact dedup for a continuous dataset: drop repeated
+    keys (content fingerprints, event ids) arriving within the
+    watermark horizon — dropDuplicatesWithinWatermark, so the
+    dedup state is BOUNDED (keys older than the watermark age out)
+    instead of growing with the stream like a plain dropDuplicates
+    would. The batch twin is dedup.dedup_exact; at 100 TB/day of
+    ingest the watermark bound is what keeps state store size
+    constant."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
