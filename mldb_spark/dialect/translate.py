@@ -30,7 +30,13 @@ from mldb_spark.dialect.parser import parse_statement
 
 AGGREGATE_FNS = {
     "count", "sum", "avg", "min", "max", "count_distinct", "variance",
-    "stddev", "string_agg", "earliest", "latest", "vertical_avg",
+    "stddev", "string_agg", "earliest", "latest",
+    # vertical_* are documented aliases of the standard column-wise
+    # aggregates (doc ValueExpression.md §Vertical, Horizontal and
+    # Temporal Aggregation)
+    "vertical_count", "vertical_sum", "vertical_avg", "vertical_min",
+    "vertical_max", "vertical_stddev", "vertical_variance",
+    "vertical_earliest", "vertical_latest",
     # temporal_* over a flat observation table: each row is one timed
     # observation, so the value-history aggregates ARE the group
     # aggregates (the cells layout goes through operators.temporal)
@@ -720,6 +726,10 @@ class Binder:
     }
 
     def _aggregate(self, e: ast.FunctionCall) -> Column:
+        # vertical_* aliases resolve to their standard forms first
+        # (doc ValueExpression.md §Vertical aggregation)
+        if e.name.startswith("vertical_"):
+            e = ast.FunctionCall(e.name.removeprefix("vertical_"), e.args)
         # aggregates of rows: agg({*}) / agg({x, y}) expand to a
         # struct of per-column aggregates at plan time (reference
         # RegisterAggregator row path, sql/builtin_aggregators.cc:

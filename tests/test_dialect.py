@@ -700,3 +700,13 @@ def test_hash_and_mime_type_in_sql(ctx):
     ).collect()
     assert all(isinstance(r["h"], int) for r in rows)
     assert all(r["mt"] == "image/gif" for r in rows)
+
+
+def test_vertical_aggregate_aliases(ctx):
+    row = ctx.query(
+        "SELECT vertical_count(c_acctbal) AS n, vertical_sum(c_acctbal) AS s, "
+        "vertical_min(c_acctbal) AS lo, vertical_stddev(c_acctbal) AS sd, "
+        "count(c_acctbal) AS n2 FROM customer"
+    ).collect()[0]
+    assert row["n"] == row["n2"] and row["s"] is not None
+    assert row["lo"] is not None and row["sd"] is not None
