@@ -219,6 +219,20 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
     if name == "horizontal_avg":
         arr = F.filter(F.array(*args), lambda x: x.isNotNull())
         return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr)
+    if name == "horizontal_string_agg":
+        # horizontal_string_agg(<row>, sep): values coerced to string,
+        # null cells skipped (concat_ws's native behavior)
+        sep = args[-1] if args else F.lit(",")
+        return F.concat_ws(
+            str(raw_args[-1].value) if isinstance(raw_args[-1], ast.Literal) else ",",
+            *[a.cast("string") for a in args[:-1]],
+        )
+    if name == "horizontal_earliest":
+        # wide rows carry ONE timestamp, so every cell ties; the
+        # deterministic tiebreak is column order (first non-null)
+        return F.coalesce(*args)
+    if name == "horizontal_latest":
+        return F.coalesce(*reversed(args))
     if name == "pi":
         return F.lit(3.141592653589793)
     if name == "e":

@@ -710,3 +710,15 @@ def test_vertical_aggregate_aliases(ctx):
     ).collect()[0]
     assert row["n"] == row["n2"] and row["s"] is not None
     assert row["lo"] is not None and row["sd"] is not None
+
+
+def test_horizontal_string_agg_and_extremes(ctx):
+    row = ctx.query(
+        "SELECT horizontal_string_agg(r_regionkey, r_name, '|') AS sa, "
+        "horizontal_earliest(NULL, r_name, 'x') AS he, "
+        "horizontal_latest(r_name, NULL) AS hl "
+        "FROM region WHERE r_name = 'ASIA' LIMIT 1"
+    ).collect()[0]
+    assert row["sa"].endswith("|ASIA")
+    assert row["he"] == "ASIA"   # first non-null in column order
+    assert row["hl"] == "ASIA"   # last non-null in column order
