@@ -34,13 +34,18 @@ def import_text(
     where: Column | None = None,
     select: list[Column] | None = None,
     named: Column | None = None,
+    skip_line_regex: str | None = None,
+    multi_line: bool = False,
 ) -> DataFrame:
     """import.text: CSV → DataFrame with the reference's per-line
-    options. Header autogeneration (header=False) yields the
-    reference's x0..xN-style names (Spark's _c0.. renamed). offset/
-    limit follow the reference's line-window semantics via a
-    monotonically-derived line index — NOTE: at scale prefer
-    where-filters; a global line offset forces an ordering.
+    options (plugins/textual/importtext_procedure.h:22-57). Header
+    autogeneration (header=False) yields the reference's x0..xN-style
+    names (Spark's _c0.. renamed). offset/limit follow the
+    reference's line-window semantics via a monotonically-derived
+    line index — NOTE: at scale prefer where-filters; a global line
+    offset forces an ordering. skip_line_regex drops matching lines
+    BEFORE parsing (the reference's skipLineRegex; the header line is
+    exempt); multi_line enables quoted embedded newlines.
     """
     reader = (
         spark.read.option("header", header)
@@ -48,9 +53,22 @@ def import_text(
         .option("quote", quote)
         .option("encoding", encoding)
         .option("inferSchema", True)
+        .option("multiLine", multi_line)
         .option("mode", "DROPMALFORMED" if ignore_bad_lines else "PERMISSIVE")
     )
-    df = reader.csv(path)
+    if skip_line_regex is not None:
+        # pre-parse line filter: read raw lines, drop matches (keeping
+        # line 1 when it is the header), re-parse the survivors as CSV
+        lines = spark.read.text(path).withColumn(
+            "__line", F.monotonically_increasing_id()
+        )
+        keep = ~F.col("value").rlike(skip_line_regex)
+        if header:
+            keep = keep | (F.col("__line") == 0)
+        kept = lines.filter(keep).orderBy("__line").select("value")
+        df = reader.csv(kept.rdd.map(lambda r: r["value"]))
+    else:
+        df = reader.csv(path)
     if not header:
         df = df.toDF(*[f"x{i}" for i in range(len(df.columns))])
     if offset or limit is not None:
