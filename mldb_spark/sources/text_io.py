@@ -94,14 +94,58 @@ def import_json(
     ignore_bad_lines: bool = False,
     where: Column | None = None,
     select: list[Column] | None = None,
+    arrays: str = "parse",
+    max_one_hot: int = 1024,
 ) -> DataFrame:
     """import.json: JSON-lines → DataFrame (nested structs preserved;
     the reference flattens to dotted paths — use flatten_struct to
-    match that output shape)."""
+    match that output shape).
+
+    arrays (plugins/textual/json_importer.cc, doc
+    Importing JSON): 'parse' (default) keeps arrays as typed array
+    columns; 'encode' one-hot-expands scalar arrays into
+    `col.value -> 1` membership columns (the reference's sparse
+    bag-of-values form) and renders arrays of objects as JSON
+    strings. The one-hot vocabulary is collected per column and
+    hard-capped at max_one_hot — an unbounded tag set must stay in
+    the 'parse' (array) form."""
+    if arrays not in ("parse", "encode"):
+        raise ValueError(f"arrays must be 'parse' or 'encode', got {arrays!r}")
     reader = spark.read.option(
         "mode", "DROPMALFORMED" if ignore_bad_lines else "PERMISSIVE"
     )
     df = reader.json(path)
+    if arrays == "encode":
+        from pyspark.sql.types import ArrayType, StructType
+
+        cols: list[Column] = []
+        for field in df.schema.fields:
+            if isinstance(field.dataType, ArrayType):
+                elem = field.dataType.elementType
+                if isinstance(elem, StructType):
+                    cols.append(F.to_json(F.col(field.name)).alias(field.name))
+                    continue
+                vals = [
+                    r["v"]
+                    for r in df.select(
+                        F.explode(field.name).alias("v")
+                    ).distinct().orderBy("v").limit(max_one_hot + 1).collect()
+                ]
+                if len(vals) > max_one_hot:
+                    raise ValueError(
+                        f"arrays='encode': column {field.name!r} has more "
+                        f"than {max_one_hot} distinct values; keep it in "
+                        f"'parse' form"
+                    )
+                cols.extend(
+                    F.array_contains(F.col(field.name), v)
+                    .cast("int")
+                    .alias(f"{field.name}.{v}")
+                    for v in vals
+                )
+            else:
+                cols.append(F.col(field.name))
+        df = df.select(*cols)
     if where is not None:
         df = df.filter(where)
     if select is not None:
