@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_PERSISTED: list[DataFrame] = []
+_PERSISTED: list = []
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
@@ -26,6 +26,14 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     df = df.persist()
     _PERSISTED.append(df)
     return df
+
+
+def cache_tracked_rdd(rdd):
+    """cache() an RDD and register it for release_cached() — the RDD
+    twin of persist_tracked (MLlib's RDD-API kernels need it)."""
+    rdd = rdd.cache()
+    _PERSISTED.append(rdd)
+    return rdd
 
 
 def release_cached() -> int:

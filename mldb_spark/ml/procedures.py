@@ -716,8 +716,10 @@ def svd_train(
         # embeddings come from the same X·V broadcast join as
         # embedRow (U·Σ = X·V), saving the A·V·Σ⁻¹ passes; without
         # caching each pass re-runs the upstream pipeline through the
-        # Python workers
-        vec_rows = vec_rows.cache()
+        # Python workers. Tracked so release_cached() frees it.
+        from mldb_spark.caching import cache_tracked_rdd
+
+        vec_rows = cache_tracked_rdd(vec_rows)
         svd = IndexedRowMatrix(vec_rows).computeSVD(k, computeU=False)
         sigma = [float(x) for x in svd.s]
         v = svd.V.toArray()  # n_cols x k, local (vocab-sized)
