@@ -274,7 +274,9 @@ class Parser:
             self.next()
             return ("*", ast.ColumnRef("*"))
         name_tok = self.next()
-        if name_tok.kind not in ("ident", "string"):
+        # keywords are legal field names inside a row literal — option
+        # rows like {offset: 1, limit: 2} use reserved words as keys
+        if name_tok.kind not in ("ident", "string", "kw"):
             raise SyntaxError(f"bad row-literal field name {name_tok}")
         if self.accept_op(":"):
             return (name_tok.value, self.parse_expr())

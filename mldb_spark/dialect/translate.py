@@ -151,6 +151,46 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         return binary[name](args[0], args[1])
     if name == "log":
         return F.log(args[0]) if len(args) == 1 else F.log(args[0], args[1])
+    if name == "tokenize" and len(args) == 2:
+        # tokenize(str, {splitChars, quoteChar, ngramRange,
+        # minTokenLength, limit, offset, value}) — the reference's
+        # full option row (sql/tokenize.cc; TokenizeOptions). With
+        # `value`, the output is the bag-of-words MAP with that
+        # constant value per token (the one-hot-ish form); otherwise
+        # the token array.
+        from mldb_spark.functions.text import tokenize_opts
+
+        if not isinstance(raw_args[1], ast.RowLiteral):
+            raise ValueError("tokenize options must be a row literal")
+        opts = {k.lower(): v for k, v in raw_args[1].fields}
+
+        def lit_of(key, default=None):
+            v = opts.get(key)
+            return v.value if isinstance(v, ast.Literal) else default
+
+        ngr = (1, 1)
+        if isinstance(opts.get("ngramrange"), ast.EmbeddingLiteral):
+            items = [_literal_int(x) for x in opts["ngramrange"].items]
+            if len(items) == 2 and all(i is not None for i in items):
+                ngr = (items[0], items[1])
+        toks = tokenize_opts(
+            args[0],
+            split_chars=lit_of("splitchars"),
+            min_token_length=int(lit_of("mintokenlength", 1)),
+            ngram_range=ngr,
+            limit=(int(lit_of("limit")) if lit_of("limit") is not None else None),
+            offset=int(lit_of("offset", 0)),
+            quote_char=lit_of("quotechar"),
+        )
+        if "value" in opts:
+            val = opts["value"]
+            if not isinstance(val, ast.Literal):
+                raise ValueError("tokenize value option must be a literal")
+            distinct = F.array_distinct(toks)
+            return F.map_from_arrays(
+                distinct, F.transform(distinct, lambda _t: F.lit(val.value))
+            )
+        return toks
     if name == "regex_match":
         if not isinstance(raw_args[1], ast.Literal):
             raise ValueError("regex_match(str, regex) needs a literal pattern")

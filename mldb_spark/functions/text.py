@@ -52,20 +52,35 @@ def tokenize_opts(
     ngram_range: tuple[int, int] = (1, 1),
     limit: int | None = None,
     offset: int = 0,
+    quote_char: str | None = None,
 ) -> Column:
     """tokenize() with the reference's option surface
     (sql/tokenize.cc; doc ValueExpression.md §tokenize: splitChars,
-    ngramRange, minTokenLength, limit, offset). N-grams are joined
-    with '_'. Per-row API form — for corpus-scale n-gram generation
-    use dedup.shingle_rows (linear posexplode+lead), since the array
-    lambdas here re-evaluate their input per element."""
+    quoteChar, ngramRange, minTokenLength, limit, offset). N-grams
+    are joined with '_'. quoteChar protects enclosed spans from
+    splitting (CSV-style). Per-row API form — for corpus-scale
+    n-gram generation use dedup.shingle_rows (linear posexplode+
+    lead), since the array lambdas here re-evaluate their input per
+    element."""
     import re as _re
 
-    pattern = (
-        "[" + _re.escape(split_chars) + "]+" if split_chars else TOKEN_SPLIT_RE
-    )
+    if quote_char is not None:
+        # quoted spans survive whole: extract quoted|unquoted runs,
+        # then strip the quotes
+        q = _re.escape(quote_char)
+        split_cls = _re.escape(split_chars) if split_chars else r",\s"
+        pat = f"{q}[^{q}]*{q}|[^{split_cls}{q}]+"
+        raw = F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0))
+        toks = F.transform(
+            raw, lambda t: F.regexp_replace(t, f"^{q}|{q}$", "")
+        )
+    else:
+        pattern = (
+            "[" + _re.escape(split_chars) + "]+" if split_chars else TOKEN_SPLIT_RE
+        )
+        toks = F.split(F.lower(text), pattern)
     toks = F.filter(
-        F.split(F.lower(text), pattern),
+        toks,
         lambda t: (t != F.lit("")) & (F.length(t) >= min_token_length),
     )
     lo, hi = ngram_range

@@ -722,3 +722,22 @@ def test_horizontal_string_agg_and_extremes(ctx):
     assert row["sa"].endswith("|ASIA")
     assert row["he"] == "ASIA"   # first non-null in column order
     assert row["hl"] == "ASIA"   # last non-null in column order
+
+
+def test_tokenize_full_options_in_sql(ctx):
+    """tokenize(str, {...}) full TokenizeOptions surface
+    (sql/tokenize.cc): splitChars, quoteChar protection, ngramRange,
+    minTokenLength, limit/offset window, value map form."""
+    row = ctx.query(
+        "SELECT tokenize('a,b,\"c,d\",e', {quoteChar: '\"'}) AS quoted, "
+        "tokenize('one two three', {splitChars: ' ', ngramRange: [1, 2]}) AS grams, "
+        "tokenize('aa,b,ccc', {minTokenLength: 2}) AS minlen, "
+        "tokenize('a,b,c,d', {offset: 1, limit: 2}) AS windowed, "
+        "tokenize('x,y,x', {value: 1}) AS valued "
+        "FROM region LIMIT 1"
+    ).collect()[0]
+    assert list(row["quoted"]) == ["a", "b", "c,d", "e"]
+    assert "one_two" in list(row["grams"]) and "one" in list(row["grams"])
+    assert list(row["minlen"]) == ["aa", "ccc"]
+    assert list(row["windowed"]) == ["b", "c"]
+    assert dict(row["valued"]) == {"x": 1, "y": 1}
