@@ -206,18 +206,28 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         # 1-based n, negative counts from the end
         return F.split_part(args[0], args[1], args[2].cast("int"))
     if name == "token_extract":
-        # token_extract(str, nth [, {splitChars}]) (tokenize.cc /
-        # builtin_functions.cc:1956): nth token, default ',' split,
-        # negative nth from the end (0-based like embedding paths)
-        split_chars = ","
+        # token_extract(str, nth [, {options}]) (tokenize.cc /
+        # builtin_functions.cc:1956): nth token through the SAME
+        # TokenizeOptions surface as tokenize (splitChars, quoteChar,
+        # minTokenLength); default ',' split, negative nth from the
+        # end (0-based like embedding paths)
+        from mldb_spark.functions.text import tokenize_opts
+
+        split_chars, quote_char, min_len = ",", None, 1
         if len(raw_args) == 3 and isinstance(raw_args[2], ast.RowLiteral):
             opts = {k.lower(): v for k, v in raw_args[2].fields}
-            sc = opts.get("splitchars")
-            if isinstance(sc, ast.Literal):
-                split_chars = str(sc.value)
-        import re as _re
-
-        toks = F.split(args[0], "[" + _re.escape(split_chars) + "]")
+            if isinstance(opts.get("splitchars"), ast.Literal):
+                split_chars = str(opts["splitchars"].value)
+            if isinstance(opts.get("quotechar"), ast.Literal):
+                quote_char = str(opts["quotechar"].value)
+            if isinstance(opts.get("mintokenlength"), ast.Literal):
+                min_len = int(opts["mintokenlength"].value)
+        toks = tokenize_opts(
+            args[0],
+            split_chars=split_chars,
+            min_token_length=min_len,
+            quote_char=quote_char,
+        )
         n = _literal_int(raw_args[1])
         if n is None:
             raise ValueError("token_extract needs a literal token index")
