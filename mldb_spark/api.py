@@ -155,3 +155,83 @@ class Mldb:
 
     def apply_function(self, name: str, *args, **kwargs):
         return self.functions.apply(name, *args, **kwargs)
+
+    # -- orchestration procedures (§2.13 utilities) -------------------------
+
+    def run_script(
+        self,
+        source: str | None = None,
+        path: str | None = None,
+        args: object = None,
+    ):
+        """script.run procedure (builtin/script_procedure.cc:129) with
+        Python as the script language (the reference runs JS or Python
+        through its language plugins; this engine's extension language
+        is Python throughout — see pyeval). The script executes with an
+        injected `mldb` object (this facade) and `args` in scope, the
+        same contract the reference's script runtime provides. The run
+        output is the script's `result` variable, or the return of its
+        `main(mldb, args)` if defined (checked first)."""
+        if (source is None) == (path is None):
+            raise ValueError("run_script takes exactly one of source= or path=")
+        code = source if source is not None else open(path).read()
+        ns: dict[str, object] = {"mldb": self, "args": args}
+        exec(compile(code, path or "<script.run>", "exec"), ns)
+        main = ns.get("main")
+        if callable(main):
+            return main(self, args)
+        return ns.get("result")
+
+    def create_entity(self, kind: str, config: dict) -> dict:
+        """createEntity procedure (builtin/basic_procedures.cc:194-230):
+        create another entity from a {type, id, params} config and
+        return {kind, config, status}. Supported kinds mirror the
+        entity model (§1.6):
+
+        - dataset / type 'tabular': params {dataFileUrl} — parquet or
+          CSV path registered under `id`;
+        - dataset / type 'structured.mutable': params {inputData} —
+          query results registered under `id` (sub_dataset.cc:702);
+        - function / type 'sql.expression' | 'sql.query': params
+          {expression | query, output};
+        - procedure / type 'transform': params {inputData,
+          outputDataset}; runs on creation (the reference's
+          runOnCreation default).
+        """
+        etype = config.get("type")
+        eid = config.get("id")
+        params = config.get("params", {})
+        if not eid:
+            raise ValueError("createEntity config needs an id")
+        status: object = None
+        if kind == "dataset":
+            if etype == "tabular":
+                url = params["dataFileUrl"]
+                if url.endswith(".csv"):
+                    df = self.spark.read.csv(url, header=True, inferSchema=True)
+                else:
+                    df = self.spark.read.parquet(url)
+                self.create_dataset(eid, df)
+            elif etype == "structured.mutable":
+                self.transform(params["inputData"], eid)
+            else:
+                raise ValueError(f"createEntity: unknown dataset type {etype!r}")
+            status = {"rowCount": None, "columns": self.dataset(eid).columns}
+        elif kind == "function":
+            if etype == "sql.expression":
+                self.create_sql_expression_function(eid, params["expression"])
+            elif etype == "sql.query":
+                self.create_sql_query_function(
+                    eid, params["query"], params.get("output", "FIRST_ROW")
+                )
+            else:
+                raise ValueError(f"createEntity: unknown function type {etype!r}")
+        elif kind == "procedure":
+            if etype == "transform":
+                self.transform(params["inputData"], params["outputDataset"])
+                status = {"outputDataset": params["outputDataset"]}
+            else:
+                raise ValueError(f"createEntity: unknown procedure type {etype!r}")
+        else:
+            raise ValueError(f"createEntity: unknown kind {kind!r}")
+        return {"kind": kind, "config": config, "status": status}

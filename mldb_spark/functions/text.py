@@ -432,3 +432,45 @@ def bpe_pretokenize(text: Column) -> Column:
 def bpe_pretoken_count(text: Column) -> Column:
     """Pretoken count (LLM-token lower bound) as a long."""
     return F.size(bpe_pretokenize(text)).cast("long")
+
+
+# -- PII redaction (training-data hygiene pass) --------------------------
+
+# RE2-safe (no lookarounds) so any engine replays the redaction
+# bit-for-bit; ordered so earlier rewrites can't create later matches.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    (r"\+?\d[\d().\-\s]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Redact emails, IPv4s, SSN-shaped ids and phone numbers to
+    typed placeholders — the standard pre-training scrub pass. Pure
+    JVM regexp_replace chain (one codegen'd projection, no Python);
+    patterns are RE2-safe so a SQL oracle replays them exactly."""
+    out = text
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Match counts per PII class as a struct (email, ip, id, phone)
+    — the audit view a removal pass logs. Counted STAGED, each class
+    on the text with earlier classes already redacted, so the counts
+    are exactly what redact_pii replaces (a phone-shaped digit run
+    inside an IP is never double-counted)."""
+    names = ("email", "ip", "id", "phone")
+    cols = []
+    out = text
+    for name, (pat, tag) in zip(names, PII_PATTERNS):
+        cols.append(
+            F.size(F.regexp_extract_all(out, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(name)
+        )
+        out = F.regexp_replace(out, pat, tag)
+    return F.struct(*cols)

@@ -1142,3 +1142,155 @@ SELECT source, count(*) AS n_docs,
        CAST(sum(n_words) AS BIGINT) AS total_words
 FROM d GROUP BY source ORDER BY source
 """
+
+ORACLES["qa01_sqlite_roundtrip"] = """
+SELECT event_type AS "column", count(*) AS n_cells,
+       count(DISTINCT user_id) AS n_rows,
+       round(min(value), 2) AS vmin, round(max(value), 2) AS vmax,
+       max(ts) AS latest_ts
+FROM events WHERE user_id < 20
+GROUP BY event_type ORDER BY "column"
+"""
+
+ORACLES["qa02_decontaminate"] = f"""
+WITH t AS (
+  SELECT doc_id, source, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_transform(range(1, greatest(len(toks) - 3, 1) + 1),
+                        i -> array_to_string(toks[i:i+3], ' ')) AS shs
+  FROM t
+), bench AS (
+  SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 50 = 0
+), hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 50 <> 0)
+  WHERE s IN (SELECT s FROM bench)
+), base AS (
+  SELECT source, count(*) AS n_corpus FROM t WHERE doc_id % 50 <> 0 GROUP BY source
+), keptc AS (
+  SELECT source, count(*) AS n_kept FROM t
+  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+  GROUP BY source
+)
+SELECT b.source, b.n_corpus, coalesce(k.n_kept, 0) AS n_kept,
+       b.n_corpus - coalesce(k.n_kept, 0) AS n_contaminated
+FROM base b LEFT JOIN keptc k USING (source)
+ORDER BY source
+"""
+
+ORACLES["qa03_quality_rules"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents WHERE doc_id < 150
+), base AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    round(CASE WHEN len(toks) > 0 THEN
+      CAST(list_aggregate(list_transform(toks, tk -> len(tk)), 'sum') AS DOUBLE)
+        / len(toks) ELSE 0.0 END, 4) AS mean_word_len,
+    round(CASE WHEN len(toks) > 0 THEN
+      1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      ELSE 0.0 END, 4) AS frac_dup_words,
+    round(CASE WHEN len(string_split(text, chr(10))) > 0 THEN
+      1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+        / len(string_split(text, chr(10))) ELSE 0.0 END, 4) AS frac_dup_lines
+  FROM t
+), top AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS frac_top_word
+  FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words, b.mean_word_len, b.frac_dup_words,
+       coalesce(p.frac_top_word, 0.0) AS frac_top_word,
+       (b.n_words >= 50 AND b.n_words <= 100000
+        AND b.mean_word_len >= 2 AND b.mean_word_len <= 10
+        AND b.frac_dup_lines <= 0.30
+        AND coalesce(p.frac_top_word, 0.0) <= 0.20) AS passes
+FROM base b LEFT JOIN top p USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+ORACLES["qa04_mixture_sample"] = """
+WITH per AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS weight
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(sqrt(weight)) AS ptot FROM per
+), rated AS (
+  SELECT source, weight,
+         sqrt(weight) / (SELECT ptot FROM tot) / weight AS q_per_w
+  FROM per
+), cap AS (
+  SELECT min(1.0 / q_per_w) AS target FROM rated
+), rates AS (
+  SELECT source, least(1.0, q_per_w * (SELECT target FROM cap)) AS rate
+  FROM rated
+)
+SELECT d.source, count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+FROM documents d JOIN rates r USING (source)
+WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 < r.rate
+GROUP BY d.source ORDER BY d.source
+"""
+
+# qa05 builds its SQL from the SAME pattern constants the Spark side
+# uses (functions/text.py PII_PATTERNS) — pattern parity by
+# construction; DuckDB regexp_replace needs the explicit 'g' flag to
+# match Spark's replace-all semantics
+from mldb_spark.functions.text import PII_PATTERNS as _PII
+
+_PP = {n: p for n, (p, _t) in zip(("email", "ip", "ssn", "phone"), _PII)}
+_PT = {n: t for n, (_p, t) in zip(("email", "ip", "ssn", "phone"), _PII)}
+
+ORACLES["qa05_pii_redaction"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      || '@example.com or call +1 (555) 01'
+      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+      || '-3456 at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+      || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS t0
+  FROM documents WHERE doc_id < 200
+), s AS (
+  SELECT doc_id, t0,
+    regexp_replace(t0, '{_PP["email"]}', '{_PT["email"]}', 'g') AS t1
+  FROM t
+), s2 AS (
+  SELECT *, regexp_replace(t1, '{_PP["ip"]}', '{_PT["ip"]}', 'g') AS t2 FROM s
+), s3 AS (
+  SELECT *, regexp_replace(t2, '{_PP["ssn"]}', '{_PT["ssn"]}', 'g') AS t3 FROM s2
+), s4 AS (
+  SELECT *, regexp_replace(t3, '{_PP["phone"]}', '{_PT["phone"]}', 'g') AS t4 FROM s3
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t0, '{_PP["email"]}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t1, '{_PP["ip"]}')) AS BIGINT) AS n_ip,
+  CAST(len(regexp_extract_all(t2, '{_PP["ssn"]}')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(t3, '{_PP["phone"]}')) AS BIGINT) AS n_phone,
+  md5(t4) AS redacted_md5,
+  CAST(len(t4) AS BIGINT) AS redacted_len
+FROM s4 ORDER BY doc_id
+"""
+
+ORACLES["qa06_line_dedup"] = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), l AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[(pos - 1) * 8 + 1:pos * 8], ' ') AS line
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(CAST(ceil(len(toks) / 8.0) AS INT), 0) + 1)) AS pos
+    FROM t
+  )
+), d AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM l
+)
+SELECT doc_id, count(*) AS n_lines,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM d GROUP BY doc_id ORDER BY doc_id
+"""

@@ -2199,8 +2199,182 @@ def q99_bpe_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa01_sqlite_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """sqliteSparse dataset (plugins/sqlite/sqlite_dataset.cc:856) as
+    a live round-trip gate: events→cells → export_sqlite_sparse
+    (vals/rows/cols dictionary layout, :732-751) → import back →
+    per-column aggregate. The oracle recomputes the aggregate from
+    the parquet directly, so a dictionary-interning, TEXT-typing or
+    timestamp-scale bug in either sqlite direction breaks the hash."""
+    from mldb_spark.operators.temporal import events_to_cells
+    from mldb_spark.sources.sqlite_io import export_sqlite_sparse, import_sqlite_sparse
+
+    cells = events_to_cells(load(spark, sf, "events")).filter(
+        F.col("row").cast("long") < 20
+    )
+    path = f"/tmp/mldb_spark_qa01_{os.path.basename(sf)}.db"
+    if os.path.exists(path):
+        os.remove(path)
+    export_sqlite_sparse(cells, path)
+    back = import_sqlite_sparse(spark, path)
+    return (
+        back.groupBy(F.col("column"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.countDistinct("row").alias("n_rows"),
+            F.round(F.min(F.col("value").cast("double")), 2).alias("vmin"),
+            F.round(F.max(F.col("value").cast("double")), 2).alias("vmax"),
+            F.max("ts").alias("latest_ts"),
+        )
+        .orderBy("column")
+    )
+
+
+def qa02_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (corpus.decontaminate): docs with
+    doc_id % 50 == 0 play the eval set, the rest the training corpus;
+    corpus docs sharing any 4-token shingle with the eval set are
+    dropped. Per-source kept/total counts. The oracle replays the
+    shingle overlap with DuckDB list ops, so a shingle-window,
+    broadcast-semi-join or anti-join bug breaks the hash."""
+    from mldb_spark.corpus import decontaminate
+
+    docs = load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    kept = decontaminate(corpus, bench, n=4)
+    return (
+        corpus.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_corpus"))
+        .join(
+            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
+            "source",
+            "left",
+        )
+        .fillna(0, subset=["n_kept"])
+        .select(
+            "source",
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            (F.col("n_corpus") - F.col("n_kept")).cast("long").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+def qa03_quality_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals (corpus.repetition_signals):
+    per-doc word/line repetition + top-word mass + the combined
+    passes rule, for doc_id < 150. The oracle recomputes every signal
+    with DuckDB list ops and an unnest+argmax for the top word, so a
+    tokenize, distinct-count or threshold bug breaks the hash."""
+    from mldb_spark.corpus import repetition_signals
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    sig = repetition_signals(docs)
+    return sig.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len",
+        "frac_dup_words",
+        "frac_top_word",
+        "passes",
+    ).orderBy("doc_id")
+
+
+def qa04_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature mixture sampling (corpus.mixture_sample) at
+    alpha=0.5 over (source, n_chars) with the Knuth-hash keep rule.
+    Per-source kept counts + kept weight. The oracle replays the
+    whole pipeline — per-source weights, alpha-tempered rates, the
+    integer-hash keep decision — in plain SQL, so a rate-derivation
+    or hash-threshold bug breaks the hash."""
+    from mldb_spark.corpus import mixture_sample
+
+    docs = load(spark, sf, "documents")
+    kept = mixture_sample(
+        docs, source_col="source", weight_col="n_chars", key_col="doc_id", alpha=0.5
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def qa05_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (functions.text.redact_pii / pii_counts):
+    deterministic synthetic PII (email, IPv4, conditional SSN, phone)
+    appended to each doc's text, redacted by the staged regexp chain.
+    The md5 of the redacted text makes the gate sensitive to a single
+    boundary character; the staged counts pin the audit view. The
+    oracle replays the same chain with RE2 'g'-flag regexps."""
+    from mldb_spark.functions.text import pii_counts, redact_pii
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com or call +1 (555) 01"),
+        F.lpad((d % 100).cast("string"), 2, "0"),
+        F.lit("-3456 at 10."),
+        (d % 256).cast("string"),
+        F.lit(".0.1"),
+        F.when(d % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    )
+    withp = docs.select(d.cast("long").alias("doc_id"), synth.alias("t"))
+    c = pii_counts(F.col("t"))
+    return withp.select(
+        "doc_id",
+        c["email"].alias("n_email"),
+        c["ip"].alias("n_ip"),
+        c["id"].alias("n_ssn"),
+        c["phone"].alias("n_phone"),
+        F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+        F.length(redact_pii(F.col("t"))).cast("long").alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+def qa06_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document span dedup (corpus.dedup_lines over
+    explode_pseudo_lines): 8-token pseudo-lines, each distinct line
+    survives once at its first (doc, pos) occurrence — the C4-style
+    pass. Per-doc total vs kept line counts. The oracle replays the
+    chunking with list slicing and the first-occurrence rule with a
+    row_number window, so a chunk-boundary or ordering bug breaks
+    the hash."""
+    from mldb_spark.corpus import dedup_lines, explode_pseudo_lines
+
+    docs = load(spark, sf, "documents")
+    lines = explode_pseudo_lines(docs, tokens_per_line=8)
+    kept = dedup_lines(lines)
+    return (
+        lines.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .join(
+            kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_kept")),
+            "doc_id",
+            "left",
+        )
+        .fillna(0, subset=["n_kept"])
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
-    if name.startswith("q") and name[1:3].isdigit() and callable(fn)
+    if name.startswith("q")
+    and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
+    and callable(fn)
 }

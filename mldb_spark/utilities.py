@@ -78,6 +78,58 @@ def null_procedure() -> None:
     return None
 
 
+def external_procedure(
+    script_path: str | None = None,
+    source: str | None = None,
+    stdin_data: str = "",
+    timeout: float = 120.0,
+) -> dict:
+    """experimental.external.procedure
+    (builtin/external_python_procedure.cc:152): spawn an external
+    python process, send `stdin_data` on its stdin, capture stdout.
+    Per the reference (:127-144), the LAST stdout line is parsed as
+    JSON and becomes the `return` field; the rest stays in `stdout`.
+    """
+    import json
+    import subprocess
+    import sys
+    import tempfile
+
+    if (source is None) == (script_path is None):
+        raise ValueError("external_procedure takes exactly one of source= or script_path=")
+    tmp = None
+    if source is not None:
+        tmp = tempfile.NamedTemporaryFile("w", suffix=".py", delete=False)
+        tmp.write(source)
+        tmp.close()
+        script_path = tmp.name
+    try:
+        proc = subprocess.run(
+            [sys.executable, script_path],
+            input=stdin_data,
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+    finally:
+        if tmp is not None:
+            os.unlink(tmp.name)
+    out = proc.stdout.rstrip("\n")
+    head, _, last = out.rpartition("\n")
+    ret = None
+    try:
+        ret = json.loads(last)
+        stdout = head
+    except ValueError:
+        stdout = out
+    return {
+        "return": ret,
+        "stdout": stdout,
+        "stderr": proc.stderr,
+        "exit_code": proc.returncode,
+    }
+
+
 def mock_dataset(spark: SparkSession, n_rows: int = 100, seed: int = 1) -> DataFrame:
     """Deterministic mock dataset (id, category, value) for harness
     tests — generated JVM-side with sequence+hash, no driver loop."""

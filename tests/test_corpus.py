@@ -1,0 +1,145 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_decontaminate_planted(spark):
+    from mldb_spark.corpus import decontaminate
+
+    bench = _docs(spark, [(100, "the secret eval answer is forty two ok", "eval")])
+    corpus = _docs(
+        spark,
+        [
+            # contains the benchmark 5-gram "secret eval answer is forty"
+            (1, "padding words then the secret eval answer is forty two end", "a"),
+            # clean
+            (2, "completely unrelated text with no overlap at all here", "a"),
+            # shares words but never 5 consecutive ones
+            (3, "the secret is eval answer forty the two ok is", "b"),
+        ],
+    )
+    kept = decontaminate(corpus, bench, n=5)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+    marked = decontaminate(corpus, bench, n=5, mark_only=True)
+    flags = {r["doc_id"]: r["contaminated"] for r in marked.collect()}
+    assert flags == {1: True, 2: False, 3: False}
+
+    # short docs (< n tokens) emit no shingles and are never dropped
+    tiny = _docs(spark, [(9, "secret eval", "a")])
+    assert decontaminate(tiny, bench, n=5).count() == 1
+
+
+def test_repetition_signals_planted(spark):
+    from mldb_spark.corpus import repetition_signals
+
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam", "a"),  # all one word
+            (2, "alpha beta gamma delta", "a"),  # all distinct
+            (3, "line one\nline two\nline one\nline one", "a"),  # dup lines
+            (4, "", "a"),  # empty
+        ],
+    )
+    sig = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert sig[1]["frac_top_word"] == 1.0 and sig[1]["frac_dup_words"] == 0.75
+    assert sig[2]["frac_top_word"] == 0.25 and sig[2]["frac_dup_words"] == 0.0
+    assert sig[3]["frac_dup_lines"] == 0.5
+    assert sig[4]["n_words"] == 0 and sig[4]["frac_top_word"] == 0.0
+    # the repetition gates fire: doc 1 fails on top-word mass, and all
+    # of these fail the 50-word length floor
+    assert not any(r["passes"] for r in sig.values())
+
+
+def test_mixture_sample_determinism_and_budget(spark, sf_dir):
+    from mldb_spark.catalog import load
+    from mldb_spark.corpus import mixture_rates, mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    rates = {
+        r["source"]: r["rate"]
+        for r in mixture_rates(docs, weight_col="n_chars", alpha=0.5).collect()
+    }
+    assert all(0.0 < v <= 1.0 for v in rates.values())
+    # default target: the largest source's rate saturates at exactly 1
+    # only when it is also the flattest; at minimum SOME source hits 1
+    assert max(rates.values()) >= 1.0 - 1e-9
+
+    kept1 = mixture_sample(docs, weight_col="n_chars", alpha=0.5)
+    kept2 = mixture_sample(docs, weight_col="n_chars", alpha=0.5)
+    ids1 = sorted(r["doc_id"] for r in kept1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in kept2.collect())
+    assert 0 < len(ids1) < docs.count()
+
+    # alpha=1 keeps the natural mix: every rate is 1, nothing dropped
+    rates_nat = mixture_rates(docs, weight_col="n_chars", alpha=1.0).collect()
+    assert all(abs(r["rate"] - 1.0) < 1e-9 for r in rates_nat)
+
+    # explicit budget: kept weight per source lands near rate * weight
+    half = mixture_sample(
+        docs,
+        weight_col="n_chars",
+        alpha=0.5,
+        target_weight=docs.agg(F.sum("n_chars")).collect()[0][0] / 2.0,
+    )
+    assert 0 < half.count() < docs.count()
+
+
+def test_redact_pii_planted(spark):
+    from mldb_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.co.uk now"),
+            (2, "server at 192.168.001.1 port"),
+            (3, "ssn 123-45-6789 leaked"),
+            (4, "call +44 (0)20 7946-0958 today"),
+            (5, "clean text with no pii at all"),
+        ],
+        "id long, t string",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            redact_pii(F.col("t")).alias("red"),
+            pii_counts(F.col("t")).alias("c"),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail <EMAIL> now" and out[1]["c"]["email"] == 1
+    assert out[2]["red"] == "server at <IP> port" and out[2]["c"]["ip"] == 1
+    assert out[3]["red"] == "ssn <ID> leaked" and out[3]["c"]["id"] == 1
+    assert out[4]["red"] == "call <PHONE> today" and out[4]["c"]["phone"] == 1
+    assert out[5]["red"] == out[5]["t"] if "t" in out[5] else True
+    assert sum(out[5]["c"][k] for k in ("email", "ip", "id", "phone")) == 0
+    # staged counting: the IP is counted once as IP, never again as a
+    # phone-shaped digit run
+    assert out[2]["c"]["phone"] == 0
+
+
+def test_line_dedup_first_occurrence(spark):
+    from mldb_spark.corpus import dedup_lines, explode_pseudo_lines
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f", "s"),  # lines: "a b c", "d e f"
+            (2, "a b c x y z", "s"),  # "a b c" duplicates doc 1 pos 0
+            (3, "", "s"),  # empty doc -> no lines
+        ],
+    )
+    lines = explode_pseudo_lines(docs, tokens_per_line=3)
+    got = {(r["doc_id"], r["pos"], r["line"]) for r in lines.collect()}
+    assert got == {
+        (1, 0, "a b c"),
+        (1, 1, "d e f"),
+        (2, 0, "a b c"),
+        (2, 1, "x y z"),
+    }
+    kept = {(r["doc_id"], r["line"]) for r in dedup_lines(lines).collect()}
+    assert kept == {(1, "a b c"), (1, "d e f"), (2, "x y z")}

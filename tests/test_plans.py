@@ -170,3 +170,41 @@ def test_svd_gram_fast_path_broadcasts_vocab(spark, sf_dir):
     plan = _plan(row_emb)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The eval-set shingles must broadcast (eval suites are MB-sized
+    even at a 100 TB corpus); a SortMergeJoin on the shingle key
+    would shuffle every corpus shingle. The final id anti-join keys
+    on doc ids (hit set), which must also stay broadcast."""
+    from mldb_spark.corpus import decontaminate
+    from mldb_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    kept = decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=4,
+    )
+    plan = _plan(kept)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the semi join against the broadcast shingle set
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_rate_join_broadcasts(spark, sf_dir):
+    """The per-source rate table (rows == number of sources) must
+    broadcast back onto the corpus; the keep decision itself is a
+    pure-JVM hash filter — no Python, no extra shuffle of the docs."""
+    from mldb_spark.corpus import mixture_sample
+    from mldb_spark.catalog import load
+
+    kept = mixture_sample(
+        load(spark, sf_dir, "documents"), weight_col="n_chars", alpha=0.5
+    )
+    plan = _plan(kept)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
