@@ -291,3 +291,96 @@ def explode_pseudo_lines(
     return toked.select(
         F.col(id_col), F.posexplode(chunks).alias("pos", "line")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy first-fit-decreasing sequence packing: assign documents
+    to fixed-budget context windows (sequences) so concatenated
+    training examples waste as little of the window as possible — the
+    assembly step between a shaped corpus and a trainer.
+
+    Distributed shape: docs are salted into n_buckets by the
+    deterministic Knuth hash and each bucket packs independently in
+    one Arrow batch (applyInPandas) — embarrassingly parallel, with
+    waste bounded by the per-bucket boundary effect (one partially
+    filled bin per bucket). Docs longer than max_tokens get their own
+    sequence with overflow=true (the caller chunks or drops them).
+
+    Returns (bucket, seq, doc_id-named id, n_tokens, overflow);
+    (bucket, seq) is the global sequence key. Deterministic: FFD
+    order is (tokens desc, id asc) within a bucket.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"bucket int, seq int, {id_col} long, {tokens_col} long, overflow boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [tokens_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        bins: list[int] = []  # remaining capacity per seq
+        seqs, overflows = [], []
+        for tok in pdf[tokens_col]:
+            if tok > max_tokens:
+                bins.append(0)
+                seqs.append(len(bins) - 1)
+                overflows.append(True)
+                continue
+            for i, rem in enumerate(bins):
+                if rem >= tok:
+                    bins[i] = rem - tok
+                    seqs.append(i)
+                    break
+            else:
+                bins.append(max_tokens - tok)
+                seqs.append(len(bins) - 1)
+            overflows.append(False)
+        pdf = pdf.assign(seq=seqs, overflow=overflows)
+        return pdf[["bucket", "seq", id_col, tokens_col, "overflow"]]
+
+    salted = docs.select(
+        (
+            (F.col(id_col).cast("long") * F.lit(_HASH_MUL)) % F.lit(_HASH_MOD)
+            % F.lit(n_buckets)
+        )
+        .cast("int")
+        .alias("bucket"),
+        F.col(id_col).cast("long"),
+        F.col(tokens_col).cast("long"),
+    )
+    return salted.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
+def packing_stats(
+    packed: DataFrame, max_tokens: int, tokens_col: str = "n_tokens"
+) -> DataFrame:
+    """Per-bucket packing audit: sequences used, tokens packed, fill
+    efficiency (packed / (sequences * budget), overflow docs
+    excluded)."""
+    return (
+        packed.groupBy("bucket")
+        .agg(
+            F.countDistinct("seq").alias("n_seqs"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(~F.col("overflow"), F.col(tokens_col)).otherwise(0)).alias(
+                "packed_tokens"
+            ),
+            F.sum(F.when(F.col("overflow"), 1).otherwise(0)).alias("n_overflow"),
+        )
+        .withColumn(
+            "efficiency",
+            F.round(
+                F.col("packed_tokens")
+                / ((F.col("n_seqs") - F.col("n_overflow")) * F.lit(max_tokens)),
+                4,
+            ),
+        )
+    )

@@ -2371,6 +2371,32 @@ def qa06_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa07_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (corpus.pack_sequences): FFD-pack every doc's
+    token budget into 256-token context windows across 8 hash
+    buckets; per-bucket packing audit. Rows-only (FFD assignment is
+    imperative, not SQL-replayable); the bin-capacity, exactly-once
+    and efficiency invariants are pinned in tests/test_corpus.py."""
+    from mldb_spark.corpus import pack_sequences, packing_stats
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, max_tokens=256, n_buckets=8)
+    return (
+        packing_stats(packed, max_tokens=256)
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_seqs").cast("long").alias("n_seqs"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("packed_tokens").cast("long").alias("packed_tokens"),
+            F.col("n_overflow").cast("long").alias("n_overflow"),
+            "efficiency",
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

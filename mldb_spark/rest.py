@@ -1,0 +1,206 @@
+"""Thin REST façade over api.Mldb mirroring the reference's /v1
+surface (server/mldb_server.cc:209-283; formats
+engine/dataset_collection.cc:60-238). stdlib http.server only.
+
+Routes:
+    GET  /v1/query?q=<sql>[&format=full|aos|soa|table][&limit=N]
+         [&rowNames=1][&headers=0]
+    GET  /v1/datasets                 → names
+    GET  /v1/datasets/<name>          → {columns, rowCount}
+    PUT  /v1/datasets/<name>  {type, params}     → createEntity
+    PUT  /v1/functions/<name> {type, params}     → createEntity
+    GET  /v1/functions                → names
+    POST /v1/procedures       {type, params}     → createEntity
+                                       (runs on creation, like the
+                                        reference's runOnCreation)
+
+Formats follow dataset_collection.cc: `full` (per-row sparse
+[column, value, timestamp] triples; timestamp comes from a `ts`
+column when the result carries one, else null — this engine stores
+per-cell time as row metadata, see STATUS 'Known semantic
+divergences'), `aos` (array of objects), `soa` (object of arrays),
+`table` (header row + value rows).
+
+The REST layer collect()s results onto the driver — that is the
+reference's behavior too (its REST returns the whole result; RAM-
+bound by design, doc/builtin/Scaling.md). A row cap (default 10k,
+`?limit=` to lower it) guards the façade; batch-scale outputs go
+through transform + parquet sinks, not HTTP.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from datetime import date, datetime
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from mldb_spark.api import Mldb
+
+DEFAULT_ROW_CAP = 10_000
+
+
+def _jsonable(v):
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        import base64
+
+        return base64.b64encode(v).decode()
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if hasattr(v, "asDict"):  # Row
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
+    return v
+
+
+def render_rows(rows, columns, fmt="full", row_names=False, headers=True):
+    """Render collected rows per dataset_collection.cc formats."""
+    data = [{c: _jsonable(r[c]) for c in columns} for r in rows]
+    if fmt in ("full", ""):
+        out = []
+        for i, row in enumerate(data):
+            ts = row.get("ts")
+            name = row.get("rowName", str(i))
+            out.append(
+                {
+                    "rowName": name,
+                    "columns": [[c, row[c], ts] for c in columns],
+                }
+            )
+        return out
+    if fmt == "aos":
+        if row_names:
+            return [
+                {"_rowName": row.get("rowName", str(i)), **row}
+                for i, row in enumerate(data)
+            ]
+        return data
+    if fmt == "soa":
+        out = {c: [row[c] for row in data] for c in columns}
+        if row_names:
+            out["_rowName"] = [
+                row.get("rowName", str(i)) for i, row in enumerate(data)
+            ]
+        return out
+    if fmt == "table":
+        body = [[row[c] for c in columns] for row in data]
+        return ([list(columns)] + body) if headers else body
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+class MldbRestServer:
+    """In-process REST server bound to an Mldb facade. start() binds
+    an ephemeral (or given) port on a daemon thread; stop() shuts it
+    down. Single-facade, thread-per-request (Spark driver calls are
+    serialized by the GIL around py4j — fine for a façade)."""
+
+    def __init__(self, mldb: Mldb, port: int = 0, row_cap: int = DEFAULT_ROW_CAP):
+        self.mldb = mldb
+        self.row_cap = row_cap
+        facade = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, payload) -> None:
+                body = json.dumps(payload, default=str).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length", 0))
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                parts = [p for p in u.path.split("/") if p]
+                try:
+                    if parts[:2] == ["v1", "query"]:
+                        self._send(200, facade.run_query(q))
+                    elif parts[:2] == ["v1", "datasets"] and len(parts) == 2:
+                        self._send(200, facade.mldb.datasets())
+                    elif parts[:2] == ["v1", "datasets"] and len(parts) == 3:
+                        df = facade.mldb.dataset(parts[2])
+                        self._send(
+                            200, {"columns": df.columns, "rowCount": df.count()}
+                        )
+                    elif parts[:2] == ["v1", "functions"] and len(parts) == 2:
+                        self._send(200, facade.mldb.functions.names())
+                    else:
+                        self._send(404, {"error": f"no route {u.path}"})
+                except KeyError as e:
+                    self._send(404, {"error": str(e)})
+                except Exception as e:
+                    self._send(400, {"error": str(e)})
+
+            def _create(self, kind: str, eid: str | None):
+                cfg = self._body()
+                if eid is not None:
+                    cfg["id"] = eid
+                cfg.setdefault("id", cfg.get("type", kind) + "_anon")
+                try:
+                    self._send(201, facade.mldb.create_entity(kind, cfg))
+                except Exception as e:
+                    self._send(400, {"error": str(e)})
+
+            def do_PUT(self):
+                parts = [p for p in urlparse(self.path).path.split("/") if p]
+                if parts[:2] == ["v1", "datasets"] and len(parts) == 3:
+                    self._create("dataset", parts[2])
+                elif parts[:2] == ["v1", "functions"] and len(parts) == 3:
+                    self._create("function", parts[2])
+                else:
+                    self._send(404, {"error": "PUT supports /v1/datasets/<id> and /v1/functions/<id>"})
+
+            def do_POST(self):
+                parts = [p for p in urlparse(self.path).path.split("/") if p]
+                if parts[:2] == ["v1", "procedures"]:
+                    self._create("procedure", None)
+                else:
+                    self._send(404, {"error": "POST supports /v1/procedures"})
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self._thread: threading.Thread | None = None
+
+    # -- query execution ----------------------------------------------------
+
+    def run_query(self, params: dict[str, str]):
+        sql = params.get("q")
+        if not sql:
+            raise ValueError("missing q parameter")
+        limit = min(int(params.get("limit", self.row_cap)), self.row_cap)
+        fmt = params.get("format", "full")
+        row_names = params.get("rowNames", "0") in ("1", "true")
+        headers = params.get("headers", "1") not in ("0", "false")
+        df = self.mldb.query(sql).limit(limit)
+        return render_rows(
+            df.collect(), df.columns, fmt=fmt, row_names=row_names, headers=headers
+        )
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @property
+    def port(self) -> int:
+        return self._server.server_address[1]
+
+    def start(self) -> "MldbRestServer":
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -143,3 +143,46 @@ def test_line_dedup_first_occurrence(spark):
     }
     kept = {(r["doc_id"], r["line"]) for r in dedup_lines(lines).collect()}
     assert kept == {(1, "a b c"), (1, "d e f"), (2, "x y z")}
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from mldb_spark.catalog import load
+    from mldb_spark.corpus import pack_sequences, packing_stats
+    from mldb_spark.functions.text import token_count
+
+    MAX = 128
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, max_tokens=MAX, n_buckets=4)
+    rows = packed.collect()
+
+    # every doc assigned exactly once
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    # bin capacity: non-overflow sequences fit the budget; overflow
+    # iff the doc alone exceeds it
+    from collections import defaultdict
+
+    fills = defaultdict(int)
+    for r in rows:
+        assert r["overflow"] == (r["n_tokens"] > MAX)
+        if not r["overflow"]:
+            fills[(r["bucket"], r["seq"])] += r["n_tokens"]
+    assert fills and all(v <= MAX for v in fills.values())
+
+    # FFD guarantee: every bin except at most one PER BUCKET is more
+    # than half full
+    under = defaultdict(int)
+    for (b, _s), v in fills.items():
+        if v <= MAX / 2:
+            under[b] += 1
+    assert all(v <= 1 for v in under.values())
+
+    # deterministic across runs
+    again = {(r["bucket"], r["seq"], r["doc_id"]) for r in packed.collect()}
+    assert again == {(r["bucket"], r["seq"], r["doc_id"]) for r in rows}
+
+    stats = packing_stats(packed, max_tokens=MAX).collect()
+    assert all(0 < r["efficiency"] <= 1.0 for r in stats if r["efficiency"])

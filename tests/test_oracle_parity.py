@@ -32,6 +32,7 @@ ROWS_ONLY = {
     "q78_classifier_explain",
     "q79_word2vec_pooling",
     "q80_porter_stems",  # Porter's measure loops aren't SQL-replayable
+    "qa07_pack_sequences",  # FFD bin assignment is imperative; invariants in test_corpus.py
 }
 
 

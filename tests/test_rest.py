@@ -1,0 +1,119 @@
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir):
+    from mldb_spark.api import Mldb
+    from mldb_spark.catalog import load
+    from mldb_spark.rest import MldbRestServer
+
+    mldb = Mldb(spark)
+    mldb.create_dataset("region", load(spark, sf_dir, "region"))
+    mldb.create_dataset("nation", load(spark, sf_dir, "nation"))
+    srv = MldbRestServer(mldb).start()
+    yield srv
+    srv.stop()
+
+
+def _get(server, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}") as r:
+        return r.status, json.loads(r.read())
+
+
+def _req(server, method, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(body).encode(),
+        method=method,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_query_formats(server):
+    q = "SELECT r_name FROM region ORDER BY r_name LIMIT 2"
+    _, full = _get(server, f"/v1/query?q={q.replace(' ', '%20')}")
+    assert full[0]["columns"] == [["r_name", "AFRICA", None]]
+
+    _, aos = _get(server, f"/v1/query?q={q.replace(' ', '%20')}&format=aos")
+    assert aos == [{"r_name": "AFRICA"}, {"r_name": "AMERICA"}]
+
+    _, soa = _get(server, f"/v1/query?q={q.replace(' ', '%20')}&format=soa")
+    assert soa == {"r_name": ["AFRICA", "AMERICA"]}
+
+    _, table = _get(server, f"/v1/query?q={q.replace(' ', '%20')}&format=table")
+    assert table == [["r_name"], ["AFRICA"], ["AMERICA"]]
+
+    _, nohdr = _get(
+        server, f"/v1/query?q={q.replace(' ', '%20')}&format=table&headers=0"
+    )
+    assert nohdr == [["AFRICA"], ["AMERICA"]]
+
+
+def test_dataset_routes(server):
+    _, names = _get(server, "/v1/datasets")
+    assert "region" in names and "nation" in names
+    _, status = _get(server, "/v1/datasets/region")
+    assert status["rowCount"] == 5 and "r_name" in status["columns"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/v1/datasets/nope")
+    assert e.value.code == 404
+
+
+def test_create_entities_over_rest(server, sf_dir):
+    st, out = _req(
+        server,
+        "PUT",
+        "/v1/datasets/part2",
+        {"type": "tabular", "params": {"dataFileUrl": f"{sf_dir}/part.parquet"}},
+    )
+    assert st == 201 and out["kind"] == "dataset"
+    _, names = _get(server, "/v1/datasets")
+    assert "part2" in names
+
+    st, _ = _req(
+        server,
+        "POST",
+        "/v1/procedures",
+        {
+            "type": "transform",
+            "id": "t1",
+            "params": {
+                "inputData": "SELECT count(*) AS n FROM nation",
+                "outputDataset": "nation_count",
+            },
+        },
+    )
+    assert st == 201
+    _, res = _get(server, "/v1/query?q=SELECT%20n%20FROM%20nation_count&format=aos")
+    assert res == [{"n": 25}]
+
+    st, _ = _req(
+        server,
+        "PUT",
+        "/v1/functions/shout",
+        {"type": "sql.expression", "params": {"expression": "upper(r_name) AS u"}},
+    )
+    assert st == 201
+    _, fns = _get(server, "/v1/functions")
+    assert "shout" in fns
+
+
+def test_query_errors(server):
+    # unknown dataset -> 404 (entity-not-found, like the reference's
+    # collection lookups); malformed SQL -> 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/v1/query?q=SELECT%20*%20FROM%20missing_table")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/v1/query?q=SELECT%20FROM%20WHERE")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/v1/query")  # missing q
+    assert e.value.code == 400
