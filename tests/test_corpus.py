@@ -186,3 +186,59 @@ def test_pack_sequences_invariants(spark, sf_dir):
 
     stats = packing_stats(packed, max_tokens=MAX).collect()
     assert all(0 < r["efficiency"] <= 1.0 for r in stats if r["efficiency"])
+
+
+def test_redact_pii_idempotent(spark):
+    from mldb_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@b.co 1.2.3.4 123-45-6789 +1 555 123 4567 mixed in text"),
+            (2, "<EMAIL> already redacted stays <PHONE> put"),
+        ],
+        "id long, t string",
+    )
+    once = df.select("id", redact_pii(F.col("t")).alias("r1"))
+    twice = once.select("id", redact_pii(F.col("r1")).alias("r2"))
+    j = once.join(twice, "id").collect()
+    assert all(r["r1"] == r["r2"] for r in j)
+
+
+def test_pack_sequences_matches_reference_model(spark):
+    """Spark FFD packing == a pure-python FFD over the same
+    (tokens desc, id asc) order, bucket by bucket."""
+    import random
+
+    from mldb_spark.corpus import pack_sequences
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 180)) for i in range(200)]
+    MAX, NB = 128, 3
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        (r["bucket"], r["seq"], r["doc_id"]): r["overflow"]
+        for r in pack_sequences(docs, max_tokens=MAX, n_buckets=NB).collect()
+    }
+
+    MUL, MOD = 2_654_435_761, 4_294_967_296
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for i, tok in rows:
+        by_bucket.setdefault((i * MUL) % MOD % NB, []).append((i, tok))
+    want = {}
+    for b, items in by_bucket.items():
+        items.sort(key=lambda it: (-it[1], it[0]))
+        bins: list[int] = []
+        for i, tok in items:
+            if tok > MAX:
+                bins.append(0)
+                want[(b, len(bins) - 1, i)] = True
+                continue
+            for j, rem in enumerate(bins):
+                if rem >= tok:
+                    bins[j] = rem - tok
+                    want[(b, j, i)] = False
+                    break
+            else:
+                bins.append(MAX - tok)
+                want[(b, len(bins) - 1, i)] = False
+    assert got == want
