@@ -384,3 +384,52 @@ def packing_stats(
             ),
         )
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Unigram language-model score per document — the LM-perplexity
+    quality proxy (CCNet-style) without an external model: the corpus
+    itself is the LM. Two passes:
+
+      1. vocab: token -> count over the whole corpus (hash agg);
+      2. per-doc mean log p(token), with additive smoothing
+         log((c + a) / (N + a*|V|)).
+
+    Lower (more negative) mean logprob == more surprising text: the
+    tail to drop or route for review. At 100 TB the vocab can reach
+    10^8 rows, so the token join is a plain shuffle equi-join with
+    partial aggregation on both sides (AQE broadcasts it when the
+    vocab is actually small); corpus totals ride in as a one-row
+    broadcast cross join, never a driver collect.
+    """
+    from mldb_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").cast("double").alias("__n"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    a = float(smoothing)
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log((F.col("c") + F.lit(a)) / (F.col("__n") + F.lit(a) * F.col("__v"))).alias(
+                "__lp"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.round(F.avg("__lp"), 4).alias("avg_logprob"),
+        F.round(F.min("__lp"), 4).alias("min_logprob"),
+    )

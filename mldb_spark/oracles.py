@@ -1294,3 +1294,22 @@ SELECT doc_id, count(*) AS n_lines,
        CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM d GROUP BY doc_id ORDER BY doc_id
 """
+
+ORACLES["qa08_unigram_logprob"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), totals AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab
+), scored AS (
+  SELECT t.doc_id,
+         ln((vocab.c + 0.5) / ((SELECT n FROM totals) + 0.5 * (SELECT v FROM totals))) AS lp
+  FROM toks t JOIN vocab USING (tok)
+)
+SELECT doc_id, count(*) AS n_toks,
+       round(avg(lp), 4) AS avg_logprob,
+       round(min(lp), 4) AS min_logprob
+FROM scored WHERE doc_id < 150
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -2397,6 +2397,29 @@ def qa07_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa08_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram LM quality score (corpus.unigram_logprob_scores): the
+    corpus-as-language-model perplexity proxy, per doc for
+    doc_id < 150 (vocab and totals still come from the FULL corpus).
+    The oracle replays both passes — corpus vocab counts, smoothed
+    log-probabilities, per-doc means — in SQL, so a smoothing,
+    join-multiplicity or totals bug breaks the hash."""
+    from mldb_spark.corpus import unigram_logprob_scores
+
+    docs = load(spark, sf, "documents")
+    scores = unigram_logprob_scores(docs, smoothing=0.5)
+    return (
+        scores.filter(F.col("doc_id") < 150)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_toks",
+            "avg_logprob",
+            "min_logprob",
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

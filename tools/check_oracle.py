@@ -28,10 +28,15 @@ def main() -> int:
     spark = get_spark()
     con = duck_connection(sf_dir)
 
+    from mldb_spark.caching import release_cached
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # tracked persists (LSH signatures, SVD matrices) are
+        # per-query scratch — release between queries, same as bench.py
+        release_cached()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)

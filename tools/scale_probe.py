@@ -1,0 +1,113 @@
+"""Scale probe: time the corpus-pipeline operators on 1x/4x/16x
+replicas of the sf0.1 documents table and print the scaling curve.
+
+The correctness gates run at small SF; this probe is the empirical
+leg of the 100 TB story — each op below is designed to scale linearly
+in corpus size (single hash-shuffle or broadcast-join plans), and the
+probe shows the measured exponent. Replica text is perturbed with a
+replica-tag token so near-dup ops see realistic near-duplicates
+instead of a degenerate all-exact-dup corpus.
+
+Usage: python tools/scale_probe.py [sf_dir] [max_factor]
+Prints one line per (op, factor): seconds + output rows, then a
+per-op scaling summary (t_16x / t_1x; linear == ~16).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mldb_spark.catalog import load  # noqa: E402
+from mldb_spark.caching import release_cached  # noqa: E402
+from mldb_spark.session import get_spark  # noqa: E402
+
+
+def replicate(docs, k: int):
+    """k near-duplicate replicas per doc: unique ids, text perturbed
+    with a per-replica tag token (shingles mostly shared -> realistic
+    near-dup load, no degenerate exact-dup explosion)."""
+    if k == 1:
+        return docs
+    return (
+        docs.crossJoin(F.broadcast(docs.sparkSession.range(k).select(F.col("id").alias("__r"))))
+        .select(
+            (F.col("doc_id") * k + F.col("__r")).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" replica"), F.col("__r").cast("string")
+            ).alias("text"),
+            "source",
+            "n_chars",
+        )
+    )
+
+
+def probe_ops(spark, docs):
+    from mldb_spark.corpus import (
+        decontaminate,
+        dedup_lines,
+        explode_pseudo_lines,
+        mixture_sample,
+        repetition_signals,
+        unigram_logprob_scores,
+    )
+    from mldb_spark.dedup import dedup_exact, minhash_near_duplicates
+
+    bench = docs.filter(F.col("doc_id") % 997 == 0)
+    corpus = docs.filter(F.col("doc_id") % 997 != 0)
+    return {
+        "dedup_exact": lambda: dedup_exact(docs),
+        "minhash_neardup": lambda: minhash_near_duplicates(
+            docs, num_hashes=16, bands=4, threshold=0.25, shingle_words=3
+        ),
+        "decontaminate": lambda: decontaminate(corpus, bench, n=4),
+        "repetition_signals": lambda: repetition_signals(docs),
+        "mixture_sample": lambda: mixture_sample(
+            docs, weight_col="n_chars", alpha=0.5
+        ),
+        "line_dedup": lambda: dedup_lines(explode_pseudo_lines(docs, 8)),
+        "unigram_logprob": lambda: unigram_logprob_scores(docs),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    max_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    spark = get_spark("mldb_spark_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = load(spark, sf_dir, "documents")
+    # warm-up: run every op once untimed so no op pays first-use JVM
+    # / codegen / Arrow-init cost inside its measured window
+    for mk in probe_ops(spark, base).values():
+        mk().count()
+        release_cached()
+
+    factors = [f for f in (1, 4, 16, 64, 256) if f <= max_factor]
+    times: dict[str, dict[int, float]] = {}
+    for k in factors:
+        docs = replicate(base, k)
+        for name, mk in probe_ops(spark, docs).items():
+            release_cached()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = mk()
+            n = df.count()
+            dt = time.time() - t0
+            release_cached()
+            times.setdefault(name, {})[k] = dt
+            print(f"{name:22s} x{k:<4d} {dt:7.2f}s  rows={n}", flush=True)
+
+    print("\nscaling t_max/t_1 (data grew %dx):" % factors[-1])
+    for name, ts in times.items():
+        ratio = ts[factors[-1]] / ts[factors[0]]
+        print(f"{name:22s} {ratio:6.1f}x")
+
+
+if __name__ == "__main__":
+    main()
