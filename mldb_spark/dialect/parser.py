@@ -41,11 +41,16 @@ KEYWORDS = {
 
 
 class Token:
-    __slots__ = ("kind", "value")
+    __slots__ = ("kind", "value", "glued")
 
-    def __init__(self, kind: str, value: str):
+    def __init__(self, kind: str, value: str, glued: bool = False):
         self.kind = kind
         self.value = value
+        # glued: no whitespace between this token and the previous one
+        # — disambiguates `prefix*` wildcards (glued) from `a * b`
+        # multiplication (spaced), as the reference's parser does by
+        # matching the identifier and `*` as one unit
+        self.glued = glued
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Token({self.kind},{self.value!r})"
@@ -54,6 +59,7 @@ class Token:
 def tokenize(sql: str) -> list[Token]:
     out: list[Token] = []
     pos = 0
+    glued = False
     while pos < len(sql):
         m = _TOKEN_RE.match(sql, pos)
         if not m:
@@ -61,16 +67,18 @@ def tokenize(sql: str) -> list[Token]:
         pos = m.end()
         kind = m.lastgroup
         if kind == "ws":
+            glued = False
             continue
         text = m.group()
         if kind == "ident" and text.lower() in KEYWORDS:
-            out.append(Token("kw", text.lower()))
+            out.append(Token("kw", text.lower(), glued))
         elif kind == "qident":
-            out.append(Token("ident", text[1:-1].replace('""', '"')))
+            out.append(Token("ident", text[1:-1].replace('""', '"'), glued))
         elif kind == "string":
-            out.append(Token("string", text[1:-1].replace("''", "'")))
+            out.append(Token("string", text[1:-1].replace("''", "'"), glued))
         else:
-            out.append(Token(kind, text))
+            out.append(Token(kind, text, glued))
+        glued = True
     out.append(Token("eof", ""))
     return out
 
@@ -350,9 +358,15 @@ class Parser:
         if t.kind == "op" and t.value == "*":
             self.next()
             return self._wildcard_tail("")
-        if t.kind == "ident" and self.peek(1).kind == "op" and self.peek(1).value == "*":
-            # prefix* — only when adjacency means glob (heuristic: next
-            # token after * is , FROM-ish or EXCLUDING)
+        if (
+            t.kind == "ident"
+            and self.peek(1).kind == "op"
+            and self.peek(1).value == "*"
+            and self.peek(1).glued
+        ):
+            # prefix* — the * must be GLUED to the identifier (`val*`
+            # is a wildcard; `val * x` is multiplication), plus the
+            # select-item shape check: next token ends the item
             after = self.peek(2)
             if after.kind in ("kw", "eof") or (after.kind == "op" and after.value == ","):
                 prefix = self.next().value

@@ -386,6 +386,7 @@ class Binder:
         row_name_col: str | None = None,
         ts_col: str | None = None,
         dtypes: dict[str, str] | None = None,
+        table_aliases: frozenset[str] | set[str] = frozenset(),
     ):
         self.columns = columns
         self.colset = set(columns)
@@ -393,6 +394,10 @@ class Binder:
         self.row_name_col = row_name_col
         self.ts_col = ts_col
         self.dtypes = dtypes or {}
+        # table aliases in scope (FROM x AS a, join sides): `a.k`
+        # resolves to column k (or to the collision-renamed column
+        # `a.k` via the colset check, which runs first)
+        self.table_aliases = set(table_aliases)
 
     _STRING_FNS = {
         "lower", "upper", "trim", "concat", "substr", "substring", "left",
@@ -507,6 +512,15 @@ class Binder:
             for part in name.split(".")[1:]:
                 col = col.getField(part)
             return col
+        # table-qualified ref (a.k with a = table alias in scope): the
+        # collision-renamed form `a.k` was already tried by the colset
+        # check above; here the bare column is unambiguous, strip the
+        # qualifier (joined_dataset.cc resolves subtable-prefixed paths
+        # the same way)
+        if "." in name and head in self.table_aliases:
+            rest = name.split(".", 1)[1]
+            if rest in self.colset:
+                return F.col(f"`{rest}`") if "." in rest else F.col(rest)
         # open schema: unknown columns are NULL (ValueExpression.md:24)
         return F.lit(None)
 
@@ -1092,19 +1106,23 @@ class MldbContext:
 
     # -- statement lowering -------------------------------------------------
 
-    def _resolve_from(self, stm: ast.SelectStatement, params) -> tuple[DataFrame, str | None, str | None]:
+    def _resolve_from(
+        self, stm: ast.SelectStatement, params
+    ) -> tuple[DataFrame, str | None, str | None, set[str]]:
         src = stm.from_
         if src is None:
-            return self.spark.range(1).drop("id"), None, None
+            return self.spark.range(1).drop("id"), None, None, set()
         if isinstance(src, ast.SelectStatement):
-            return self._statement(src, params), None, None
+            aliases = {src.from_alias} if getattr(src, "from_alias", None) else set()
+            return self._statement(src, params), None, None, aliases
         if isinstance(src, ast.TableRef):
             df, meta = self._table(src.name)
-            return df, meta["rowName"], meta["ts"]
+            return df, meta["rowName"], meta["ts"], {src.alias or src.name}
         if isinstance(src, ast.TableFunction):
-            return self._table_function(src), None, None
+            return self._table_function(src), None, None, set()
         if isinstance(src, ast.Join):
-            return self._join(src, params), None, None
+            df, aliases = self._build_join(src, params)
+            return df, None, None, aliases
         raise ValueError(f"unsupported FROM {src!r}")
 
     def _table_function(self, tf: ast.TableFunction) -> DataFrame:
@@ -1148,25 +1166,62 @@ class MldbContext:
         return self._datasets[name], self._meta[name]
 
     def _join(self, j: ast.Join, params) -> DataFrame:
-        left = (
-            self._join(j.left, params)
-            if isinstance(j.left, ast.Join)
-            else self._table(j.left.name)[0]
-        )
-        right = self._table(j.right.name)[0]
-        if j.kind == "cross" or j.on is None:
-            return left.crossJoin(right)
-        binder = Binder(list(dict.fromkeys(left.columns + right.columns)), params)
-        cond = binder.bind(j.on)
-        how = {"inner": "inner", "left": "left", "right": "right", "full": "full"}[j.kind]
-        return left.join(right, cond, how)
+        return self._build_join(j, params)[0]
+
+    def _join_leaves(self, node) -> list[ast.TableRef]:
+        if isinstance(node, ast.Join):
+            return self._join_leaves(node.left) + self._join_leaves(node.right)
+        return [node]
+
+    def _build_join(self, j: ast.Join, params) -> tuple[DataFrame, set[str]]:
+        """Build a (possibly multi-way, left-deep) join. Columns whose
+        bare name appears on more than one side are renamed to the
+        reference's subtable-prefixed path `alias.col`
+        (builtin/joined_dataset.cc names join output columns under
+        their subtable prefix); unambiguous columns keep their bare
+        names so unqualified references stay valid."""
+        leaves = self._join_leaves(j)
+        from collections import Counter
+
+        counts: Counter[str] = Counter()
+        for t in leaves:
+            counts.update(set(self._table(t.name)[0].columns))
+        collide = {c for c, n in counts.items() if n > 1}
+        aliases = {t.alias or t.name for t in leaves}
+
+        def leaf_df(t: ast.TableRef) -> DataFrame:
+            df = self._table(t.name)[0]
+            alias = t.alias or t.name
+            for c in df.columns:
+                if c in collide:
+                    df = df.withColumnRenamed(c, f"{alias}.{c}")
+            return df
+
+        def build(node) -> DataFrame:
+            if not isinstance(node, ast.Join):
+                return leaf_df(node)
+            left = build(node.left)
+            right = build(node.right)
+            if node.kind == "cross" or node.on is None:
+                return left.crossJoin(right)
+            cols = list(dict.fromkeys(left.columns + right.columns))
+            binder = Binder(cols, params, table_aliases=aliases)
+            cond = binder.bind(node.on)
+            how = {"inner": "inner", "left": "left", "right": "right", "full": "full"}[
+                node.kind
+            ]
+            return left.join(right, cond, how)
+
+        return build(j), aliases
 
     def _statement(self, stm: ast.SelectStatement, params) -> DataFrame:
-        df, row_name_col, ts_col = self._resolve_from(stm, params)
+        df, row_name_col, ts_col, aliases = self._resolve_from(stm, params)
         # applied-function entities: fn({…})[out] rewrites to an
         # output-column reference after applying the transform once
         df, stm = self._apply_row_functions(df, stm)
-        binder = Binder(df.columns, params, row_name_col, ts_col, dict(df.dtypes))
+        binder = Binder(
+            df.columns, params, row_name_col, ts_col, dict(df.dtypes), aliases
+        )
 
         # WHEN: temporal filter on the row timestamp (tabular layout)
         if stm.when is not None:
@@ -1210,15 +1265,43 @@ class MldbContext:
         if stm.distinct_on:
             if not stm.order_by:
                 raise ValueError("DISTINCT ON requires ORDER BY")
-            keys = [binder.bind(e) for e in stm.distinct_on]
+            # resolve-then-drop: DISTINCT ON keys and ORDER BY exprs may
+            # reference source columns the SELECT list dropped
+            # (MLDB-1841 test_order: SELECT DISTINCT ON (x) x, z …
+            # ORDER BY x, y DESC) — project them as hidden columns,
+            # window, order, then drop
+            out_binder = Binder(out.columns, params, row_name_col, ts_col)
+            hidden: list[Column] = []
+            hidden_names: list[str] = []
+
+            def _resolve(e: ast.Expr, tag: str) -> Column:
+                if isinstance(e, ast.ColumnRef) and e.name in out.columns:
+                    return out_binder.bind(e)
+                if is_agg:
+                    return binder.bind(e)
+                name = f"__{tag}{len(hidden)}"
+                hidden.append(binder.bind(e).alias(name))
+                hidden_names.append(name)
+                return F.col(name)
+
+            keys = [_resolve(e, "dk") for e in stm.distinct_on]
             order = [
-                binder.bind(o.expr) if o.ascending else F.desc(binder.bind(o.expr))
+                _resolve(o.expr, "ord") if o.ascending
+                else F.desc(_resolve(o.expr, "ord"))
                 for o in stm.order_by
             ]
+            if hidden:
+                out = self._plain_select(df, stm, binder, row_name_col, extra_cols=hidden)
             w = Window.partitionBy(*keys).orderBy(*order)
             out = out.withColumn("__rn", F.row_number().over(w)).filter(
                 F.col("__rn") == 1
             ).drop("__rn")
+            # the statement's ORDER BY also orders the deduped output
+            # (the reference sorts before applying numDistinctOnClauses,
+            # core/bound_queries.cc:406-640)
+            out = out.orderBy(*order)
+            if hidden_names:
+                out = out.drop(*hidden_names)
 
         if stm.order_by and not stm.distinct_on:
             out_binder = Binder(out.columns, params, row_name_col, ts_col)
