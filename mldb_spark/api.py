@@ -123,6 +123,10 @@ class Mldb:
             return df.select("*", *cols)
 
         self.functions.register(name, apply)
+        # visible to the dialect too: SELECT f({input: {…}})[out] …
+        # (the reference's function entities are applyable inside SQL
+        # by name — Functions.md)
+        self.ctx.register_function(name, apply)
 
     def create_sql_query_function(
         self, name: str, sql: str, output: str = "FIRST_ROW"

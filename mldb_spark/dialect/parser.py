@@ -24,7 +24,7 @@ _TOKEN_RE = re.compile(
   | (?P<qident>"(?:[^"]|"")*")
   | (?P<string>'(?:[^']|'')*')
   | (?P<param>\$[A-Za-z_][A-Za-z_0-9]*)
-  | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<ident>[^\W\d]\w*)
   | (?P<op><>|!=|>=|<=|=|<|>|\|\||\+|-|\*|/|%|\(|\)|\[|\]|\{|\}|,|\.|:|&|\||\^|~|@)
     """,
     re.VERBOSE,

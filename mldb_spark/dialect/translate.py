@@ -1056,13 +1056,23 @@ class MldbContext:
             return lambda d: GLOBAL_REGISTRY.apply(name, d)
         return None
 
-    def _apply_row_functions(self, df: DataFrame, stm: ast.SelectStatement):
+    def _apply_row_functions(
+        self, df: DataFrame, stm: ast.SelectStatement, params=None
+    ):
         """Rewrite `fn({…})[out]` select items over registered
         functions: apply each distinct fn to the rowset once, then
-        substitute the call with a reference to its output column."""
+        substitute the call with a reference to its output column.
+
+        The argument row literal's top-level fields are MATERIALIZED
+        as input columns first (unless a column of that name already
+        exists) — the reference's function-application semantics,
+        where the argument row IS the function input
+        (MLDB-1012_nested_function_calls.py:
+        `f1({input: {x: 1, y: 2}})` binds input.x inside f1)."""
         mapping: list[tuple[ast.Expr, str]] = []
         applied: set[str] = set()
         accessed: set[int] = set()
+        arg_cols: list[str] = []
         for it in stm.select:
             if not isinstance(it, ast.ExprItem):
                 continue
@@ -1075,6 +1085,17 @@ class MldbContext:
                 ):
                     fname = node.operand.name
                     if fname not in applied:
+                        args = node.operand.args
+                        if args and isinstance(args[0], ast.RowLiteral):
+                            abinder = Binder(
+                                df.columns, params, dtypes=dict(df.dtypes)
+                            )
+                            for field_name, fexpr in args[0].fields:
+                                if field_name not in df.columns:
+                                    df = df.withColumn(
+                                        field_name, abinder.bind(fexpr)
+                                    )
+                                    arg_cols.append(field_name)
                         df = self._lookup_function(fname)(df)
                         applied.add(fname)
                     mapping.append((node, str(node.key.value)))
@@ -1091,6 +1112,10 @@ class MldbContext:
                     )
         if not mapping:
             return df, stm
+        out_names = {name for _, name in mapping}
+        stale = [c for c in arg_cols if c not in out_names]
+        if stale:
+            df = df.drop(*stale)
         import dataclasses
 
         new_select = [
@@ -1218,7 +1243,7 @@ class MldbContext:
         df, row_name_col, ts_col, aliases = self._resolve_from(stm, params)
         # applied-function entities: fn({…})[out] rewrites to an
         # output-column reference after applying the transform once
-        df, stm = self._apply_row_functions(df, stm)
+        df, stm = self._apply_row_functions(df, stm, params)
         binder = Binder(
             df.columns, params, row_name_col, ts_col, dict(df.dtypes), aliases
         )

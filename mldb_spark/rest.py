@@ -165,8 +165,18 @@ class MldbRestServer:
                 parts = [p for p in urlparse(self.path).path.split("/") if p]
                 if parts[:2] == ["v1", "procedures"]:
                     self._create("procedure", None)
+                elif parts[:2] == ["v1", "query"]:
+                    # query params in the request body
+                    # (MLDB-1717_query_select_in_body.py: the reference
+                    # accepts q in the body as well as the query string)
+                    try:
+                        self._send(200, facade.run_query(self._body()))
+                    except KeyError as e:
+                        self._send(404, {"error": str(e)})
+                    except Exception as e:
+                        self._send(400, {"error": str(e)})
                 else:
-                    self._send(404, {"error": "POST supports /v1/procedures"})
+                    self._send(404, {"error": "POST supports /v1/procedures and /v1/query"})
 
         self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self._thread: threading.Thread | None = None
@@ -179,8 +189,8 @@ class MldbRestServer:
             raise ValueError("missing q parameter")
         limit = min(int(params.get("limit", self.row_cap)), self.row_cap)
         fmt = params.get("format", "full")
-        row_names = params.get("rowNames", "0") in ("1", "true")
-        headers = params.get("headers", "1") not in ("0", "false")
+        row_names = str(params.get("rowNames", "0")).lower() in ("1", "true")
+        headers = str(params.get("headers", "1")).lower() not in ("0", "false")
         df = self.mldb.query(sql).limit(limit)
         return render_rows(
             df.collect(), df.columns, fmt=fmt, row_names=row_names, headers=headers

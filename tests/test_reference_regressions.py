@@ -229,3 +229,94 @@ def test_mldb_1639_join_where(mldb):
         "SELECT a.av AS av, b.bv AS bv FROM m1639a AS a "
         "JOIN m1639b AS b ON a.k = b.k WHERE a.av = 'y' AND b.bv > 5",
     ) == [("y", 20)]
+
+
+def test_mldb_1012_nested_function_calls(mldb):
+    """MLDB-1012_nested_function_calls.py: sql.expression function
+    entities applied inline in SQL with a row-literal argument — the
+    argument row's fields become the function's input columns."""
+    mldb.create_dataset("m1012", mldb.spark.createDataFrame([(1,)], "dummy int"))
+    mldb.create_sql_expression_function("f1", "input.x*2 AS x2, input.y*2 AS y2")
+    assert _q(
+        mldb,
+        "SELECT f1({input: {x: 1, y: 2}})[x2] AS x2, "
+        "f1({input: {x: 1, y: 2}})[y2] AS y2 FROM m1012",
+    ) == [(2, 4)]
+
+
+def test_mldb_1345_having(mldb):
+    """MLDB-1345-having.py: HAVING over aggregates combined with AND /
+    OR and group keys."""
+    _ds(
+        mldb,
+        "m1345",
+        [("r%d" % i, ["m", "f"][i % 2], ["C", "S", "Q"][i % 3], 20.0 + i)
+         for i in range(12)],
+        "rn string, sex string, embarked string, age double",
+    )
+    rows = _q(
+        mldb,
+        "SELECT sex, count(*) AS n FROM m1345 GROUP BY sex "
+        "HAVING count(*) > 5 ORDER BY sex",
+    )
+    assert rows == [("f", 6), ("m", 6)]
+    rows = _q(
+        mldb,
+        "SELECT embarked, max(age) AS mx, count(*) AS n FROM m1345 "
+        "GROUP BY embarked HAVING max(age) < 31 AND (count(*) > 5 OR embarked = 'C') "
+        "ORDER BY embarked",
+    )
+    assert all(mx < 31 and (n > 5 or emb == "C") for emb, mx, n in rows)
+    assert rows  # at least group C qualifies
+
+
+def test_mldb_1198_sum_sees_latest_superposition(spark):
+    """MLDB-1198-sum-inconsistency-test.py: a cell recorded at four
+    timestamps holds ONE logical value for expressions — aggregates
+    read the latest (sum == 1, count == 1), while temporal_* see all
+    four (expression_value.h:86-91 GET_LATEST vs GET_ALL)."""
+    from mldb_spark.operators.temporal import latest_cells, temporal_agg
+
+    cells = spark.createDataFrame(
+        [("row1", "colA", 1.0, float(ts)) for ts in (1, 10, 100, 1000)],
+        "row string, column string, value double, ts_raw double",
+    ).select("row", "column", "value", F.col("ts_raw").cast("timestamp").alias("ts"))
+    latest = latest_cells(cells)
+    agg = latest.groupBy("column").agg(
+        F.sum("value").alias("s"), F.count("value").alias("c")
+    ).collect()
+    assert (agg[0]["s"], agg[0]["c"]) == (1.0, 1)
+    tmp = temporal_agg(cells, "count").collect()
+    assert tmp[0]["temporal_count"] == 4
+
+
+def test_mldb_1239_utf8_identifiers(mldb):
+    """MLDB-1239-utf8-literal.py: UTF-8 string literals and UTF-8
+    column names flow through SELECT / WHERE / transform."""
+    _ds(
+        mldb,
+        "m1239",
+        [("r1", 1, 2), ("r2", 3, 4)],
+        "rn string, `ê` int, b int",
+    )
+    assert _q(
+        mldb,
+        "SELECT 'françois' AS qui, ê FROM m1239 WHERE ê = 1",
+    ) == [("françois", 1)]
+    out = mldb.transform("SELECT ê * 10 AS dix FROM m1239", "m1239_out")
+    assert sorted(r["dix"] for r in out.collect()) == [10, 30]
+
+
+def test_mldb_1155_csv_line_endings(mldb, tmp_path):
+    """MLDB-1155_csv_line_endings.py: import.text accepts CRLF line
+    endings and rows missing the last column (padded with NULL, not
+    rejected)."""
+    from mldb_spark.sources.text_io import import_text
+
+    p = tmp_path / "endings.csv"
+    p.write_bytes(b"a,b\r\n1,x\r\n2\r\n3,z\r\n")
+    df = import_text(mldb.spark, str(p))
+    rows = sorted(
+        [(r["a"], r["b"]) for r in df.collect()], key=lambda t: t[0]
+    )
+    assert rows == [(1, "x"), (2, None), (3, "z")]

@@ -117,3 +117,15 @@ def test_query_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, "/v1/query")  # missing q
     assert e.value.code == 400
+
+
+def test_query_in_post_body(server):
+    """MLDB-1717_query_select_in_body.py: query parameters may arrive
+    in the request body instead of the query string."""
+    st, out = _req(
+        server,
+        "POST",
+        "/v1/query",
+        {"q": "SELECT r_name FROM region ORDER BY r_name LIMIT 1", "format": "aos"},
+    )
+    assert st == 200 and out == [{"r_name": "AFRICA"}]
