@@ -472,8 +472,8 @@ class Parser:
             on = None
             if self.accept_kw("on"):
                 on = self.parse_expr()
-            if not isinstance(right, ast.TableRef):
-                raise SyntaxError("join right side must be a table")
+            if not isinstance(right, (ast.TableRef, ast.SelectStatement)):
+                raise SyntaxError("join right side must be a table or subselect")
             left = ast.Join(left, right, kind, on)
 
     def _table_primary(self):

@@ -94,7 +94,7 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         "acos": F.acos, "atan": F.atan, "sinh": F.sinh, "cosh": F.cosh,
         "tanh": F.tanh, "to_timestamp": F.to_timestamp,
         "date_trunc_day": lambda c: F.date_trunc("day", c),
-        "tokenize": tokenize, "token_count": token_count,
+        "tokenize": tokenize_counts, "token_count": token_count,
         "language_id": language_id, "quality_score": quality_score,
         "normalize_text": normalize_text, "tokenize_counts": tokenize_counts,
         "norm": l2_norm, "normalize": normalize, "md5": F.md5,
@@ -182,15 +182,23 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
             offset=int(lit_of("offset", 0)),
             quote_char=lit_of("quotechar"),
         )
+        distinct = F.array_distinct(toks)
         if "value" in opts:
             val = opts["value"]
             if not isinstance(val, ast.Literal):
                 raise ValueError("tokenize value option must be a literal")
-            distinct = F.array_distinct(toks)
             return F.map_from_arrays(
                 distinct, F.transform(distinct, lambda _t: F.lit(val.value))
             )
-        return toks
+        # the reference's tokenize() output is the bag-of-words row
+        # token -> count (sql/tokenize.cc; MLDB-907-tokenize.py),
+        # mapped here to MAP<token, count>. Pipelines that need the
+        # raw token stream use the Python-level text.tokenize array
+        # (exploded), not this scalar SQL form.
+        return F.map_from_arrays(
+            distinct,
+            F.transform(distinct, lambda d: F.size(F.filter(toks, lambda t: t == d))),
+        )
     if name == "regex_match":
         if not isinstance(raw_args[1], ast.Literal):
             raise ValueError("regex_match(str, regex) needs a literal pattern")
@@ -411,7 +419,7 @@ class Binder:
         if isinstance(e, ast.Literal):
             return isinstance(e.value, str)
         if isinstance(e, ast.ColumnRef):
-            return self.dtypes.get(e.name) == "string"
+            return self.dtypes.get(self._resolve_name(e.name) or e.name) == "string"
         if isinstance(e, ast.Cast):
             return e.type_name == "string"
         if isinstance(e, ast.FunctionCall):
@@ -498,29 +506,43 @@ class Binder:
             return c[self.bind(e.key)]
         raise ValueError(f"cannot bind {e!r}")
 
-    def _column(self, name: str) -> Column:
+    def _resolve_name(self, name: str) -> str | None:
+        """Logical reference -> physical column name:
+        1. exact (incl. the join layer's `alias.col` prefixed names);
+        2. alias-qualified `a.k` -> bare k (single-table alias scope);
+        3. unqualified k -> unique `alias.k` among in-scope aliases
+           (the reference binds through subtable scopes the same way;
+           two matches is an ambiguity error, joined_dataset.cc)."""
         if name in self.colset:
-            # backticks: a literal column name containing a dot (quoted
-            # identifiers, merged open-schema data) must not be parsed
-            # as struct-field access
-            return F.col(f"`{name}`") if "." in name else F.col(name)
-        # qualified a.b where full dotted name isn't a column: try as-is
-        # via backticks (struct access), else open-schema NULL
+            return name
+        if "." in name:
+            head, rest = name.split(".", 1)
+            if head in self.table_aliases and rest in self.colset:
+                return rest
+            return None
+        cands = [
+            f"{a}.{name}"
+            for a in sorted(self.table_aliases)
+            if f"{a}.{name}" in self.colset
+        ]
+        if len(cands) > 1:
+            raise ValueError(f"ambiguous column {name!r}: matches {cands}")
+        return cands[0] if cands else None
+
+    def _column(self, name: str) -> Column:
+        phys = self._resolve_name(name)
+        if phys is not None:
+            # backticks: a physical name containing a dot (join
+            # prefixes, quoted identifiers, merged open-schema data)
+            # must not be parsed as struct-field access
+            return F.col(f"`{phys}`") if "." in phys else F.col(phys)
+        # qualified a.b where nothing resolved: struct-field access
         head = name.split(".", 1)[0]
         if head in self.colset and "." in name:
             col = F.col(head)
             for part in name.split(".")[1:]:
                 col = col.getField(part)
             return col
-        # table-qualified ref (a.k with a = table alias in scope): the
-        # collision-renamed form `a.k` was already tried by the colset
-        # check above; here the bare column is unambiguous, strip the
-        # qualifier (joined_dataset.cc resolves subtable-prefixed paths
-        # the same way)
-        if "." in name and head in self.table_aliases:
-            rest = name.split(".", 1)[1]
-            if rest in self.colset:
-                return F.col(f"`{rest}`") if "." in rest else F.col(rest)
         # open schema: unknown columns are NULL (ValueExpression.md:24)
         return F.lit(None)
 
@@ -738,7 +760,9 @@ class Binder:
         from mldb_spark.functions.vector import ndim_of_dtype
 
         if isinstance(e, ast.ColumnRef):
-            return ndim_of_dtype(self.dtypes.get(e.name, ""))
+            return ndim_of_dtype(
+                self.dtypes.get(self._resolve_name(e.name) or e.name, "")
+            )
         if isinstance(e, ast.EmbeddingLiteral):
             return 1 + (self._expr_ndim(e.items[0]) if e.items else 0)
         if isinstance(e, ast.FunctionCall):
@@ -1146,8 +1170,8 @@ class MldbContext:
         if isinstance(src, ast.TableFunction):
             return self._table_function(src), None, None, set()
         if isinstance(src, ast.Join):
-            df, aliases = self._build_join(src, params)
-            return df, None, None, aliases
+            df, aliases, rn_col = self._build_join(src, params)
+            return df, rn_col, None, aliases
         raise ValueError(f"unsupported FROM {src!r}")
 
     def _table_function(self, tf: ast.TableFunction) -> DataFrame:
@@ -1193,12 +1217,29 @@ class MldbContext:
     def _join(self, j: ast.Join, params) -> DataFrame:
         return self._build_join(j, params)[0]
 
+    _JOIN_ROW_NAME = "__joinRowName"
+
     def _join_leaves(self, node) -> list[ast.TableRef]:
         if isinstance(node, ast.Join):
             return self._join_leaves(node.left) + self._join_leaves(node.right)
         return [node]
 
-    def _build_join(self, j: ast.Join, params) -> tuple[DataFrame, set[str]]:
+    def _leaf_info(self, node, params):
+        """(df, alias, row_name_meta) for one join side: a named
+        dataset or a parenthesized subselect (MLDB-1794
+        join-subselect)."""
+        if isinstance(node, ast.TableRef):
+            df, meta = self._table(node.name)
+            return df, node.alias or node.name, meta["rowName"]
+        if isinstance(node, ast.SelectStatement):
+            return (
+                self._statement(node, params),
+                getattr(node, "from_alias", None),
+                None,
+            )
+        raise ValueError(f"unsupported join side {node!r}")
+
+    def _build_join(self, j: ast.Join, params) -> tuple[DataFrame, set[str], str | None]:
         """Build a (possibly multi-way, left-deep) join. Columns whose
         bare name appears on more than one side are renamed to the
         reference's subtable-prefixed path `alias.col`
@@ -1206,21 +1247,33 @@ class MldbContext:
         their subtable prefix); unambiguous columns keep their bare
         names so unqualified references stay valid."""
         leaves = self._join_leaves(j)
+        infos = {id(t): self._leaf_info(t, params) for t in leaves}
         from collections import Counter
 
         counts: Counter[str] = Counter()
-        for t in leaves:
-            counts.update(set(self._table(t.name)[0].columns))
+        for df, _a, _rn in infos.values():
+            counts.update(set(df.columns))
         collide = {c for c, n in counts.items() if n > 1}
-        aliases = {t.alias or t.name for t in leaves}
+        aliases = {a for _df, a, _rn in infos.values() if a}
 
-        def leaf_df(t: ast.TableRef) -> DataFrame:
-            df = self._table(t.name)[0]
-            alias = t.alias or t.name
-            for c in df.columns:
-                if c in collide:
-                    df = df.withColumnRenamed(c, f"{alias}.{c}")
-            return df
+        def leaf_df(t) -> DataFrame:
+            # the reference prefixes EVERY join output column with its
+            # subtable alias (J1_TBL.i, J2_TBL.k — joined_dataset.cc);
+            # unqualified references resolve back through the binder's
+            # suffix rule. Unaliased subselect sides keep bare names
+            # (they must not collide).
+            df, alias, _rn = infos[id(t)]
+            if alias is None:
+                hit = [c for c in df.columns if c in collide]
+                if hit:
+                    raise ValueError(
+                        f"join sides sharing column names {sorted(hit)} need "
+                        "an alias (… AS x) to disambiguate"
+                    )
+                return df
+            return df.select(
+                *[F.col(f"`{c}`" if "." in c else c).alias(f"{alias}.{c}") for c in df.columns]
+            )
 
         def build(node) -> DataFrame:
             if not isinstance(node, ast.Join):
@@ -1237,7 +1290,32 @@ class MldbContext:
             ]
             return left.join(right, cond, how)
 
-        return build(j), aliases
+        out = build(j)
+        # the reference names joined rows "[left]-[right]" (chained
+        # joins append "-[next]"), with empty brackets for outer
+        # non-matches (joined_dataset.cc:328-348 recordJoinRow). When
+        # every side carries row-name metadata, synthesize that name
+        # so rowName()/NAMED work over joins.
+        rn_col = None
+        leaf_rns = []
+        for t in leaves:
+            _df, alias, meta_rn = infos[id(t)]
+            if meta_rn is None:
+                leaf_rns = []
+                break
+            leaf_rns.append(f"{alias}.{meta_rn}" if alias else meta_rn)
+        if leaf_rns:
+            rn_col = self._JOIN_ROW_NAME
+            parts = [
+                F.concat(
+                    F.lit("["),
+                    F.coalesce(F.col(f"`{c}`" if "." in c else c).cast("string"), F.lit("")),
+                    F.lit("]"),
+                )
+                for c in leaf_rns
+            ]
+            out = out.withColumn(rn_col, F.concat_ws("-", *parts))
+        return out, aliases, rn_col
 
     def _statement(self, stm: ast.SelectStatement, params) -> DataFrame:
         df, row_name_col, ts_col, aliases = self._resolve_from(stm, params)
@@ -1361,6 +1439,9 @@ class MldbContext:
         excl_exact = {x for x in wc.excluding if not x.endswith("*")}
         excl_pref = [x[:-1] for x in wc.excluding if x.endswith("*")]
         picked = []
+        # engine-internal pseudo columns (join row names, hidden sort
+        # projections) never match wildcards
+        columns = [c for c in columns if not c.startswith("__")]
         for c in columns:
             if wc.prefix and not c.startswith(wc.prefix):
                 continue

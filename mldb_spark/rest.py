@@ -89,6 +89,30 @@ def render_rows(rows, columns, fmt="full", row_names=False, headers=True):
     if fmt == "table":
         body = [[row[c] for c in columns] for row in data]
         return ([list(columns)] + body) if headers else body
+    if fmt == "sparse":
+        out = []
+        for i, row in enumerate(data):
+            pairs = []
+            if row_names:
+                pairs.append(["_rowName", row.get("rowName", str(i))])
+            pairs.extend([c, row[c]] for c in sorted(columns))
+            out.append(pairs)
+        return out
+    if fmt == "atom":
+        # exactly one row and one column (dataset_collection.cc:238-259)
+        if len(data) > 1:
+            raise ValueError(
+                "Query with atom format returning multiple rows. Consider using limit."
+            )
+        if not data:
+            raise ValueError("Query with atom format returned no rows.")
+        if len(columns) != 1:
+            raise ValueError(
+                "Query with atom format returned "
+                + ("no" if not columns else "multiple")
+                + " columns."
+            )
+        return data[0][columns[0]]
     raise ValueError(f"unknown format {fmt!r}")
 
 

@@ -320,3 +320,169 @@ def test_mldb_1155_csv_line_endings(mldb, tmp_path):
         [(r["a"], r["b"]) for r in df.collect()], key=lambda t: t[0]
     )
     assert rows == [(1, "x"), (2, None), (3, "z")]
+
+
+def test_mldb_907_tokenize(mldb):
+    """MLDB-907-tokenize.py: tokenize to a bag-of-words with counts;
+    splitChars and minTokenLength options."""
+    mldb.create_dataset("m907", mldb.spark.createDataFrame([(1,)], "dummy int"))
+    out = _q(mldb, "SELECT tokenize('a,b,c,a') AS tokens FROM m907")
+    assert dict(out[0][0]) == {"a": 2, "b": 1, "c": 1}
+    out = _q(
+        mldb,
+        "SELECT tokenize('a b c a', {splitChars: ' '}) AS tokens FROM m907",
+    )
+    assert dict(out[0][0]) == {"a": 2, "b": 1, "c": 1}
+    out = _q(
+        mldb,
+        "SELECT tokenize('abouyayaa adsf 2 ; sdv, sdf', "
+        "{splitChars: ',; ', minTokenLength: 3}) AS tokens FROM m907",
+    )
+    assert dict(out[0][0]) == {"abouyayaa": 1, "adsf": 1, "sdv": 1, "sdf": 1}
+
+
+def test_mldb_1305_join_row_names(mldb):
+    """MLDB-1305_rowNames_join.py: joined rows are named
+    [leftName]-[rightName] (joined_dataset.cc:328-348), with empty
+    brackets for outer-join non-matches."""
+    _ds(mldb, "mjra", [("a1", 1), ("a2", 2)], "rn string, k int")
+    _ds(mldb, "mjrb", [("b1", 1)], "rn string, k int")
+    assert _q(
+        mldb,
+        "SELECT rowName() AS jn, a.k AS k FROM mjra AS a "
+        "JOIN mjrb AS b ON a.k = b.k",
+    ) == [("[a1]-[b1]", 1)]
+    assert _q(
+        mldb,
+        "SELECT rowName() AS jn FROM mjra AS a "
+        "LEFT JOIN mjrb AS b ON a.k = b.k ORDER BY jn",
+    ) == [("[a1]-[b1]",), ("[a2]-[]",)]
+
+
+def test_mldb_1794_join_subselect(mldb):
+    """MLDB-1794-join-subselect.py / MLDB-1361_join_on_subselect.py:
+    a parenthesized subselect can be a join side."""
+    mldb.create_dataset(
+        "m1794a",
+        mldb.spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string"),
+    )
+    mldb.create_dataset(
+        "m1794b", mldb.spark.createDataFrame([(1, 10), (3, 30)], "k int, w int")
+    )
+    assert _q(
+        mldb,
+        "SELECT s.v AS v, m1794b.w AS w FROM (SELECT k, v FROM m1794a) AS s "
+        "JOIN m1794b ON s.k = m1794b.k",
+    ) == [("x", 10)]
+    # subselect on the right side too
+    assert _q(
+        mldb,
+        "SELECT a.v AS v, s2.w AS w FROM m1794a AS a "
+        "JOIN (SELECT k, w FROM m1794b WHERE w > 5) AS s2 ON a.k = s2.k",
+    ) == [("x", 10)]
+
+
+@pytest.fixture(scope="module")
+def join_tables(mldb):
+    """The Postgres-derived join fixtures from
+    MLDB-1624-more-join-test.py (J1_TBL / J2_TBL, nulls included)."""
+    _ds(
+        mldb,
+        "J1_TBL",
+        [("01", 1, 4, "one"), ("02", 2, 3, "two"), ("03", 3, 2, "three"),
+         ("04", 4, 1, "four"), ("05", 5, 0, "five"), ("06", 6, 6, "six"),
+         ("07", 7, 7, "seven"), ("08", 8, 8, "eight"), ("09", 0, None, "zero"),
+         ("10", None, None, "null"), ("11", None, 0, "zero")],
+        "rn string, i int, j int, t string",
+    )
+    _ds(
+        mldb,
+        "J2_TBL",
+        [("01", 1, -1), ("02", 2, 2), ("03", 3, -3), ("04", 2, 4),
+         ("05", 5, -5), ("06", 5, -5), ("07", 0, None), ("08", None, None),
+         ("09", None, 0)],
+        "rn string, i int, k int",
+    )
+    return mldb
+
+
+def test_mldb_1624_cross_join(join_tables):
+    """CROSS JOIN == INNER JOIN with no condition: full cartesian."""
+    mldb = join_tables
+    out = mldb.query(
+        "SELECT rowName() AS jn FROM J1_TBL CROSS JOIN J2_TBL"
+    ).collect()
+    assert len(out) == 11 * 9
+    assert ("[01]-[01]",) in {tuple(r) for r in out}
+
+
+def test_mldb_1624_non_equi_join(join_tables):
+    """Theta joins (<=, <): NULL keys never match."""
+    mldb = join_tables
+    got = {
+        tuple(r)
+        for r in mldb.query(
+            "SELECT rowName() AS jn, J1_TBL.i AS i, J2_TBL.k AS k "
+            "FROM J1_TBL JOIN J2_TBL ON J1_TBL.i <= J2_TBL.k"
+        ).collect()
+    }
+    assert got == {
+        ("[01]-[02]", 1, 2), ("[01]-[04]", 1, 4), ("[02]-[02]", 2, 2),
+        ("[02]-[04]", 2, 4), ("[03]-[04]", 3, 4), ("[04]-[04]", 4, 4),
+        ("[09]-[02]", 0, 2), ("[09]-[04]", 0, 4), ("[09]-[09]", 0, 0),
+    }
+    got_lt = {
+        tuple(r)
+        for r in mldb.query(
+            "SELECT J1_TBL.i AS i, J2_TBL.k AS k "
+            "FROM J1_TBL JOIN J2_TBL ON J1_TBL.i < J2_TBL.k"
+        ).collect()
+    }
+    assert got_lt == {(1, 2), (1, 4), (2, 4), (3, 4), (0, 2), (0, 4)}
+
+
+def test_mldb_1624_outer_joins(join_tables):
+    """LEFT/RIGHT/FULL OUTER on i = i with NULL keys on both sides
+    (MLDB-1672): non-matching rows surface with [] row-name halves."""
+    mldb = join_tables
+    left = {
+        tuple(r)
+        for r in mldb.query(
+            "SELECT rowName() AS jn, J1_TBL.t AS t, J2_TBL.k AS k "
+            "FROM J1_TBL LEFT OUTER JOIN J2_TBL ON J1_TBL.i = J2_TBL.i"
+        ).collect()
+    }
+    assert ("[10]-[]", "null", None) in left
+    assert ("[04]-[]", "four", None) in left
+    assert ("[05]-[05]", "five", -5) in left and ("[05]-[06]", "five", -5) in left
+    assert len(left) == 13  # the reference's expected table has 13 rows
+
+    right = {
+        tuple(r)
+        for r in mldb.query(
+            "SELECT rowName() AS jn, J1_TBL.t AS t, J2_TBL.k AS k "
+            "FROM J1_TBL RIGHT OUTER JOIN J2_TBL ON J1_TBL.i = J2_TBL.i"
+        ).collect()
+    }
+    assert ("[]-[08]", None, None) in right and ("[]-[09]", None, 0) in right
+    assert ("[09]-[07]", "zero", None) in right
+
+    full = mldb.query(
+        "SELECT rowName() AS jn "
+        "FROM J1_TBL FULL OUTER JOIN J2_TBL ON J1_TBL.i = J2_TBL.i"
+    ).collect()
+    assert len(full) == 15
+    names = {r["jn"] for r in full}
+    assert {"[]-[08]", "[]-[09]", "[10]-[]", "[11]-[]", "[09]-[07]"} <= names
+
+
+def test_mldb_1624_join_with_where(join_tables):
+    """WHERE over the nullable outer side filters joined rows."""
+    mldb = join_tables
+    assert (
+        mldb.query(
+            "SELECT J1_TBL.i AS i FROM J1_TBL LEFT JOIN J2_TBL "
+            "ON J1_TBL.i = J2_TBL.i WHERE J2_TBL.k = 1"
+        ).count()
+        == 0
+    )

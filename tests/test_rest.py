@@ -129,3 +129,18 @@ def test_query_in_post_body(server):
         {"q": "SELECT r_name FROM region ORDER BY r_name LIMIT 1", "format": "aos"},
     )
     assert st == 200 and out == [{"r_name": "AFRICA"}]
+
+
+def test_sparse_and_atom_formats(server):
+    q = "SELECT r_name FROM region ORDER BY r_name LIMIT 2"
+    _, sparse = _get(server, f"/v1/query?q={q.replace(' ', '%20')}&format=sparse")
+    assert sparse == [[["r_name", "AFRICA"]], [["r_name", "AMERICA"]]]
+
+    one = "SELECT count(*) AS n FROM region"
+    _, atom = _get(server, f"/v1/query?q={one.replace(' ', '%20')}&format=atom")
+    assert atom == 5
+
+    # atom rejects multi-row / multi-column results (dataset_collection.cc:238)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, f"/v1/query?q={q.replace(' ', '%20')}&format=atom")
+    assert e.value.code == 400
