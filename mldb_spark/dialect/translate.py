@@ -1537,29 +1537,45 @@ class MldbContext:
         # reference's GroupByKeyExpression rewrite
         # (core/bound_queries.cc:1683-1703).
         group_cols = [binder.bind(g).alias(f"__g{i}") for i, g in enumerate(stm.group_by)]
-        out_cols: list[Column] = []
+        key_map = [(g, f"__g{k}") for k, g in enumerate(stm.group_by)]
         agg_cols: list[Column] = []
+        items: list[tuple[str, ast.Expr | None]] = []  # (name, post-agg expr or None)
         for i, it in enumerate(stm.select):
             if isinstance(it, ast.Wildcard):
                 raise ValueError("wildcard select not allowed with GROUP BY")
             name = it.alias or _expr_name(it.expr, i)
             if _contains_aggregate(it.expr):
                 agg_cols.append(binder.bind(it.expr).alias(name))
-                out_cols.append(F.col(name))
+                items.append((name, None))
             else:
-                key_idx = next(
-                    (k for k, g in enumerate(stm.group_by) if g == it.expr), None
-                )
-                if key_idx is None:
+                # GroupByKeyExpression rewrite (core/bound_queries.cc:
+                # 1683-1703): any subtree equal to a GROUP BY key
+                # becomes a key reference, so EXPRESSIONS OF keys are
+                # legal select items; remaining bare column refs mean
+                # the item isn't derivable from the keys — error.
+                rewritten = _substitute(it.expr, key_map)
+                stray = [
+                    n.name
+                    for n in _walk(rewritten)
+                    if isinstance(n, ast.ColumnRef) and not n.name.startswith("__g")
+                ]
+                if stray:
                     raise ValueError(
-                        f"select item {name!r} is neither an aggregate nor a GROUP BY key"
+                        f"select item {name!r} is neither an aggregate nor a "
+                        f"function of the GROUP BY keys (free columns: {stray})"
                     )
-                out_cols.append(F.col(f"__g{key_idx}").alias(name))
+                items.append((name, rewritten))
         if not agg_cols:
             out = df.select(*group_cols).distinct()
         else:
             out = df.groupBy(*group_cols).agg(*agg_cols)
-        final = out.select(*out_cols)
+        post = Binder(out.columns, binder.params, dtypes=dict(out.dtypes))
+        final = out.select(
+            *[
+                F.col(name) if expr is None else post.bind(expr).alias(name)
+                for name, expr in items
+            ]
+        )
         if stm.having is not None:
             # HAVING binds in the post-aggregation scope: select
             # aliases are visible, and aggregate expressions that

@@ -486,3 +486,25 @@ def test_mldb_1624_join_with_where(join_tables):
         ).count()
         == 0
     )
+
+
+def test_mldb_1507_groupby_key_expressions(mldb):
+    """MLDB-1507-groupby.py / MLDB-1490-grouped-validation.py:
+    expressions OF a group key are legal select items
+    (GroupByKeyExpression rewrite, core/bound_queries.cc:1683-1703);
+    free columns under GROUP BY are an error."""
+    _ds(mldb, "m1507", [("r1", 1, "a", 5), ("r2", 2, "a", 6), ("r3", 3, "b", 7)],
+        "rn string, k int, s string, v int")
+    assert _q(
+        mldb,
+        "SELECT s || '!' AS sx, sum(v) AS sv FROM m1507 GROUP BY s ORDER BY sx",
+    ) == [("a!", 11), ("b!", 7)]
+    # expression of MULTIPLE keys
+    assert _q(
+        mldb,
+        "SELECT s || '-' || k AS sk, count(*) AS n FROM m1507 "
+        "GROUP BY s, k ORDER BY sk",
+    ) == [("a-1", 1), ("a-2", 1), ("b-3", 1)]
+    # a free (non-grouped) column is rejected
+    with pytest.raises(Exception, match="GROUP BY"):
+        mldb.query("SELECT v FROM m1507 GROUP BY s").collect()
