@@ -117,6 +117,16 @@ class RowLiteral(Expr):
 
 
 @dataclass
+class IntervalLiteral(Expr):
+    """INTERVAL '<spec>' — (months, days, seconds) triple parsed from
+    the reference's unit grammar (sql/interval.cc:18-113)."""
+
+    months: int
+    days: int
+    seconds: float
+
+
+@dataclass
 class SelectItem:
     pass
 

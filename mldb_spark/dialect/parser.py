@@ -36,8 +36,64 @@ KEYWORDS = {
     "true", "false", "between", "in", "like", "case", "end", "then",
     "else", "cast", "distinct", "on", "excluding", "join", "inner",
     "left", "right", "full", "outer", "cross", "asc", "desc", "string",
-    "integer", "number", "boolean", "timestamp",
+    "integer", "number", "boolean", "timestamp", "interval",
 }
+
+
+_INTERVAL_UNITS = (
+    # longest match first; (token, months, days, seconds) per unit —
+    # the reference's grammar (sql/interval.cc:18-113). NOTE: its
+    # 'year' handler adds 12 months IGNORING the count (a reference
+    # bug); we implement the documented arithmetic 12*value.
+    ("second", 0, 0, 1), ("minute", 0, 0, 60), ("month", 1, 0, 0),
+    ("hour", 0, 0, 3600), ("day", 0, 1, 0), ("week", 0, 7, 0),
+    ("year", 12, 0, 0),
+    ("s", 0, 0, 1), ("m", 0, 0, 60), ("h", 0, 0, 3600),
+    ("d", 0, 1, 0), ("w", 0, 7, 0), ("y", 12, 0, 0),
+)
+
+
+def parse_interval_text(text: str) -> tuple[int, int, float]:
+    """'3 day 2h 1.5s' -> (months, days, seconds). The sign prefix
+    negates the WHOLE interval (the reference negates only the
+    seconds component — a quirk we do not reproduce)."""
+    s = text.strip()
+    sign = 1
+    if s.startswith("-"):
+        sign = -1
+        s = s[1:]
+    months, days, seconds = 0, 0, 0.0
+    pos = 0
+    n = len(s)
+    while pos < n:
+        while pos < n and s[pos].isspace():
+            pos += 1
+        if pos >= n:
+            break
+        m = re.match(r"(\d+(?:\.\d+)?)", s[pos:])
+        if not m:
+            raise SyntaxError(f"bad interval literal {text!r} at {s[pos:]!r}")
+        value = float(m.group(1))
+        pos += m.end()
+        while pos < n and s[pos].isspace():
+            pos += 1
+        for unit, um, ud, us in _INTERVAL_UNITS:
+            if s[pos:pos + len(unit)].lower() == unit or (
+                len(unit) == 1 and s[pos:pos + 1] in (unit, unit.upper())
+            ):
+                if um or ud:
+                    if value != int(value):
+                        raise SyntaxError(
+                            f"fractional {unit} not accepted in interval"
+                        )
+                months += um * int(value)
+                days += ud * int(value)
+                seconds += us * value
+                pos += len(unit)
+                break
+        else:
+            raise SyntaxError(f"unexpected symbol in interval {text!r}")
+    return sign * months, sign * days, sign * seconds
 
 
 class Token:
@@ -175,7 +231,7 @@ class Parser:
             negated = True
         if self.accept_kw("is"):
             neg = negated or bool(self.accept_kw("not"))
-            for kind in ("null", "true", "false", "string", "number", "integer", "timestamp"):
+            for kind in ("null", "true", "false", "string", "number", "integer", "timestamp", "interval"):
                 if self.accept_kw(kind):
                     return ast.IsTest(lhs, neg, kind.upper())
             raise SyntaxError(f"bad IS test at {self.peek()}")
@@ -231,6 +287,11 @@ class Parser:
                 return ast.Literal(False)
             if t.value == "not":
                 return ast.Unary("NOT", self.parse_expr(4))
+            if t.value == "interval":
+                st = self.next()
+                if st.kind != "string":
+                    raise SyntaxError(f"INTERVAL needs a quoted literal, got {st}")
+                return ast.IntervalLiteral(*parse_interval_text(st.value))
             if t.value == "case":
                 return self._case()
             if t.value == "cast":

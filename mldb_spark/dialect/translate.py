@@ -412,6 +412,51 @@ class Binder:
         "regex_replace", "md5", "normalize_text", "language_id",
     }
 
+    _NUMERIC_PREFIXES = (
+        "int", "bigint", "smallint", "tinyint", "double", "float",
+        "decimal", "long",
+    )
+
+    def _is_numeric_dtype(self, t: str) -> bool:
+        if "interval" in t:  # 'interval…'.startswith('int') is a trap
+            return False
+        return any(t.startswith(p) for p in self._NUMERIC_PREFIXES)
+
+    def _static_dtype(self, e: ast.Expr) -> str:
+        """Best-effort static type of an expression — enough to drive
+        the time-value coercion rules (timestamp/interval vs number);
+        unknown shapes return ''."""
+        if isinstance(e, ast.ColumnRef):
+            return self.dtypes.get(self._resolve_name(e.name) or e.name, "")
+        if isinstance(e, ast.Cast):
+            return e.type_name
+        if isinstance(e, ast.IntervalLiteral):
+            return "interval"
+        if isinstance(e, ast.Literal):
+            if isinstance(e.value, bool):
+                return "boolean"
+            if isinstance(e.value, (int, float)):
+                return "double"
+            if isinstance(e.value, str):
+                return "string"
+            return ""
+        if isinstance(e, ast.FunctionCall) and e.name in (
+            "to_timestamp", "now", "date_trunc",
+            "latest_timestamp", "earliest_timestamp",
+        ):
+            return "timestamp"
+        if isinstance(e, ast.Unary) and e.op == "-":
+            return self._static_dtype(e.operand)
+        if isinstance(e, ast.Binary) and e.op in ("+", "-"):
+            lt, rt = self._static_dtype(e.left), self._static_dtype(e.right)
+            if lt.startswith("timestamp") and rt.startswith("timestamp"):
+                return "interval"
+            if lt.startswith("timestamp") or rt.startswith("timestamp"):
+                return "timestamp"
+            if "interval" in lt or "interval" in rt:
+                return "interval"
+        return ""
+
     def _is_stringy(self, e: ast.Expr) -> bool:
         """Static 'does this evaluate to a string' check, used to give
         `+` MLDB's string-concatenation behavior (CellValue + coerces;
@@ -449,6 +494,17 @@ class Binder:
                 return F.bitwise_not(c)
         if isinstance(e, ast.Binary):
             return self._binary(e)
+        if isinstance(e, ast.IntervalLiteral):
+            # day-time intervals when month-free (support arithmetic
+            # and comparison); calendar intervals when months appear
+            if e.months:
+                return F.make_interval(
+                    F.lit(0), F.lit(e.months), F.lit(0), F.lit(e.days),
+                    F.lit(0), F.lit(0), F.lit(float(e.seconds)),
+                )
+            return F.make_dt_interval(
+                F.lit(e.days), F.lit(0), F.lit(0), F.lit(float(e.seconds))
+            )
         if isinstance(e, ast.IsTest):
             return self._is_test(e)
         if isinstance(e, ast.Between):
@@ -552,6 +608,17 @@ class Binder:
             return self.bind(e.left)
         l, r = self.bind(e.left), self.bind(e.right)
         op = e.op
+        if op in ("+", "-"):
+            # time-value rules (ValueExpression.md §Operators on time
+            # values): a bare Number combined with a Timestamp or
+            # Interval implicitly represents DAYS
+            lt, rt = self._static_dtype(e.left), self._static_dtype(e.right)
+            timy_l = lt.startswith("timestamp") or "interval" in lt
+            timy_r = rt.startswith("timestamp") or "interval" in rt
+            if timy_l and self._is_numeric_dtype(rt):
+                return (l + _days_interval(r)) if op == "+" else (l - _days_interval(r))
+            if timy_r and self._is_numeric_dtype(lt) and op == "+":
+                return r + _days_interval(l)  # + commutes (doc ibid.)
         if op == "and":
             return l.cast("boolean") & r.cast("boolean")
         if op == "or":
@@ -614,13 +681,18 @@ class Binder:
         else:
             # dynamic type tests need runtime type info; on a typed
             # DataFrame they resolve statically via try_cast probes
-            probe = {
-                "STRING": c.try_cast("double").isNull() & c.isNotNull(),
-                "NUMBER": c.try_cast("double").isNotNull(),
-                "INTEGER": c.try_cast("long").isNotNull(),
-                "TIMESTAMP": c.try_cast("timestamp").isNotNull(),
-            }[e.kind]
-            out = probe
+            if e.kind == "INTERVAL":
+                # static: only interval-typed expressions are
+                # intervals on a typed DataFrame
+                out = F.lit("interval" in self._static_dtype(e.operand)) & c.isNotNull()
+            else:
+                probe = {
+                    "STRING": c.try_cast("double").isNull() & c.isNotNull(),
+                    "NUMBER": c.try_cast("double").isNotNull(),
+                    "INTEGER": c.try_cast("long").isNotNull(),
+                    "TIMESTAMP": c.try_cast("timestamp").isNotNull(),
+                }[e.kind]
+                out = probe
         return ~out if e.negated else out
 
     def _case(self, e: ast.Case) -> Column:
@@ -963,6 +1035,15 @@ def _conjuncts(e: ast.Expr) -> list[ast.Expr]:
     if isinstance(e, ast.Binary) and e.op == "and":
         return _conjuncts(e.left) + _conjuncts(e.right)
     return [e]
+
+
+def _days_interval(col: Column) -> Column:
+    """Number -> day-time interval at the reference's
+    numbers-are-days rule (ValueExpression.md §Operators on time
+    values); fractional days carry through as seconds."""
+    return F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), col.cast("double") * F.lit(86400.0)
+    )
 
 
 def _substitute(e: ast.Expr, mapping: list[tuple[ast.Expr, str]]) -> ast.Expr:

@@ -1313,3 +1313,13 @@ SELECT doc_id, count(*) AS n_toks,
 FROM scored WHERE doc_id < 150
 GROUP BY doc_id ORDER BY doc_id
 """
+
+ORACLES["qa09_time_arithmetic"] = """
+SELECT event_id,
+       ts + INTERVAL 1 DAY AS next_day,
+       ts - INTERVAL 6 HOUR AS back6h,
+       ts + INTERVAL 150 MINUTE AS in150m,
+       ts + INTERVAL 7 DAY AS in1w
+FROM events WHERE event_id < 300
+ORDER BY event_id
+"""

@@ -2420,6 +2420,21 @@ def qa08_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa09_time_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-value operator rules through the dialect
+    (ValueExpression.md §Operators on time values + INTERVAL literals,
+    sql/interval.cc): bare numbers are DAYS on timestamps, interval
+    literals follow the unit grammar. The oracle replays the
+    arithmetic with DuckDB's native INTERVAL types, so a coercion or
+    unit-parsing bug breaks the hash."""
+    ctx = _dialect_ctx(spark, sf)
+    return ctx.query(
+        "SELECT event_id, ts + 1 AS next_day, ts - 0.25 AS back6h, "
+        "ts + INTERVAL '2h 30m' AS in150m, ts + INTERVAL '1w' AS in1w "
+        "FROM events WHERE event_id < 300 ORDER BY event_id"
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -508,3 +508,73 @@ def test_mldb_1507_groupby_key_expressions(mldb):
     # a free (non-grouped) column is rejected
     with pytest.raises(Exception, match="GROUP BY"):
         mldb.query("SELECT v FROM m1507 GROUP BY s").collect()
+
+
+def test_time_value_operators(mldb):
+    """ValueExpression.md §Operators on time values: bare Numbers
+    combined with Timestamps/Intervals implicitly represent DAYS
+    (+ commutes); INTERVAL literals use the reference's unit grammar
+    (sql/interval.cc). Divergence noted in the parser: the
+    reference's 'year' handler drops the count (adds 12 months for
+    any N) — we implement 12*N."""
+    import datetime
+
+    mldb.create_dataset(
+        "mtime",
+        mldb.spark.createDataFrame(
+            [("2024-01-15 12:00:00",)], "s string"
+        ).selectExpr("cast(s as timestamp) as ts"),
+    )
+    row = mldb.query(
+        "SELECT ts + 1 AS plus_day, 1 + ts AS plus_day2, ts - 0.5 AS minus_half, "
+        "ts + INTERVAL '2d' AS plus2d, ts + INTERVAL '1 month' AS plus1m, "
+        "ts + INTERVAL '1w 2d 3h' AS mixed, "
+        "(ts - CAST('2024-01-14T12:00:00' AS timestamp)) IS INTERVAL AS isiv "
+        "FROM mtime"
+    ).collect()[0]
+    base = datetime.datetime(2024, 1, 15, 12, 0)
+    assert row["plus_day"] == row["plus_day2"] == base + datetime.timedelta(days=1)
+    assert row["minus_half"] == base - datetime.timedelta(hours=12)
+    assert row["plus2d"] == base + datetime.timedelta(days=2)
+    assert row["plus1m"] == datetime.datetime(2024, 2, 15, 12, 0)
+    assert row["mixed"] == base + datetime.timedelta(days=9, hours=3)
+    assert row["isiv"] is True
+
+
+def test_interval_literal_grammar():
+    from mldb_spark.dialect.parser import parse_interval_text
+
+    assert parse_interval_text("2d") == (0, 2, 0.0)
+    assert parse_interval_text("1 month") == (1, 0, 0.0)
+    assert parse_interval_text("3 YEAR") == (36, 0, 0.0)
+    assert parse_interval_text("1w 2d 3h 4m 5.5s") == (0, 9, 3 * 3600 + 4 * 60 + 5.5)
+    assert parse_interval_text("-2h") == (0, 0, -7200.0)
+    with pytest.raises(SyntaxError):
+        parse_interval_text("1.5 day")  # fractional days rejected
+    with pytest.raises(SyntaxError):
+        parse_interval_text("3 parsecs")
+
+
+def test_mldbfb_401_where_unknown_column(mldb):
+    """MLDBFB-401_where_on_unexisting_col_test.py: WHERE over a
+    column that does not exist must not error — open schema reads
+    NULL (ValueExpression.md:24), so IS NOT NULL selects nothing and
+    IS NULL selects everything."""
+    _ds(mldb, "mfb401", [("a", 1), ("b", 2)], "rn string, x int")
+    assert _q(mldb, "SELECT x FROM mfb401 WHERE someCol IS NOT NULL") == []
+    assert len(_q(mldb, "SELECT x FROM mfb401 WHERE someCol IS NULL")) == 2
+    assert _q(mldb, "SELECT someCol FROM mfb401 ORDER BY x") == [(None,), (None,)]
+
+
+def test_bare_truthy_where(mldb):
+    """core/dataset.cc:1263-1900 generateRowsWhere handles a bare
+    truthy variable as a WHERE condition (WHERE flag == WHERE
+    flag != 0, 3VL)."""
+    _ds(
+        mldb,
+        "mtruthy",
+        [("a", 1, 10), ("b", 0, 20), ("c", None, 30)],
+        "rn string, flag int, v int",
+    )
+    assert _q(mldb, "SELECT v FROM mtruthy WHERE flag ORDER BY v") == [(10,)]
+    assert _q(mldb, "SELECT v FROM mtruthy WHERE NOT flag ORDER BY v") == [(20,)]
