@@ -445,6 +445,10 @@ class Binder:
             "latest_timestamp", "earliest_timestamp",
         ):
             return "timestamp"
+        if isinstance(e, ast.FunctionCall) and e.name in (
+            "tokenize", "tokenize_counts",
+        ):
+            return "map<string,bigint>"
         if isinstance(e, ast.Unary) and e.op == "-":
             return self._static_dtype(e.operand)
         if isinstance(e, ast.Binary) and e.op in ("+", "-"):
@@ -930,6 +934,13 @@ class Binder:
         if e.name in ("avg", "vertical_avg"):
             return F.avg(self.bind(e.args[0]))
         if e.name == "sum":
+            # sum over a bag-of-words MAP merges the bags with
+            # per-key addition (the reference's
+            # `sum(tokenize(txt)) AS *` idiom, MLDB-1322): collect
+            # the group's maps, fold with a JVM map-merge lambda.
+            # Output stays a MAP (this engine's bag representation).
+            if self._static_dtype(e.args[0]).startswith("map"):
+                return _map_sum(self.bind(e.args[0]))
             return F.sum(self.bind(e.args[0]))
         if e.name == "min":
             return F.min(self.bind(e.args[0]))
@@ -1035,6 +1046,31 @@ def _conjuncts(e: ast.Expr) -> list[ast.Expr]:
     if isinstance(e, ast.Binary) and e.op == "and":
         return _conjuncts(e.left) + _conjuncts(e.right)
     return [e]
+
+
+def _map_sum(m: Column) -> Column:
+    """Aggregate: merge MAP<string, number> values with per-key
+    addition. collect_list gathers the group's maps (bounded by the
+    group's vocab — the same bound the reference's sparse-row
+    aggregation carries), the fold is pure JVM higher-order
+    functions."""
+
+    def merge(acc: Column, mm: Column) -> Column:
+        ks = F.array_distinct(F.concat(F.map_keys(acc), F.map_keys(mm)))
+        return F.map_from_arrays(
+            ks,
+            F.transform(
+                ks,
+                lambda k: F.coalesce(F.element_at(acc, k), F.lit(0).cast("long"))
+                + F.coalesce(F.element_at(mm, k), F.lit(0).cast("long")),
+            ),
+        )
+
+    return F.aggregate(
+        F.collect_list(m),
+        F.create_map().cast("map<string,bigint>"),
+        merge,
+    )
 
 
 def _days_interval(col: Column) -> Column:

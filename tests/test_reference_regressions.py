@@ -578,3 +578,32 @@ def test_bare_truthy_where(mldb):
     )
     assert _q(mldb, "SELECT v FROM mtruthy WHERE flag ORDER BY v") == [(10,)]
     assert _q(mldb, "SELECT v FROM mtruthy WHERE NOT flag ORDER BY v") == [(20,)]
+
+
+def test_mldb_1322_sum_of_bags(mldb):
+    """MLDB-1322-sum_stem_token.py: summing tokenize() bags merges
+    the per-row counts (per key), globally and per group. The
+    reference flattens the bag to sparse columns; this engine keeps
+    the MAP form (same counts)."""
+    _ds(
+        mldb,
+        "m1322",
+        [("row_0", "potato,carrots", 0), ("row_1", "potato,potatoes,potato", 0),
+         ("row_2", "carrot,carrots", 1)],
+        "rn string, txt string, label int",
+    )
+    total = _q(mldb, "SELECT sum(tokenize(txt)) AS bag FROM m1322")
+    assert dict(total[0][0]) == {
+        "potato": 3, "potatoes": 1, "carrots": 2, "carrot": 1,
+    }
+    by_label = _q(
+        mldb,
+        "SELECT label, sum(tokenize(txt)) AS bag FROM m1322 "
+        "GROUP BY label ORDER BY label",
+    )
+    assert by_label[0][0] == 0 and dict(by_label[0][1]) == {
+        "potato": 3, "potatoes": 1, "carrots": 1,
+    }
+    assert by_label[1][0] == 1 and dict(by_label[1][1]) == {
+        "carrot": 1, "carrots": 1,
+    }
