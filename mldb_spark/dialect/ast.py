@@ -151,6 +151,7 @@ class Wildcard(SelectItem):
     prefix: str  # '' for bare *
     excluding: list[str] = field(default_factory=list)  # names or prefixes 'p*'
     rename: str | None = None  # 'y* AS z*' → prefix='y', rename='z'
+    qualifier: str | None = None  # 'blah.*' → 'blah' (table-scoped)
 
 
 @dataclass

@@ -20,6 +20,7 @@ from mldb_spark.dialect import ast
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
+  | (?P<comment>--[^\n]*|/\*[\s\S]*?(?:\*/|\Z))
   | (?P<number>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
   | (?P<qident>"(?:[^"]|"")*")
   | (?P<string>'(?:[^']|'')*')
@@ -122,7 +123,10 @@ def tokenize(sql: str) -> list[Token]:
             raise SyntaxError(f"unexpected character {sql[pos]!r} at {pos}")
         pos = m.end()
         kind = m.lastgroup
-        if kind == "ws":
+        if kind == "ws" or kind == "comment":
+            # comments are whitespace: `--` to end-of-line, `/* */`
+            # non-nesting (first */ closes; unterminated runs to EOF)
+            # — sql/sql_expression.cc:847-905 match_whitespace
             glued = False
             continue
         text = m.group()
@@ -191,7 +195,15 @@ class Parser:
             elif t.kind == "kw" and t.value == "and" and min_bp <= 2:
                 self.next()
                 lhs = ast.Binary("and", lhs, self.parse_expr(3))
-            elif t.kind == "kw" and t.value in ("is", "between", "in", "like", "not") and min_bp <= 4:
+            elif t.kind == "kw" and t.value == "is":
+                # IS [NOT] NULL/TRUE/… binds unconditionally tight —
+                # the reference matches IS regardless of the current
+                # precedence (sql_expression.cc:1509-1539), so
+                # `x + 5 IS NOT NULL` is `x + (5 IS NOT NULL)`
+                # (pinned by MLDB-1736; its own doc table says
+                # comparison level — the implementation wins)
+                lhs = self._postfix_predicate(lhs)
+            elif t.kind == "kw" and t.value in ("between", "in", "like", "not") and min_bp <= 4:
                 lhs = self._postfix_predicate(lhs)
             elif t.kind == "op" and t.value in self._CMP and min_bp <= 4:
                 op = self.next().value
@@ -342,15 +354,52 @@ class Parser:
         if self.peek().kind == "op" and self.peek().value == "*":
             self.next()
             return ("*", ast.ColumnRef("*"))
-        name_tok = self.next()
+        t, t1 = self.peek(), self.peek(1)
+        # prefix wildcard field: {x*} expands to every column whose
+        # name starts with x (MLDB-832's `{x*} as z`); the binder
+        # resolves the marker against the in-scope columns
+        if (
+            t.kind == "ident"
+            and t1.kind == "op"
+            and t1.value == "*"
+            and t1.glued
+            and self.peek(2).kind == "op"
+            and self.peek(2).value in (",", "}")
+        ):
+            prefix = self.next().value
+            self.next()  # '*'
+            return (prefix + "*", ast.ColumnRef(prefix + "*"))
         # keywords are legal field names inside a row literal — option
         # rows like {offset: 1, limit: 2} use reserved words as keys
-        if name_tok.kind not in ("ident", "string", "kw"):
-            raise SyntaxError(f"bad row-literal field name {name_tok}")
-        if self.accept_op(":"):
-            return (name_tok.value, self.parse_expr())
-        # bare column shorthand: {x, y} == {x: x, y: y}
-        return (name_tok.value, ast.ColumnRef(name_tok.value))
+        if t.kind in ("ident", "string", "kw") and t1.kind == "op" and t1.value == ":":
+            name = self.next().value
+            self.next()  # ':'
+            return (name, self.parse_expr())
+        if (
+            t.kind == "ident"
+            and t1.kind == "op"
+            and t1.value in (",", "}")
+        ):
+            # bare column shorthand: {x, y} == {x: x, y: y}
+            self.next()
+            return (t.value, ast.ColumnRef(t.value))
+        # unnamed expression field: named by its surface text, as the
+        # reference names row-literal columns ({0/0, 2, 6} -> columns
+        # "0/0", "2", "6" — MLDB-917's row form)
+        start = self.i
+        e = self.parse_expr()
+        # {expr AS name} — alias form inside row literals (MLDB-761's
+        # `{1 as y}`)
+        if self.accept_kw("as"):
+            nt = self.next()
+            if nt.kind not in ("ident", "string", "kw"):
+                raise SyntaxError(f"bad row-literal field alias {nt}")
+            return (nt.value, e)
+        surface = "".join(
+            f"'{tok.value}'" if tok.kind == "string" else str(tok.value)
+            for tok in self.toks[start:self.i]
+        )
+        return (surface, e)
 
     def _maybe_call(self, name: str) -> ast.Expr:
         # dotted column path: a.b.c
@@ -419,6 +468,32 @@ class Parser:
         if t.kind == "op" and t.value == "*":
             self.next()
             return self._wildcard_tail("")
+        # qualified wildcard: name(.name)*.*  (`blah.*`, `t1.a.*`) —
+        # the qualifier scopes to a table alias or a join-prefixed
+        # column family (MLDB-761 / MLDB-832)
+        if t.kind == "ident":
+            j = 1
+            while (
+                self.peek(j).kind == "op"
+                and self.peek(j).value == "."
+                and self.peek(j + 1).kind == "ident"
+            ):
+                j += 2
+            if (
+                self.peek(j).kind == "op"
+                and self.peek(j).value == "."
+                and self.peek(j + 1).kind == "op"
+                and self.peek(j + 1).value == "*"
+            ):
+                parts = [self.next().value]
+                while self.peek(1).kind == "ident":
+                    self.next()  # '.'
+                    parts.append(self.next().value)
+                self.next()  # '.'
+                self.next()  # '*'
+                wc = self._wildcard_tail("")
+                wc.qualifier = ".".join(parts)
+                return wc
         if (
             t.kind == "ident"
             and self.peek(1).kind == "op"

@@ -554,7 +554,25 @@ class Binder:
         if isinstance(e, ast.EmbeddingLiteral):
             return F.array(*[self.bind(x) for x in e.items])
         if isinstance(e, ast.RowLiteral):
-            return F.struct(*[self.bind(x).alias(n) for n, x in e.fields])
+            cols: list[Column] = []
+            for n, x in e.fields:
+                if (
+                    n.endswith("*")
+                    and isinstance(x, ast.ColumnRef)
+                    and x.name == n
+                ):
+                    # wildcard field: {*} / {x*} expands to the
+                    # in-scope columns (MLDB-832 `{x*} as z`,
+                    # MLDB-855 `{*} as y`); field names keep the
+                    # full column name
+                    pref = n[:-1]
+                    for c in self.columns:
+                        if c.startswith("__") or not c.startswith(pref):
+                            continue
+                        cols.append(self._column(c).alias(c))
+                    continue
+                cols.append(self.bind(x).alias(n))
+            return F.struct(*cols)
         if isinstance(e, ast.FunctionCall):
             return self._call(e)
         if isinstance(e, ast.Index):
@@ -606,12 +624,35 @@ class Binder:
         # open schema: unknown columns are NULL (ValueExpression.md:24)
         return F.lit(None)
 
+    def _is_booly(self, e: ast.Expr) -> bool:
+        """Static 'does this evaluate to a boolean' check — the
+        reference has no boolean atomic type (TypeSystem.md:17-18), so
+        truth values participate in arithmetic as 1/0."""
+        if isinstance(e, (ast.IsTest, ast.LikeOp, ast.Between, ast.InList)):
+            return True
+        if isinstance(e, ast.Unary) and e.op == "NOT":
+            return True
+        if isinstance(e, ast.Binary) and e.op in (
+            "and", "or", "=", "!=", "<", ">", "<=", ">=",
+        ):
+            return True
+        if isinstance(e, ast.Literal):
+            return isinstance(e.value, bool)
+        return self._static_dtype(e) == "boolean"
+
     def _binary(self, e: ast.Binary) -> Column:
         if e.op == "@":
             # re-stamping passes the value through (see at() in _call)
             return self.bind(e.left)
         l, r = self.bind(e.left), self.bind(e.right)
         op = e.op
+        if op in ("+", "-", "*", "/", "%"):
+            # booleans coerce to 1/0 under arithmetic (MLDB-1736's
+            # `x + (5 IS NOT NULL)` = 6)
+            if self._is_booly(e.left):
+                l = l.cast("int")
+            if self._is_booly(e.right):
+                r = r.cast("int")
         if op in ("+", "-"):
             # time-value rules (ValueExpression.md §Operators on time
             # values): a bare Number combined with a Timestamp or
@@ -807,6 +848,27 @@ class Binder:
                     out_type = str(t.value)
                 rest = rest[:-1]
             return pyeval_udf(src, names, out_type)(*[self.bind(a) for a in rest])
+        if (
+            name in ("replace_nan", "replace_inf", "replace_not_finite", "replace_null")
+            and len(e.args) == 2
+        ):
+            # the replace_* family distributes over embeddings and row
+            # literals element-wise (builtin_functions.cc replaceIfNaN
+            # et al. unwrap structured values; MLDB-917 pins the
+            # behavior for both [] and {} forms)
+            arg0, repl = e.args[0], self.bind(e.args[1])
+
+            def scalar(x: Column) -> Column:
+                return _scalar_fn(name, [x, repl], [None, None])  # type: ignore[list-item]
+
+            dt = self._static_dtype(arg0)
+            if isinstance(arg0, ast.EmbeddingLiteral) or dt.startswith("array"):
+                return F.transform(self.bind(arg0), scalar)
+            if isinstance(arg0, ast.RowLiteral):
+                return F.struct(
+                    *[scalar(self.bind(v)).alias(k) for k, v in arg0.fields]
+                )
+            return scalar(self.bind(arg0))
         if name in ("flatten", "shape", "reshape", "slice"):
             return self._tensor_call(e)
         if name == "st_contains_point" and len(e.args) == 3:
@@ -1559,16 +1621,25 @@ class MldbContext:
         # engine-internal pseudo columns (join row names, hidden sort
         # projections) never match wildcards
         columns = [c for c in columns if not c.startswith("__")]
+        if wc.qualifier:
+            # `q.*`: columns living under the join prefix `q.` if any
+            # exist, else the qualifier names the relation itself
+            # (a FROM alias) and matches every column (MLDB-761)
+            qpref = wc.qualifier + "."
+            qcols = [c for c in columns if c.startswith(qpref)]
+            if qcols:
+                columns = qcols
         for c in columns:
             if wc.prefix and not c.startswith(wc.prefix):
                 continue
             if c in excl_exact or any(c.startswith(p) for p in excl_pref):
                 continue
+            src = F.col(f"`{c}`") if "." in c else F.col(c)
             if wc.rename is not None:
                 # y* AS z*: swap the matched prefix in the output name
-                picked.append(F.col(c).alias(wc.rename + c[len(wc.prefix):]))
+                picked.append(src.alias(wc.rename + c[len(wc.prefix):]))
             else:
-                picked.append(F.col(c))
+                picked.append(src)
         return picked
 
     def _expand_column_expr(

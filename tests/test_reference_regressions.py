@@ -607,3 +607,202 @@ def test_mldb_1322_sum_of_bags(mldb):
     assert by_label[1][0] == 1 and dict(by_label[1][1]) == {
         "carrot": 1, "carrots": 1,
     }
+
+
+def test_mldb_956_sql_comments(mldb):
+    """MLDB-956-sql-comments.py: `--` line comments and `/* */` block
+    comments anywhere whitespace is legal; block comments do NOT nest
+    (the first */ closes — sql_expression.cc:847-905)."""
+    _ds(mldb, "m956", [("row1", 15)], "rn string, x int")
+    for sql in (
+        "select /*We choose to go to the moon*/ power(x, 2) as p from m956",
+        "select --to the moon in this decade\n power(x, 2) as p from m956",
+        "select /*not because they are easy,\n but because they are hard*/"
+        " power(x, 2) as p from m956",
+        "select /*will serve to organize -- and measure*/ power(x, 2) as p"
+        " from m956",
+        # `/*` and `--` inside a block comment are inert; first */ ends it
+        "select /***one we are unwilling to postpone, /*win, -- and the"
+        " others, too.\n */ power(x, 2) as p from m956",
+    ):
+        assert _q(mldb, sql) == [(225.0,)]
+
+
+def test_mldb_1736_operator_precedence(mldb):
+    """MLDB-1736_operator_precedence.py: IN and LIKE bind tighter
+    than AND; IS [NOT] NULL binds unconditionally tight (the
+    reference matches IS regardless of precedence,
+    sql_expression.cc:1509-1539), so x + 5 IS NOT NULL == x + (5 IS
+    NOT NULL) == x + 1."""
+    _ds(mldb, "m1736", [("result", 5)], "rn string, x int")
+    assert _q(
+        mldb,
+        "SELECT 'a' IN ('a') AND 'b' IN ('b') as colA, "
+        "('a' IN ('a')) AND ('b' IN ('b')) as colB FROM m1736",
+    ) == [(True, True)]
+    assert _q(
+        mldb,
+        "SELECT 'a' LIKE 'a' AND 'b' LIKE 'b' as colA FROM m1736",
+    ) == [(True,)]
+    assert _q(
+        mldb,
+        "SELECT x + 5 IS NOT NULL as colA, x + (5 IS NOT NULL) as colB, "
+        "(x + 5) IS NOT NULL as colC FROM m1736",
+    ) == [(6, 6, True)]
+
+
+def test_mldb_917_replace_nan_inf(mldb):
+    """MLDB-917_replace_nan_inf.py: IEEE division (0/0 = NaN,
+    x/0 = ±Inf) and the replace_* family distributing over scalars,
+    row literals and embeddings."""
+    import math
+
+    _ds(mldb, "m917", [("row1", 1)], "rn string, one int")
+    assert math.isnan(_q(mldb, "select 0/0 as r from m917")[0][0])
+    assert _q(mldb, "select 1/0 as r from m917")[0][0] == float("inf")
+    assert _q(mldb, "select replace_nan(0/0, 5) as r from m917") == [(5.0,)]
+    row = _q(mldb, "select replace_nan({0/0, 2, 6}, 5) as r from m917")[0][0]
+    assert row.asDict() == {"0/0": 5.0, "2": 2, "6": 6}
+    assert _q(
+        mldb, "select replace_inf([1/0, 5/0, 23], 98) as r from m917"
+    )[0][0] == [98.0, 98.0, 23.0]
+    assert _q(
+        mldb,
+        "select replace_not_finite([1/0, 0/0, -1/0, 23], 98) as r from m917",
+    )[0][0] == [98.0, 98.0, 98.0, 23.0]
+    out = _q(
+        mldb, "select replace_null([1/0, null, 23], 98) as r from m917"
+    )[0][0]
+    assert out[0] == float("inf") and out[1] == 98.0 and out[2] == 23.0
+
+
+def test_mldb_1702_comparisons_latest_read(spark):
+    """MLDB-1702_comparisons_test.py: a cell recorded at several
+    timestamps compares through its LATEST value (d = 0@4,1@5 reads
+    1; e = 1@4,0@5 reads 0)."""
+    from mldb_spark.operators.temporal import latest_cells
+
+    cells = spark.createDataFrame(
+        [("u1", "a", 1.0, 4.0),
+         ("u1", "b", 1.0, 4.0), ("u1", "b", 1.0, 5.0),
+         ("u1", "c", 0.0, 4.0), ("u1", "c", 0.0, 5.0),
+         ("u1", "d", 0.0, 4.0), ("u1", "d", 1.0, 5.0),
+         ("u1", "e", 1.0, 4.0), ("u1", "e", 0.0, 5.0)],
+        "row string, column string, value double, ts_raw double",
+    ).select(
+        "row", "column", "value",
+        F.col("ts_raw").cast("timestamp").alias("ts"),
+    )
+    wide = (
+        latest_cells(cells)
+        .groupBy("row").pivot("column").agg(F.first("value"))
+        .collect()[0]
+    )
+    latest = {k: wide[k] for k in ("a", "b", "c", "d", "e")}
+    assert latest == {"a": 1.0, "b": 1.0, "c": 0.0, "d": 1.0, "e": 0.0}
+    # the reference's comparison table over those latest reads
+    for col, v in latest.items():
+        assert (v > 0) == (col in ("a", "b", "d"))
+        assert (v == 0) == (col in ("c", "e"))
+
+
+def test_mldb_505_in_expression(mldb):
+    """MLDB-505-in-expression.py: IN / NOT IN over literal lists and
+    subqueries (membership row counts)."""
+    _ds(
+        mldb,
+        "m505",
+        [(f"row_{i}", i, i * 2) for i in range(5)],
+        "rn string, x int, y int",
+    )
+    assert len(_q(mldb, "SELECT * FROM m505 WHERE y IN (4,8)")) == 2
+    assert len(_q(mldb, "SELECT * FROM m505 WHERE y NOT IN (4,8)")) == 3
+    assert len(_q(mldb, "SELECT x FROM m505 WHERE x IN (SELECT y from m505)")) == 3
+    assert len(_q(mldb, "SELECT x FROM m505 WHERE x NOT IN (SELECT y from m505)")) == 2
+
+
+def test_mldb_761_sub_queries(mldb):
+    """MLDB-761-sub-queries.py: qualified wildcards through aliases
+    and sub-selects, WHERE inside and outside the sub-select, joins
+    in sub-selects, and the MLDB-1257 ln() equivalences."""
+    _ds(
+        mldb,
+        "m761a",
+        [(f"row_{i}", i) for i in range(10)],
+        "rn string, x int",
+    )
+    _ds(
+        mldb,
+        "m761b",
+        [(f"d2row_{i}", i * 2) for i in range(10)],
+        "rn string, y int",
+    )
+    assert len(_q(mldb, "SELECT m761a.* from m761a")) == 10
+    assert len(_q(mldb, "SELECT blah.* FROM m761a AS blah")) == 10
+    assert len(_q(mldb, "SELECT blah.* FROM (SELECT * FROM m761a) AS blah")) == 10
+    assert len(_q(
+        mldb,
+        "SELECT blah.* FROM (SELECT * FROM m761a WHERE (x % 2) = 0) AS blah",
+    )) == 5
+    assert len(_q(
+        mldb,
+        "SELECT blah.* FROM (SELECT * FROM m761a WHERE (x % 2) = 0) AS blah "
+        "WHERE (x%4) = 0",
+    )) == 3
+    assert len(_q(
+        mldb,
+        "SELECT blah.* FROM (SELECT * FROM m761a AS t1 JOIN m761b AS t2 "
+        "ON t1.x = t2.y) AS blah",
+    )) == 5
+    assert len(_q(
+        mldb,
+        "SELECT blah.* FROM (SELECT * FROM m761a AS t1 JOIN m761b AS t2 "
+        "ON t1.x = t2.y) AS blah WHERE t1.x = 0",
+    )) == 1
+    assert [t[-1] for t in _q(
+        mldb, "SELECT * FROM (SELECT * FROM m761a WHERE x > 4) ORDER BY x"
+    )] == [5, 6, 7, 8, 9]
+    # MLDB-853 sub queries without dataset; MLDB-855 {*} as y
+    assert _q(mldb, "SELECT 1 FROM (SELECT 1)") == [(1,)]
+    assert len(_q(mldb, "SELECT * FROM (select {*} as y from m761a) as x")) == 10
+    # MLDB-1257: ln() through sub-select aliases is ln(10)
+    import math
+
+    expect = pytest.approx(math.log(10))
+    for sql in (
+        "SELECT ln(x) as r FROM ( SELECT 10 as x )",
+        "SELECT ln(x) as r FROM ( SELECT 10 as x ) as t",
+        "SELECT ln(t.x) as r FROM ( SELECT 10 as x ) as t",
+        "SELECT * FROM ( SELECT ln(x) as r FROM ( SELECT 10 as x ) )",
+        "SELECT * FROM ( SELECT ln(t.x) as r FROM ( SELECT 10 as x ) as t )",
+    ):
+        assert _q(mldb, sql)[0][0] == expect
+
+
+def test_mldb_832_select_star(mldb):
+    """MLDB-832-select_star.py: wildcard algebra — EXCLUDING with
+    names and prefixes, x* AS y* renames, and {x*} as z structured
+    selection (struct field names keep the full column name)."""
+    _ds(
+        mldb,
+        "m832",
+        [("row_0", 0, 1, 2, 3, 4, 5)],
+        "rn string, a int, b int, c int, x1 int, x2 int, x3 int",
+    )
+
+    def cols(select):
+        df = mldb.query(f"SELECT {select} FROM m832")
+        return sorted(df.columns)
+
+    assert cols("*") == ["a", "b", "c", "rn", "x1", "x2", "x3"]
+    assert cols("a,b,c,x1") == ["a", "b", "c", "x1"]
+    assert cols("* EXCLUDING (a)") == ["b", "c", "rn", "x1", "x2", "x3"]
+    assert cols("* EXCLUDING (a,c)") == ["b", "rn", "x1", "x2", "x3"]
+    assert cols("* EXCLUDING (x*)") == ["a", "b", "c", "rn"]
+    assert cols("* EXCLUDING (a, x*)") == ["b", "c", "rn"]
+    assert cols("x* AS y*") == ["y1", "y2", "y3"]
+    assert cols("x* EXCLUDING(x3) AS y*") == ["y1", "y2"]
+    row = _q(mldb, "SELECT {x*} as z FROM m832")[0][0]
+    assert row.asDict() == {"x1": 3, "x2": 4, "x3": 5}
+    out = mldb.query("SELECT a, b, {x*} as z FROM m832")
+    assert sorted(out.columns) == ["a", "b", "z"]
