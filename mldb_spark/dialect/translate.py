@@ -89,7 +89,10 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         "abs": F.abs, "sqrt": F.sqrt, "exp": F.exp, "ln": F.log,
         "floor": F.floor, "ceil": F.ceiling, "ceiling": F.ceiling,
         "sign": F.signum, "lower": F.lower, "upper": F.upper,
-        "length": F.length, "trim": F.trim, "isnan": F.isnan,
+        # length counts characters and coerces numbers to their string
+        # form (length(22) = 2 — MLDB-1691)
+        "length": lambda c: F.length(c.cast("string")),
+        "trim": F.trim, "isnan": F.isnan,
         "sin": F.sin, "cos": F.cos, "tan": F.tan, "asin": F.asin,
         "acos": F.acos, "atan": F.atan, "sinh": F.sinh, "cosh": F.cosh,
         "tanh": F.tanh, "to_timestamp": F.to_timestamp,
@@ -126,7 +129,6 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         "jaccard_index": jaccard_index, "dot_product": dot_product,
         "cosine_similarity": cosine_similarity,
         "binomial_lb_80": binomial_lb_80, "binomial_ub_80": binomial_ub_80,
-        "date_part": lambda unit, c: F.date_part(unit, c),
         "replace_null": lambda c, v: F.coalesce(c, v),
         "replace_inf": lambda c, v: F.when(
             F.abs(c.cast("double")) == F.lit(float("inf")), v
@@ -203,15 +205,39 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         if not isinstance(raw_args[1], ast.Literal):
             raise ValueError("regex_match(str, regex) needs a literal pattern")
         return args[0].rlike(f"^(?:{raw_args[1].value})$")
-    if name == "date_trunc":
-        # date_trunc(unit, ts) — unit is a bind-time literal (Spark's
-        # date_trunc takes the format as a plain string)
+    if name in ("date_part", "date_trunc"):
+        # date_part/date_trunc(unit, ts [, tzoffset]) — unit and the
+        # optional timezone offset are bind-time literals, with the
+        # reference's 16-unit table (types/date.cc:714-846; MLDB-906
+        # pins 0-based doy/week, the iso family and the int-division
+        # quarter)
+        from mldb_spark.functions.core import (
+            mldb_date_part,
+            mldb_date_trunc,
+            tz_offset_minutes,
+        )
+
         if not isinstance(raw_args[0], ast.Literal):
-            raise ValueError("date_trunc(unit, ts) needs a literal unit")
-        return F.date_trunc(str(raw_args[0].value), args[1])
+            raise ValueError(f"{name}(unit, ts) needs a literal unit")
+        tz_min = 0
+        if len(args) == 3:
+            if not isinstance(raw_args[2], ast.Literal):
+                raise ValueError(f"{name} timezone must be a literal string")
+            tz_min = tz_offset_minutes(str(raw_args[2].value))
+        fn = mldb_date_part if name == "date_part" else mldb_date_trunc
+        return fn(str(raw_args[0].value), args[1].cast("timestamp"), tz_min)
     if name == "split_part":
         # split_part(str, delim, n) (builtin_functions.cc:1991);
-        # 1-based n, negative counts from the end
+        # 1-based n, negative counts from the end. The 2-arg form
+        # returns ALL parts (the reference emits a row of parts,
+        # MLDB-2108; here the analog is the array, 0-indexable with
+        # [n])
+        if len(args) == 2:
+            if not isinstance(raw_args[1], ast.Literal):
+                raise ValueError("split_part(str, delim) needs a literal delimiter")
+            import re as _re
+
+            return F.split(args[0], _re.escape(str(raw_args[1].value)))
         return F.split_part(args[0], args[1], args[2].cast("int"))
     if name == "token_extract":
         # token_extract(str, nth [, {options}]) (tokenize.cc /
@@ -449,6 +475,10 @@ class Binder:
             "tokenize", "tokenize_counts",
         ):
             return "map<string,bigint>"
+        if isinstance(e, ast.FunctionCall) and e.name == "split_part" and len(e.args) == 2:
+            return "array<string>"
+        if isinstance(e, ast.EmbeddingLiteral):
+            return "array<double>"
         if isinstance(e, ast.Unary) and e.op == "-":
             return self._static_dtype(e.operand)
         if isinstance(e, ast.Binary) and e.op in ("+", "-"):
@@ -580,7 +610,17 @@ class Binder:
             # Spark's ExtractValue resolves all three uniformly
             c = self.bind(e.operand)
             if isinstance(e.key, ast.Literal):
-                return c.getItem(e.key.value)
+                key = e.key.value
+                # numeric keys over a statically-known array are
+                # 0-based element access, including the quoted form
+                # split_part(x, ' ')["2"] (MLDB-2108)
+                if self._static_dtype(e.operand).startswith("array") and (
+                    isinstance(key, int)
+                    or (isinstance(key, str) and key.lstrip("-").isdigit())
+                ):
+                    n = int(key)
+                    return F.element_at(c, n + 1 if n >= 0 else n)
+                return c.getItem(key)
             return c[self.bind(e.key)]
         raise ValueError(f"cannot bind {e!r}")
 

@@ -178,3 +178,134 @@ def row_hash_portable(key: Column) -> Column:
     md5(cast(key as string)) as a BIGINT. Identical SQL exists in any
     engine with md5(), which makes it oracle-checkable."""
     return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+# -- date_part / date_trunc (reference unit semantics) ------------------
+
+_TZ_RE = None  # compiled lazily below
+
+
+def tz_offset_minutes(tz: str) -> int:
+    """Parse an ISO-8601 timezone offset ('+01', '-0100', '+01:30')
+    into the minutes date_part/date_trunc ADD to the timestamp.
+    The reference's Iso8601Parser::matchTimezone (types/date.cc:
+    1776-1796) NEGATES the sign — the convention that turns a
+    local-time suffix into a to-UTC correction — and date_part
+    reuses it verbatim, so '-0100' shifts +1h (MLDB-906 pins
+    hour 15 → 16)."""
+    import re as _re
+
+    global _TZ_RE
+    if _TZ_RE is None:
+        _TZ_RE = _re.compile(r"^([+-])(\d{1,2}):?(\d{2})?$")
+    if tz in ("Z", "z", ""):
+        return 0
+    m = _TZ_RE.match(tz)
+    if not m:
+        raise ValueError(f"bad timezone offset {tz!r}")
+    sign = 1 if m.group(1) == "-" else -1
+    return sign * (int(m.group(2)) * 60 + int(m.group(3) or 0))
+
+
+def _with_tz(c: Column, tz_minutes: int) -> Column:
+    if not tz_minutes:
+        return c
+    return c + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(tz_minutes), F.lit(0.0))
+
+
+def mldb_date_part(unit: str, c: Column, tz_minutes: int = 0) -> Column:
+    """date_part with the reference's unit table (types/date.cc:714-755
+    Date::get; sql/builtin_functions.cc:1473 date_part). Divergences
+    from ANSI worth naming: doy and week are 0-based (tm_yday;
+    week = doy/7 with Sunday-agnostic 7-day blocks), quarter is the
+    reference's integer (month/4)+1 (July lands in quarter 2), dow is
+    0=Sunday, isodow 1=Monday..7=Sunday, isodoy is 1-based within the
+    ISO year, millisecond/microsecond are the sub-second fraction."""
+    u = unit.lower()
+    c = _with_tz(c, tz_minutes)
+    if u == "microsecond":
+        out = F.unix_micros(c) % 1_000_000
+    elif u == "millisecond":
+        out = (F.unix_micros(c) % 1_000_000) / 1000
+        out = F.floor(out)
+    elif u == "second":
+        out = F.second(c)
+    elif u == "minute":
+        out = F.minute(c)
+    elif u == "hour":
+        out = F.hour(c)
+    elif u == "day":
+        out = F.dayofmonth(c)
+    elif u == "dow":
+        out = F.dayofweek(c) - 1
+    elif u == "doy":
+        out = F.dayofyear(c) - 1
+    elif u == "isodow":
+        out = F.weekday(c) + 1
+    elif u == "isodoy":
+        out = (F.weekofyear(c) - 1) * 7 + F.weekday(c) + 1
+    elif u == "week":
+        out = F.floor((F.dayofyear(c) - 1) / 7)
+    elif u == "isoweek":
+        out = F.weekofyear(c)
+    elif u == "month":
+        out = F.month(c)
+    elif u == "quarter":
+        out = F.floor(F.month(c) / 4) + 1
+    elif u == "year":
+        out = F.year(c)
+    elif u == "isoyear":
+        y, w, mth = F.year(c), F.weekofyear(c), F.month(c)
+        out = (
+            F.when((w == 1) & (mth == 12), y + 1)
+            .when((mth == 1) & (w > 5), y - 1)
+            .otherwise(y)
+        )
+    else:
+        raise ValueError(f"unknown date_part unit {unit!r}")
+    return out.cast("int")
+
+
+def mldb_date_trunc(unit: str, c: Column, tz_minutes: int = 0) -> Column:
+    """date_trunc with the reference's unit table (types/date.cc:758-846
+    Date::trunc): week truncates to the previous SUNDAY, isoweek to
+    the previous Monday, quarter to the reference's (quarter-1)*3
+    month (December -> September 1st), isoyear to the Monday opening
+    ISO week 1. dow/doy/isodow/isodoy truncate like day."""
+    u = unit.lower()
+    c = _with_tz(c, tz_minutes)
+    if u == "microsecond":
+        return c  # Spark timestamps already have microsecond grain
+    if u == "millisecond":
+        return F.timestamp_micros(
+            (F.floor(F.unix_micros(c) / 1000) * 1000).cast("long")
+        )
+    if u in ("second", "minute", "hour", "month", "year"):
+        return F.date_trunc(u, c)
+    if u in ("day", "dow", "doy", "isodow", "isodoy"):
+        return F.date_trunc("day", c)
+    if u == "week":
+        # previous Sunday (Date::trunc WEEK subtracts weekday() days)
+        return F.to_timestamp(F.date_sub(F.to_date(c), F.dayofweek(c) - 1))
+    if u == "isoweek":
+        # previous Monday — Spark's week trunc
+        return F.date_trunc("week", c)
+    if u == "quarter":
+        # reference quirk: month = (quarter-1)*3 with quarter =
+        # month/4+1, so December truncates to September 1st (months
+        # 1-3 clamp to January — boost would reject month 0)
+        m0 = (F.floor(F.month(c) / 4)) * 3
+        m0 = F.greatest(m0, F.lit(1))
+        return F.to_timestamp(
+            F.concat_ws(
+                "-",
+                F.year(c).cast("string"),
+                F.lpad(m0.cast("string"), 2, "0"),
+                F.lit("01"),
+            )
+        )
+    if u == "isoyear":
+        # back to the Monday opening ISO week 1 of the ISO year
+        isodoy = (F.weekofyear(c) - 1) * 7 + F.weekday(c) + 1
+        return F.to_timestamp(F.date_sub(F.to_date(c), isodoy - 1))
+    raise ValueError(f"unknown date_trunc unit {unit!r}")

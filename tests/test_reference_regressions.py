@@ -806,3 +806,147 @@ def test_mldb_832_select_star(mldb):
     assert row.asDict() == {"x1": 3, "x2": 4, "x3": 5}
     out = mldb.query("SELECT a, b, {x*} as z FROM m832")
     assert sorted(out.columns) == ["a", "b", "z"]
+
+
+def test_mldb_1691_str_functions(mldb):
+    """MLDB-1691-str-functions.py: length counts characters (not
+    bytes) and coerces numbers to their printed form; upper/lower."""
+    _ds(mldb, "m1691", [("result", 1)], "rn string, one int")
+    assert _q(mldb, "select length('abcde') as rez from m1691") == [(5,)]
+    assert _q(mldb, "select length('abcdéç') as rez from m1691") == [(6,)]
+    assert _q(mldb, "select length(22) as rez from m1691") == [(2,)]
+    assert _q(mldb, "select upper('abcde') as rez from m1691") == [("ABCDE",)]
+    assert _q(mldb, "select lower('ABCDe') as rez from m1691") == [("abcde",)]
+
+
+def test_mldb_2108_split_string(mldb):
+    """MLDB-2108-split-string.py: 2-arg split_part returns all parts
+    (the reference emits a row; here the analog is the array) and
+    [n] indexes 0-based, including UTF-8 payloads and separators."""
+    _ds(mldb, "m2108", [("result", 1)], "rn string, one int")
+    assert _q(
+        mldb,
+        "SELECT split_part(x, '::') AS x FROM (SELECT 'A::B::C' as x)",
+    ) == [(["A", "B", "C"],)]
+    assert _q(
+        mldb,
+        "SELECT split_part(x, ' ')[\"2\"] AS x "
+        "FROM (SELECT 'The Quick Brown Fox' as x)",
+    ) == [("Brown",)]
+    assert _q(
+        mldb,
+        "SELECT split_part(x, ' ')[\"4\"] AS x FROM "
+        "(SELECT 'ᛖᚴ ᚷᛖᛏ ᛖᛏᛁ ᚧ ᚷᛚᛖᚱ ᛘᚾ ᚦᛖᛋᛋ ᚨᚧ ᚡᛖ ᚱᚧᚨ ᛋᚨᚱ' as x)",
+    ) == [("ᚷᛚᛖᚱ",)]
+    assert _q(
+        mldb,
+        "SELECT split_part(x, 'ᚧ')[\"4\"] AS x FROM "
+        "(SELECT 'ᛖᚴᚧᚷᛖᛏᚧᛖᛏᛁᚧᚷᛚᛖᚱᚧᛘᚾᚧᚦᛖᛋᛋᚧᚨᚧᚧᚡᛖᚧᚱᚧᚨᚧᛋᚨᚱ' as x)",
+    ) == [("ᛘᚾ",)]
+
+
+def test_mldb_2142_prefix_suffix(mldb):
+    """MLDB-2142-prefix-suffix.py: remove_prefix/remove_suffix strip
+    only when the affix is present."""
+    _ds(mldb, "m2142", [("result", 1)], "rn string, one int")
+    assert _q(mldb, "SELECT remove_prefix('awesome', 'awe') AS r FROM m2142") == [("some",)]
+    assert _q(mldb, "SELECT remove_prefix('awesome', 'eso') AS r FROM m2142") == [("awesome",)]
+    assert _q(mldb, "SELECT remove_suffix('awesome', 'some') AS r FROM m2142") == [("awe",)]
+    assert _q(mldb, "SELECT remove_suffix('awesome', 'eso') AS r FROM m2142") == [("awesome",)]
+
+
+def test_mldb_906_date_part(mldb):
+    """MLDB-906-date-function.py: the 16-unit date_part table
+    (types/date.cc:714-755) — 0-based doy/week, dow 0=Sunday, the
+    iso8601 family, sub-second ms/us, the reference's integer
+    (month/4)+1 quarter, and the sign-negating timezone offsets."""
+    _ds(
+        mldb,
+        "m906a",
+        [("row1", "2015-01-01T15:14:39.123456Z")],
+        "rn string, x string",
+    )
+    _ds(
+        mldb,
+        "m906b",
+        [("row1", "2014-12-31T15:14:39.123456Z")],
+        "rn string, x string",
+    )
+    _ds(
+        mldb,
+        "m906c",
+        [("row1", "2014-12-28T15:14:39.123456Z")],
+        "rn string, x string",
+    )
+
+    def part(ds, unit, tz=None):
+        tzarg = f", '{tz}'" if tz else ""
+        return _q(mldb, f"SELECT date_part('{unit}', x{tzarg}) AS v FROM {ds}")[0][0]
+
+    assert part("m906a", "year") == 2015
+    assert part("m906a", "month") == 1
+    assert part("m906a", "quarter") == 1
+    assert part("m906a", "day") == 1
+    assert part("m906a", "hour") == 15
+    assert part("m906a", "minute") == 14
+    assert part("m906a", "second") == 39
+    assert part("m906a", "millisecond") == 123
+    assert part("m906a", "microsecond") == 123456
+    assert part("m906a", "dow") == 4
+    assert part("m906a", "doy") == 0
+    assert part("m906a", "isodow") == 4
+    assert part("m906a", "isodoy") == 4
+    assert part("m906a", "week") == 0
+    assert part("m906a", "isoweek") == 1
+    assert part("m906a", "isoyear") == 2015
+    # December date
+    assert part("m906b", "dow") == 3
+    assert part("m906b", "doy") == 364
+    assert part("m906b", "isodow") == 3
+    assert part("m906b", "isodoy") == 3
+    assert part("m906b", "isoweek") == 1
+    assert part("m906b", "isoyear") == 2015
+    # previous ISO year
+    assert part("m906c", "isoweek") == 52
+    assert part("m906c", "isodoy") == 364
+    # timezone offsets NEGATE the sign (Iso8601Parser convention)
+    assert part("m906a", "hour", "-0100") == 16
+    assert part("m906a", "hour", "+01") == 14
+    assert part("m906a", "hour", "-05:50") == 21
+    assert part("m906a", "hour", "-12:00") == 3
+    assert part("m906a", "day", "-12:00") == 2
+
+
+def test_mldb_906_date_trunc(mldb):
+    """MLDB-906-date-function.py date_trunc half: week truncates to
+    the previous Sunday, isoweek/isoyear to Mondays, quarter to the
+    reference's (quarter-1)*3 month (December -> September 1st)."""
+    _ds(
+        mldb,
+        "m906t",
+        [("row1", "2014-12-31T15:14:39.123456Z")],
+        "rn string, x string",
+    )
+
+    def trunc(unit, tz=None):
+        tzarg = f", '{tz}'" if tz else ""
+        return _q(
+            mldb,
+            f"SELECT cast(date_trunc('{unit}', x{tzarg}) as string) AS v FROM m906t",
+        )[0][0]
+
+    assert trunc("second") == "2014-12-31 15:14:39"
+    assert trunc("minute") == "2014-12-31 15:14:00"
+    assert trunc("hour") == "2014-12-31 15:00:00"
+    assert trunc("day") == "2014-12-31 00:00:00"
+    assert trunc("month") == "2014-12-01 00:00:00"
+    assert trunc("quarter") == "2014-09-01 00:00:00"
+    assert trunc("year") == "2014-01-01 00:00:00"
+    assert trunc("dow") == "2014-12-31 00:00:00"
+    assert trunc("doy") == "2014-12-31 00:00:00"
+    assert trunc("week") == "2014-12-28 00:00:00"
+    assert trunc("isoweek") == "2014-12-29 00:00:00"
+    assert trunc("isoyear") == "2014-12-29 00:00:00"
+    assert trunc("millisecond") == "2014-12-31 15:14:39.123"
+    assert trunc("minute", "-00:30") == "2014-12-31 15:44:00"
+    assert trunc("hour", "+08:00") == "2014-12-31 07:00:00"
