@@ -293,7 +293,13 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
     if name == "left":
         return F.substring(args[0], 1, int(raw_args[1].value))  # type: ignore[arg-type]
     if name == "horizontal_sum":
-        return F.aggregate(F.array(*args), F.lit(0.0), lambda a, x: a + x)
+        # NULL cells are absent in the reference's sparse rows — skip
+        # them rather than poisoning the fold
+        return F.aggregate(
+            F.filter(F.array(*args), lambda x: x.isNotNull()),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
     if name == "horizontal_count":
         return F.size(F.filter(F.array(*args), lambda x: x.isNotNull())).cast("long")
     if name == "horizontal_min":
@@ -301,16 +307,21 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
     if name == "horizontal_max":
         return F.greatest(*args)
     if name == "horizontal_avg":
+        # try_divide: an all-NULL row has zero countable cells and
+        # must yield NULL, not a division error
         arr = F.filter(F.array(*args), lambda x: x.isNotNull())
-        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr)
-    if name == "horizontal_string_agg":
-        # horizontal_string_agg(<row>, sep): values coerced to string,
-        # null cells skipped (concat_ws's native behavior)
-        sep = args[-1] if args else F.lit(",")
-        return F.concat_ws(
-            str(raw_args[-1].value) if isinstance(raw_args[-1], ast.Literal) else ",",
-            *[a.cast("string") for a in args[:-1]],
+        return F.try_divide(
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x), F.size(arr)
         )
+    if name == "horizontal_string_agg":
+        # horizontal_string_agg(<row>[, sep]): values coerced to
+        # string, null cells skipped (concat_ws's native behavior);
+        # the separator, when present, is a trailing literal
+        if raw_args and isinstance(raw_args[-1], ast.Literal):
+            sep, vals = str(raw_args[-1].value), args[:-1]
+        else:
+            sep, vals = ",", args
+        return F.concat_ws(sep, *[a.cast("string") for a in vals])
     if name == "horizontal_earliest":
         # wide rows carry ONE timestamp, so every cell ties; the
         # deterministic tiebreak is column order (first non-null)
@@ -584,25 +595,9 @@ class Binder:
         if isinstance(e, ast.EmbeddingLiteral):
             return F.array(*[self.bind(x) for x in e.items])
         if isinstance(e, ast.RowLiteral):
-            cols: list[Column] = []
-            for n, x in e.fields:
-                if (
-                    n.endswith("*")
-                    and isinstance(x, ast.ColumnRef)
-                    and x.name == n
-                ):
-                    # wildcard field: {*} / {x*} expands to the
-                    # in-scope columns (MLDB-832 `{x*} as z`,
-                    # MLDB-855 `{*} as y`); field names keep the
-                    # full column name
-                    pref = n[:-1]
-                    for c in self.columns:
-                        if c.startswith("__") or not c.startswith(pref):
-                            continue
-                        cols.append(self._column(c).alias(c))
-                    continue
-                cols.append(self.bind(x).alias(n))
-            return F.struct(*cols)
+            return F.struct(
+                *[c.alias(n) for n, c in self._row_literal_fields(e)]
+            )
         if isinstance(e, ast.FunctionCall):
             return self._call(e)
         if isinstance(e, ast.Index):
@@ -623,6 +618,23 @@ class Binder:
                 return c.getItem(key)
             return c[self.bind(e.key)]
         raise ValueError(f"cannot bind {e!r}")
+
+    def _row_literal_fields(self, rl: ast.RowLiteral) -> list[tuple[str, Column]]:
+        """Bind a row literal's fields, expanding {*} / {x*} wildcard
+        fields against the in-scope columns (MLDB-832 `{x*} as z`,
+        MLDB-855 `{*} as y`); wildcard field names keep the full
+        column name."""
+        out: list[tuple[str, Column]] = []
+        for n, x in rl.fields:
+            if n.endswith("*") and isinstance(x, ast.ColumnRef) and x.name == n:
+                pref = n[:-1]
+                for c in self.columns:
+                    if c.startswith("__") or not c.startswith(pref):
+                        continue
+                    out.append((c, self._column(c)))
+                continue
+            out.append((n, self.bind(x)))
+        return out
 
     def _resolve_name(self, name: str) -> str | None:
         """Logical reference -> physical column name:
@@ -927,6 +939,29 @@ class Binder:
             )
         if name in AGGREGATE_FNS:
             return self._aggregate(e)
+        if (
+            name.startswith("horizontal_")
+            and e.args
+            and isinstance(e.args[0], ast.RowLiteral)
+        ):
+            # horizontal_* take a ROW argument (doc ValueExpression.md
+            # §Horizontal operations; MLDB-461/2111): expand the row's
+            # cells — including {*}/{x*} wildcards — into the flat
+            # value list the scalar implementations operate on
+            vals = [c for _, c in self._row_literal_fields(e.args[0])]
+            if not vals:
+                # wildcard matched no columns (MLDB-461's
+                # {superPatate*}): count 0, sum 0, the rest NULL
+                if name == "horizontal_count":
+                    return F.lit(0).cast("long")
+                if name == "horizontal_sum":
+                    return F.lit(0.0)
+                if name == "horizontal_string_agg":
+                    return F.lit("")
+                return F.lit(None)
+            rest = [self.bind(a) for a in e.args[1:]]
+            raw = [None] * len(vals) + list(e.args[1:])
+            return _scalar_fn(name, vals + rest, raw)  # type: ignore[arg-type]
         args = [self.bind(a) for a in e.args]
         return _scalar_fn(name, args, e.args)
 
@@ -1798,27 +1833,32 @@ class MldbContext:
         else:
             out = df.groupBy(*group_cols).agg(*agg_cols)
         post = Binder(out.columns, binder.params, dtypes=dict(out.dtypes))
+        key_cols = [f"__g{k}" for k in range(len(stm.group_by))]
         final = out.select(
             *[
                 F.col(name) if expr is None else post.bind(expr).alias(name)
                 for name, expr in items
-            ]
+            ],
+            # keep the group keys visible for HAVING, dropped below
+            *[F.col(k) for k in key_cols],
         )
         if stm.having is not None:
             # HAVING binds in the post-aggregation scope: select
-            # aliases are visible, and aggregate expressions that
+            # aliases are visible, aggregate expressions that
             # textually match a select item are rewritten to that
-            # item's output column (reference applies HAVING on
-            # merged groups the same way).
+            # item's output column, and GROUP BY key expressions are
+            # rewritten to the key (MLDB-2111's
+            # `GROUP BY x+1 HAVING x+1 = 3`).
             select_map = [
                 (it.expr, it.alias or _expr_name(it.expr, j))
                 for j, it in enumerate(stm.select)
                 if isinstance(it, ast.ExprItem)
             ]
             having = _substitute(stm.having, select_map)
+            having = _substitute(having, key_map)
             if _contains_aggregate(having):
                 raise ValueError(
                     "HAVING aggregates must also appear in the SELECT list"
                 )
             final = final.filter(Binder(final.columns).bind(having).cast("boolean"))
-        return final
+        return final.drop(*key_cols)

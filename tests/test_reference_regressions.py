@@ -950,3 +950,65 @@ def test_mldb_906_date_trunc(mldb):
     assert trunc("millisecond") == "2014-12-31 15:14:39.123"
     assert trunc("minute", "-00:30") == "2014-12-31 15:44:00"
     assert trunc("hour", "+08:00") == "2014-12-31 07:00:00"
+
+
+def test_mldb_2111_group_by_expression(mldb):
+    """MLDB-2111-group-by-expression.py: expressions of GROUP BY keys
+    as select items (including sub-expressions and function-argument
+    positions), HAVING over key expressions, and errors naming the
+    stray column when a select item is not derivable from the keys."""
+    _ds(
+        mldb,
+        "m2111",
+        [("0", 1, 1), ("1", 1, 2), ("2", 2, 1), ("3", 2, 2)],
+        "rn string, x int, y int",
+    )
+    assert _q(mldb, "SELECT x+1 AS k FROM (SELECT x:1) GROUP BY x+1") == [(2,)]
+    assert _q(mldb, "SELECT x+1 as z FROM (SELECT x:1) GROUP BY x+1") == [(2,)]
+    assert _q(mldb, "SELECT (x+1)*3 as z FROM (SELECT x:1) GROUP BY x+1") == [(6,)]
+    assert sorted(_q(mldb, "SELECT x+1 AS k FROM m2111 GROUP BY x+1, y*2")) == [
+        (2,), (2,), (3,), (3,),
+    ]
+    assert sorted(_q(mldb, "SELECT sqrt(x * 3) as z FROM m2111 GROUP BY x * 3")) == [
+        (pytest.approx(1.7320508),), (pytest.approx(2.4494897),),
+    ]
+    assert sorted(_q(
+        mldb,
+        "SELECT horizontal_sum({x,y}) + 1 as z FROM m2111 "
+        "GROUP BY horizontal_sum({x,y})",
+    )) == [(3.0,), (4.0,), (5.0,)]
+    assert _q(
+        mldb, "SELECT x+1 AS k FROM m2111 GROUP BY x+1 ORDER BY x+1"
+    ) == [(2,), (3,)]
+    assert _q(
+        mldb, "SELECT 0 as z FROM m2111 GROUP BY x+1 HAVING x+1 = 3"
+    ) == [(0,)]
+    for bad in (
+        "SELECT x+1 AS k FROM (SELECT x:1) GROUP BY 1+x",
+        "SELECT x+1*3 AS k FROM (SELECT x:1) GROUP BY x+1",
+    ):
+        with pytest.raises(Exception, match="x"):
+            mldb.query(bad).collect()
+    # MLDB-1713-wildcard-groupby.py: wildcard + GROUP BY is an error
+    with pytest.raises(Exception, match="[Ww]ildcard"):
+        mldb.query("select * from (select 1 as a) group by a").collect()
+
+
+def test_mldb_461_horizontal_ops(mldb):
+    """MLDB-461_horizontal_ops_test.py over the latest-flattened
+    rows: horizontal_* skip absent (NULL) cells, prefix wildcards
+    scope the cells, and an empty match gives count 0 / NULL avg."""
+    _ds(
+        mldb,
+        "m461",
+        [("x", 1, 1, 1, None), ("y", 1, 1, None, 1), ("z", 10, 1, None, None)],
+        "rn string, col1 int, col2 int, pwet int, prout int",
+    )
+    base = "FROM m461 ORDER BY rowName()"
+    assert [v for (v,) in _q(mldb, f"SELECT horizontal_count({{col1, col2, pwet, prout}}) AS v {base}")] == [3, 3, 2]
+    assert [v for (v,) in _q(mldb, f"SELECT horizontal_sum({{col1, col2, pwet, prout}}) AS v {base}")] == [3.0, 3.0, 11.0]
+    assert [v for (v,) in _q(mldb, f"SELECT horizontal_avg({{col1, col2, pwet, prout}}) AS v {base}")] == [1.0, 1.0, 5.5]
+    assert [v for (v,) in _q(mldb, f"SELECT horizontal_count({{p*}}) AS v {base}")] == [1, 1, 0]
+    assert [v for (v,) in _q(mldb, f"SELECT horizontal_avg({{superPatate*}}) AS v {base}")] == [None, None, None]
+    assert [v for (v,) in _q(mldb, f"SELECT horizontal_min({{col1, col2}}) AS v {base}")] == [1, 1, 1]
+    assert [v for (v,) in _q(mldb, f"SELECT horizontal_max({{col1, col2}}) AS v {base}")] == [1, 1, 10]
