@@ -402,6 +402,12 @@ class Parser:
         return (surface, e)
 
     def _maybe_call(self, name: str) -> ast.Expr:
+        # bare inf / nan constants (the reference's IEEE literals,
+        # used by norm(v, inf) and sign(nan))
+        if name.lower() in ("inf", "nan") and not (
+            self.peek().kind == "op" and self.peek().value in ("(", ".")
+        ):
+            return ast.Literal(float(name.lower()))
         # dotted column path: a.b.c
         while self.peek().kind == "op" and self.peek().value == ".":
             if self.peek(1).kind in ("ident",):

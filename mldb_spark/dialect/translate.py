@@ -81,14 +81,12 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
     from mldb_spark.functions.vector import (
         cosine_similarity,
         dot_product,
-        l2_norm,
-        normalize,
     )
 
     simple = {
         "abs": F.abs, "sqrt": F.sqrt, "exp": F.exp, "ln": F.log,
         "floor": F.floor, "ceil": F.ceiling, "ceiling": F.ceiling,
-        "sign": F.signum, "lower": F.lower, "upper": F.upper,
+        "lower": F.lower, "upper": F.upper,
         # length counts characters and coerces numbers to their string
         # form (length(22) = 2 — MLDB-1691)
         "length": lambda c: F.length(c.cast("string")),
@@ -100,7 +98,7 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         "tokenize": tokenize_counts, "token_count": token_count,
         "language_id": language_id, "quality_score": quality_score,
         "normalize_text": normalize_text, "tokenize_counts": tokenize_counts,
-        "norm": l2_norm, "normalize": normalize, "md5": F.md5,
+        "md5": F.md5,
         "asinh": F.asinh, "acosh": F.acosh, "atanh": F.atanh,
         # isinf/isfinite (builtin_functions.cc math family): finite =
         # non-null, not NaN, not +-inf
@@ -226,6 +224,34 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
             tz_min = tz_offset_minutes(str(raw_args[2].value))
         fn = mldb_date_part if name == "date_part" else mldb_date_trunc
         return fn(str(raw_args[0].value), args[1].cast("timestamp"), tz_min)
+    if name in ("vector_sum", "vector_diff", "vector_product", "vector_quotient"):
+        # element-wise embedding arithmetic (builtin_functions.cc
+        # vector_* family; MLDB-923)
+        from mldb_spark.functions import vector as _vec
+
+        return getattr(_vec, name)(args[0], args[1])
+    if name in ("norm", "normalize"):
+        # norm/normalize(v [, p]) with the reference's p cases
+        # (builtin_functions.cc:1600-1749; MLDB-953): p=0 non-zero
+        # count, p=inf max element, else the p-power root; p is a
+        # bind-time constant because it selects the formula
+        from mldb_spark.functions.vector import normalize_p, p_norm
+
+        p = 2.0
+        if len(args) == 2:
+            if not isinstance(raw_args[1], ast.Literal):
+                raise ValueError(f"{name}(v, p) needs a literal power")
+            p = float(raw_args[1].value)
+        return p_norm(args[0], p) if name == "norm" else normalize_p(args[0], p)
+    if name == "sign":
+        # sign: NaN for non-numeric strings and NaN inputs, NULL for
+        # NULL, else -1/0/1 (sign_function_test.py)
+        num = args[0].try_cast("double")
+        return (
+            F.when(args[0].isNull(), F.lit(None).cast("double"))
+            .when(num.isNull(), F.lit(float("nan")))
+            .otherwise(F.signum(num))
+        )
     if name == "split_part":
         # split_part(str, delim, n) (builtin_functions.cc:1991);
         # 1-based n, negative counts from the end. The 2-arg form
@@ -488,8 +514,17 @@ class Binder:
             return "map<string,bigint>"
         if isinstance(e, ast.FunctionCall) and e.name == "split_part" and len(e.args) == 2:
             return "array<string>"
+        if isinstance(e, ast.FunctionCall) and e.name in (
+            "normalize", "vector_sum", "vector_diff", "vector_product",
+            "vector_quotient",
+        ):
+            return "array<double>"
         if isinstance(e, ast.EmbeddingLiteral):
             return "array<double>"
+        if isinstance(e, ast.Binary) and e.op in ("+", "-", "*", "/"):
+            lt, rt = self._static_dtype(e.left), self._static_dtype(e.right)
+            if lt.startswith("array") or rt.startswith("array"):
+                return "array<double>"
         if isinstance(e, ast.Unary) and e.op == "-":
             return self._static_dtype(e.operand)
         if isinstance(e, ast.Binary) and e.op in ("+", "-"):
@@ -698,6 +733,27 @@ class Binder:
             return self.bind(e.left)
         l, r = self.bind(e.left), self.bind(e.right)
         op = e.op
+        if op in ("+", "-", "*", "/"):
+            # embedding arithmetic is element-wise (MLDB-923:
+            # [1,2,3] + [3,2,1] = [4,4,4]); array op scalar broadcasts
+            la = self._static_dtype(e.left).startswith("array")
+            ra = self._static_dtype(e.right).startswith("array")
+            if la or ra:
+                def ew(x: Column, y: Column) -> Column:
+                    x, y = x.cast("double"), y.cast("double")
+                    if op == "+":
+                        return x + y
+                    if op == "-":
+                        return x - y
+                    if op == "*":
+                        return x * y
+                    return F.try_divide(x, y)
+
+                if la and ra:
+                    return F.zip_with(l, r, ew)
+                if la:
+                    return F.transform(l, lambda x: ew(x, r))
+                return F.transform(r, lambda y: ew(l, y))
         if op in ("+", "-", "*", "/", "%"):
             # booleans coerce to 1/0 under arithmetic (MLDB-1736's
             # `x + (5 IS NOT NULL)` = 6)
@@ -939,6 +995,27 @@ class Binder:
             )
         if name in AGGREGATE_FNS:
             return self._aggregate(e)
+        if (
+            name.startswith("horizontal_")
+            and len(e.args) == 1
+            and self._static_dtype(e.args[0]).startswith("array")
+        ):
+            # horizontal_* over an embedding value operates on its
+            # elements (MLDB-953's horizontal_sum(normalize(...) - v))
+            arr = F.filter(self.bind(e.args[0]), lambda x: x.isNotNull())
+            if name == "horizontal_sum":
+                return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double"))
+            if name == "horizontal_count":
+                return F.size(arr).cast("long")
+            if name == "horizontal_min":
+                return F.array_min(arr)
+            if name == "horizontal_max":
+                return F.array_max(arr)
+            if name == "horizontal_avg":
+                return F.try_divide(
+                    F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double")),
+                    F.size(arr),
+                )
         if (
             name.startswith("horizontal_")
             and e.args

@@ -156,3 +156,39 @@ def tensor_concat(*cols: Column) -> Column:
     calcShape's result[0] += shape[0] rule. Spark's array concat has
     exactly this semantics on (nested) arrays."""
     return F.concat(*cols)
+
+
+def p_norm(a: Column, p: float = 2.0) -> Column:
+    """p-norm with the reference's exact cases (builtin_functions.cc:
+    1706-1749 norm): p=0 counts non-zero elements, p=inf is the max
+    element, p=1 the plain total (no abs — distribution::total()),
+    p=2 the l2 norm, other finite p>0 the generalized power mean
+    root. Invalid p (<=0 or non-finite, other than 0/inf) raises."""
+    import math
+
+    if p == 0:
+        return F.size(F.filter(a, lambda x: x.cast("double") != 0.0)).cast("double")
+    if math.isinf(p):
+        return F.array_max(a).cast("double")
+    if p <= 0.0 or not math.isfinite(p):
+        raise ValueError(f"invalid power {p} for norm()")
+    if p == 1:
+        return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    if p == 2:
+        return l2_norm(a)
+    return F.pow(
+        F.aggregate(
+            F.transform(a, lambda x: F.pow(x.cast("double"), F.lit(p))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(1.0 / p),
+    )
+
+
+def normalize_p(a: Column, p: float = 2.0) -> Column:
+    """normalize(v, p) = v / norm(v, p) for every p case, including
+    p=0 (divide by the non-zero count — the reference's
+    normalize(), builtin_functions.cc:1600-1627)."""
+    n = p_norm(a, p)
+    return F.transform(a, lambda x: x.cast("double") / n)

@@ -1012,3 +1012,60 @@ def test_mldb_461_horizontal_ops(mldb):
     assert [v for (v,) in _q(mldb, f"SELECT horizontal_avg({{superPatate*}}) AS v {base}")] == [None, None, None]
     assert [v for (v,) in _q(mldb, f"SELECT horizontal_min({{col1, col2}}) AS v {base}")] == [1, 1, 1]
     assert [v for (v,) in _q(mldb, f"SELECT horizontal_max({{col1, col2}}) AS v {base}")] == [1, 1, 10]
+
+
+def test_mldb_923_embedding_literal(mldb):
+    """MLDB-923-embedding-literal.py: embedding literals, vector_sum,
+    and element-wise + over embeddings."""
+    _ds(mldb, "m923", [("r", 1)], "rn string, one int")
+    assert _q(mldb, "select [3,2,1] as x from m923") == [([3, 2, 1],)]
+    assert _q(mldb, "select vector_sum([1,2,3],[3,2,1]) as x from m923") == [
+        ([4.0, 4.0, 4.0],)
+    ]
+    assert _q(mldb, "select [1,2,3] + [3,2,1] as x from m923") == [
+        ([4.0, 4.0, 4.0],)
+    ]
+    assert _q(mldb, "select [1,2,3] * 2 as x from m923") == [([2.0, 4.0, 6.0],)]
+
+
+def test_mldb_953_normalize(mldb):
+    """MLDB-953-normalize.py: the p-norm family — p=0 counts non-zero
+    elements, p=inf is the max, fractional p via the power-mean root;
+    normalize(v,p)/norm(v,p) round-trips to 1 (except p=0), and
+    normalize equals v/norm element-wise."""
+    _ds(mldb, "m953", [("r", 1)], "rn string, one int")
+    for p in ("1", "2", "3.2", "inf"):
+        assert _q(
+            mldb,
+            f"select norm(normalize([1, 2, 3, 4], {p}), {p}) as x from m953",
+        )[0][0] == pytest.approx(1.0)
+    assert _q(
+        mldb, "select norm(normalize([1, 2, 3, 4], 0), 0) as x from m953"
+    )[0][0] == pytest.approx(4.0)
+    assert _q(mldb, "select norm([1,2,0,4],0) as v from m953") == [(3.0,)]
+    assert _q(mldb, "select norm([1,2,0,4],1) as v from m953") == [(7.0,)]
+    assert _q(mldb, "select norm([1,2,0,4],2) as v from m953")[0][0] == pytest.approx(4.582575)
+    assert _q(mldb, "select norm([1,2,0,4],inf) as v from m953") == [(4.0,)]
+    for p in ("0", "1", "2", "3.2", "inf"):
+        assert _q(
+            mldb,
+            f"select horizontal_sum( normalize([1,2,3,4],{p}) - "
+            f"[1,2,3,4]/norm([1,2,3,4],{p}) ) as x from m953",
+        )[0][0] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_sign_function(mldb):
+    """sign_function_test.py: -1/0/1 for numerics, NaN for NaN and
+    non-numeric strings, NULL for NULL."""
+    import math
+
+    _ds(mldb, "msign", [("r", 1)], "rn string, one int")
+    row = _q(
+        mldb,
+        "SELECT sign(-123) as a, sign(123) as b, sign(0) as c, "
+        "sign(-123.123) as d, sign(123.123) as e, sign(0.0) as f, "
+        "sign(nan) as g, sign('octosanchez') as h, sign(NULL) as i "
+        "FROM msign",
+    )[0]
+    assert row[:6] == (-1.0, 1.0, 0.0, -1.0, 1.0, 0.0)
+    assert math.isnan(row[6]) and math.isnan(row[7]) and row[8] is None
