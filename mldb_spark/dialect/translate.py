@@ -884,6 +884,14 @@ class Binder:
             if i is None:
                 raise ValueError("rowPathElement(n) needs a literal index")
             return F.element_at(parts, i + 1 if i >= 0 else i)
+        if name in ("rownumber", "totalrows"):
+            marker = "__rowNumber" if name == "rownumber" else "__totalRows"
+            if marker in self.colset:
+                return F.col(marker).cast("long")
+            pretty = "rowNumber" if name == "rownumber" else "totalRows"
+            raise ValueError(
+                f"function {pretty} is only available in SELECT expressions."
+            )
         if name == "columncount":
             # columns of the bound relation, minus engine-internal ones
             n_cols = len([c for c in self.columns if not c.startswith("__")])
@@ -1682,6 +1690,63 @@ class MldbContext:
                 for r in residual[1:]:
                     combined = ast.Binary("and", combined, r)
                 df = df.filter(binder.bind(combined).cast("boolean"))
+
+        # rowNumber()/totalRows() (row_number_builtin_fct_test /
+        # total_rows_builtin_fct_test): SELECT-only functions over the
+        # post-WHERE row set, positioned by the statement's ORDER BY
+        # and computed BEFORE LIMIT/OFFSET. Parity cost: both force a
+        # single-partition window — use only where the reference's
+        # semantics are wanted.
+        def _row_fn_names(expr: ast.Expr) -> set[str]:
+            return {
+                n.name
+                for n in _walk(expr)
+                if isinstance(n, ast.FunctionCall)
+                and n.name in ("rownumber", "totalrows")
+            }
+
+        outside: set[str] = set()
+        for clause in (
+            [stm.where, stm.when, stm.having, stm.named]
+            + list(stm.group_by)
+            + [o.expr for o in stm.order_by]
+            + list(stm.distinct_on)
+        ):
+            if clause is not None:
+                outside |= _row_fn_names(clause)
+        if outside:
+            pretty = "rowNumber" if "rownumber" in outside else "totalRows"
+            raise ValueError(
+                f"function {pretty} is only available in SELECT expressions."
+            )
+        used: set[str] = set()
+        for it in stm.select:
+            if isinstance(it, ast.ExprItem):
+                used |= _row_fn_names(it.expr)
+        if used:
+            if "totalrows" in used:
+                df = df.withColumn(
+                    "__totalRows",
+                    F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))),
+                )
+            if "rownumber" in used:
+                if stm.order_by:
+                    w_order = [
+                        binder.bind(o.expr) if o.ascending
+                        else F.desc(binder.bind(o.expr))
+                        for o in stm.order_by
+                    ]
+                else:
+                    w_order = [F.monotonically_increasing_id()]
+                df = df.withColumn(
+                    "__rowNumber",
+                    F.row_number().over(
+                        Window.partitionBy(F.lit(1)).orderBy(*w_order)
+                    ),
+                )
+            binder = Binder(
+                df.columns, params, row_name_col, ts_col, dict(df.dtypes), aliases
+            )
 
         is_agg = bool(stm.group_by) or any(
             isinstance(it, ast.ExprItem) and _contains_aggregate(it.expr)

@@ -1069,3 +1069,79 @@ def test_sign_function(mldb):
     )[0]
     assert row[:6] == (-1.0, 1.0, 0.0, -1.0, 1.0, 0.0)
     assert math.isnan(row[6]) and math.isnan(row[7]) and row[8] is None
+
+
+def test_row_number_and_total_rows(mldb):
+    """row_number_builtin_fct_test.py / total_rows_builtin_fct_test.py:
+    SELECT-only rowNumber() (1-based, positioned by ORDER BY, before
+    LIMIT/OFFSET) and totalRows() (post-WHERE count, unaffected by
+    LIMIT); both error outside SELECT expressions."""
+    _ds(
+        mldb,
+        "mrownum",
+        [(str(i), i) for i in range(4)],
+        "rn string, col int",
+    )
+    assert _q(mldb, "SELECT totalRows() AS t FROM mrownum") == [(4,)] * 4
+    assert _q(mldb, "SELECT totalRows() - 1 AS t FROM mrownum") == [(3,)] * 4
+    assert _q(
+        mldb, "SELECT rowNumber() AS num FROM mrownum ORDER BY rowName()"
+    ) == [(1,), (2,), (3,), (4,)]
+    # DESC: row '3' is numbered 1 (numbers follow the output order)
+    rows = mldb.query(
+        "SELECT rowName() AS rn2, rowNumber() AS num FROM mrownum "
+        "ORDER BY rowName() DESC"
+    ).collect()
+    assert [(r["rn2"], r["num"]) for r in rows] == [
+        ("3", 1), ("2", 2), ("1", 3), ("0", 4),
+    ]
+    assert _q(
+        mldb, "SELECT totalRows() AS t FROM mrownum WHERE rowName() < '2'"
+    ) == [(2,)] * 2
+    assert _q(
+        mldb,
+        "SELECT rowNumber() AS n FROM mrownum ORDER BY rowName() "
+        "LIMIT 2 OFFSET 2",
+    ) == [(3,), (4,)]
+    assert _q(
+        mldb, "SELECT totalRows() AS t FROM mrownum ORDER BY rowName() LIMIT 2"
+    ) == [(4,)] * 2
+    for bad, fn in (
+        ("SELECT * FROM mrownum WHERE rowNumber() < 2", "rowNumber"),
+        ("SELECT * FROM mrownum ORDER BY totalRows()", "totalRows"),
+        ("SELECT 'coco' AS c FROM mrownum GROUP BY rowNumber()", "rowNumber"),
+        ("SELECT rowName() NAMED totalRows() FROM mrownum", "totalRows"),
+    ):
+        with pytest.raises(Exception, match=f"{fn} is only available"):
+            mldb.query(bad).collect()
+
+
+def test_stddev_builtin(mldb):
+    """stddev_builtin_fct_test.py: sample variance/stddev and their
+    vertical_ aliases. Divergence noted: the reference returns NaN
+    for an all-absent column; this engine keeps SQL NULL (the DuckDB
+    oracle convention)."""
+    import math
+
+    rows = []
+    for i in range(100):
+        for j, v in enumerate((1, 2, 3, 10, 10)):
+            rows.append((f"a{i}-{j}", v))
+    _ds(mldb, "mstd", rows, "rn string, a int")
+    var = 15.791583166332668
+    assert _q(mldb, "SELECT variance(a) AS v FROM mstd")[0][0] == pytest.approx(var)
+    assert _q(mldb, "SELECT vertical_variance(a) AS v FROM mstd")[0][0] == pytest.approx(var)
+    assert _q(mldb, "SELECT stddev(a) AS v FROM mstd")[0][0] == pytest.approx(math.sqrt(var))
+    assert _q(mldb, "SELECT vertical_stddev(a) AS v FROM mstd")[0][0] == pytest.approx(math.sqrt(var))
+
+
+def test_try_except_builtin(mldb):
+    """try_except_builtin_fct.py: try(expr, fallback) absorbs the
+    failure of a fallible expression (malformed JSON parses to NULL
+    in this engine's NULL-on-error binding, so try falls back)."""
+    _ds(mldb, "mtry", [("r", 1)], "rn string, one int")
+    out = _q(mldb, "SELECT parse_json('{\"a\" : 5}')['a'] AS v FROM mtry")
+    assert out == [("5",)] or out == [(5,)]
+    assert _q(
+        mldb, "SELECT try(parse_json('coco')['a'], 'err') AS v FROM mtry"
+    ) == [("err",)]
