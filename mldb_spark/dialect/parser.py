@@ -523,9 +523,15 @@ class Parser:
         alias = None
         if self.accept_kw("as"):
             alias_tok = self.next()
-            if alias_tok.kind not in ("ident", "string"):
+            if alias_tok.kind == "op" and alias_tok.value == "*":
+                # expr AS * — spread a row-valued expression's columns
+                # into the output row (tokenize(...) AS *,
+                # sum({*}) AS * — MLDB-1594/-2186)
+                alias = "*"
+            elif alias_tok.kind not in ("ident", "string"):
                 raise SyntaxError(f"bad alias {alias_tok}")
-            alias = alias_tok.value
+            else:
+                alias = alias_tok.value
         return ast.ExprItem(e, alias)
 
     def _column_expr_item(self) -> ast.ColumnExprItem:

@@ -112,7 +112,10 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         # typed DataFrame column cannot mix, so unparseable -> NULL.
         "implicit_cast": lambda c: c.try_cast("double"),
         # hash (builtin_functions.cc:3388): deterministic value hash
-        "hash": lambda c: F.xxhash64(c),
+        # hash(NULL) is NULL (builtin_hash_fct_test), not the seed
+        "hash": lambda c: F.when(c.isNull(), F.lit(None).cast("long")).otherwise(
+            F.xxhash64(c)
+        ),
         # mime_type (builtin_functions.cc:3612): magic-byte sniff
         "mime_type": _mime_type_fn,
     }
@@ -1919,6 +1922,48 @@ class MldbContext:
             out.append(vb.bind(item.select_expr).alias(r["__out"]))
         return out
 
+    _SPREAD_KEY_CAP = 10_000
+
+    def _spread_columns(self, df: DataFrame) -> DataFrame:
+        """Expand __spread{i} temp columns produced by `expr AS *`
+        select items: a struct spreads its fields, a map its keys
+        (tokenize(...) AS * — MLDB-1594/-2186). Map expansion needs
+        the key vocabulary, collected in one distinct pass and capped
+        at _SPREAD_KEY_CAP (the same metadata-sized collect COLUMN
+        EXPR does); missing keys surface as NULL cells, matching the
+        reference's sparse rows."""
+        spreads = [c for c in df.columns if c.startswith("__spread")]
+        if not spreads:
+            return df
+        dtypes = dict(df.dtypes)
+        for s in spreads:
+            others = [
+                F.col(f"`{c}`") if "." in c else F.col(c)
+                for c in df.columns
+                if c != s and not c.startswith("__spread")
+            ] + [F.col(x) for x in spreads if x != s and x in df.columns]
+            dt = dtypes[s]
+            if dt.startswith("struct"):
+                df = df.select(*others, f"{s}.*")
+            elif dt.startswith("map"):
+                keys = [
+                    r[0]
+                    for r in df.select(
+                        F.explode(F.map_keys(F.col(s))).alias("k")
+                    ).distinct().limit(self._SPREAD_KEY_CAP + 1).collect()
+                ]
+                if len(keys) > self._SPREAD_KEY_CAP:
+                    raise ValueError(
+                        f"AS * would spread more than {self._SPREAD_KEY_CAP} "
+                        "columns; aggregate the map instead"
+                    )
+                df = df.select(
+                    *others, *[F.col(s)[k].alias(k) for k in sorted(keys)]
+                )
+            else:
+                raise ValueError("AS * needs a row-valued expression")
+        return df
+
     def _plain_select(self, df, stm, binder, row_name_col, extra_cols=()) -> DataFrame:
         cols: list[Column] = []
         for i, it in enumerate(stm.select):
@@ -1927,12 +1972,14 @@ class MldbContext:
             elif isinstance(it, ast.ColumnExprItem):
                 cols.extend(self._expand_column_expr(df, it, binder.params))
             else:
-                name = it.alias or _expr_name(it.expr, i)
+                name = f"__spread{i}" if it.alias == "*" else (
+                    it.alias or _expr_name(it.expr, i)
+                )
                 cols.append(binder.bind(it.expr).alias(name))
         if stm.named is not None:
             cols.append(binder.bind(stm.named).cast("string").alias("rowName"))
         # without NAMED, rowName is not carried implicitly
-        return df.select(*cols, *extra_cols)
+        return self._spread_columns(df.select(*cols, *extra_cols))
 
     def _aggregate_select(self, df, stm, binder) -> DataFrame:
         # group keys get internal __g{i} aliases so the post-agg
@@ -1948,7 +1995,9 @@ class MldbContext:
         for i, it in enumerate(stm.select):
             if isinstance(it, ast.Wildcard):
                 raise ValueError("wildcard select not allowed with GROUP BY")
-            name = it.alias or _expr_name(it.expr, i)
+            name = f"__spread{i}" if it.alias == "*" else (
+                it.alias or _expr_name(it.expr, i)
+            )
             if _contains_aggregate(it.expr):
                 agg_cols.append(binder.bind(it.expr).alias(name))
                 items.append((name, None))
@@ -2003,4 +2052,4 @@ class MldbContext:
                     "HAVING aggregates must also appear in the SELECT list"
                 )
             final = final.filter(Binder(final.columns).bind(having).cast("boolean"))
-        return final.drop(*key_cols)
+        return self._spread_columns(final.drop(*key_cols))

@@ -1145,3 +1145,57 @@ def test_try_except_builtin(mldb):
     assert _q(
         mldb, "SELECT try(parse_json('coco')['a'], 'err') AS v FROM mtry"
     ) == [("err",)]
+
+
+def test_mldb_1594_sum_star_spread(mldb):
+    """MLDB-1594-aggregator-empty-row.py / MLDB-2186-empty-array.py:
+    `tokenize(...) AS *` spreads the bag into sparse columns,
+    `sum({*}) AS *` sums them per column, and rows with an empty bag
+    contribute nothing (NULL cells skipped)."""
+    _ds(
+        mldb,
+        "m1594",
+        [("rowA", "hoho things are great!"), ("rowB", "! "),
+         ("rowC", "things are great, great")],
+        "rn string, txt string",
+    )
+    inner = (
+        "SELECT tokenize(lower(txt), {splitChars: ' ,.!;:\"?', "
+        "minTokenLength: 2}) as * from m1594"
+    )
+    for where in ("", " where rowName() != 'rowB'"):
+        df = mldb.query(f"select sum({{*}}) as * from ({inner}{where})")
+        assert sorted(df.columns) == ["are", "great", "hoho", "things"]
+        row = df.collect()[0]
+        assert {c: row[c] for c in df.columns} == {
+            "are": 2, "great": 3, "hoho": 1, "things": 2,
+        }
+
+
+def test_builtin_hash(mldb):
+    """builtin_hash_fct_test.py invariants: hash() is deterministic
+    per value, value-typed (not timestamp-sensitive), distinguishes
+    1 from '1', hashes rows, and hash(NULL) is NULL. (Absolute hash
+    values are engine-specific: the reference uses SipHash, this
+    engine xxhash64.)"""
+    _ds(mldb, "mhash", [("r", 1, 1)], "rn string, a int, b int")
+    row = _q(
+        mldb,
+        "SELECT hash(1) AS h1, hash('1') AS hs, hash('abc') AS ha, "
+        "hash({a: 12, b: 'coco'}) AS hr, hash(NULL) AS hn, "
+        "hash(a) = hash(b) AS same FROM mhash",
+    )[0]
+    assert row[0] is not None and row[1] is not None and row[0] != row[1]
+    assert row[2] is not None and row[3] is not None
+    assert row[4] is None
+    assert row[5] is True
+
+
+def test_mldb_1840_empty_str_paths(mldb):
+    """MLDB-1840_empty_str_paths.py: empty-string column names flow
+    through parse_json AS * and remain addressable."""
+    _ds(mldb, "m1840", [("r", 1)], "rn string, one int")
+    df = mldb.query('SELECT parse_json(\'{"": 5, "pwet":10}\') AS * FROM m1840')
+    assert sorted(df.columns) == ["", "pwet"]
+    row = df.collect()[0]
+    assert (row[""], row["pwet"]) == ("5", "10")
