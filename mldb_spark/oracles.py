@@ -1323,3 +1323,33 @@ SELECT event_id,
 FROM events WHERE event_id < 300
 ORDER BY event_id
 """
+
+ORACLES["qa10_date_part_units"] = """
+SELECT event_id,
+       CAST(dayofyear(ts) - 1 AS BIGINT) AS doy0,
+       CAST((dayofyear(ts) - 1) // 7 AS BIGINT) AS week0,
+       CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(isodow(ts) AS BIGINT) AS isodow,
+       CAST(weekofyear(ts) AS BIGINT) AS isoweek,
+       CAST(isoyear(ts) AS BIGINT) AS isoyear,
+       CAST(month(ts) // 4 + 1 AS BIGINT) AS qtr,
+       CAST(CAST(date_trunc('day', ts) AS DATE) - CAST(dayofweek(ts) AS INT) AS VARCHAR) || ' 00:00:00' AS wk_sunday,
+       CAST(make_timestamp(year(ts)::BIGINT, GREATEST((month(ts) // 4) * 3, 1)::BIGINT, 1, 0, 0, 0.0) AS VARCHAR) AS qtr_start
+FROM events WHERE event_id < 500 ORDER BY event_id
+"""
+
+ORACLES["qa11_p_norms"] = """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) != 0.0)) AS DOUBLE) AS n0,
+       round(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, b) -> a + b), 6) AS n1,
+       round(sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)), 6) AS n2,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS ninf
+FROM embeddings WHERE vec_id < 500 ORDER BY vec_id
+"""
+
+ORACLES["qa12_row_number"] = """
+SELECT event_id,
+       row_number() OVER (ORDER BY event_id) AS rn_num,
+       count(*) OVER () AS total
+FROM events WHERE event_id < 1000 ORDER BY event_id
+"""

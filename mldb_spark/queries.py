@@ -2435,6 +2435,72 @@ def qa09_time_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# QUERIES registry is built at the END of this module so every
+# gate defined below still registers.
+
+
+def qa10_date_part_units(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's date_part unit table through the dialect
+    (types/date.cc:714-846; MLDB-906): 0-based doy/week, dow
+    0=Sunday, the iso8601 family, integer (month/4)+1 quarter, and
+    week-truncation to the previous Sunday. The DuckDB oracle
+    replays each unit with explicit formulas, so any unit-mapping
+    drift breaks the hash."""
+    ctx = _dialect_ctx(spark, sf)
+    out = ctx.query(
+        "SELECT event_id, "
+        "date_part('doy', ts) AS doy0, date_part('week', ts) AS week0, "
+        "date_part('dow', ts) AS dow, date_part('isodow', ts) AS isodow, "
+        "date_part('isoweek', ts) AS isoweek, "
+        "date_part('isoyear', ts) AS isoyear, "
+        "date_part('quarter', ts) AS qtr, "
+        "cast(date_trunc('week', ts) as string) AS wk_sunday, "
+        "cast(date_trunc('quarter', ts) as string) AS qtr_start "
+        "FROM events WHERE event_id < 500 ORDER BY event_id"
+    )
+    ints = ("doy0", "week0", "dow", "isodow", "isoweek", "isoyear", "qtr")
+    return out.select(
+        "event_id",
+        *[F.col(c).cast("long").alias(c) for c in ints],
+        "wk_sunday",
+        "qtr_start",
+    )
+
+
+def qa11_p_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """p-norm family over real embeddings (builtin_functions.cc:
+    1704-1749; MLDB-953): p=0 non-zero count, p=1 plain total, p=2
+    l2, p=inf max element. DuckDB replays with list_* lambdas in
+    float64 — both engines fold the list left-to-right, so values
+    match exactly after a 6-decimal round."""
+    ctx = _dialect_ctx(spark, sf)
+    ctx.register("embeddings", load(spark, sf, "embeddings"))
+    out = ctx.query(
+        "SELECT vec_id, norm(embedding, 0) AS n0, "
+        "round(norm(embedding, 1), 6) AS n1, "
+        "round(norm(embedding, 2), 6) AS n2, "
+        "round(norm(embedding, inf), 6) AS ninf "
+        "FROM embeddings WHERE vec_id < 500 ORDER BY vec_id"
+    )
+    return out.select(
+        "vec_id",
+        F.col("n0").cast("double").alias("n0"),
+        "n1", "n2", "ninf",
+    )
+
+
+def qa12_row_number(spark: SparkSession, sf: str) -> DataFrame:
+    """SELECT-only rowNumber()/totalRows() builtins
+    (row_number_builtin_fct_test / total_rows_builtin_fct_test):
+    1-based numbering in the statement's ORDER BY, count of the
+    post-WHERE row set. Oracle replays with ANSI window functions."""
+    ctx = _dialect_ctx(spark, sf)
+    return ctx.query(
+        "SELECT event_id, rowNumber() AS rn_num, totalRows() AS total "
+        "FROM events WHERE event_id < 1000 ORDER BY event_id"
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
