@@ -586,10 +586,23 @@ class Parser:
         name = self.next()
         if name.kind != "ident":
             raise SyntaxError(f"bad EXCLUDING entry {name}")
+        out = name.value
+        # dotted entries: EXCLUDING (a.b), EXCLUDING (a.*) — MLDB-835
+        while self.peek().kind == "op" and self.peek().value == ".":
+            nxt = self.peek(1)
+            if nxt.kind == "ident":
+                self.next()
+                out += "." + self.next().value
+                continue
+            if nxt.kind == "op" and nxt.value == "*":
+                self.next()
+                self.next()
+                return out + ".*"
+            break
         if self.peek().kind == "op" and self.peek().value == "*":
             self.next()
-            return name.value + "*"
-        return name.value
+            return out + "*"
+        return out
 
     def _table_expr(self):
         left = self._table_primary()

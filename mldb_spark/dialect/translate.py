@@ -684,9 +684,14 @@ class Binder:
         if name in self.colset:
             return name
         if "." in name:
-            head, rest = name.split(".", 1)
-            if head in self.table_aliases and rest in self.colset:
-                return rest
+            # try every alias as a dotted PREFIX, longest first —
+            # aliases and columns may themselves contain dots
+            # (MLDB-835's `"q.r"."a.b" FROM "x.y" AS "q.r"`)
+            for a in sorted(self.table_aliases, key=len, reverse=True):
+                if name.startswith(a + "."):
+                    rest = name[len(a) + 1:]
+                    if rest in self.colset:
+                        return rest
             return None
         cands = [
             f"{a}.{name}"
@@ -1990,6 +1995,22 @@ class MldbContext:
         # (core/bound_queries.cc:1683-1703).
         group_cols = [binder.bind(g).alias(f"__g{i}") for i, g in enumerate(stm.group_by)]
         key_map = [(g, f"__g{k}") for k, g in enumerate(stm.group_by)]
+        # a ColumnRef key matches select items under ANY qualification
+        # spelling — bare, alias-qualified, dotted alias (MLDB-835's
+        # `SELECT "a.b" … GROUP BY "q.r"."a.b"`): map every
+        # physically-equivalent form to the same key slot
+        for k, g in enumerate(stm.group_by):
+            if isinstance(g, ast.ColumnRef):
+                phys = binder._resolve_name(g.name)
+                if phys:
+                    variants = {phys} | {
+                        f"{a}.{phys}" for a in binder.table_aliases
+                    }
+                    key_map.extend(
+                        (ast.ColumnRef(v), f"__g{k}")
+                        for v in variants
+                        if v != g.name
+                    )
         agg_cols: list[Column] = []
         items: list[tuple[str, ast.Expr | None]] = []  # (name, post-agg expr or None)
         for i, it in enumerate(stm.select):

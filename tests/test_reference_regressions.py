@@ -1199,3 +1199,43 @@ def test_mldb_1840_empty_str_paths(mldb):
     assert sorted(df.columns) == ["", "pwet"]
     row = df.collect()[0]
     assert (row[""], row["pwet"]) == ("5", "10")
+
+
+def test_mldb_835_table_aliases(mldb):
+    """MLDB-835-table-aliases.py: dotted table names, dotted column
+    names, dotted ALIASES ('x.y' AS 'q.r'), and their interplay in
+    SELECT / ORDER BY / GROUP BY resolution. (The join case where
+    flattened names collide — table x column y.z vs table x.y column
+    z — stays a documented divergence: this engine's join output
+    names are flat strings, the reference's are structured paths.)"""
+    df = mldb.spark.createDataFrame(
+        [("row1", 7, 11, 0), ("row2", 5, 13, 1)],
+        "rn string, `a.b` int, z int, id int",
+    )
+    mldb.create_dataset("x.y", df, row_name_col="rn")
+    assert _q(mldb, 'SELECT a.b AS v FROM "x.y" ORDER BY v') == [(5,), (7,)]
+    assert len(_q(mldb, 'SELECT "a."* FROM "x.y"')) == 2
+    assert len(_q(mldb, 'SELECT a.* FROM "x.y"')) == 2
+    out = mldb.query('select * excluding(a.*) from "x.y"')
+    assert sorted(out.columns) == ["id", "rn", "z"]
+    for sql in (
+        'SELECT q.r.a.b AS v FROM "x.y" as "q.r"',
+        'SELECT "q.r".a.b AS v FROM "x.y" as "q.r"',
+        'SELECT "q.r"."a.b" AS v FROM "x.y" as "q.r"',
+    ):
+        assert sorted(_q(mldb, sql)) == [(5,), (7,)]
+    assert _q(
+        mldb,
+        'SELECT "q.r"."a.b" AS "n.m" FROM "x.y" as "q.r" '
+        'ORDER BY "q.r"."a.b"',
+    ) == [(5,), (7,)]
+    assert len(_q(mldb, 'SELECT count(1) AS c FROM "x.y" GROUP BY "a.b"')) == 2
+    assert _q(
+        mldb,
+        'SELECT "a.b" FROM "x.y" as "q.r" GROUP BY "q.r"."a.b"',
+    ) in ([(7,), (5,)], [(5,), (7,)])
+    assert _q(
+        mldb,
+        'SELECT "q.r"."a.b" AS nm FROM "x.y" as "q.r" GROUP BY "a.b" '
+        "ORDER BY nm",
+    ) == [(5,), (7,)]
