@@ -114,12 +114,30 @@ class Mldb:
         stm = parser.parse_subselect()
 
         def apply(df: DataFrame, params: dict[str, object] | None = None) -> DataFrame:
-            binder = Binder(df.columns, params or {}, dtypes=dict(df.dtypes))
-            cols = []
+            # pass 1: a bare * is the identity output (the input row
+            # passes through — MLDB-797's `expression: '*'`), and a
+            # call to ANOTHER registered function composes by applying
+            # it first (MLDB-797/800 nested sql.expression entities)
+            plain: list[tuple[int, _ast.ExprItem]] = []
             for i, it in enumerate(stm.select):
+                if isinstance(it, _ast.Wildcard):
+                    continue
                 if not isinstance(it, _ast.ExprItem):
                     raise ValueError("sql.expression takes plain select items")
-                cols.append(binder.bind(it.expr).alias(it.alias or _expr_name(it.expr, i)))
+                if (
+                    isinstance(it.expr, _ast.FunctionCall)
+                    and self.ctx._lookup_function(it.expr.name) is not None
+                ):
+                    df = self.ctx._lookup_function(it.expr.name)(df)
+                    continue
+                plain.append((i, it))
+            if not plain:
+                return df
+            binder = Binder(df.columns, params or {}, dtypes=dict(df.dtypes))
+            cols = [
+                binder.bind(it.expr).alias(it.alias or _expr_name(it.expr, i))
+                for i, it in plain
+            ]
             return df.select("*", *cols)
 
         self.functions.register(name, apply)

@@ -104,6 +104,10 @@ class Cast(Expr):
 class FunctionCall(Expr):
     name: str
     args: list[Expr]
+    # raw surface spelling — the reference's function names are
+    # case-sensitive (MLDB-957); compare=False keeps structural
+    # equality (GROUP BY key rewrites) spelling-insensitive
+    raw: str | None = field(default=None, compare=False)
 
 
 @dataclass

@@ -427,7 +427,7 @@ class Parser:
                 while self.accept_op(","):
                     args.append(self.parse_expr())
             self.expect_op(")")
-            return ast.FunctionCall(name.lower(), args)
+            return ast.FunctionCall(name.lower(), args, raw=name)
         return ast.ColumnRef(name)
 
     def _case(self) -> ast.Expr:

@@ -869,8 +869,27 @@ class Binder:
             raise ValueError("CASE needs at least one WHEN")
         return col.otherwise(self.bind(e.otherwise)) if e.otherwise is not None else col
 
+    # camelCase canonical spellings (the reference registers these
+    # exact names; everything else is lowercase)
+    _CANONICAL_SPELLING = {
+        "rowname": "rowName", "rowhash": "rowHash", "rowpath": "rowPath",
+        "rowpathelement": "rowPathElement",
+        "rowpathlength": "rowPathLength", "rownumber": "rowNumber",
+        "totalrows": "totalRows", "columncount": "columnCount",
+        "columnname": "columnName", "rowcount": "rowCount",
+        "st_contains_point": "ST_Contains_Point",
+        "readpixels": "ReadPixels", "proximatevoxels": "ProximateVoxels",
+    }
+
     def _call(self, e: ast.FunctionCall) -> Column:
         name = e.name
+        # function names are case-sensitive in the reference
+        # (MLDB-957: POWER() is unknown): accept the canonical
+        # spelling and, leniently, the all-lowercase form
+        if e.raw is not None and e.raw != name:
+            canonical = self._CANONICAL_SPELLING.get(name, name)
+            if e.raw != canonical:
+                raise ValueError(f"Unable to find function {e.raw!r}")
         if name == "rowname":
             if self.row_name_col:
                 return F.col(self.row_name_col)
@@ -1444,8 +1463,37 @@ class MldbContext:
         applied: set[str] = set()
         accessed: set[int] = set()
         arg_cols: list[str] = []
+        spread_outputs: dict[int, list[str]] = {}  # id(item) -> fn output cols
         for it in stm.select:
             if not isinstance(it, ast.ExprItem):
+                continue
+            # fn({…}) AS * — spread ALL of a registered function's
+            # outputs into the row (MLDB-1440's `noIgnore({a,b}) as *`)
+            if (
+                it.alias == "*"
+                and isinstance(it.expr, ast.FunctionCall)
+                and self._lookup_function(it.expr.name) is not None
+            ):
+                fname = it.expr.name
+                args = it.expr.args
+                if args and isinstance(args[0], ast.RowLiteral):
+                    abinder = Binder(df.columns, params, dtypes=dict(df.dtypes))
+                    for field_name, fexpr in args[0].fields:
+                        if field_name.endswith("*"):
+                            continue  # {*} wildcard: row passes through
+                        if field_name not in df.columns:
+                            df = df.withColumn(field_name, abinder.bind(fexpr))
+                            arg_cols.append(field_name)
+                before = set(df.columns)
+                df = self._lookup_function(fname)(df)
+                applied.add(fname)
+                outs = [c for c in df.columns if c not in before]
+                if not outs:
+                    # identity-shaped function (MLDB-797's
+                    # `expression: '*'` chain): output = input row
+                    outs = [c for c in df.columns if not c.startswith("__")]
+                spread_outputs[id(it)] = outs
+                accessed.add(id(it.expr))
                 continue
             for node in _walk(it.expr):
                 if (
@@ -1481,20 +1529,29 @@ class MldbContext:
                         f"registered function {node.name!r} needs an output "
                         f"accessor: {node.name}({{…}})[output_column]"
                     )
-        if not mapping:
+        if not mapping and not spread_outputs:
             return df, stm
-        out_names = {name for _, name in mapping}
+        out_names = {name for _, name in mapping} | {
+            c for outs in spread_outputs.values() for c in outs
+        }
         stale = [c for c in arg_cols if c not in out_names]
         if stale:
             df = df.drop(*stale)
         import dataclasses
 
-        new_select = [
-            dataclasses.replace(it, expr=_substitute(it.expr, mapping))
-            if isinstance(it, ast.ExprItem)
-            else it
-            for it in stm.select
-        ]
+        new_select: list[ast.SelectItem] = []
+        for it in stm.select:
+            if id(it) in spread_outputs:
+                new_select.extend(
+                    ast.ExprItem(ast.ColumnRef(c), c)
+                    for c in spread_outputs[id(it)]
+                )
+            elif isinstance(it, ast.ExprItem):
+                new_select.append(
+                    dataclasses.replace(it, expr=_substitute(it.expr, mapping))
+                )
+            else:
+                new_select.append(it)
         return df, dataclasses.replace(stm, select=new_select)
 
     def query(self, sql: str, params: dict[str, object] | None = None) -> DataFrame:

@@ -1239,3 +1239,42 @@ def test_mldb_835_table_aliases(mldb):
         'SELECT "q.r"."a.b" AS nm FROM "x.y" as "q.r" GROUP BY "a.b" '
         "ORDER BY nm",
     ) == [(5,), (7,)]
+
+
+def test_mldb_957_function_name_case(mldb):
+    """MLDB-957-function-name.py: function names are case-sensitive
+    (power works, POWER is unknown); camelCase builtins accept only
+    their canonical spelling."""
+    _ds(mldb, "m957", [("row1", 15)], "rn string, x int")
+    assert _q(mldb, "select power(x, 2) as p from m957") == [(225.0,)]
+    for bad in (
+        "select POWER(x, 2) as p from m957",
+        "select Power(x, 2) as p from m957",
+        "select ROWNAME() as r from m957",
+    ):
+        with pytest.raises(Exception, match="[Uu]nable to find function"):
+            mldb.query(bad).collect()
+    assert _q(mldb, "select rowName() as r from m957") == [("row1",)]
+
+
+def test_mldb_1440_and_797_function_entities(mldb):
+    """MLDB-1440_sqlexpr_ignore_unknown_param.py /
+    MLDB-797-nested_sql_expressions.py: sql.expression entities
+    ignore unknown argument fields, apply with `as *` spreading all
+    outputs, support the identity `*` expression, and compose (one
+    entity calling another)."""
+    _ds(
+        mldb,
+        "m797",
+        [("row_0", 1, 2), ("row_1", 1, 3), ("row_2", None, 4)],
+        "rn string, x int, y int",
+    )
+    mldb.create_sql_expression_function("noIgnore", "a+b as rez")
+    out = mldb.query("select noIgnore({a:1, b:2}) as * from m797 limit 1")
+    assert out.columns == ["rez"] and out.collect()[0]["rez"] == 3
+    out = mldb.query("select noIgnore({a:1, b:2, c:5}) as * from m797 limit 1")
+    assert out.columns == ["rez"] and out.collect()[0]["rez"] == 3
+    mldb.create_sql_expression_function("patate", "*")
+    mldb.create_sql_expression_function("poil", "patate({*})")
+    out = mldb.query("SELECT poil({*}) as * from m797")
+    assert out.count() == 3 and set(out.columns) >= {"x", "y"}
