@@ -502,3 +502,79 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve candidate duplicate PAIRS into duplicate GROUPS:
+    (node, component) where component is the minimum node id of the
+    connected component — the canonical survivor every member maps
+    to. This is the step between pair generation (minhash/simhash/
+    winnowing emit pairs) and actual corpus dedup (drop everything
+    whose component != itself).
+
+    Algorithm: distributed min-label propagation. Each round joins
+    the current labels across the (symmetrized) edge set and keeps
+    the per-node minimum — one shuffle join + one partial-agg shuffle
+    per round, converging in O(component diameter) rounds with a
+    driver-side convergence check (a single count per round). Dedup
+    graphs are dense near-cliques (diameter 2-4 in practice), so the
+    round count stays small; for adversarial long-chain graphs the
+    O(log n) alternating-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce", SoCC'14) is the scale-out upgrade path.
+
+    100 TB shape: labels and edges stay partitioned by node across
+    rounds (the join keys never change), intermediates are
+    persist-tracked and released per round, and the loop stops on a
+    changed-count of zero rather than a fixed iteration budget.
+    """
+    edges = persist_tracked(
+        pairs.select(F.col(a_col).alias("node"), F.col(b_col).alias("nbr"))
+        .union(pairs.select(F.col(b_col).alias("node"), F.col(a_col).alias("nbr")))
+        .distinct()
+    )
+    # localCheckpoint per round truncates the lineage — without it
+    # each round's logical plan nests the previous round's and
+    # Catalyst analysis time compounds (the classic iterative-algo
+    # trap); at cluster scale swap for a reliable checkpoint dir.
+    labels = (
+        edges.groupBy("node")
+        .agg(F.min("nbr").alias("label"))
+        .select("node", F.least("node", "label").alias("label"))
+        .localCheckpoint()
+    )
+
+    def _label_sum(d: DataFrame) -> int:
+        # labels only ever decrease, so the (exact, overflow-proof)
+        # sum strictly decreases until the fixpoint — one cheap agg
+        # per round instead of a join-based changed-count
+        return int(
+            d.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        )
+
+    prev = _label_sum(labels)
+    for _ in range(max_iter):
+        nbr_labels = edges.join(
+            labels.withColumnRenamed("node", "nbr").withColumnRenamed(
+                "label", "nbr_label"
+            ),
+            "nbr",
+        ).select("node", F.col("nbr_label").alias("label"))
+        labels = (
+            labels.union(nbr_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur = _label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    # edges are fully consumed by the converged labels — release the
+    # intermediate now (labels are checkpointed, not lazy)
+    edges.unpersist()
+    return labels.select("node", F.col("label").alias("component"))

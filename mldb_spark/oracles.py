@@ -1353,3 +1353,36 @@ SELECT event_id,
        count(*) OVER () AS total
 FROM events WHERE event_id < 1000 ORDER BY event_id
 """
+
+ORACLES["qa13_dedup_clusters"] = f"""
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 500),
+fp AS (
+  SELECT doc_id, md5({_NORM}) AS fp FROM documents WHERE doc_id < 500
+),
+exact_pairs AS (
+  SELECT g.a AS a, f2.doc_id AS b
+  FROM (SELECT fp, MIN(doc_id) AS a FROM fp GROUP BY fp) g
+  JOIN fp f2 USING (fp)
+  WHERE f2.doc_id > g.a
+),
+chain_pairs AS (
+  SELECT d.doc_id AS a, d.doc_id + 1 AS b
+  FROM docs d JOIN docs d2 ON d2.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 10 < 9
+),
+edges AS (
+  SELECT a, b FROM exact_pairs UNION SELECT a, b FROM chain_pairs
+  UNION SELECT b AS a, a AS b FROM exact_pairs
+  UNION SELECT b AS a, a AS b FROM chain_pairs
+),
+RECURSIVE_CLOSURE AS (
+  WITH RECURSIVE r(s, t) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.s, e.b FROM r JOIN edges e ON r.t = e.a
+  )
+  SELECT s, t FROM r
+)
+SELECT s AS node, LEAST(s, MIN(t)) AS component
+FROM RECURSIVE_CLOSURE GROUP BY s ORDER BY node
+"""

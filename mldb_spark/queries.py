@@ -2435,6 +2435,37 @@ def qa09_time_arithmetic(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa13_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup PAIRS resolved into duplicate GROUPS via distributed
+    connected components (dedup.connected_components — min-label
+    propagation, one join + one partial-agg shuffle per round).
+    Edges: exact-fingerprint duplicates UNION id chains (i ↔ i+1
+    when i%10 < 9 — ten-node transitive chains the closure must
+    merge). The DuckDB oracle replays the closure with a recursive
+    CTE, so a propagation bug (missed transitivity, wrong canonical
+    id) breaks the hash."""
+    from mldb_spark.dedup import connected_components
+    from mldb_spark.functions.text import doc_fingerprint
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    fp = docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+    exact_pairs = (
+        fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("a"), F.collect_set("doc_id").alias("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+    )
+    chain_pairs = docs.filter(F.col("doc_id") % 10 < 9).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b")
+    ).join(docs.select(F.col("doc_id").alias("b")), "b", "left_semi")
+    pairs = exact_pairs.union(chain_pairs.select("a", "b"))
+    return (
+        connected_components(pairs)
+        .orderBy("node")
+        .select(F.col("node").cast("long"), F.col("component").cast("long"))
+    )
+
+
 # QUERIES registry is built at the END of this module so every
 # gate defined below still registers.
 

@@ -565,3 +565,33 @@ def test_asof_join_tolerance(spark):
     }
     assert out[0] == 7.0      # 10 min old: inside tolerance
     assert out[5] is None     # 5 h old: dropped
+
+
+def test_connected_components(spark):
+    """dedup.connected_components: min-label propagation resolves
+    pairs into components — chains merge transitively, cycles close,
+    disjoint pairs stay separate, and the component id is the
+    minimum member."""
+    from mldb_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            # chain 1-2-3-4-5 (transitive merge over 4 hops)
+            (1, 2), (2, 3), (3, 4), (4, 5),
+            # cycle 10-11-12-10
+            (10, 11), (11, 12), (12, 10),
+            # isolated pair
+            (20, 21),
+            # star centered high, min at a leaf
+            (31, 30), (31, 32), (31, 33),
+        ],
+        "a long, b long",
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert {n: out[n] for n in (1, 2, 3, 4, 5)} == {n: 1 for n in (1, 2, 3, 4, 5)}
+    assert {n: out[n] for n in (10, 11, 12)} == {n: 10 for n in (10, 11, 12)}
+    assert out[20] == 20 and out[21] == 20
+    assert {n: out[n] for n in (30, 31, 32, 33)} == {n: 30 for n in (30, 31, 32, 33)}
