@@ -392,6 +392,10 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         # flat-object form → MAP<string,string>; nested JSON should use
         # the json path extraction functions instead
         return F.from_json(args[0], "map<string,string>")
+    if name == "canonicalize_url":
+        from mldb_spark.functions.web import canonicalize_url
+
+        return canonicalize_url(args[0])
     if name == "extract_domain":
         # http family (sql/builtin_http_functions.cc:38-77); the
         # options row literal {removeSubdomain: true|1} is a bind-time

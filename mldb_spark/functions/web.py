@@ -137,3 +137,54 @@ def extract_domain(url: Column, remove_subdomain: bool = False) -> Column:
     # rfind two dots from the end == capture the trailing two labels
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return F.when(is_ip | (two == ""), host).otherwise(two)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form for URL-keyed dedup (the first stage of a
+    web-corpus pipeline: exact-dup keys and blocklist joins both key
+    on this). Pure JVM expressions — no Python in the hot path.
+
+    Rules (the common-subset of crawl-dedup canonicalizers):
+    - lowercase scheme and host;
+    - strip the fragment (#...);
+    - strip known tracking query params (utm_*, fbclid, gclid,
+      ref) and the whole '?' when nothing survives;
+    - drop default ports (:80 for http, :443 for https);
+    - remove a trailing slash on a non-root path;
+    - strip a leading 'www.' host label.
+    """
+    c = F.trim(url)
+    # fragment off first (everything after #)
+    c = F.regexp_replace(c, r"#.*$", "")
+    # split scheme://host[:port]/path?query — lowercase scheme+host
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    # default ports + www.
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.regexp_replace(hostport, r":80$", ""),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.regexp_replace(hostport, r":443$", ""),
+    ).otherwise(hostport)
+    # split path vs query
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    # drop tracking params from the query, preserving order
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=")
+        & (p != ""),
+    )
+    new_query = F.array_join(kept, "&")
+    # trailing slash off non-root paths; empty path becomes /
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    out = F.concat(scheme, F.lit("://"), hostport, path)
+    return F.when(new_query != "", F.concat(out, F.lit("?"), new_query)).otherwise(out)

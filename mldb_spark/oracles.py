@@ -1386,3 +1386,13 @@ RECURSIVE_CLOSURE AS (
 SELECT s AS node, LEAST(s, MIN(t)) AS component
 FROM RECURSIVE_CLOSURE GROUP BY s ORDER BY node
 """
+
+ORACLES["qa14_url_canonicalize"] = """
+SELECT doc_id,
+       'HTTPS://WWW.' || upper(source) || '.example.com:443/' || lang ||
+         '/d' || doc_id || '/?utm_source=feed&id=' || doc_id ||
+         '&fbclid=x#section' AS raw_url,
+       'https://' || lower(source) || '.example.com/' || lang ||
+         '/d' || doc_id || '?id=' || doc_id AS canon
+FROM documents WHERE doc_id < 3000 ORDER BY doc_id
+"""

@@ -2466,6 +2466,33 @@ def qa13_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa14_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (functions.web.
+    canonicalize_url): lowercase scheme/host, strip fragments and
+    tracking params, drop default ports and www., trim trailing
+    slashes. URLs are synthesized deterministically from document
+    fields with every rule triggered; the oracle writes the expected
+    canonical form directly, so any rule drift breaks the hash.
+    Scale shape: pure JVM regexp chain, rides whole-stage codegen."""
+    from mldb_spark.functions.web import canonicalize_url
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 3000)
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.upper("source"), F.lit(".example.com:443/"),
+        F.col("lang"), F.lit("/d"), F.col("doc_id"),
+        F.lit("/?utm_source=feed&id="), F.col("doc_id"),
+        F.lit("&fbclid=x#section"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            url.alias("raw_url"),
+            canonicalize_url(url).alias("canon"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # QUERIES registry is built at the END of this module so every
 # gate defined below still registers.
 

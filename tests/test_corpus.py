@@ -242,3 +242,31 @@ def test_pack_sequences_matches_reference_model(spark):
                 bins.append(MAX - tok)
                 want[(b, len(bins) - 1, i)] = False
     assert got == want
+
+
+def test_canonicalize_url_rules(spark):
+    """Each canonicalization rule in isolation: case, fragment,
+    tracking params, default ports, www., trailing slash, bare host."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.functions.web import canonicalize_url
+
+    cases = {
+        "HTTP://WWW.Example.COM:80/Path/?utm_source=x&q=1#f":
+            "http://example.com/Path?q=1",
+        "https://example.com:443/": "https://example.com/",
+        "https://sub.example.com/a/b?fbclid=1": "https://sub.example.com/a/b",
+        "http://example.com/p?a=1&utm_campaign=c&b=2":
+            "http://example.com/p?a=1&b=2",
+        "https://example.com/page/": "https://example.com/page",
+        "http://example.com": "http://example.com/",
+        "https://example.com/?ref=hn": "https://example.com/",
+        # non-default port survives
+        "https://example.com:8443/x": "https://example.com:8443/x",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    out = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert out == cases
