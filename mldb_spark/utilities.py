@@ -141,3 +141,57 @@ def mock_dataset(spark: SparkSession, n_rows: int = 100, seed: int = 1) -> DataF
             (F.crc32(F.concat(F.lit(seed + 1), F.col("id"))) % 1000 / 1000.0).alias("value"),
         )
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    n_salts: int = 16,
+    skew_threshold: int | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the FACT side's hot keys across
+    n_salts sub-keys and replicate the matching DIM rows once per
+    salt, so a single hot key spreads over n_salts reducers instead
+    of stalling one.
+
+    This is the manual fallback when AQE's skew-join split
+    (spark.sql.adaptive.skewJoin.enabled) can't kick in — e.g. the
+    skewed side is the OUTPUT of an aggregation in the same stage, or
+    the join is feeding a window that repartitions by the same key.
+
+    When `skew_threshold` is given, ONLY keys whose fact-side count
+    exceeds it are salted (one cheap count pass over the fact keys);
+    everything else joins on the natural key — the replicate cost is
+    then |hot keys| * n_salts, not |dim| * n_salts.
+
+    Supports inner and left joins (the salting side is `fact`).
+    """
+    import pyspark.sql.functions as F
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if skew_threshold is not None:
+        hot = (
+            fact.groupBy(key)
+            .count()
+            .filter(F.col("count") > skew_threshold)
+            .select(key)
+        )
+        hot_rows = fact.join(F.broadcast(hot), key, "left_semi")
+        cold_rows = fact.join(F.broadcast(hot), key, "left_anti")
+        hot_dim = dim.join(F.broadcast(hot), key, "left_semi")
+        cold_dim = dim.join(F.broadcast(hot), key, "left_anti")
+        joined_hot = salted_join(hot_rows, hot_dim, key, how, n_salts, None)
+        joined_cold = cold_rows.join(cold_dim, key, how)
+        return joined_hot.unionByName(joined_cold)
+    salted_fact = fact.withColumn(
+        "__salt", (F.rand(seed=7) * n_salts).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return (
+        salted_fact.join(salted_dim, [key, "__salt"], how).drop("__salt")
+    )

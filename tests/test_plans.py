@@ -208,3 +208,35 @@ def test_mixture_sample_rate_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salted_join_correctness_and_spread(spark):
+    """utilities.salted_join: same rows as the natural join, with the
+    hot key spread across salt sub-keys; threshold mode only salts
+    hot keys (cold keys join naturally)."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.utilities import salted_join
+
+    # one hot key (0: 500 rows), many cold keys
+    fact = spark.range(600).select(
+        F.when(F.col("id") < 500, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 700, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    expected = sorted(
+        (r["k"], r["v"], r["w"]) for r in fact.join(dim, "k").collect()
+    )
+    for kwargs in ({}, {"skew_threshold": 100}, {"how": "left"}):
+        got = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in salted_join(fact, dim, "k", **kwargs).collect()
+        )
+        assert got == expected, kwargs
+    # left join keeps unmatched fact rows
+    dim_small = dim.filter(F.col("k") < 10)
+    left = salted_join(fact, dim_small, "k", how="left", skew_threshold=100)
+    assert left.count() == 600
+    assert left.filter(F.col("w").isNull()).count() == 100
