@@ -304,6 +304,13 @@ class Parser:
                 if st.kind != "string":
                     raise SyntaxError(f"INTERVAL needs a quoted literal, got {st}")
                 return ast.IntervalLiteral(*parse_interval_text(st.value))
+            if t.value == "timestamp":
+                # TIMESTAMP '2016-01-02T12:23:34Z' / TIMESTAMP expr —
+                # a cast-prefix form (MLDB-909's WHEN clauses)
+                nt = self.peek()
+                if nt.kind == "string":
+                    return ast.Cast(ast.Literal(self.next().value), "timestamp")
+                return ast.Cast(self.parse_expr(7), "timestamp")
             if t.value == "case":
                 return self._case()
             if t.value == "cast":

@@ -1278,3 +1278,70 @@ def test_mldb_1440_and_797_function_entities(mldb):
     mldb.create_sql_expression_function("poil", "patate({*})")
     out = mldb.query("SELECT poil({*}) as * from m797")
     assert out.count() == 3 and set(out.columns) >= {"x", "y"}
+
+
+def test_mldb_909_when_timestamp_literal(mldb):
+    """MLDB-909-simple-WHEN-expression.py: TIMESTAMP literals in WHEN
+    clauses — cells inside the window survive, outside vanish; WHERE
+    keeps operating on the latest values (cells layout covered by
+    operators.temporal)."""
+    from pyspark.sql import functions as F
+
+    spark = mldb.spark
+    rows = [(str(i), str(i), "2020-06-01T00:00:00") for i in range(9)]
+    rows.append(("9", "9", "2020-06-02T00:00:00"))
+    df = spark.createDataFrame(rows, "rn string, x string, tss string").select(
+        "rn", "x", F.col("tss").cast("timestamp").alias("ts")
+    )
+    mldb.create_dataset("m909", df, row_name_col="rn", ts_col="ts")
+    full = _q(
+        mldb,
+        "SELECT x FROM m909 WHEN value_timestamp() BETWEEN "
+        "TIMESTAMP '2019-06-01' AND TIMESTAMP '2021-06-01' ORDER BY rowName()",
+    )
+    assert [v for (v,) in full] == [str(i) for i in range(10)]
+    none = _q(
+        mldb,
+        "SELECT x FROM m909 WHEN value_timestamp() BETWEEN "
+        "TIMESTAMP '2019-06-01' AND TIMESTAMP '2019-06-08'",
+    )
+    assert none == []
+    last_out = _q(
+        mldb,
+        "SELECT x FROM m909 WHEN value_timestamp() < TIMESTAMP '2020-06-02' "
+        "ORDER BY rowName()",
+    )
+    assert [v for (v,) in last_out] == [str(i) for i in range(9)]
+    assert _q(mldb, "SELECT x FROM m909 WHERE x = '9'") == [("9",)]
+
+
+def test_mldb_963_when_in_when_cells(spark):
+    """MLDB-963-when-in-WHEN.py on the cells layout: WHEN
+    value_timestamp() < latest_timestamp(x) drops each row's x cell
+    (its own latest) but keeps older y cells; row 9 (x and y at the
+    same late stamp) loses both."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.operators.temporal import when_filter
+
+    now, tomorrow = 1000.0, 1000.0 + 86400
+    cells = []
+    for i in range(9):
+        cells.append((str(i), "x", str(i), tomorrow))
+        cells.append((str(i), "y", str(i), now))
+    cells.append(("9", "x", "9", tomorrow))
+    cells.append(("9", "y", "9", tomorrow))
+    df = spark.createDataFrame(
+        cells, "row string, column string, value string, ts_raw double"
+    ).select("row", "column", "value", F.col("ts_raw").cast("timestamp").alias("ts"))
+    latest_x = (
+        df.filter(F.col("column") == "x")
+        .groupBy("row")
+        .agg(F.max("ts").alias("x_latest"))
+    )
+    joined = df.join(latest_x, "row")
+    kept = when_filter(joined, F.col("ts") < F.col("x_latest"))
+    out = {
+        (r["row"], r["column"]) for r in kept.collect()
+    }
+    assert out == {(str(i), "y") for i in range(9)}
