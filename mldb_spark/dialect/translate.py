@@ -1822,6 +1822,42 @@ class MldbContext:
             for it in stm.select
         )
 
+        ordagg_names: list[str] = []
+        if is_agg and stm.order_by:
+            # ORDER BY over aggregates not in the select list
+            # (MLDBFB-638's `ORDER BY min(z), y`): compute them as
+            # hidden aggregate outputs, sort on those, drop after
+            import dataclasses
+
+            sel_map = [
+                (it.expr, it.alias or _expr_name(it.expr, j))
+                for j, it in enumerate(stm.select)
+                if isinstance(it, ast.ExprItem)
+            ]
+            sel_names = {name for _, name in sel_map}
+            extra_items: list[ast.ExprItem] = []
+            new_order: list[ast.OrderItem] = []
+            for i, o in enumerate(stm.order_by):
+                subst = _substitute(o.expr, sel_map)
+                if isinstance(subst, ast.ColumnRef) and subst.name in sel_names:
+                    # resolves to a select output
+                    new_order.append(ast.OrderItem(subst, o.ascending))
+                    continue
+                # anything else — an aggregate or a key expression not
+                # in the select list — becomes a hidden output
+                name = f"__ordagg{i}"
+                extra_items.append(ast.ExprItem(o.expr, name))
+                ordagg_names.append(name)
+                new_order.append(
+                    ast.OrderItem(ast.ColumnRef(name), o.ascending)
+                )
+            if extra_items:
+                stm = dataclasses.replace(
+                    stm,
+                    select=list(stm.select) + extra_items,
+                    order_by=new_order,
+                )
+
         if is_agg:
             out = self._aggregate_select(df, stm, binder)
         else:
@@ -1894,6 +1930,8 @@ class MldbContext:
             out = out.orderBy(*order_cols)
             if hidden_names:
                 out = out.drop(*hidden_names)
+        if ordagg_names:
+            out = out.drop(*ordagg_names)
         if stm.offset:
             out = out.offset(stm.offset)
         if stm.limit is not None:
@@ -2101,6 +2139,20 @@ class MldbContext:
                         f"function of the GROUP BY keys (free columns: {stray})"
                     )
                 items.append((name, rewritten))
+        if stm.named is not None:
+            # NAMED under GROUP BY (MLDBFB-650's
+            # `x NAMED min(rowName()) GROUP BY x`): an aggregate
+            # NAMED computes per group; otherwise it must derive
+            # from the keys like any select item
+            if _contains_aggregate(stm.named):
+                agg_cols.append(
+                    binder.bind(stm.named).cast("string").alias("rowName")
+                )
+                items.append(("rowName", None))
+            else:
+                items.append(
+                    ("rowName", ast.Cast(_substitute(stm.named, key_map), "string"))
+                )
         if not agg_cols:
             out = df.select(*group_cols).distinct()
         else:

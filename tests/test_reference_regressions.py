@@ -1345,3 +1345,36 @@ def test_mldb_963_when_in_when_cells(spark):
         (r["row"], r["column"]) for r in kept.collect()
     }
     assert out == {(str(i), "y") for i in range(9)}
+
+
+def test_mldbfb_638_orderby_aggregate(mldb):
+    """MLDBFB-638-groupby-orderby-transform.py: ORDER BY over an
+    aggregate that is not in the select list (hidden aggregate
+    output), and over group keys not selected."""
+    _ds(
+        mldb,
+        "mfb638",
+        [("row1", "1", "1", "2"), ("row2", "2", "2", "1")],
+        "rn string, x string, y string, z string",
+    )
+    assert _q(
+        mldb, "SELECT min(x) AS mx FROM mfb638 GROUP BY y ORDER BY min(z), y"
+    ) == [("2",), ("1",)]
+    assert _q(
+        mldb, "SELECT min(x) AS mx FROM mfb638 GROUP BY y ORDER BY y DESC"
+    ) == [("2",), ("1",)]
+
+
+def test_mldbfb_650_named_aggregator(mldb):
+    """MLDBFB-650-names-aggregators.py: NAMED with an aggregate under
+    GROUP BY computes the row name per group."""
+    _ds(
+        mldb,
+        "mfb650",
+        [("efgh", "1"), ("abcd", "1")],
+        "rn string, x string",
+    )
+    out = mldb.query("SELECT x NAMED min(rowName()) FROM mfb650 GROUP BY x")
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["x"] == "1" and rows[0]["rowName"] == "abcd"
