@@ -118,9 +118,29 @@ class Mldb:
             # passes through — MLDB-797's `expression: '*'`), and a
             # call to ANOTHER registered function composes by applying
             # it first (MLDB-797/800 nested sql.expression entities)
+            from pyspark.sql import functions as _F
+            from pyspark.sql.types import StructType as _StructType
+
             plain: list[tuple[int, _ast.ExprItem]] = []
+            qualified_cols = []
             for i, it in enumerate(stm.select):
                 if isinstance(it, _ast.Wildcard):
+                    # `input.*` over a struct-valued argument column
+                    # (MLDB-1707): expand its fields as dotted outputs;
+                    # a bare * is the identity (input passes through)
+                    if (
+                        it.qualifier
+                        and it.qualifier in df.columns
+                        and isinstance(
+                            df.schema[it.qualifier].dataType, _StructType
+                        )
+                    ):
+                        qualified_cols.extend(
+                            _F.col(it.qualifier)
+                            .getField(f.name)
+                            .alias(f"{it.qualifier}.{f.name}")
+                            for f in df.schema[it.qualifier].dataType.fields
+                        )
                     continue
                 if not isinstance(it, _ast.ExprItem):
                     raise ValueError("sql.expression takes plain select items")
@@ -131,10 +151,10 @@ class Mldb:
                     df = self.ctx._lookup_function(it.expr.name)(df)
                     continue
                 plain.append((i, it))
-            if not plain:
+            if not plain and not qualified_cols:
                 return df
             binder = Binder(df.columns, params or {}, dtypes=dict(df.dtypes))
-            cols = [
+            cols = qualified_cols + [
                 binder.bind(it.expr).alias(it.alias or _expr_name(it.expr, i))
                 for i, it in plain
             ]

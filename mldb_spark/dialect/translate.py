@@ -1178,6 +1178,20 @@ class Binder:
                 else:
                     fields.append(agg(self.bind(fexpr)).alias(fname))
             return F.struct(*fields)
+        # arity validation (MLDB-1792: silent argument drops would be
+        # wrong answers — "function avg expected 1 argument, got 2")
+        one_arg = (
+            "count", "count_distinct", "avg", "sum", "min", "max",
+            "variance", "stddev", "earliest", "latest",
+        )
+        if e.name in one_arg and len(e.args) != 1:
+            raise ValueError(
+                f"function {e.name} expected 1 argument, got {len(e.args)}"
+            )
+        if e.name == "string_agg" and len(e.args) not in (1, 2):
+            raise ValueError(
+                f"function string_agg expected 1 or 2 arguments, got {len(e.args)}"
+            )
         if e.name == "count":
             if len(e.args) == 1 and isinstance(e.args[0], ast.Literal) and e.args[0].value == "*":
                 return F.count(F.lit(1))

@@ -1378,3 +1378,76 @@ def test_mldbfb_650_named_aggregator(mldb):
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0]["x"] == "1" and rows[0]["rowName"] == "abcd"
+
+
+def test_mldb_1165_rowname_in(mldb):
+    """MLDB-1165-where-rowname-in-optim.py (+MLDB-1615): WHERE
+    rowName() IN / NOT IN literal lists (the reference's row-index
+    fast path; here Catalyst folds the isin into the scan filter)."""
+    _ds(
+        mldb,
+        "m1165",
+        [(f"u{i}", "whatever") for i in range(200)],
+        "rn string, x string",
+    )
+    out = mldb.query(
+        "select * from m1165 WHERE rowName() IN "
+        "('u1', 'u12', 'u123', 'u1234', 'u12345', 'u123456')"
+    )
+    assert sorted(r["rn"] for r in out.collect()) == ["u1", "u12", "u123"]
+    out = mldb.query(
+        "select * from m1165 WHERE rowName() NOT IN ('u1', 'u3', 'u5', 'u7') "
+        "AND rowPathLength() = 1 ORDER BY rowName() LIMIT 3"
+    )
+    assert [r["rn"] for r in out.collect()] == ["u0", "u10", "u100"]
+
+
+def test_mldb_1026_not_in_subquery_rowname(mldb):
+    """MLDB-1026-slow-not-in.js: rowName() NOT IN (SELECT rowName()
+    FROM other) — the anti-join membership path."""
+    _ds(mldb, "m1026a", [(f"r{i}", i) for i in range(50)], "rn string, x int")
+    _ds(mldb, "m1026b", [(f"r{i}", i) for i in range(40)], "rn string, x int")
+    out = _q(
+        mldb,
+        "select count(*) AS n from m1026a where rowName() not in "
+        "(select rowName() from m1026b)",
+    )
+    assert out == [(10,)]
+
+
+def test_mldb_1552_where_and_rowname(mldb):
+    """MLDB-1552-where-and-rowname-optim.py: conjunction of a column
+    predicate and a rowName() inequality, DESC ordering."""
+    _ds(mldb, "m1552", [(f"row_{i}", i) for i in range(3)], "rn string, x int")
+    out = _q(
+        mldb,
+        "SELECT x FROM m1552 WHERE (x IS NOT null) AND "
+        "rowName() != 'row_1' order by rowName() desc",
+    )
+    assert out == [(2,), (0,)]
+
+
+def test_mldb_1792_aggregator_arity(mldb):
+    """MLDB-1792_aggregator_error_message.py: wrong aggregate arity
+    raises the reference's message instead of silently dropping
+    arguments."""
+    _ds(mldb, "m1792", [("row1", 1)], "rn string, colA int")
+    with pytest.raises(Exception, match="avg expected 1 argument, got 2"):
+        mldb.query("SELECT avg(colA, 2) AS v FROM m1792").collect()
+    assert _q(mldb, "SELECT avg(colA) AS v FROM m1792") == [(1.0,)]
+
+
+def test_mldb_1707_function_nested_input(mldb):
+    """MLDB-1707-no-context-resolve-table.py: an sql.expression over
+    a nested input row (`input.*`) applied as f({input: {...}}) — the
+    argument row materializes and the inner wildcard resolves."""
+    _ds(mldb, "m1707", [("r", 1)], "rn string, one int")
+    mldb.create_sql_expression_function("f1707", "input.*")
+    out = mldb.query(
+        "select f1707( {input: {xx: 1, xy: 2}} ) as * from m1707"
+    )
+    row = out.collect()[0]
+    got = {c: row[c] for c in out.columns if c not in ("rn", "one")}
+    # outputs carry the nested input columns (flat or dotted naming)
+    vals = sorted(v for v in got.values() if v is not None)
+    assert vals == [1, 2]
