@@ -42,6 +42,11 @@ AGGREGATE_FNS = {
     # aggregates (the cells layout goes through operators.temporal)
     "temporal_count", "temporal_sum", "temporal_avg", "temporal_min",
     "temporal_max", "temporal_earliest", "temporal_latest",
+    # beyond the reference's surface: distribution stats every
+    # corpus-quality pipeline needs (exact, sort-based — linear
+    # interpolation between order statistics, matching DuckDB's
+    # quantile_cont for oracle replay)
+    "percentile", "median",
 }
 
 _CAST_TYPES = {
@@ -1217,6 +1222,12 @@ class Binder:
             return F.var_samp(self.bind(e.args[0]))
         if e.name == "stddev":
             return F.stddev_samp(self.bind(e.args[0]))
+        if e.name == "percentile":
+            if len(e.args) != 2 or not isinstance(e.args[1], ast.Literal):
+                raise ValueError("percentile(x, p) needs a literal p in [0,1]")
+            return F.percentile(self.bind(e.args[0]), F.lit(float(e.args[1].value)))
+        if e.name == "median":
+            return F.median(self.bind(e.args[0]))
         if e.name == "string_agg":
             sep = e.args[1].value if len(e.args) > 1 else ","  # type: ignore[union-attr]
             return F.concat_ws(str(sep), F.array_sort(F.collect_list(self.bind(e.args[0]))))

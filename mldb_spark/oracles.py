@@ -1396,3 +1396,12 @@ SELECT doc_id,
          '/d' || doc_id || '?id=' || doc_id AS canon
 FROM documents WHERE doc_id < 3000 ORDER BY doc_id
 """
+
+ORACLES["qa15_percentiles"] = """
+SELECT source, count(*) AS n,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99,
+       round(quantile_cont(n_chars, 0.5), 6) AS med
+FROM documents GROUP BY source ORDER BY source
+"""

@@ -2493,6 +2493,25 @@ def qa14_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa15_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact percentile/median aggregates per group (corpus length
+    distribution stats): sort-based with linear interpolation,
+    matching DuckDB's quantile_cont bit-for-bit after a 6-decimal
+    round. Scale shape: Spark's percentile is a single-pass
+    partial-aggregable sketch-free exact implementation (per-group
+    sorted merge) — one shuffle on the group key."""
+    ctx = _dialect_ctx(spark, sf)
+    ctx.register("documents", load(spark, sf, "documents"))
+    return ctx.query(
+        "SELECT source, count(*) AS n, "
+        "round(percentile(n_chars, 0.5), 6) AS p50, "
+        "round(percentile(n_chars, 0.9), 6) AS p90, "
+        "round(percentile(n_chars, 0.99), 6) AS p99, "
+        "round(median(n_chars), 6) AS med "
+        "FROM documents GROUP BY source ORDER BY source"
+    )
+
+
 # QUERIES registry is built at the END of this module so every
 # gate defined below still registers.
 
