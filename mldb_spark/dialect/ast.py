@@ -175,6 +175,16 @@ class ColumnExprItem(SelectItem):
 
 
 @dataclass
+class ColumnExprRef(Expr):
+    """COLUMN EXPR used INSIDE an expression — a row-literal field
+    like horizontal_sum({COLUMN EXPR (WHERE ...)}) (MLDB-1172). The
+    translator expands it against the bound dataset's columns before
+    binding."""
+
+    item: "ColumnExprItem"
+
+
+@dataclass
 class TableRef:
     name: str
     alias: str | None = None

@@ -362,6 +362,19 @@ class Parser:
             self.next()
             return ("*", ast.ColumnRef("*"))
         t, t1 = self.peek(), self.peek(1)
+        # COLUMN EXPR field: {COLUMN EXPR (WHERE ...)} — the matched
+        # columns become the row's fields (MLDB-1172's
+        # horizontal_sum({COLUMN EXPR (...)}))
+        if (
+            t.kind in ("ident", "kw")
+            and t.value.lower() == "column"
+            and t1.kind in ("ident", "kw")
+            and t1.value.lower() == "expr"
+        ):
+            self.next()
+            self.next()
+            item = self._column_expr_item()
+            return ("__colexpr", ast.ColumnExprRef(item))
         # prefix wildcard field: {x*} expands to every column whose
         # name starts with x (MLDB-832's `{x*} as z`); the binder
         # resolves the marker against the in-scope columns

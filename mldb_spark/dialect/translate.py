@@ -1755,6 +1755,8 @@ class MldbContext:
         # applied-function entities: fn({…})[out] rewrites to an
         # output-column reference after applying the transform once
         df, stm = self._apply_row_functions(df, stm, params)
+        # COLUMN EXPR inside expressions expands to explicit fields
+        stm = self._expand_expr_column_exprs(df, stm, params)
         binder = Binder(
             df.columns, params, row_name_col, ts_col, dict(df.dtypes), aliases
         )
@@ -1991,9 +1993,67 @@ class MldbContext:
                 picked.append(src)
         return picked
 
+    def _expand_expr_column_exprs(self, df, stm, params):
+        """Pre-pass: COLUMN EXPR used INSIDE expressions — a
+        row-literal field like horizontal_sum({COLUMN EXPR (...)})
+        (MLDB-1172) — expands to explicit column fields against the
+        bound dataset before binding."""
+        if not any(
+            isinstance(n, ast.ColumnExprRef)
+            for it in stm.select
+            if isinstance(it, ast.ExprItem)
+            for n in _walk(it.expr)
+        ):
+            return stm
+        import dataclasses
+
+        def rewrite(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.RowLiteral):
+                fields = []
+                for n, x in e.fields:
+                    if isinstance(x, ast.ColumnExprRef):
+                        picks = self._expand_column_expr(
+                            df, x.item, params, names_only=True
+                        )
+                        fields.extend(
+                            (out, ast.ColumnRef(src)) for src, out in picks
+                        )
+                    else:
+                        fields.append((n, rewrite(x)))
+                return dataclasses.replace(e, fields=fields)
+            if isinstance(e, ast.Unary):
+                return dataclasses.replace(e, operand=rewrite(e.operand))
+            if isinstance(e, ast.Binary):
+                return dataclasses.replace(
+                    e, left=rewrite(e.left), right=rewrite(e.right)
+                )
+            if isinstance(e, ast.FunctionCall):
+                return dataclasses.replace(e, args=[rewrite(a) for a in e.args])
+            if isinstance(e, ast.Index):
+                return dataclasses.replace(
+                    e, operand=rewrite(e.operand), key=rewrite(e.key)
+                )
+            if isinstance(e, ast.Case):
+                return dataclasses.replace(
+                    e,
+                    operand=rewrite(e.operand) if e.operand else None,
+                    branches=[(rewrite(c), rewrite(v)) for c, v in e.branches],
+                    otherwise=rewrite(e.otherwise) if e.otherwise else None,
+                )
+            return e
+
+        new_select = [
+            dataclasses.replace(it, expr=rewrite(it.expr))
+            if isinstance(it, ast.ExprItem)
+            else it
+            for it in stm.select
+        ]
+        return dataclasses.replace(stm, select=new_select)
+
     def _expand_column_expr(
-        self, df: DataFrame, item: ast.ColumnExprItem, params: dict
-    ) -> list[Column]:
+        self, df: DataFrame, item: ast.ColumnExprItem, params: dict,
+        names_only: bool = False,
+    ) -> list[Column] | list[tuple[str, str]]:
         """Two-phase COLUMN EXPR (SelectExpression.md:44-128): phase 1
         evaluates the clause expressions over column METADATA
         (operators.relational.column_stats — one aggregate pass, one
@@ -2035,6 +2095,13 @@ class MldbContext:
         rows = rows[item.offset : end]
         if not rows:
             raise ValueError("COLUMN EXPR selected no columns")
+        if names_only:
+            # row-literal context (MLDB-1172): (source, output) names
+            if item.select_expr is not None:
+                raise ValueError(
+                    "COLUMN EXPR (SELECT ...) not supported inside row literals"
+                )
+            return [(r["columnName"], r["__out"]) for r in rows]
         if item.select_expr is None:
             return [
                 F.col(ref_map[r["columnName"]]).alias(r["__out"]) for r in rows

@@ -1451,3 +1451,42 @@ def test_mldb_1707_function_nested_input(mldb):
     # outputs carry the nested input columns (flat or dotted naming)
     vals = sorted(v for v in got.values() if v is not None)
     assert vals == [1, 2]
+
+
+def test_mldb_1172_column_expr_in_expression(mldb):
+    """MLDB-1172_column_expr_fail.py: COLUMN EXPR with ORDER BY
+    rowCount() LIMIT, and COLUMN EXPR inside a row literal feeding
+    horizontal_sum."""
+    _ds(
+        mldb,
+        "m1172",
+        [("rowA", 1, 1, 1), ("rowB", 1, 1, None), ("rowC", 1, None, None)],
+        "rn string, feat1 int, feat2 int, feat3 int",
+    )
+    out = mldb.query(
+        "select COLUMN EXPR (ORDER BY rowCount() DESC LIMIT 2) from m1172"
+    )
+    assert sorted(out.columns) == ["feat1", "feat2"]
+    out = mldb.query(
+        "select COLUMN EXPR (WHERE regex_match(columnName(), 'feat[0-9]') "
+        "ORDER BY rowCount() DESC LIMIT 2) from m1172"
+    )
+    assert sorted(out.columns) == ["feat1", "feat2"]
+    vals = [v for (v,) in _q(
+        mldb,
+        "SELECT horizontal_sum({COLUMN EXPR (WHERE "
+        "regex_match(columnName(), 'feat.*'))}) AS res FROM m1172 "
+        "ORDER BY rowName()",
+    )]
+    assert vals == [3.0, 2.0, 1.0]
+    df = mldb.spark.createDataFrame(
+        [("user1", 1, None), ("user2", None, 1)],
+        "rn string, `0:behA` int, `0:behB` int",
+    )
+    mldb.create_dataset("m1172b", df, row_name_col="rn")
+    assert _q(
+        mldb,
+        "SELECT horizontal_sum({COLUMN EXPR (WHERE "
+        "regex_match(columnName(), '[0-9]+:behA'))}) AS res FROM m1172b "
+        "ORDER BY rowName()",
+    ) == [(1.0,), (0.0,)]
