@@ -1490,3 +1490,73 @@ def test_mldb_1172_column_expr_in_expression(mldb):
         "regex_match(columnName(), '[0-9]+:behA'))}) AS res FROM m1172b "
         "ORDER BY rowName()",
     ) == [(1.0,), (0.0,)]
+
+
+def test_mldb_2040_join_matrix(mldb):
+    """MLDB-2040_join_tests.py: left/right joins against empty and
+    multi-match right-hand sides — row multiplicity and NULL halves
+    (join row names follow the [l]-[r] convention pinned in the
+    MLDB-1624 port)."""
+    _ds(
+        mldb,
+        "m2040a",
+        [("row1", 1, 1), ("row2", 1, 2), ("row3", 2, 1), ("row4", 2, 2)],
+        "rn string, one int, two int",
+    )
+    _ds(mldb, "m2040_empty", [], "rn string, one int")
+    _ds(
+        mldb,
+        "m2040_rhs",
+        [("row1", 1, 1), ("row2", 1, 2)],
+        "rn string, one int, two int",
+    )
+    _ds(
+        mldb,
+        "m2040_multi",
+        [("row1", 1, 1), ("row2", 1, 2), ("row22", 1, 2), ("row11", 1, 1)],
+        "rn string, one int, two int",
+    )
+    # LEFT vs empty: all four rows survive with NULL right halves
+    out = mldb.query(
+        "SELECT * FROM m2040a LEFT JOIN m2040_empty "
+        "ON m2040a.one = m2040_empty.one"
+    )
+    assert out.count() == 4
+    # LEFT vs rhs: two matches, two NULL-extended
+    rows = mldb.query(
+        "SELECT * FROM m2040a LEFT JOIN m2040_rhs ON "
+        "m2040a.one = m2040_rhs.one AND m2040a.two = m2040_rhs.two"
+    ).collect()
+    matched = [r for r in rows if r["m2040_rhs.one"] is not None]
+    assert len(rows) == 4 and len(matched) == 2
+    # LEFT vs multi-match: a.row1/a.row2 each match twice -> 6 rows
+    rows = mldb.query(
+        "SELECT * FROM m2040a LEFT JOIN m2040_multi ON "
+        "m2040a.one = m2040_multi.one AND m2040a.two = m2040_multi.two"
+    ).collect()
+    assert len(rows) == 6
+    assert sum(1 for r in rows if r["m2040_multi.one"] is None) == 2
+    # RIGHT vs empty: nothing
+    assert mldb.query(
+        "SELECT * FROM m2040a RIGHT JOIN m2040_empty "
+        "ON m2040a.one = m2040_empty.one"
+    ).count() == 0
+    # RIGHT vs rhs: exactly the two right rows
+    rows = mldb.query(
+        "SELECT * FROM m2040a RIGHT JOIN m2040_rhs ON "
+        "m2040a.one = m2040_rhs.one AND m2040a.two = m2040_rhs.two"
+    ).collect()
+    assert len(rows) == 2 and all(r["m2040a.one"] is not None for r in rows)
+
+
+def test_mldb_1911_horizontal_no_from(mldb):
+    """MLDB-1911_horizontal_agg_no_from.py: horizontal_* over literal
+    rows without a FROM clause. (The reference marks count/min as
+    expectedFailure — this engine supports all of them.)"""
+    assert _q(mldb, "SELECT horizontal_sum({1 AS a, 2 AS b}) AS s") == [(3.0,)]
+    assert _q(
+        mldb,
+        "SELECT horizontal_count({1 AS a, 2 AS b}) AS c, "
+        "horizontal_min({1 AS a, 2 AS b}) AS mn, "
+        "horizontal_max({1 AS a, 2 AS b}) AS mx",
+    ) == [(2, 1, 2)]
