@@ -36,6 +36,7 @@ def import_text(
     named: Column | None = None,
     skip_line_regex: str | None = None,
     multi_line: bool = False,
+    replace_invalid_characters_with: str | None = None,
 ) -> DataFrame:
     """import.text: CSV → DataFrame with the reference's per-line
     options (plugins/textual/importtext_procedure.h:22-57). Header
@@ -79,6 +80,22 @@ def import_text(
         if limit is not None:
             ordered = ordered.limit(limit)
         df = ordered.drop("__line")
+    if replace_invalid_characters_with is not None:
+        # the reference's replaceInvalidCharactersWith (MLDB-1703):
+        # undecodable bytes surface post-decode as U+FFFD; control
+        # characters (incl. NUL) are the other poison for downstream
+        # tokenizers — replace both in every string column
+        bad = r"[\x00-\x08\x0B\x0C\x0E-\x1F�]"
+        for c, t in df.dtypes:
+            if t == "string":
+                df = df.withColumn(
+                    c,
+                    F.regexp_replace(
+                        F.col(f"`{c}`") if "." in c else F.col(c),
+                        bad,
+                        replace_invalid_characters_with,
+                    ),
+                )
     if where is not None:
         df = df.filter(where)
     if named is not None:

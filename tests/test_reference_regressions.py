@@ -1560,3 +1560,17 @@ def test_mldb_1911_horizontal_no_from(mldb):
         "horizontal_min({1 AS a, 2 AS b}) AS mn, "
         "horizontal_max({1 AS a, 2 AS b}) AS mx",
     ) == [(2, 1, 2)]
+
+
+def test_mldb_1703_replace_invalid_chars(mldb, tmp_path):
+    """MLDB-1703_null_char_import.py: replaceInvalidCharactersWith
+    scrubs NUL/control bytes so select and tokenize work downstream."""
+    from mldb_spark.sources.text_io import import_text
+
+    p = tmp_path / "null_char.csv"
+    p.write_bytes(b"name,v\nab\x00cd,1\nok,2\n")
+    df = import_text(
+        mldb.spark, str(p), replace_invalid_characters_with=" "
+    )
+    rows = sorted((r["name"], r["v"]) for r in df.collect())
+    assert rows == [("ab cd", 1), ("ok", 2)]
