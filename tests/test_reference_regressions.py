@@ -1574,3 +1574,59 @@ def test_mldb_1703_replace_invalid_chars(mldb, tmp_path):
     )
     rows = sorted((r["name"], r["v"]) for r in df.collect())
     assert rows == [("ab cd", 1), ("ok", 2)]
+
+
+def test_mldb_162_min_max(mldb):
+    """MLDB-162-min-max-function.py: scalar expressions OVER
+    aggregates (1 + sum(x+1), sum+max, max-max), grouped min/max,
+    and GROUP BY over a constant-free select erroring."""
+    _ds(
+        mldb,
+        "m162",
+        [(f"row_{i}", i, i % 2) for i in range(10)],
+        "rn string, x int, y int",
+    )
+    assert _q(mldb, 'SELECT 1 + sum(x + 1) AS s FROM m162') == [(56,)]
+    assert _q(mldb, 'SELECT sum(x) + max(x) AS s FROM m162') == [(54,)]
+    assert _q(
+        mldb, 'SELECT 3 + min(x) as c1, sum(y) / 2 as c2 FROM m162'
+    ) == [(3, 2.5)]
+    assert _q(
+        mldb,
+        'SELECT max(x) + max(x) as c1, max(x) - max(x) as c2 FROM m162',
+    ) == [(18, 0)]
+    assert sorted(_q(
+        mldb,
+        'SELECT y as label, min(x) as mn, max(x) as mx FROM m162 GROUP BY y',
+    )) == [(0, 0, 8), (1, 1, 9)]
+    # MLDB-234: non-derivable select item under GROUP BY errors
+    with pytest.raises(Exception, match="x"):
+        mldb.query('SELECT x FROM m162 GROUP BY 1').collect()
+
+
+def test_mldb_702_row_aggregators(mldb):
+    """MLDB-702-row-aggregators.py: min({...})/max({...}) per group
+    aggregate each cell of the row independently (including string
+    cells); sum(x) GROUP BY x (MLDB-988)."""
+    _ds(
+        mldb,
+        "m702",
+        [("ex1", 0, 0, "cat"), ("ex2", 1, 1, "dog"), ("ex3", 1, 2, "cat")],
+        "rn string, x int, y int, label string",
+    )
+    rows = {
+        r[0]["label"]: (r[0], r[1])
+        for r in (
+            (row["mn"], row["mx"])
+            for row in mldb.query(
+                "SELECT min({x, y, label}) AS mn, max({x, y, label}) AS mx "
+                "FROM m702 GROUP BY label"
+            ).collect()
+        )
+    }
+    assert rows["cat"][0].asDict() == {"x": 0, "y": 0, "label": "cat"}
+    assert rows["cat"][1].asDict() == {"x": 1, "y": 2, "label": "cat"}
+    assert rows["dog"][0].asDict() == {"x": 1, "y": 1, "label": "dog"}
+    assert sorted(_q(mldb, "SELECT sum(x) AS s FROM m702 GROUP BY x")) == [
+        (0,), (2,),
+    ]
