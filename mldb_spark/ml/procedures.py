@@ -71,23 +71,82 @@ def classifier_train(
     name: str = "classifier",
     registry: FunctionRegistry = GLOBAL_REGISTRY,
     max_iter: int = 50,
+    algorithm: str = "glz",
+    mode: str = "boolean",
 ):
-    """Binary classifier (logistic regression — the reference's 'glz'
-    default, ClassifierConf.md). Returns the model; registers `name`
-    as a scorer adding `score` (P(label=1))."""
-    from pyspark.ml.classification import LogisticRegression
+    """classifier.train with the reference's algorithm/mode matrix
+    (ClassifierConf.md; classifiers.json ships glz, dt, bagging,
+    boosting (bbdt), naive_bayes; modes boolean/regression/
+    categorical — MLDB-174/1597/647). Each maps to the MLlib
+    estimator with the same learning bias:
+
+      glz        -> LogisticRegression / LinearRegression
+      dt         -> DecisionTree{Classifier,Regressor}
+      bagging    -> RandomForest{Classifier,Regressor} (bagged trees)
+      boosting / bbdt -> GBT{Classifier,Regressor}
+      naive_bayes -> NaiveBayes (boolean only; non-negative features)
+
+    Returns the model; registers `name` as a scorer adding `score`
+    (P(label=1) in boolean mode, the prediction in regression mode,
+    the predicted class in categorical mode)."""
+    from pyspark.ml.classification import (
+        DecisionTreeClassifier,
+        GBTClassifier,
+        LogisticRegression,
+        NaiveBayes,
+        RandomForestClassifier,
+    )
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.regression import (
+        DecisionTreeRegressor,
+        GBTRegressor,
+        LinearRegression,
+        RandomForestRegressor,
+    )
+
+    if mode not in ("boolean", "regression", "categorical"):
+        raise ValueError(f"unknown classifier mode {mode!r}")
+    algo = {"bbdt": "boosting"}.get(algorithm, algorithm)
+    cls_est = {
+        "glz": lambda: LogisticRegression(maxIter=max_iter, regParam=0.01),
+        "dt": lambda: DecisionTreeClassifier(maxDepth=8, seed=1),
+        "bagging": lambda: RandomForestClassifier(numTrees=20, seed=1),
+        "boosting": lambda: GBTClassifier(maxIter=min(max_iter, 20), seed=1),
+        # gaussian NB: continuous features (the multinomial default
+        # expects count-like inputs)
+        "naive_bayes": lambda: NaiveBayes(modelType="gaussian"),
+    }
+    reg_est = {
+        "glz": lambda: LinearRegression(maxIter=max_iter, regParam=0.01),
+        "dt": lambda: DecisionTreeRegressor(maxDepth=8, seed=1),
+        "bagging": lambda: RandomForestRegressor(numTrees=20, seed=1),
+        "boosting": lambda: GBTRegressor(maxIter=min(max_iter, 20), seed=1),
+    }
+    table = reg_est if mode == "regression" else cls_est
+    if algo not in table:
+        raise ValueError(f"unknown algorithm {algorithm!r} for mode {mode!r}")
 
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
     train = assembler.transform(df).withColumn("label", F.col(label_col).cast("double"))
-    model = LogisticRegression(maxIter=max_iter, regParam=0.01).fit(train)
+    model = table[algo]().fit(train)
 
     def score(d: DataFrame) -> DataFrame:
         scored = model.transform(assembler.transform(d))
-        return scored.withColumn(
-            "score", vector_to_array(F.col("probability")).getItem(1)
-        ).drop("features", "rawPrediction", "probability", "prediction")
+        if mode == "regression":
+            out = scored.withColumn("score", F.col("prediction"))
+        elif mode == "categorical":
+            out = scored.withColumn("score", F.col("prediction"))
+        elif "probability" in scored.columns:
+            out = scored.withColumn(
+                "score", vector_to_array(F.col("probability")).getItem(1)
+            )
+        else:  # GBT boolean exposes rawPrediction only pre-3.0 paths
+            out = scored.withColumn("score", F.col("prediction"))
+        return out.drop(
+            *[c for c in ("features", "rawPrediction", "probability", "prediction")
+              if c in out.columns and c != "score"]
+        )
 
     registry.register(name, score)
     return model

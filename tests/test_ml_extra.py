@@ -494,3 +494,60 @@ def test_order_features_ml_gates_learn_planted_rule(spark, sf_dir):
     )
     m = classifier_test(reg.apply("auc_floor", test), "label", "score").collect()[0]
     assert m["auc"] > 0.85, m
+
+
+def test_classifier_algorithm_matrix(spark):
+    """classifier.train algorithm/mode matrix (ClassifierConf.md;
+    MLDB-174/1597 regression mode, decision-tree/bagging/boosting
+    configs): every estimator learns the planted rule, regression
+    mode recovers a linear signal, and unknown combos raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mldb_spark.ml.procedures import classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    df = (
+        spark.range(400)
+        .select(
+            (F.col("id") % 20).cast("double").alias("f1"),
+            ((F.col("id") * 7) % 13).cast("double").alias("f2"),
+        )
+        .withColumn("label", (F.col("f1") + F.col("f2") > 16).cast("int"))
+    )
+    for algorithm in ("glz", "dt", "bagging", "boosting", "naive_bayes"):
+        reg = FunctionRegistry()
+        classifier_train(
+            df, ["f1", "f2"], "label",
+            name="m", registry=reg, algorithm=algorithm,
+        )
+        scored = reg.apply("m", df)
+        acc = (
+            scored.withColumn(
+                "ok", ((F.col("score") > 0.5) == (F.col("label") == 1)).cast("int")
+            )
+            .agg(F.avg("ok"))
+            .collect()[0][0]
+        )
+        assert acc > 0.8, (algorithm, acc)
+    # regression mode: recover y = 3*f1 - 2*f2 + 1
+    reg_df = df.withColumn("y", 3 * F.col("f1") - 2 * F.col("f2") + 1)
+    for algorithm in ("glz", "dt", "bagging", "boosting"):
+        reg = FunctionRegistry()
+        classifier_train(
+            reg_df, ["f1", "f2"], "y",
+            name="r", registry=reg, algorithm=algorithm, mode="regression",
+        )
+        scored = reg.apply("r", reg_df)
+        mse = (
+            scored.withColumn("e", (F.col("score") - F.col("y")) ** 2)
+            .agg(F.avg("e"))
+            .collect()[0][0]
+        )
+        assert mse < 25.0, (algorithm, mse)
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        classifier_train(
+            df, ["f1"], "label", algorithm="naive_bayes", mode="regression"
+        )
+    with pytest.raises(ValueError, match="unknown classifier mode"):
+        classifier_train(df, ["f1"], "label", mode="multilabel")
