@@ -128,7 +128,24 @@ def classifier_train(
         raise ValueError(f"unknown algorithm {algorithm!r} for mode {mode!r}")
 
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
-    train = assembler.transform(df).withColumn("label", F.col(label_col).cast("double"))
+    labels: list[str] = []
+    if mode == "categorical" and dict(df.dtypes)[label_col] == "string":
+        # string class labels index to 0..k-1 for MLlib and map back
+        # on output (the reference's categorical mode keys its
+        # scores.<class> outputs by the original label)
+        labels = [
+            r[0]
+            for r in df.select(label_col).distinct().orderBy(label_col).collect()
+        ]
+        idx = {v: float(i) for i, v in enumerate(labels)}
+        mapping = F.create_map(
+            *[x for v, i in idx.items() for x in (F.lit(v), F.lit(i))]
+        )
+        df = df.withColumn("__label_idx", mapping[F.col(label_col)])
+        label_src = "__label_idx"
+    else:
+        label_src = label_col
+    train = assembler.transform(df).withColumn("label", F.col(label_src).cast("double"))
     model = table[algo]().fit(train)
 
     def score(d: DataFrame) -> DataFrame:
@@ -137,6 +154,23 @@ def classifier_train(
             out = scored.withColumn("score", F.col("prediction"))
         elif mode == "categorical":
             out = scored.withColumn("score", F.col("prediction"))
+            if labels:
+                back = F.array(*[F.lit(v) for v in labels])
+                out = out.withColumn(
+                    "predicted", back[F.col("prediction").cast("int")]
+                )
+            if "probability" in out.columns:
+                probs = vector_to_array(F.col("probability"))
+                names = labels or [
+                    str(i) for i in range(int(model.numClasses))
+                ]
+                out = out.withColumn(
+                    "scores",
+                    F.map_from_arrays(
+                        F.array(*[F.lit(n) for n in names]),
+                        F.slice(probs, 1, len(names)),
+                    ),
+                )
         elif "probability" in scored.columns:
             out = scored.withColumn(
                 "score", vector_to_array(F.col("probability")).getItem(1)

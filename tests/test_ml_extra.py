@@ -551,3 +551,42 @@ def test_classifier_algorithm_matrix(spark):
         )
     with pytest.raises(ValueError, match="unknown classifier mode"):
         classifier_train(df, ["f1"], "label", mode="multilabel")
+
+
+def test_classifier_categorical_mode(spark):
+    """Categorical mode (MLDB-647/2143): string class labels index
+    through training and map back on output; per-class probabilities
+    come out as a scores map keyed by the original labels."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.ml.procedures import classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    df = (
+        spark.range(300)
+        .select(
+            (F.col("id") % 30).cast("double").alias("f1"),
+        )
+        .withColumn(
+            "cls",
+            F.when(F.col("f1") < 10, F.lit("low"))
+            .when(F.col("f1") < 20, F.lit("mid"))
+            .otherwise(F.lit("high")),
+        )
+    )
+    reg = FunctionRegistry()
+    classifier_train(
+        df, ["f1"], "cls", name="mc", registry=reg,
+        algorithm="glz", mode="categorical",
+    )
+    out = reg.apply("mc", df)
+    assert "predicted" in out.columns and "scores" in out.columns
+    acc = (
+        out.withColumn("ok", (F.col("predicted") == F.col("cls")).cast("int"))
+        .agg(F.avg("ok"))
+        .collect()[0][0]
+    )
+    assert acc > 0.9
+    row = out.collect()[0]
+    assert set(row["scores"].keys()) == {"low", "mid", "high"}
+    assert abs(sum(row["scores"].values()) - 1.0) < 1e-6
