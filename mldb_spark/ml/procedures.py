@@ -186,10 +186,66 @@ def classifier_train(
     return model
 
 
-def classifier_test(scored: DataFrame, label_col: str = "label", score_col: str = "score") -> DataFrame:
+def classifier_test(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    mode: str = "boolean",
+) -> DataFrame:
     """classifier.test: AUC + accuracy dataset (accuracy.cc:1006).
     AUC via MLlib's BinaryClassificationEvaluator (distributed
-    threshold sweep)."""
+    threshold sweep).
+
+    Modes (MLDB-256 — the accuracy procedure accepts all classifier
+    modes): 'regression' returns (mse, r2, quantile_err_50,
+    quantile_err_90) where quantile errors are percentiles of the
+    absolute error (the reference's quantileErrors); 'categorical'
+    returns the confusion matrix (label, predicted, count) — one
+    groupBy shuffle."""
+    if mode == "regression":
+        # single partial-aggregable pass: r2 from the sufficient
+        # statistics (SStot = sum(y^2) - (sum y)^2 / n)
+        return (
+            scored.select(
+                F.col(label_col).cast("double").alias("y"),
+                F.col(score_col).cast("double").alias("p"),
+            )
+            .agg(
+                F.avg((F.col("p") - F.col("y")) ** 2).alias("mse"),
+                F.sum((F.col("p") - F.col("y")) ** 2).alias("__ssres"),
+                F.sum(F.col("y") * F.col("y")).alias("__syy"),
+                F.sum("y").alias("__sy"),
+                F.count(F.lit(1)).alias("__n"),
+                F.percentile(F.abs(F.col("p") - F.col("y")), F.lit(0.5)).alias(
+                    "quantile_err_50"
+                ),
+                F.percentile(F.abs(F.col("p") - F.col("y")), F.lit(0.9)).alias(
+                    "quantile_err_90"
+                ),
+            )
+            .select(
+                "mse",
+                (
+                    1
+                    - F.col("__ssres")
+                    / (F.col("__syy") - F.col("__sy") * F.col("__sy") / F.col("__n"))
+                ).alias("r2"),
+                "quantile_err_50",
+                "quantile_err_90",
+            )
+        )
+    if mode == "categorical":
+        pred_col = "predicted" if "predicted" in scored.columns else score_col
+        return (
+            scored.groupBy(
+                F.col(label_col).cast("string").alias("label"),
+                F.col(pred_col).cast("string").alias("predicted"),
+            )
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy("label", "predicted")
+        )
+    if mode != "boolean":
+        raise ValueError(f"unknown classifier.test mode {mode!r}")
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
     # the evaluator accepts a plain double rawPrediction column — no

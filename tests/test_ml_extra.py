@@ -590,3 +590,34 @@ def test_classifier_categorical_mode(spark):
     row = out.collect()[0]
     assert set(row["scores"].keys()) == {"low", "mid", "high"}
     assert abs(sum(row["scores"].values()) - 1.0) < 1e-6
+
+
+def test_classifier_test_modes(spark):
+    """MLDB-256_accuracy_accepts_all_cls_modes.py: the test procedure
+    accepts regression (mse 0.375 on the reference's toy set, r2,
+    quantile errors) and categorical (confusion matrix) modes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mldb_spark.ml.procedures import classifier_test
+
+    toy_reg = spark.createDataFrame(
+        [(3.0, 2.5), (-0.5, 0.0), (2.0, 2.0), (7.0, 8.0)],
+        "label double, score double",
+    )
+    row = classifier_test(toy_reg, mode="regression").collect()[0]
+    assert row["mse"] == pytest.approx(0.375)
+    assert 0 < row["r2"] <= 1
+    # abs errors [0.5, 0.5, 0, 1] -> p50 = 0.5
+    assert row["quantile_err_50"] == pytest.approx(0.5)
+    toy_cat = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (2, 2), (0, 0)],
+        "label int, score int",
+    )
+    cm = {
+        (r["label"], r["predicted"]): r["count"]
+        for r in classifier_test(toy_cat, mode="categorical").collect()
+    }
+    assert cm == {("0", "0"): 2, ("1", "0"): 1, ("2", "2"): 2}
+    with pytest.raises(ValueError, match="unknown classifier.test mode"):
+        classifier_test(toy_reg, mode="nope")
