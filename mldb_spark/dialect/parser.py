@@ -660,6 +660,12 @@ class Parser:
     def _table_primary(self):
         if self.peek().kind == "op" and self.peek().value == "(":
             self.next()
+            # parenthesized TABLE expression — (row_dataset(...)),
+            # (ds JOIN ds2 ...) — vs parenthesized subselect
+            if not (self.peek().kind == "kw" and self.peek().value == "select"):
+                inner = self._table_expr()
+                self.expect_op(")")
+                return inner
             sub = self.parse_subselect()
             self.expect_op(")")
             alias = None
@@ -673,18 +679,26 @@ class Parser:
         t = self.next()
         if t.kind != "ident":
             raise SyntaxError(f"expected table name, got {t}")
-        # FROM-clause dataset function: name(arg, …)
+        # FROM-clause dataset function: name(arg, …) — args are table
+        # names, numbers, value expressions (row_dataset([0, 0]) /
+        # row_dataset({x: 1}) — MLDB-2065/2103), or parenthesized
+        # table expressions (transpose((row_dataset(...))))
         if self.peek().kind == "op" and self.peek().value == "(":
             self.next()
             args: list[object] = []
             while not (self.peek().kind == "op" and self.peek().value == ")"):
-                a = self.next()
-                if a.kind == "ident":
+                a = self.peek()
+                if a.kind == "ident" and self.peek(1).kind == "op" and self.peek(1).value in (",", ")"):
+                    self.next()
                     args.append(a.value)
                 elif a.kind == "number":
+                    self.next()
                     args.append(float(a.value) if "." in a.value else int(a.value))
+                elif a.kind == "op" and a.value == "(":
+                    # nested table expression argument
+                    args.append(self._table_primary())
                 else:
-                    raise SyntaxError(f"bad dataset-function arg {a}")
+                    args.append(self.parse_expr())
                 if not self.accept_op(","):
                     break
             self.expect_op(")")

@@ -1601,40 +1601,95 @@ class MldbContext:
             df, meta = self._table(src.name)
             return df, meta["rowName"], meta["ts"], {src.alias or src.name}
         if isinstance(src, ast.TableFunction):
-            return self._table_function(src), None, None, set()
+            df = self._table_function(src, params)
+            rn = "rowName" if "rowName" in df.columns else None
+            return df, rn, None, set()
         if isinstance(src, ast.Join):
             df, aliases, rn_col = self._build_join(src, params)
             return df, rn_col, None, aliases
         raise ValueError(f"unsupported FROM {src!r}")
 
-    def _table_function(self, tf: ast.TableFunction) -> DataFrame:
+    def _resolve_tf_arg(self, a, params) -> DataFrame:
+        """A dataset-valued table-function argument: a dataset name,
+        a nested table function (MLDB-2103's
+        merge(row_dataset(...), ...)), or a parenthesized
+        subselect/table expression (MLDB-2065)."""
+        if isinstance(a, str):
+            df, meta = self._table(a)
+            on = meta["rowName"]
+            if on and on != "rowName":
+                df = df.withColumnRenamed(on, "rowName")
+            return df
+        if isinstance(a, ast.TableFunction):
+            return self._table_function(a, params)
+        if isinstance(a, ast.FunctionCall) and a.name in (
+            "row_dataset", "merge", "sample", "transpose",
+        ):
+            # nested dataset functions parse as expression calls —
+            # re-route (merge(row_dataset(...), ...), MLDB-2103)
+            return self._table_function(
+                ast.TableFunction(a.name, list(a.args), None), params
+            )
+        if isinstance(a, ast.SelectStatement):
+            return self._statement(a, params)
+        raise ValueError(f"expected a dataset argument, got {a!r}")
+
+    def _table_function(self, tf: ast.TableFunction, params=None) -> DataFrame:
         """FROM-clause dataset functions (reference
         sql/builtin_dataset_functions.cc: transpose :107, merge :173,
-        sample :213)."""
+        sample :213; table_expression_operations.h:210-240
+        row_dataset/atom_dataset)."""
+        if tf.name == "row_dataset":
+            # row_dataset(<row or embedding literal>): one output row
+            # per atom, named by its 0-based atom index, with
+            # (column, value) cells (MLDB-2065/2103)
+            if len(tf.args) != 1 or not isinstance(
+                tf.args[0], (ast.RowLiteral, ast.EmbeddingLiteral)
+            ):
+                raise ValueError("row_dataset(<row or embedding>) needs a literal")
+            binder = Binder([], params or {})
+            arg = tf.args[0]
+            if isinstance(arg, ast.EmbeddingLiteral):
+                fields = [(str(i), x) for i, x in enumerate(arg.items)]
+            else:
+                fields = list(arg.fields)
+            # the argument is a literal row: one literal-sized eval
+            vals = self.spark.range(1).select(
+                *[
+                    binder.bind(x).cast("double").alias(f"__v{i}")
+                    for i, (_, x) in enumerate(fields)
+                ]
+            ).collect()[0]
+            return self.spark.createDataFrame(
+                [
+                    (str(i), n, vals[f"__v{i}"])
+                    for i, (n, _) in enumerate(fields)
+                ],
+                "rowName string, column string, value double",
+            )
         if tf.name == "merge":
             from mldb_spark.operators.relational import merge_datasets
 
             dfs = []
             for a in tf.args:
-                if not isinstance(a, str):
-                    raise ValueError("merge() takes dataset names")
-                df, meta = self._table(a)
-                on = meta["rowName"]
-                if not on:
+                df = self._resolve_tf_arg(a, params)
+                if "rowName" not in df.columns:
                     raise ValueError(
-                        f"merge() needs datasets with a rowName column ({a} has none)"
+                        "merge() needs datasets with a rowName column"
                     )
-                dfs.append(df.withColumnRenamed(on, "rowName") if on != "rowName" else df)
+                dfs.append(df)
             return merge_datasets(dfs)
         if tf.name == "sample":
-            df, _ = self._table(str(tf.args[0]))
+            df = self._resolve_tf_arg(tf.args[0], params)
             fraction = float(tf.args[1]) if len(tf.args) > 1 else 0.1
             seed = int(tf.args[2]) if len(tf.args) > 2 else 0
             return df.sample(fraction=fraction, seed=seed)
         if tf.name == "transpose":
             from mldb_spark.operators.relational import transpose_cells
 
-            df, _ = self._table(str(tf.args[0]))
+            df = self._resolve_tf_arg(tf.args[0], params)
+            if "row" not in df.columns and "rowName" in df.columns:
+                df = df.withColumnRenamed("rowName", "row")
             if not {"row", "column"}.issubset(df.columns):
                 raise ValueError(
                     "transpose() needs the cell layout (row, column, …)"

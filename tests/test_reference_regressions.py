@@ -1630,3 +1630,27 @@ def test_mldb_702_row_aggregators(mldb):
     assert sorted(_q(mldb, "SELECT sum(x) AS s FROM m702 GROUP BY x")) == [
         (0,), (2,),
     ]
+
+
+def test_mldb_2103_2065_row_dataset(mldb):
+    """MLDB-2103-merge-row-dataset.py / MLDB-2065-transpose_rowdataset
+    / MLDB-2064: row_dataset over embedding and row literals in FROM,
+    nested inside merge() (last dataset wins per cell) and
+    transpose()."""
+    out = mldb.query("SELECT * FROM row_dataset([0, 0])")
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("0", "0", 0.0), ("1", "1", 0.0),
+    ]
+    out = mldb.query(
+        "SELECT * FROM merge(row_dataset([0, 0]), row_dataset([1, 1]))"
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("0", "0", 1.0), ("1", "1", 1.0),
+    ]
+    # transpose of a row_dataset must not fail (the reference
+    # segfaulted — MLDB-2065)
+    assert mldb.query(
+        "SELECT * FROM transpose((row_dataset([0, 0])))"
+    ).count() == 2
+    out = mldb.query('SELECT * FROM row_dataset({"My Value": 1})')
+    assert [tuple(r) for r in out.collect()] == [("0", "My Value", 1.0)]
