@@ -232,3 +232,27 @@ def asof_join(
             "__match_ts", F.when(stale, F.lit(None)).otherwise(F.col("__match_ts"))
         )
     return out.withColumnRenamed("__match_ts", f"{ts_col}{suffix}")
+
+
+def quantize_timestamps(
+    cells: DataFrame,
+    quantum_seconds: float = 1.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Timestamp quantization at recording time — the beh store's
+    timeQuantumSeconds (MLDB-987; beh datasets default to a 1-second
+    quantum): stamps round to the NEAREST multiple of the quantum.
+    (The reference floors for quanta >= 60s — its own test flags that
+    as the MLDBFB-255 bug; we round uniformly.)
+
+    Pure JVM arithmetic on unix_micros — no shuffle, rides the scan.
+    """
+    q_us = int(round(quantum_seconds * 1_000_000))
+    if q_us <= 0:
+        raise ValueError(f"quantum must be positive, got {quantum_seconds}")
+    micros = F.unix_micros(F.col(ts_col))
+    snapped = (
+        F.floor((micros + F.lit(q_us // 2)) / F.lit(q_us)).cast("long")
+        * F.lit(q_us)
+    )
+    return cells.withColumn(ts_col, F.timestamp_micros(snapped))

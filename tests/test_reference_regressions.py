@@ -1654,3 +1654,26 @@ def test_mldb_2103_2065_row_dataset(mldb):
     ).count() == 2
     out = mldb.query('SELECT * FROM row_dataset({"My Value": 1})')
     assert [tuple(r) for r in out.collect()] == [("0", "My Value", 1.0)]
+
+
+def test_mldb_987_time_quantization(spark):
+    """MLDB-987-beh-time-quantization-test.py: recording-time stamp
+    quantization at thousandth/hundredth/second/minute quanta.
+    Divergence: quanta >= 60s round to nearest like the others (the
+    reference floors there — its own MLDBFB-255 bug note)."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.operators.temporal import quantize_timestamps
+
+    df = spark.createDataFrame(
+        [("row", "column", 1.0, "2015-11-17T13:20:20.956")],
+        "row string, column string, value double, tss string",
+    ).select("row", "column", "value", F.col("tss").cast("timestamp").alias("ts"))
+
+    def snap(q):
+        return str(quantize_timestamps(df, q).collect()[0]["ts"])
+
+    assert snap(0.001) == "2015-11-17 13:20:20.956000"
+    assert snap(0.01) == "2015-11-17 13:20:20.960000"
+    assert snap(1) == "2015-11-17 13:20:21"
+    assert snap(60) == "2015-11-17 13:20:00"
