@@ -1680,7 +1680,24 @@ class MldbContext:
                 dfs.append(df)
             return merge_datasets(dfs)
         if tf.name == "sample":
+            from mldb_spark.operators.relational import sample_dataset
+
             df = self._resolve_tf_arg(tf.args[0], params)
+            # option-row form (FromExpression.md §sample; MLDB-1242):
+            # sample(ds, {rows: 10, withReplacement: true, seed: 7})
+            if len(tf.args) > 1 and isinstance(tf.args[1], ast.RowLiteral):
+                opts: dict[str, object] = {}
+                for k, v in tf.args[1].fields:
+                    if not isinstance(v, ast.Literal):
+                        raise ValueError("sample() options must be literals")
+                    opts[k.lower()] = v.value
+                return sample_dataset(
+                    df,
+                    fraction=opts.get("fraction"),
+                    rows=opts.get("rows"),
+                    with_replacement=bool(opts.get("withreplacement", False)),
+                    seed=int(opts.get("seed", 0)),  # type: ignore[arg-type]
+                )
             fraction = float(tf.args[1]) if len(tf.args) > 1 else 0.1
             seed = int(tf.args[2]) if len(tf.args) > 2 else 0
             return df.sample(fraction=fraction, seed=seed)

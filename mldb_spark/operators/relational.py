@@ -173,8 +173,25 @@ def sample_dataset(
     """
     if fraction is not None:
         return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed)
+    n = int(rows or 0)
+    if with_replacement:
+        # with replacement: overshoot a Poisson sample and trim (one
+        # count to size the rate; the reference allows n > |dataset|)
+        total = df.count()
+        if total == 0:
+            return df
+        rate = max(1.5 * n / total, 0.1)
+        return df.sample(withReplacement=True, fraction=rate, seed=seed).limit(n)
+    # without replacement the reference rejects oversampling
+    # (MLDB-1242: "more rows requested than available")
+    total = df.count()
+    if n > total:
+        raise ValueError(
+            f"sample: {n} rows requested without replacement but the "
+            f"dataset has only {total}"
+        )
     key = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
-    return df.orderBy(key).limit(int(rows or 0))
+    return df.orderBy(key).limit(n)
 
 
 def bucketize(

@@ -1677,3 +1677,25 @@ def test_mldb_987_time_quantization(spark):
     assert snap(0.01) == "2015-11-17 13:20:20.960000"
     assert snap(1) == "2015-11-17 13:20:21"
     assert snap(60) == "2015-11-17 13:20:00"
+
+
+def test_mldb_1242_sampled_dataset(mldb):
+    """MLDB-1242_sampled_dataset.py: sample by rows count, rejection
+    of oversampling without replacement, with-replacement
+    oversampling allowed, and fraction mode."""
+    _ds(
+        mldb,
+        "m1242",
+        [(f"u{i}", float(i)) for i in range(500)],
+        "rn string, feat1 double",
+    )
+    out = mldb.query("SELECT * FROM sample(m1242, {rows: 10})")
+    assert out.count() == 10
+    with pytest.raises(Exception, match="without replacement"):
+        mldb.query("SELECT * FROM sample(m1242, {rows: 25000})").collect()
+    out = mldb.query(
+        "SELECT * FROM sample(m1242, {rows: 600, withReplacement: true})"
+    )
+    assert out.count() <= 600 and out.count() > 0
+    frac = mldb.query("SELECT * FROM sample(m1242, {fraction: 0.5})").count()
+    assert 150 < frac < 350
