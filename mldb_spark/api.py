@@ -198,6 +198,71 @@ class Mldb:
     def apply_function(self, name: str, *args, **kwargs):
         return self.functions.apply(name, *args, **kwargs)
 
+    def create_stemmer_function(self, name: str, language: str = "english") -> None:
+        """stemmer function entity (plugins/nlp/nlp.cc:193-240;
+        MLDB-1126): input {words}, output {words} with stemmed keys —
+        bag-of-words MAPs merge collapsing keys by addition, token
+        arrays stem element-wise, plain strings stem directly."""
+        from mldb_spark.functions.text import (
+            porter_stem_tokens_udf,
+            porter_stem_udf,
+            stem_bag_udf,
+        )
+
+        if language.lower() != "english":
+            raise ValueError(f"stemmer: unsupported language {language!r}")
+
+        def apply(df: DataFrame, params: dict | None = None) -> DataFrame:
+            if "words" not in df.columns:
+                raise ValueError("stemmer input must provide a 'words' column")
+            dt = dict(df.dtypes)["words"]
+            if dt.startswith("map"):
+                fn = stem_bag_udf()
+            elif dt.startswith("array"):
+                fn = porter_stem_tokens_udf()
+            else:
+                fn = porter_stem_udf()
+            from pyspark.sql import functions as _F
+
+            return df.withColumn("words", fn(_F.col("words")))
+
+        self.functions.register(name, apply)
+        self.ctx.register_function(name, apply)
+
+    def create_filter_stopwords_function(
+        self, name: str, language: str = "english"
+    ) -> None:
+        """filter_stopwords function entity (plugins/nlp/nlp.cc:108;
+        MLDB-1030): input {words} token array or bag MAP, output with
+        stopwords removed — pure JVM filters."""
+        from pyspark.sql import functions as _F
+
+        from mldb_spark.functions.text import ENGLISH_STOPWORDS
+
+        if language.lower() != "english":
+            raise ValueError(f"filter_stopwords: unsupported language {language!r}")
+        words = list(ENGLISH_STOPWORDS)
+
+        def apply(df: DataFrame, params: dict | None = None) -> DataFrame:
+            if "words" not in df.columns:
+                raise ValueError(
+                    "filter_stopwords input must provide a 'words' column"
+                )
+            dt = dict(df.dtypes)["words"]
+            stop_arr = _F.array(*[_F.lit(w) for w in words])
+            if dt.startswith("map"):
+                out = _F.map_filter(
+                    _F.col("words"), lambda k, v: ~_F.array_contains(stop_arr, k)
+                )
+            else:
+                out = _F.filter(
+                    _F.col("words"), lambda t: ~_F.array_contains(stop_arr, t)
+                )
+            return df.withColumn("words", out)
+
+        self.functions.register(name, apply)
+        self.ctx.register_function(name, apply)
+
     # -- orchestration procedures (§2.13 utilities) -------------------------
 
     def run_script(
@@ -265,6 +330,14 @@ class Mldb:
             elif etype == "sql.query":
                 self.create_sql_query_function(
                     eid, params["query"], params.get("output", "FIRST_ROW")
+                )
+            elif etype == "stemmer":
+                self.create_stemmer_function(
+                    eid, params.get("language", "english")
+                )
+            elif etype == "filter_stopwords":
+                self.create_filter_stopwords_function(
+                    eid, params.get("language", "english")
                 )
             else:
                 raise ValueError(f"createEntity: unknown function type {etype!r}")

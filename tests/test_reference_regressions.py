@@ -1699,3 +1699,39 @@ def test_mldb_1242_sampled_dataset(mldb):
     assert out.count() <= 600 and out.count() > 0
     frac = mldb.query("SELECT * FROM sample(m1242, {fraction: 0.5})").count()
     assert 150 < frac < 350
+
+
+def test_mldb_1126_stemmer_entity(mldb):
+    """MLDB-1126_stemming.py: the stemmer function entity — bags
+    merge collapsing stems by addition ('potato':2 + 'potatoes':1 →
+    'potato':3), token arrays stem element-wise."""
+    _ds(
+        mldb,
+        "m1126",
+        [("r1", "potato,potatoes,potato,running,the,a")],
+        "rn string, txt string",
+    )
+    mldb.create_stemmer_function("stem1126")
+    out = _q(
+        mldb, "SELECT stem1126({words: tokenize(txt)})[words] AS w FROM m1126"
+    )[0][0]
+    assert dict(out) == {"potato": 3, "run": 1, "the": 1, "a": 1}
+    with pytest.raises(ValueError, match="unsupported language"):
+        mldb.create_stemmer_function("bad", language="klingon")
+
+
+def test_mldb_1030_filter_stopwords_entity(mldb):
+    """MLDB-1030_apply_stopwords.py: the filter_stopwords entity
+    drops stopword keys from bags (and elements from arrays)."""
+    _ds(
+        mldb,
+        "m1030",
+        [("r1", "potato,the,a,running")],
+        "rn string, txt string",
+    )
+    mldb.create_filter_stopwords_function("nostop1030")
+    out = _q(
+        mldb,
+        "SELECT nostop1030({words: tokenize(txt)})[words] AS w FROM m1030",
+    )[0][0]
+    assert dict(out) == {"potato": 1, "running": 1}
