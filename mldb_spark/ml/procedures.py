@@ -127,6 +127,41 @@ def classifier_train(
     if algo not in table:
         raise ValueError(f"unknown algorithm {algorithm!r} for mode {mode!r}")
 
+    # categorical (string) FEATURES one-hot encode against a capped
+    # per-column vocabulary (MLDB-1766's dt-with-categoricals; the
+    # reference's classifiers consume string features natively). The
+    # distinct-collect is vocab-sized and capped — an unbounded
+    # category set must be hashed upstream (feature_gen.feature_hash).
+    _ONE_HOT_CAP = 256
+    dtypes = dict(df.dtypes)
+    encoded_cols: list[str] = []
+    onehot_exprs: list = []
+    for c in feature_cols:
+        if dtypes.get(c) == "string":
+            vocab = [
+                r[0]
+                for r in df.select(c).distinct().orderBy(c)
+                .limit(_ONE_HOT_CAP + 1).collect()
+                if r[0] is not None
+            ]
+            if len(vocab) > _ONE_HOT_CAP:
+                raise ValueError(
+                    f"categorical feature {c!r} exceeds {_ONE_HOT_CAP} "
+                    "distinct values; hash it upstream"
+                )
+            for v in vocab:
+                out_name = f"{c}__{v}"
+                onehot_exprs.append(
+                    (out_name, (F.col(c) == F.lit(v)).cast("double"))
+                )
+                encoded_cols.append(out_name)
+        else:
+            encoded_cols.append(c)
+    if onehot_exprs:
+        for out_name, expr in onehot_exprs:
+            df = df.withColumn(out_name, expr)
+        feature_cols = encoded_cols
+
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
     labels: list[str] = []
     if mode == "categorical" and dict(df.dtypes)[label_col] == "string":
@@ -149,6 +184,10 @@ def classifier_train(
     model = table[algo]().fit(train)
 
     def score(d: DataFrame) -> DataFrame:
+        # replay the train-time one-hot encoding on the scored input
+        for out_name, expr in onehot_exprs:
+            if out_name not in d.columns:
+                d = d.withColumn(out_name, expr)
         scored = model.transform(assembler.transform(d))
         if mode == "regression":
             out = scored.withColumn("score", F.col("prediction"))

@@ -621,3 +621,54 @@ def test_classifier_test_modes(spark):
     assert cm == {("0", "0"): 2, ("1", "0"): 1, ("2", "2"): 2}
     with pytest.raises(ValueError, match="unknown classifier.test mode"):
         classifier_test(toy_reg, mode="nope")
+
+
+def test_classifier_categorical_features(spark):
+    """MLDB-1766_dt_categorical surface: string feature columns
+    one-hot encode automatically (capped vocabulary) for every
+    algorithm; the scorer replays the encoding on new input."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mldb_spark.ml.procedures import classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    df = (
+        spark.range(400)
+        .select(
+            "id",
+            (F.col("id") % 4).alias("g"),
+            (F.col("id") % 7).cast("double").alias("num"),
+        )
+        .withColumn(
+            "surface",
+            F.element_at(
+                F.array(F.lit("grass"), F.lit("clay"), F.lit("hard"), F.lit("carpet")),
+                (F.col("g") + 1).cast("int"),
+            ),
+        )
+        # label depends on the categorical: clay/hard are positive
+        .withColumn("label", F.col("surface").isin("clay", "hard").cast("int"))
+    )
+    for algorithm in ("glz", "dt"):
+        reg = FunctionRegistry()
+        classifier_train(
+            df, ["surface", "num"], "label",
+            name="m", registry=reg, algorithm=algorithm,
+        )
+        scored = reg.apply("m", df.drop("label").join(df.select("id", "label"), "id"))
+        acc = (
+            scored.withColumn(
+                "ok", ((F.col("score") > 0.5) == (F.col("label") == 1)).cast("int")
+            )
+            .agg(F.avg("ok"))
+            .collect()[0][0]
+        )
+        assert acc > 0.95, (algorithm, acc)
+    # unbounded category set refuses loudly
+    big = spark.range(500).select(
+        F.col("id").cast("string").alias("cat"),
+        (F.col("id") % 2).cast("int").alias("label"),
+    )
+    with pytest.raises(ValueError, match="distinct values"):
+        classifier_train(big, ["cat"], "label")
