@@ -159,6 +159,17 @@ class MldbRestServer:
                         )
                     elif parts[:2] == ["v1", "functions"] and len(parts) == 2:
                         self._send(200, facade.mldb.functions.names())
+                    elif (
+                        parts[:2] == ["v1", "functions"]
+                        and len(parts) == 4
+                        and parts[3] == "application"
+                    ):
+                        import json as _json
+
+                        inp = _json.loads(q.get("input", "{}"))
+                        self._send(
+                            200, facade.apply_function_json(parts[2], inp)
+                        )
                     else:
                         self._send(404, {"error": f"no route {u.path}"})
                 except KeyError as e:
@@ -189,6 +200,21 @@ class MldbRestServer:
                 parts = [p for p in urlparse(self.path).path.split("/") if p]
                 if parts[:2] == ["v1", "procedures"]:
                     self._create("procedure", None)
+                elif (
+                    parts[:2] == ["v1", "functions"]
+                    and len(parts) == 4
+                    and parts[3] == "application"
+                ):
+                    try:
+                        body = self._body()
+                        self._send(
+                            200,
+                            facade.apply_function_json(
+                                parts[2], body.get("input", body)
+                            ),
+                        )
+                    except Exception as e:
+                        self._send(400, {"error": str(e)})
                 elif parts[:2] == ["v1", "query"]:
                     # query params in the request body
                     # (MLDB-1717_query_select_in_body.py: the reference
@@ -204,6 +230,32 @@ class MldbRestServer:
 
         self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self._thread: threading.Thread | None = None
+
+    # -- function application -----------------------------------------------
+
+    def apply_function_json(self, name: str, input_obj: dict):
+        """GET/POST /v1/functions/<name>/application (MLDB-1705/2163):
+        apply a registered function to ONE JSON input row and return
+        {"output": {...}} — the reference's single-application REST
+        surface. Nested input objects become struct columns (json
+        read), outputs are the columns the function added."""
+        import json as _json
+
+        spark = self.mldb.spark
+        df = spark.read.json(
+            spark.sparkContext.parallelize([_json.dumps(input_obj)])
+        )
+        before = set(df.columns)
+        out = self.mldb.functions.apply(name, df)
+        new_cols = [c for c in out.columns if c not in before]
+        if not new_cols:
+            new_cols = [c for c in out.columns if not c.startswith("__")]
+        row = out.collect()[0]
+
+        def plain(v):
+            return v.asDict(recursive=True) if hasattr(v, "asDict") else _jsonable(v)
+
+        return {"output": {c: plain(row[c]) for c in new_cols}}
 
     # -- query execution ----------------------------------------------------
 

@@ -144,3 +144,36 @@ def test_sparse_and_atom_formats(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(server, f"/v1/query?q={q.replace(' ', '%20')}&format=atom")
     assert e.value.code == 400
+
+
+def test_function_application_route(spark):
+    """MLDB-1705/2163: GET and POST
+    /v1/functions/<name>/application apply a registered function to
+    one JSON input row and return its outputs."""
+    import json
+    import urllib.request
+
+    from mldb_spark.api import Mldb
+    from mldb_spark.rest import MldbRestServer
+
+    m = Mldb(spark)
+    m.create_sql_expression_function("addup", "a + b as rez")
+    srv = MldbRestServer(m).start()
+    try:
+        q = urllib.parse.quote(json.dumps({"a": 1, "b": 2}))
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/v1/functions/addup/application?input={q}"
+        ) as r:
+            out = json.loads(r.read())
+        assert out["output"]["rez"] == 3
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/v1/functions/addup/application",
+            data=json.dumps({"input": {"a": 5, "b": 7}}).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["output"]["rez"] == 12
+    finally:
+        srv.stop()
