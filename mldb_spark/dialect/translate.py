@@ -394,8 +394,27 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
 
         return porter_stem_udf()(args[0])
     if name == "parse_json":
-        # flat-object form → MAP<string,string>; nested JSON should use
-        # the json path extraction functions instead
+        # flat-object form → MAP<string,string>; nested JSON should
+        # use the json path extraction functions instead. The options
+        # row (MLDBFB-573: {arrays: 'parse'|'encode', ignoreErrors})
+        # is accepted — malformed input already parses to NULL (the
+        # ignoreErrors behavior); arrays-of-scalars render as their
+        # JSON text in the MAP form either way (divergence from the
+        # reference's sparse one-hot 'encode' columns noted)
+        if len(raw_args) == 2:
+            if not isinstance(raw_args[1], ast.RowLiteral):
+                raise ValueError("parse_json options must be a row literal")
+            for k, v in raw_args[1].fields:
+                if k.lower() == "arrays":
+                    if not isinstance(v, ast.Literal):
+                        raise ValueError(
+                            "parse_json arrays option must be a quoted "
+                            "string ('parse' or 'encode')"
+                        )
+                    if str(v.value) not in ("parse", "encode"):
+                        raise ValueError(
+                            f"unknown parse_json arrays mode {v.value!r}"
+                        )
         return F.from_json(args[0], "map<string,string>")
     if name == "canonicalize_url":
         from mldb_spark.functions.web import canonicalize_url

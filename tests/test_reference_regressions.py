@@ -1735,3 +1735,29 @@ def test_mldb_1030_filter_stopwords_entity(mldb):
         "SELECT nostop1030({words: tokenize(txt)})[words] AS w FROM m1030",
     )[0][0]
     assert dict(out) == {"potato": 1, "running": 1}
+
+
+def test_mldbfb_573_parse_json_options(mldb):
+    """MLDBFB-573_parse_json.py: the options row — malformed JSON
+    parses to NULL (ignoreErrors behavior), NULL in → NULL out,
+    unquoted arrays mode errors, and scalar fields extract."""
+    _ds(
+        mldb,
+        "m573",
+        [("a", '{"artist": "Champion Jack", "title": "No Meat Blues"}')],
+        "rn string, x string",
+    )
+    assert _q(
+        mldb,
+        "SELECT parse_json(x, {arrays: 'encode'})['artist'] AS v FROM m573",
+    ) == [("Champion Jack",)]
+    assert _q(
+        mldb,
+        "select parse_json('{\"asdf:', {arrays: 'parse', ignoreErrors:1}) "
+        "AS e from m573",
+    ) == [(None,)]
+    assert _q(
+        mldb, "select parse_json(y, {arrays: 'parse'}) as pwet from m573"
+    ) == [(None,)]
+    with pytest.raises(Exception, match="quoted string"):
+        mldb.query("SELECT parse_json(x, {arrays: parse}) AS p from m573").collect()
