@@ -206,7 +206,6 @@ class Mldb:
         from mldb_spark.functions.text import (
             porter_stem_tokens_udf,
             porter_stem_udf,
-            stem_bag_udf,
         )
 
         if language.lower() != "english":
@@ -216,15 +215,39 @@ class Mldb:
             if "words" not in df.columns:
                 raise ValueError("stemmer input must provide a 'words' column")
             dt = dict(df.dtypes)["words"]
-            if dt.startswith("map"):
-                fn = stem_bag_udf()
-            elif dt.startswith("array"):
-                fn = porter_stem_tokens_udf()
-            else:
-                fn = porter_stem_udf()
             from pyspark.sql import functions as _F
 
-            return df.withColumn("words", fn(_F.col("words")))
+            if dt.startswith("map"):
+                # mapInPandas, not a scalar UDF: a pandas UDF directly
+                # over a lambda-function expression (tokenize's
+                # filter/transform chain after projection collapse)
+                # trips Catalyst's PythonUDF extraction in some plan
+                # states; a MapInPandas node is a real barrier
+                from mldb_spark.functions.text import porter_stem
+
+                schema = df.schema
+
+                def stem_batches(batches):
+                    for pdf in batches:
+                        def one(bag):
+                            if bag is None:
+                                return None
+                            items = bag.items() if hasattr(bag, "items") else bag
+                            out: dict[str, int] = {}
+                            for k, v in items:
+                                sk = porter_stem(k) if k is not None else k
+                                out[sk] = out.get(sk, 0) + (v or 0)
+                            return out
+
+                        pdf["words"] = pdf["words"].map(one)
+                        yield pdf
+
+                return df.mapInPandas(stem_batches, schema)
+            if dt.startswith("array"):
+                return df.withColumn(
+                    "words", porter_stem_tokens_udf()(_F.col("words"))
+                )
+            return df.withColumn("words", porter_stem_udf()(_F.col("words")))
 
         self.functions.register(name, apply)
         self.ctx.register_function(name, apply)

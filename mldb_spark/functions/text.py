@@ -474,26 +474,3 @@ def pii_counts(text: Column) -> Column:
         )
         out = F.regexp_replace(out, pat, tag)
     return F.struct(*cols)
-
-
-def stem_bag_udf():
-    """Arrow-batched UDF: bag-of-words MAP column → MAP with Porter-
-    stemmed keys, counts of collapsing keys merged by addition (the
-    reference stemmer function's row contract, plugins/nlp/nlp.cc:
-    193-240 — 'potato':1 + 'potatoes':2 → 'potato':3)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType, MapType, StringType
-
-    def _stem_bag(s):
-        def one(bag):
-            if bag is None:
-                return None
-            out: dict[str, int] = {}
-            for k, v in bag.items():
-                sk = porter_stem(k) if k is not None else k
-                out[sk] = out.get(sk, 0) + (v or 0)
-            return out
-
-        return s.map(one)
-
-    return pandas_udf(_stem_bag, MapType(StringType(), LongType()))
