@@ -864,9 +864,11 @@ class Binder:
         if e.kind == "NULL":
             out = c.isNull()
         elif e.kind == "TRUE":
-            out = c.cast("boolean") == True  # noqa: E712
+            # null-safe: IS tests never return NULL (NULL IS TRUE is
+            # false, NULL IS NOT TRUE is true — 3VL IS semantics)
+            out = c.cast("boolean").eqNullSafe(F.lit(True))
         elif e.kind == "FALSE":
-            out = c.cast("boolean") == False  # noqa: E712
+            out = c.cast("boolean").eqNullSafe(F.lit(False))
         else:
             # dynamic type tests need runtime type info; on a typed
             # DataFrame they resolve statically via try_cast probes

@@ -1761,3 +1761,17 @@ def test_mldbfb_573_parse_json_options(mldb):
     ) == [(None,)]
     with pytest.raises(Exception, match="quoted string"):
         mldb.query("SELECT parse_json(x, {arrays: parse}) AS p from m573").collect()
+
+
+def test_is_tests_never_null(mldb):
+    """IS [NOT] TRUE/FALSE/NULL are 3VL predicates that never return
+    NULL: a NULL operand IS TRUE = false, IS NOT TRUE = true."""
+    _ds(mldb, "mis3vl", [("r1", 5), ("r2", None)], "rn string, x int")
+    assert _q(
+        mldb,
+        "SELECT x IS TRUE AS a, x IS NOT TRUE AS b, x IS FALSE AS c, "
+        "x IS NOT FALSE AS d, x IS NULL AS e FROM mis3vl ORDER BY rowName()",
+    ) == [
+        (True, False, False, True, False),
+        (False, True, False, True, True),
+    ]
