@@ -489,6 +489,7 @@ class Binder:
         ts_col: str | None = None,
         dtypes: dict[str, str] | None = None,
         table_aliases: frozenset[str] | set[str] = frozenset(),
+        side_row_names: dict[str, str] | None = None,
     ):
         self.columns = columns
         self.colset = set(columns)
@@ -500,6 +501,9 @@ class Binder:
         # resolves to column k (or to the collision-renamed column
         # `a.k` via the colset check, which runs first)
         self.table_aliases = set(table_aliases)
+        # per-join-side row-name columns (alias -> physical column),
+        # so x.rowName()/x.rowHash() bind in join scopes (MLDBFB-636)
+        self.side_row_names = side_row_names or {}
 
     _STRING_FNS = {
         "lower", "upper", "trim", "concat", "substr", "substring", "left",
@@ -913,6 +917,15 @@ class Binder:
 
     def _call(self, e: ast.FunctionCall) -> Column:
         name = e.name
+        # table-qualified pseudo functions in join scopes:
+        # x.rowName() / x.rowHash() read that side's row name
+        # (MLDBFB-636's join ON x.rowHash() = y.rowHash())
+        if "." in name:
+            q, tail = name.rsplit(".", 1)
+            if tail in ("rowname", "rowhash") and q in self.side_row_names:
+                src = self.side_row_names[q]
+                col = F.col(f"`{src}`" if "." in src else src)
+                return col if tail == "rowname" else F.xxhash64(col)
         # function names are case-sensitive in the reference
         # (MLDB-957: POWER() is unknown): accept the canonical
         # spelling and, leniently, the all-lowercase form
@@ -1611,23 +1624,23 @@ class MldbContext:
 
     def _resolve_from(
         self, stm: ast.SelectStatement, params
-    ) -> tuple[DataFrame, str | None, str | None, set[str]]:
+    ) -> tuple[DataFrame, str | None, str | None, set[str], dict[str, str]]:
         src = stm.from_
         if src is None:
-            return self.spark.range(1).drop("id"), None, None, set()
+            return self.spark.range(1).drop("id"), None, None, set(), {}
         if isinstance(src, ast.SelectStatement):
             aliases = {src.from_alias} if getattr(src, "from_alias", None) else set()
-            return self._statement(src, params), None, None, aliases
+            return self._statement(src, params), None, None, aliases, {}
         if isinstance(src, ast.TableRef):
             df, meta = self._table(src.name)
-            return df, meta["rowName"], meta["ts"], {src.alias or src.name}
+            return df, meta["rowName"], meta["ts"], {src.alias or src.name}, {}
         if isinstance(src, ast.TableFunction):
             df = self._table_function(src, params)
             rn = "rowName" if "rowName" in df.columns else None
-            return df, rn, None, set()
+            return df, rn, None, set(), {}
         if isinstance(src, ast.Join):
-            df, aliases, rn_col = self._build_join(src, params)
-            return df, rn_col, None, aliases
+            df, aliases, rn_col, side_rns = self._build_join(src, params)
+            return df, rn_col, None, aliases, side_rns
         raise ValueError(f"unsupported FROM {src!r}")
 
     def _resolve_tf_arg(self, a, params) -> DataFrame:
@@ -1765,7 +1778,7 @@ class MldbContext:
             )
         raise ValueError(f"unsupported join side {node!r}")
 
-    def _build_join(self, j: ast.Join, params) -> tuple[DataFrame, set[str], str | None]:
+    def _build_join(self, j: ast.Join, params) -> tuple[DataFrame, set[str], str | None, dict[str, str]]:
         """Build a (possibly multi-way, left-deep) join. Columns whose
         bare name appears on more than one side are renamed to the
         reference's subtable-prefixed path `alias.col`
@@ -1781,6 +1794,11 @@ class MldbContext:
             counts.update(set(df.columns))
         collide = {c for c, n in counts.items() if n > 1}
         aliases = {a for _df, a, _rn in infos.values() if a}
+        side_rns = {
+            a: f"{a}.{rn}"
+            for _df, a, rn in infos.values()
+            if a and rn is not None
+        }
 
         def leaf_df(t) -> DataFrame:
             # the reference prefixes EVERY join output column with its
@@ -1809,7 +1827,9 @@ class MldbContext:
             if node.kind == "cross" or node.on is None:
                 return left.crossJoin(right)
             cols = list(dict.fromkeys(left.columns + right.columns))
-            binder = Binder(cols, params, table_aliases=aliases)
+            binder = Binder(
+                cols, params, table_aliases=aliases, side_row_names=side_rns
+            )
             cond = binder.bind(node.on)
             how = {"inner": "inner", "left": "left", "right": "right", "full": "full"}[
                 node.kind
@@ -1841,17 +1861,18 @@ class MldbContext:
                 for c in leaf_rns
             ]
             out = out.withColumn(rn_col, F.concat_ws("-", *parts))
-        return out, aliases, rn_col
+        return out, aliases, rn_col, side_rns
 
     def _statement(self, stm: ast.SelectStatement, params) -> DataFrame:
-        df, row_name_col, ts_col, aliases = self._resolve_from(stm, params)
+        df, row_name_col, ts_col, aliases, side_rns = self._resolve_from(stm, params)
         # applied-function entities: fn({…})[out] rewrites to an
         # output-column reference after applying the transform once
         df, stm = self._apply_row_functions(df, stm, params)
         # COLUMN EXPR inside expressions expands to explicit fields
         stm = self._expand_expr_column_exprs(df, stm, params)
         binder = Binder(
-            df.columns, params, row_name_col, ts_col, dict(df.dtypes), aliases
+            df.columns, params, row_name_col, ts_col, dict(df.dtypes), aliases,
+            side_row_names=side_rns,
         )
 
         # WHEN: temporal filter on the row timestamp (tabular layout)

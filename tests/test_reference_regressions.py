@@ -1775,3 +1775,46 @@ def test_is_tests_never_null(mldb):
         (True, False, False, True, False),
         (False, True, False, True, True),
     ]
+
+
+def test_mldbfb_545_merged_where(mldb):
+    """MLDBFB-545-incorrect_result_on_merged_ds.py: a WHERE over a
+    merged dataset with disjoint row sets returns exactly the
+    matching rows (none here), same as querying the parts."""
+    _ds(mldb, "mfb545a", [("user1", "n")], "rn string, converted string")
+    _ds(mldb, "mfb545b", [("user2", "blah")], "rn string, blah string")
+    assert _q(
+        mldb, "SELECT * FROM mfb545a WHERE converted='c' LIMIT 1"
+    ) == []
+    out = mldb.query(
+        "SELECT * FROM merge(mfb545a, mfb545b) WHERE converted='c' LIMIT 1"
+    )
+    assert out.count() == 0
+    # and a hit still comes through the merge
+    hit = mldb.query(
+        "SELECT * FROM merge(mfb545a, mfb545b) WHERE converted='n'"
+    ).collect()
+    assert len(hit) == 1 and hit[0]["rowName"] == "user1"
+
+
+def test_mldbfb_636_join_rowhash(mldb):
+    """MLDBFB-636-join-rowhash.py: table-qualified x.rowName() /
+    x.rowHash() bind per join side, usable in the ON clause and the
+    select list (hash values are engine-specific)."""
+    _ds(
+        mldb,
+        "mfb636",
+        [("row1", "1"), ("row3", "3"), ("row2", "2")],
+        "rn string, x string",
+    )
+    out = _q(
+        mldb,
+        "SELECT x.rowName() AS n FROM mfb636 as x JOIN mfb636 as y "
+        "ON x.rowHash() = y.rowHash() ORDER BY x.rowName()",
+    )
+    assert out == [("row1",), ("row2",), ("row3",)]
+    assert _q(
+        mldb,
+        "SELECT count(*) AS n FROM mfb636 as x JOIN mfb636 as y "
+        "ON x.rowName() = y.rowName()",
+    ) == [(3,)]
