@@ -42,6 +42,10 @@ AGGREGATE_FNS = {
     # aggregates (the cells layout goes through operators.temporal)
     "temporal_count", "temporal_sum", "temporal_avg", "temporal_min",
     "temporal_max", "temporal_earliest", "temporal_latest",
+    # pivot(col, value) — the reference's pivot aggregate
+    # (builtin_aggregators.cc pivot; MLDB-1323's
+    # `pivot(recipe_id, 1) as * GROUP BY user_id` idiom)
+    "pivot",
     # beyond the reference's surface: distribution stats every
     # corpus-quality pipeline needs (exact, sort-based — linear
     # interpolation between order statistics, matching DuckDB's
@@ -1256,6 +1260,21 @@ class Binder:
             return F.var_samp(self.bind(e.args[0]))
         if e.name == "stddev":
             return F.stddev_samp(self.bind(e.args[0]))
+        if e.name == "pivot":
+            # pivot(col, value): the group's (col -> value) pairs as
+            # a MAP — `AS *` spreads it to sparse columns
+            # (MLDB-1323); one collect_list partial-agg, no extra
+            # shuffle
+            if len(e.args) != 2:
+                raise ValueError("pivot(column, value) takes 2 arguments")
+            return F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        self.bind(e.args[0]).cast("string").alias("k"),
+                        self.bind(e.args[1]).alias("v"),
+                    )
+                )
+            )
         if e.name == "percentile":
             if len(e.args) != 2 or not isinstance(e.args[1], ast.Literal):
                 raise ValueError("percentile(x, p) needs a literal p in [0,1]")

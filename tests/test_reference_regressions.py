@@ -1818,3 +1818,29 @@ def test_mldbfb_636_join_rowhash(mldb):
         "SELECT count(*) AS n FROM mfb636 as x JOIN mfb636 as y "
         "ON x.rowName() = y.rowName()",
     ) == [(3,)]
+
+
+def test_mldb_1323_pivot_aggregate(mldb):
+    """MLDB-1323-complicated-query.py's pivot idiom:
+    `pivot(col, value) AS * GROUP BY key` spreads each group's
+    (col -> value) pairs into sparse columns with NULL for absent
+    cells; without AS * the MAP form comes back."""
+    _ds(
+        mldb,
+        "m1323",
+        [("r1", 1, 10), ("r2", 1, 20), ("r3", 2, 10)],
+        "rn string, user_id int, recipe_id int",
+    )
+    out = mldb.query(
+        "select user_id, pivot(recipe_id, 1) as * from m1323 group by user_id"
+    )
+    assert sorted(out.columns) == ["10", "20", "user_id"]
+    rows = {r["user_id"]: (r["10"], r["20"]) for r in out.collect()}
+    assert rows == {1: (1, 1), 2: (1, None)}
+    out = _q(
+        mldb,
+        "select user_id, pivot(recipe_id, 1) as p from m1323 "
+        "group by user_id ORDER BY user_id",
+    )
+    assert out[0][0] == 1 and dict(out[0][1]) == {"10": 1, "20": 1}
+    assert out[1][0] == 2 and dict(out[1][1]) == {"10": 1}
