@@ -44,13 +44,20 @@ from mldb_spark.dedup import shingle_rows
 # Knuth multiplicative hash on the doc key -> uniform-ish [0, 1).
 # Chosen over md5 so ANY engine (DuckDB, Spark, a C job) replays the
 # keep decision with plain integer arithmetic — no hex parsing.
+# The key is first reduced mod 2^31 (pmod, so negative keys work) so
+# the Knuth multiply fits int64: (2^31-1) * 2654435761 ~= 5.7e18 <
+# 2^63-1.  Without the reduction, realistic 64-bit doc ids (xxhash
+# style, >= 2^33) overflow — Spark ANSI raises ARITHMETIC_OVERFLOW
+# and DuckDB raises OutOfRangeException.
 _HASH_MOD = 4_294_967_296  # 2^32
 _HASH_MUL = 2_654_435_761  # Knuth's A * 2^32
+_KEY_MOD = 2_147_483_648  # 2^31 — pre-reduction so the product fits int64
 
 
 def _uniform_hash(key: F.Column) -> F.Column:
+    reduced = F.pmod(key.cast("long"), F.lit(_KEY_MOD))
     return (
-        (key.cast("long") * F.lit(_HASH_MUL)) % F.lit(_HASH_MOD)
+        (reduced * F.lit(_HASH_MUL)) % F.lit(_HASH_MOD)
     ).cast("double") / F.lit(float(_HASH_MOD))
 
 
@@ -348,7 +355,8 @@ def pack_sequences(
 
     salted = docs.select(
         (
-            (F.col(id_col).cast("long") * F.lit(_HASH_MUL)) % F.lit(_HASH_MOD)
+            (F.pmod(F.col(id_col).cast("long"), F.lit(_KEY_MOD)) * F.lit(_HASH_MUL))
+            % F.lit(_HASH_MOD)
             % F.lit(n_buckets)
         )
         .cast("int")

@@ -1231,7 +1231,8 @@ WITH per AS (
 )
 SELECT d.source, count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
 FROM documents d JOIN rates r USING (source)
-WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 < r.rate
+WHERE CAST(((((d.doc_id % 2147483648) + 2147483648) % 2147483648)
+            * 2654435761) % 4294967296 AS DOUBLE) / 4294967296 < r.rate
 GROUP BY d.source ORDER BY d.source
 """
 
