@@ -517,15 +517,24 @@ def connected_components(
     winnowing emit pairs) and actual corpus dedup (drop everything
     whose component != itself).
 
-    Algorithm: distributed min-label propagation. Each round joins
-    the current labels across the (symmetrized) edge set and keeps
-    the per-node minimum — one shuffle join + one partial-agg shuffle
-    per round, converging in O(component diameter) rounds with a
-    driver-side convergence check (a single count per round). Dedup
-    graphs are dense near-cliques (diameter 2-4 in practice), so the
-    round count stays small; for adversarial long-chain graphs the
-    O(log n) alternating-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce", SoCC'14) is the scale-out upgrade path.
+    Algorithm: distributed min-label propagation WITH pointer
+    jumping. Each round (1) propagates the per-node minimum label
+    across the symmetrized edge set (one shuffle join + one
+    partial-agg shuffle), then (2) shortcuts label(u) :=
+    label(label(u)) (one join of the node-sized label table with
+    itself). The jump step compresses label chains so a component of
+    diameter d converges in O(log d) rounds instead of O(d) — the
+    logarithmic-rounds family of Rastogi et al., "Finding Connected
+    Components in Map-Reduce in Logarithmic Rounds" (ICDE'13) /
+    Kiveris et al. SoCC'14. Dedup graphs are dense near-cliques
+    (2-4 rounds); a crawl-chain of diameter 10^4 still finishes in
+    ~15.
+
+    Works for ANY orderable node id type (longs, strings, dates):
+    convergence is an exact join-based changed-count on the label
+    table, not an arithmetic sum. Raises RuntimeError if the
+    fixpoint is not reached within max_iter — an unconverged result
+    would silently merge/miss groups.
 
     100 TB shape: labels and edges stay partitioned by node across
     rounds (the join keys never change), intermediates are
@@ -548,32 +557,51 @@ def connected_components(
         .localCheckpoint()
     )
 
-    def _label_sum(d: DataFrame) -> int:
-        # labels only ever decrease, so the (exact, overflow-proof)
-        # sum strictly decreases until the fixpoint — one cheap agg
-        # per round instead of a join-based changed-count
-        return int(
-            d.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        )
-
-    prev = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
+        # (1) propagate: label(u) = min(label(u), min_{v in N(u)} label(v))
         nbr_labels = edges.join(
             labels.withColumnRenamed("node", "nbr").withColumnRenamed(
                 "label", "nbr_label"
             ),
             "nbr",
         ).select("node", F.col("nbr_label").alias("label"))
-        labels = (
+        propagated = (
             labels.union(nbr_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # (2) pointer jump: label(u) = label(label(u)). label(u) is
+        # itself a node of the same component, so this shortcuts
+        # chains — the step that turns O(diameter) into O(log d).
+        parents = propagated.select(
+            F.col("node").alias("label"), F.col("label").alias("__pl")
+        )
+        new_labels = (
+            propagated.join(parents, "label", "left")
+            .select("node", F.coalesce("__pl", "label").alias("label"))
             .localCheckpoint()
         )
-        cur = _label_sum(labels)
-        if cur == prev:
+        # exact convergence check: labels only ever decrease, so the
+        # changed-count is the number of strict decreases. Join-based
+        # (not an arithmetic sum) so string/date node ids work.
+        changed = (
+            new_labels.withColumnRenamed("label", "__new")
+            .join(labels, "node")
+            .filter(F.col("__new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
             break
-        prev = cur
+    if not converged:
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "rounds — raise max_iter (an unconverged result would "
+            "silently mislabel components)"
+        )
     # edges are fully consumed by the converged labels — release the
     # intermediate now (labels are checkpointed, not lazy)
     edges.unpersist()

@@ -1264,10 +1264,17 @@ class Binder:
             # pivot(col, value): the group's (col -> value) pairs as
             # a MAP — `AS *` spreads it to sparse columns
             # (MLDB-1323); one collect_list partial-agg, no extra
-            # shuffle
+            # shuffle.  The reference's PivotAccum
+            # (sql/builtin_aggregators.cc:950-997) appends duplicate
+            # (col,val) pairs verbatim; a MAP cannot, and Spark's
+            # default mapKeyDedupPolicy=EXCEPTION would throw at
+            # execution.  Dedup deterministically instead: sort the
+            # entries (struct order = key, then value — independent
+            # of partition/collect order) and keep the LAST entry per
+            # key, i.e. the max value for a duplicated key.
             if len(e.args) != 2:
                 raise ValueError("pivot(column, value) takes 2 arguments")
-            return F.map_from_entries(
+            ents = F.array_sort(
                 F.collect_list(
                     F.struct(
                         self.bind(e.args[0]).cast("string").alias("k"),
@@ -1275,6 +1282,14 @@ class Binder:
                     )
                 )
             )
+            deduped = F.filter(
+                ents,
+                lambda x, i: ~F.exists(
+                    F.slice(ents, i + F.lit(2), F.size(ents)),
+                    lambda y: y["k"] == x["k"],
+                ),
+            )
+            return F.map_from_entries(deduped)
         if e.name == "percentile":
             if len(e.args) != 2 or not isinstance(e.args[1], ast.Literal):
                 raise ValueError("percentile(x, p) needs a literal p in [0,1]")
@@ -1960,9 +1975,37 @@ class MldbContext:
                 )
             if "rownumber" in used:
                 if stm.order_by:
+                    # the window ordering binds BEFORE the select
+                    # projection, so an ORDER BY naming a select
+                    # alias must be substituted to its source
+                    # expression (open schema would otherwise resolve
+                    # it to NULL and number rows arbitrarily while
+                    # the output still sorts correctly — silent
+                    # misnumbering)
+                    sel_alias = {
+                        it.alias: it.expr
+                        for it in stm.select
+                        if isinstance(it, ast.ExprItem)
+                        and it.alias and it.alias != "*"
+                    }
+
+                    def _bind_rn_order(e: ast.Expr) -> Column:
+                        if (
+                            isinstance(e, ast.ColumnRef)
+                            and binder._resolve_name(e.name) is None
+                            and e.name.split(".", 1)[0] not in binder.colset
+                        ):
+                            if e.name in sel_alias:
+                                return binder.bind(sel_alias[e.name])
+                            raise ValueError(
+                                f"rowNumber() ORDER BY column {e.name!r} "
+                                "cannot be resolved"
+                            )
+                        return binder.bind(e)
+
                     w_order = [
-                        binder.bind(o.expr) if o.ascending
-                        else F.desc(binder.bind(o.expr))
+                        _bind_rn_order(o.expr) if o.ascending
+                        else F.desc(_bind_rn_order(o.expr))
                         for o in stm.order_by
                     ]
                 else:
@@ -2098,7 +2141,12 @@ class MldbContext:
             out = out.limit(stm.limit)
         return out
 
-    def _expand_wildcard(self, wc: ast.Wildcard, columns: list[str]) -> list[Column]:
+    def _expand_wildcard(
+        self,
+        wc: ast.Wildcard,
+        columns: list[str],
+        table_aliases: frozenset[str] | set[str] = frozenset(),
+    ) -> list[Column]:
         excl_exact = {x for x in wc.excluding if not x.endswith("*")}
         excl_pref = [x[:-1] for x in wc.excluding if x.endswith("*")]
         picked = []
@@ -2108,11 +2156,19 @@ class MldbContext:
         if wc.qualifier:
             # `q.*`: columns living under the join prefix `q.` if any
             # exist, else the qualifier names the relation itself
-            # (a FROM alias) and matches every column (MLDB-761)
+            # (a FROM alias) and matches every column (MLDB-761).
+            # A qualifier that is NEITHER a join prefix NOR a known
+            # FROM alias is an error — `SELECT bogus.* FROM t` must
+            # not silently return every column.
             qpref = wc.qualifier + "."
             qcols = [c for c in columns if c.startswith(qpref)]
             if qcols:
                 columns = qcols
+            elif wc.qualifier not in table_aliases:
+                raise ValueError(
+                    f"unknown table {wc.qualifier!r} in "
+                    f"{wc.qualifier}.* (not a FROM alias or join side)"
+                )
         for c in columns:
             if wc.prefix and not c.startswith(wc.prefix):
                 continue
@@ -2297,7 +2353,7 @@ class MldbContext:
         cols: list[Column] = []
         for i, it in enumerate(stm.select):
             if isinstance(it, ast.Wildcard):
-                cols.extend(self._expand_wildcard(it, df.columns))
+                cols.extend(self._expand_wildcard(it, df.columns, binder.table_aliases))
             elif isinstance(it, ast.ColumnExprItem):
                 cols.extend(self._expand_column_expr(df, it, binder.params))
             else:

@@ -175,13 +175,31 @@ def sample_dataset(
         return df.sample(withReplacement=with_replacement, fraction=fraction, seed=seed)
     n = int(rows or 0)
     if with_replacement:
-        # with replacement: overshoot a Poisson sample and trim (one
-        # count to size the rate; the reference allows n > |dataset|)
+        # with replacement the reference returns EXACTLY n rows (it
+        # draws n times; n > |dataset| is allowed).  A Poisson
+        # overshoot + limit(n) can land short for small n, so instead
+        # draw n ranks deterministically — rank_i = hash(i, seed) mod
+        # total — and join the tiny draws table (broadcast) against a
+        # rank-indexed view of the data.  Duplicate ranks join to
+        # duplicate output rows, which is exactly replacement
+        # semantics.  The global row_number rank is a total order on
+        # rowHash — fine for the interactive small-n rows mode; the
+        # scale path for sampling huge data is fraction mode above.
         total = df.count()
-        if total == 0:
-            return df
-        rate = max(1.5 * n / total, 0.1)
-        return df.sample(withReplacement=True, fraction=rate, seed=seed).limit(n)
+        if total == 0 or n == 0:
+            return df.limit(0)
+        key = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+        indexed = df.withColumn(
+            "__samp_idx",
+            F.row_number().over(Window.orderBy(key)).cast("long") - 1,
+        )
+        spark = df.sparkSession
+        draws = spark.range(n).select(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(total))
+            .cast("long")
+            .alias("__samp_idx")
+        )
+        return indexed.join(F.broadcast(draws), "__samp_idx").drop("__samp_idx")
     # without replacement the reference rejects oversampling
     # (MLDB-1242: "more rows requested than available")
     total = df.count()

@@ -595,3 +595,52 @@ def test_connected_components(spark):
     assert {n: out[n] for n in (10, 11, 12)} == {n: 10 for n in (10, 11, 12)}
     assert out[20] == 20 and out[21] == 20
     assert {n: out[n] for n in (30, 31, 32, 33)} == {n: 30 for n in (30, 31, 32, 33)}
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """A path graph of diameter 4095 must converge within the default
+    25-round budget — only possible because each round pointer-jumps
+    label(u) := label(label(u)), turning O(diameter) propagation into
+    O(log d) (Rastogi et al. ICDE'13). Plain propagation would need
+    ~4000 rounds and previously returned silently-wrong labels."""
+    from mldb_spark.dedup import connected_components
+
+    n = 4096
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    out = connected_components(pairs)
+    comps = out.select("component").distinct().collect()
+    assert [r["component"] for r in comps] == [0]
+    assert out.count() == n
+
+
+def test_connected_components_string_ids(spark):
+    """String node ids (doc hashes, URLs) work: min-label over string
+    ordering, no arithmetic on the label — the old decimal-sum
+    convergence check raised TypeError on non-numeric ids."""
+    from mldb_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("apple", "banana"), ("banana", "cherry"), ("x", "y")],
+        "a string, b string",
+    )
+    out = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {
+        "apple": "apple", "banana": "apple", "cherry": "apple",
+        "x": "x", "y": "x",
+    }
+
+
+def test_connected_components_unconverged_raises(spark):
+    """max_iter too small for the graph's diameter must raise, not
+    return silently-wrong components."""
+    import pytest
+
+    from mldb_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2).count()

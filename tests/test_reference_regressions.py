@@ -1696,7 +1696,14 @@ def test_mldb_1242_sampled_dataset(mldb):
     out = mldb.query(
         "SELECT * FROM sample(m1242, {rows: 600, withReplacement: true})"
     )
-    assert out.count() <= 600 and out.count() > 0
+    # the reference returns EXACTLY n rows, even when n > |dataset|
+    assert out.count() == 600
+    # with replacement, duplicates must actually occur for n > total
+    assert out.select("rowName").distinct().count() <= 500
+    # small-n draw is exact too (the old Poisson path could undershoot)
+    assert mldb.query(
+        "SELECT * FROM sample(m1242, {rows: 10, withReplacement: true})"
+    ).count() == 10
     frac = mldb.query("SELECT * FROM sample(m1242, {fraction: 0.5})").count()
     assert 150 < frac < 350
 
@@ -1844,3 +1851,63 @@ def test_mldb_1323_pivot_aggregate(mldb):
     )
     assert out[0][0] == 1 and dict(out[0][1]) == {"10": 1, "20": 1}
     assert out[1][0] == 2 and dict(out[1][1]) == {"10": 1}
+
+
+def test_pivot_duplicate_keys(mldb):
+    """Duplicate pivot keys within a group must not throw (Spark's
+    default mapKeyDedupPolicy=EXCEPTION would); the engine dedups
+    deterministically keeping the max value per duplicated key —
+    independent of partition/collect order."""
+    _ds(
+        mldb,
+        "mdup",
+        [("r1", 1, "a", 5), ("r2", 1, "a", 9), ("r3", 1, "b", 3),
+         ("r4", 2, "a", 7)],
+        "rn string, grp int, k string, v int",
+    )
+    out = _q(
+        mldb,
+        "select grp, pivot(k, v) as p from mdup group by grp order by grp",
+    )
+    assert dict(out[0][1]) == {"a": 9, "b": 3}
+    assert dict(out[1][1]) == {"a": 7}
+
+
+def test_row_number_orders_by_select_alias(mldb):
+    """rowNumber()'s window ordering must resolve ORDER BY names that
+    are select ALIASES (previously bound pre-projection, the alias
+    resolved to NULL under the open schema and numbering was
+    arbitrary while the output sort was correct — silent
+    misnumbering).  Unknown order columns raise instead of silently
+    numbering arbitrarily."""
+    _ds(
+        mldb,
+        "mrnalias",
+        [("a", 3, 30), ("b", 1, 10), ("c", 2, 20)],
+        "rn string, x int, y int",
+    )
+    rows = _q(
+        mldb,
+        "SELECT x + y AS s, rowNumber() AS num FROM mrnalias ORDER BY s",
+    )
+    assert rows == [(11, 1), (22, 2), (33, 3)]
+    rows = _q(
+        mldb,
+        "SELECT x + y AS s, rowNumber() AS num FROM mrnalias ORDER BY s DESC",
+    )
+    assert rows == [(33, 1), (22, 2), (11, 3)]
+    with pytest.raises(Exception, match="cannot be resolved"):
+        mldb.query(
+            "SELECT x AS s, rowNumber() AS num FROM mrnalias ORDER BY nosuch"
+        ).collect()
+
+
+def test_qualified_wildcard_unknown_alias_errors(mldb):
+    """`SELECT bogus.* FROM t` must error, not silently return every
+    column; the FROM alias (or bare table name) still matches all
+    columns (MLDB-761)."""
+    _ds(mldb, "mqw", [("r1", 1, 2)], "rn string, a int, b int")
+    assert _q(mldb, "SELECT mqw.* FROM mqw") == [("r1", 1, 2)]
+    assert _q(mldb, "SELECT z.* FROM mqw AS z") == [("r1", 1, 2)]
+    with pytest.raises(Exception, match="unknown table"):
+        mldb.query("SELECT bogus.* FROM mqw").collect()
