@@ -1691,7 +1691,7 @@ class MldbContext:
         if isinstance(a, ast.TableFunction):
             return self._table_function(a, params)
         if isinstance(a, ast.FunctionCall) and a.name in (
-            "row_dataset", "merge", "sample", "transpose",
+            "row_dataset", "merge", "sample", "transpose", "all_cells",
         ):
             # nested dataset functions parse as expression calls —
             # re-route (merge(row_dataset(...), ...), MLDB-2103)
@@ -1769,6 +1769,43 @@ class MldbContext:
             fraction = float(tf.args[1]) if len(tf.args) > 1 else 0.1
             seed = int(tf.args[2]) if len(tf.args) > 2 else 0
             return df.sample(fraction=fraction, seed=seed)
+        if tf.name == "all_cells":
+            # all_cells(cells_ds [, <latest-row predicate>]): the
+            # GET_ALL emission over the cell layout — the predicate
+            # is an arbitrary row expression evaluated against each
+            # row's LATEST cell values (the reference evaluates WHERE
+            # at GET_LATEST, core/bound_queries.cc:385,394); rows
+            # that pass emit their FULL superposition.  Predicate
+            # column names refer to logical cell columns (the values
+            # of the `column` column), e.g.
+            # all_cells(cells, purchase > 900 AND click < 50).
+            from mldb_spark.operators.temporal import all_cells
+
+            df = self._resolve_tf_arg(tf.args[0], params)
+            if "row" not in df.columns and "rowName" in df.columns:
+                df = df.withColumnRenamed("rowName", "row")
+            if not {"row", "column", "value", "ts"}.issubset(df.columns):
+                raise ValueError(
+                    "all_cells() needs the cell layout "
+                    "(row, column, value, ts)"
+                )
+            if len(tf.args) < 2:
+                return df
+            pred = tf.args[1]
+            cols = sorted(
+                {n.name for n in _walk(pred) if isinstance(n, ast.ColumnRef)}
+            )
+            if not cols:
+                raise ValueError(
+                    "all_cells() predicate must reference at least one "
+                    "cell column"
+                )
+            pred_binder = Binder(cols, params or {})
+            return all_cells(
+                df,
+                where_row=pred_binder.bind(pred).cast("boolean"),
+                where_columns=cols,
+            )
         if tf.name == "transpose":
             from mldb_spark.operators.relational import transpose_cells
 

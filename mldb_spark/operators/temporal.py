@@ -22,6 +22,8 @@ partition-pruned scan.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -91,6 +93,8 @@ def all_cells(
     value_col: str = "value",
     ts_col: str = "ts",
     where_latest: Column | None = None,
+    where_row: Column | None = None,
+    where_columns: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """GET_ALL SELECT emission (sql/expression_value.h:86-91,940-944):
     the reference evaluates WHERE/HAVING/calc at GET_LATEST but emits
@@ -98,18 +102,49 @@ def all_cells(
     every timestamped value of a surviving row's cells appears in the
     output, not just the latest one.
 
-    `where_latest` is a boolean expression over this view's
-    (column, value, ts) columns, tested against the row's LATEST cell
-    values (a row survives if ANY of its latest cells satisfies it —
-    the bare `WHERE x > k` single-column shape). Surviving rows then
-    emit their full superposition.
+    Two predicate shapes:
 
-    Scale shape: the WHERE runs on the collapsed latest view (one
-    partial-agg shuffle), survivors come back as a semi-join on the
-    row key — no wide pivot, no second pass over cell values, and the
-    cell scan itself is untouched (filters on row/ts still push
-    down).
+    - `where_latest`: a boolean expression over this view's
+      (column, value, ts) columns, tested against the row's LATEST
+      cell values (a row survives if ANY of its latest cells
+      satisfies it — the bare `WHERE x > k` single-column shape).
+
+    - `where_row` + `where_columns`: an ARBITRARY row predicate —
+      the general shape the reference evaluates at GET_LATEST
+      (core/bound_queries.cc:385,394). `where_columns` names the
+      logical cell columns the predicate references; the latest view
+      is pivoted to exactly those columns (conditional aggregation,
+      one partial-agg shuffle — never a wide pivot of the full
+      column space), the predicate runs on the pivoted row (absent
+      cells are NULL, standard 3VL), and survivors come back as a
+      semi-join. Multi-column shapes like `WHERE x > 1 AND y < 2`
+      work.
+
+    Surviving rows then emit their full superposition.
+
+    Scale shape: both paths collapse to latest with one partial-agg
+    shuffle, pivot at most len(where_columns) values per row, and
+    rejoin with a semi-join on the row key — no second pass over
+    cell values; the cell scan itself is untouched (filters on
+    row/ts still push down).
     """
+    if where_row is not None:
+        if not where_columns:
+            raise ValueError(
+                "where_row needs where_columns naming the latest-view "
+                "columns the predicate references"
+            )
+        latest = latest_cells(cells, row_col, column_col, value_col, ts_col)
+        pivoted = latest.groupBy(row_col).agg(
+            *[
+                F.max(
+                    F.when(F.col(column_col) == c, F.col(value_col))
+                ).alias(c)
+                for c in where_columns
+            ]
+        )
+        surviving = pivoted.filter(where_row).select(row_col)
+        return cells.join(surviving, row_col, "left_semi")
     if where_latest is None:
         return cells
     latest = latest_cells(cells, row_col, column_col, value_col, ts_col)

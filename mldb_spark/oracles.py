@@ -1406,3 +1406,24 @@ SELECT source, count(*) AS n,
        round(quantile_cont(n_chars, 0.5), 6) AS med
 FROM documents GROUP BY source ORDER BY source
 """
+
+ORACLES["qa16_get_all_where"] = """
+WITH cells AS (
+  SELECT CAST(user_id AS VARCHAR) AS "row", event_type AS "column",
+         "value", ts
+  FROM events
+), latest AS (
+  SELECT "row", "column", arg_max("value", ts) AS v
+  FROM cells GROUP BY 1, 2
+), piv AS (
+  SELECT "row",
+         max(CASE WHEN "column" = 'purchase' THEN v END) AS purchase,
+         max(CASE WHEN "column" = 'click' THEN v END) AS click
+  FROM latest GROUP BY "row"
+), surv AS (
+  SELECT "row" FROM piv WHERE purchase > 200 AND click < 100
+)
+SELECT c."row", c."column", round(c."value", 2) AS "value", c.ts
+FROM cells c JOIN surv USING ("row")
+ORDER BY c."row", c."column", c.ts
+"""

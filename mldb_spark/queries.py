@@ -2585,3 +2585,34 @@ QUERIES = {
     and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
     and callable(fn)
 }
+
+
+def qa16_get_all_where(spark: SparkSession, sf: str) -> DataFrame:
+    """GET_ALL with a general multi-column WHERE, from SQL: the
+    all_cells() dataset function pivots the GET_LATEST view to the
+    columns the predicate names (core/bound_queries.cc:385,394
+    evaluates WHERE at GET_LATEST), filters with the arbitrary row
+    expression, and surviving rows emit their full superposition.
+    Oracle replays via a DuckDB arg_max pivot + semi-join. Scale
+    shape: one partial-agg shuffle to latest, a narrow conditional-
+    aggregation pivot (only the 2 predicate columns), one semi-join —
+    the cell scan itself never re-reads."""
+    from mldb_spark.operators.temporal import events_to_cells
+
+    ctx = _dialect_ctx(spark, sf)
+    cells = events_to_cells(load(spark, sf, "events"))
+    ctx.register("ecells", cells, ts_col="ts")
+    return ctx.query(
+        "SELECT row, column, round(value, 2) AS value, ts "
+        "FROM all_cells(ecells, purchase > 200 AND click < 100) "
+        "ORDER BY row, column, ts"
+    )
+
+
+QUERIES = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q")
+    and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
+    and callable(fn)
+}

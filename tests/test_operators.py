@@ -644,3 +644,75 @@ def test_connected_components_unconverged_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=2).count()
+
+
+def test_get_all_where_row_general_predicate(spark):
+    """GET_ALL with an ARBITRARY multi-column row predicate
+    (core/bound_queries.cc:385,394 evaluates WHERE at GET_LATEST):
+    the latest view pivots to the predicate's columns, NULLs for
+    absent cells follow 3VL, survivors emit their full
+    superposition."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.operators.temporal import all_cells
+
+    cells = spark.createDataFrame(
+        [
+            # u1: latest x=5, y=2  -> passes (x>4 AND y<3)
+            ("u1", "x", 1.0, "2024-01-01"),
+            ("u1", "x", 5.0, "2024-01-03"),
+            ("u1", "y", 2.0, "2024-01-02"),
+            # u2: latest x=9, y=8  -> fails y<3
+            ("u2", "x", 9.0, "2024-01-01"),
+            ("u2", "y", 8.0, "2024-01-04"),
+            # u3: has y only -> x IS NULL -> 3VL fails
+            ("u3", "y", 1.0, "2024-01-01"),
+        ],
+        "row string, column string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = all_cells(
+        cells,
+        where_row=(F.col("x") > 4) & (F.col("y") < 3),
+        where_columns=["x", "y"],
+    )
+    assert sorted(r["row"] for r in out.select("row").distinct().collect()) == ["u1"]
+    assert out.count() == 3  # full superposition: two x values + y
+
+    # where_row without where_columns is a usage error
+    import pytest
+
+    with pytest.raises(ValueError, match="where_columns"):
+        all_cells(cells, where_row=F.lit(True))
+
+
+def test_dialect_all_cells_from_clause(mldb_ctx_factory=None):
+    """SQL surface: FROM all_cells(ds, x > 4 AND y < 3) reaches the
+    general GET_ALL WHERE; predicate names are logical cell
+    columns."""
+    from mldb_spark.dialect import MldbContext
+    from mldb_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark()
+    cells = spark.createDataFrame(
+        [
+            ("u1", "x", 1.0, "2024-01-01"),
+            ("u1", "x", 5.0, "2024-01-03"),
+            ("u1", "y", 2.0, "2024-01-02"),
+            ("u2", "x", 9.0, "2024-01-01"),
+            ("u2", "y", 8.0, "2024-01-04"),
+        ],
+        "row string, column string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ctx = MldbContext(spark)
+    ctx.register("c", cells, ts_col="ts")
+    out = ctx.query(
+        "SELECT row, column, value FROM all_cells(c, x > 4 AND y < 3) "
+        "ORDER BY row, column, value"
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("u1", "x", 1.0), ("u1", "x", 5.0), ("u1", "y", 2.0),
+    ]
+    # bare all_cells(ds) is the identity
+    assert ctx.query("SELECT * FROM all_cells(c)").count() == 5
