@@ -129,7 +129,12 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         "mime_type": _mime_type_fn,
     }
     binary = {
-        "pow": F.pow, "power": F.pow, "mod": F.pmod, "atan2": F.atan2,
+        # mod() is C-truncated (sign of the DIVIDEND —
+        # builtin_functions.cc:787 uses C++ % on ints; MLDB-798), so
+        # Spark's % (same semantics), NOT pmod
+        "pow": F.pow, "power": F.pow,
+        "mod": lambda a, b: a.cast("long") % b.cast("long"),
+        "atan2": F.atan2,
         "quantize": quantize, "levenshtein_distance": F.levenshtein,
         # regex_match is a FULL-string match in the reference
         # (std::regex_match, builtin_functions.cc:1038); regex_search
@@ -640,7 +645,13 @@ class Binder:
             out = c.isin(*lits) if lits else None
             for item in e.items:
                 if not isinstance(item, ast.Literal):
-                    eq = c == self.bind(item)
+                    rhs = self.bind(item)
+                    if self._is_booly(item):
+                        # the reference has no boolean atomic type —
+                        # a truth-valued IN element compares as 1/0
+                        # (MLDB-895's `2 IN (…, 1 IN (…), x < y, …)`)
+                        rhs = rhs.cast("int")
+                    eq = c == rhs
                     out = eq if out is None else (out | eq)
             if out is None:
                 out = F.lit(False)
@@ -913,6 +924,7 @@ class Binder:
         "rowname": "rowName", "rowhash": "rowHash", "rowpath": "rowPath",
         "rowpathelement": "rowPathElement",
         "rowpathlength": "rowPathLength", "rownumber": "rowNumber",
+        "leftrowname": "leftRowName", "rightrowname": "rightRowName",
         "totalrows": "totalRows", "columncount": "columnCount",
         "columnname": "columnName", "rowcount": "rowCount",
         "st_contains_point": "ST_Contains_Point",
@@ -937,6 +949,18 @@ class Binder:
             canonical = self._CANONICAL_SPELLING.get(name, name)
             if e.raw != canonical:
                 raise ValueError(f"Unable to find function {e.raw!r}")
+        if name in ("leftrowname", "rightrowname"):
+            # MLDB-1710: the top-level join side's row name
+            key = "__left" if name == "leftrowname" else "__right"
+            src = self.side_row_names.get(key)
+            if src is None:
+                pretty = (
+                    "leftRowName" if name == "leftrowname" else "rightRowName"
+                )
+                raise ValueError(
+                    f"Function '{pretty}' is not available outside of a join"
+                )
+            return F.col(src)
         if name == "rowname":
             if self.row_name_col:
                 return F.col(self.row_name_col)
@@ -1505,6 +1529,7 @@ class MldbContext:
         self._datasets: dict[str, DataFrame] = {}
         self._meta: dict[str, dict[str, str | None]] = {}
         self._functions: dict[str, object] = {}
+        self._cells: dict[str, dict[str, object]] = {}
 
     def register(
         self,
@@ -1515,6 +1540,68 @@ class MldbContext:
     ) -> None:
         self._datasets[name] = df
         self._meta[name] = {"rowName": row_name_col, "ts": ts_col}
+
+    def register_cells(
+        self,
+        name: str,
+        cells: DataFrame,
+        row_col: str = "row",
+        column_col: str = "column",
+        value_col: str = "value",
+        ts_col: str = "ts",
+    ) -> None:
+        """Register a TEMPORAL dataset from the cell layout (row,
+        column, value, ts) — the sparse.mutable / beh shape where a
+        cell may hold several timestamped values.
+
+        SQL semantics over a cells dataset mirror the reference
+        (MLDB-1235-temporal-aggregators.py; core/bound_queries.cc:385,
+        394): plain column references and WHERE read each cell at
+        GET_LATEST (the wide arg-max view this method registers), and
+        the temporal_* family reduces over the cell's full
+        superposition per ROW — rewritten in `_statement` to
+        per-(row,column) aggregations over the raw cells joined back
+        to the latest view.
+
+        Scale shape: the wide view is one partial-agg shuffle (max_by
+        per (row, column), conditional-agg pivot on row); the distinct
+        column list is collected once with the AS-* spread cap.
+        """
+        from mldb_spark.operators.temporal import latest_cells
+
+        cols = [
+            r[0]
+            for r in cells.select(column_col)
+            .distinct()
+            .limit(self._SPREAD_KEY_CAP + 1)
+            .collect()
+        ]
+        if len(cols) > self._SPREAD_KEY_CAP:
+            raise ValueError(
+                f"cells dataset has more than {self._SPREAD_KEY_CAP} "
+                "distinct columns; query it through all_cells()/"
+                "operators.temporal instead"
+            )
+        cols = sorted(cols)
+        latest = latest_cells(cells, row_col, column_col, value_col, ts_col)
+        wide = latest.groupBy(F.col(row_col).alias("__cellsRow")).agg(
+            *[
+                F.max(
+                    F.when(F.col(column_col) == c, F.col(value_col))
+                ).alias(c)
+                for c in cols
+            ]
+        )
+        self._datasets[name] = wide
+        self._meta[name] = {"rowName": "__cellsRow", "ts": None}
+        self._cells[name] = {
+            "cells": cells,
+            "row": row_col,
+            "column": column_col,
+            "value": value_col,
+            "ts": ts_col,
+            "columns": cols,
+        }
 
     def register_function(self, name: str, fn) -> None:
         """Applied-function entity usable from SQL: `fn({…})[output]`
@@ -1932,10 +2019,169 @@ class MldbContext:
                 for c in leaf_rns
             ]
             out = out.withColumn(rn_col, F.concat_ws("-", *parts))
+            # leftRowName()/rightRowName() (MLDB-1710): the row name
+            # of the join's top-level left/right side — a bare name
+            # for a single table, the bracketed composite for a
+            # nested join side, '' for an outer non-match
+            def _side_name(ts: list) -> Column:
+                cs = []
+                for t in ts:
+                    _df, alias, meta_rn = infos[id(t)]
+                    cs.append(f"{alias}.{meta_rn}" if alias else meta_rn)
+                raw = [
+                    F.coalesce(
+                        F.col(f"`{c}`" if "." in c else c).cast("string"),
+                        F.lit(""),
+                    )
+                    for c in cs
+                ]
+                if len(raw) == 1:
+                    return raw[0]
+                return F.concat_ws(
+                    "-", *[F.concat(F.lit("["), c, F.lit("]")) for c in raw]
+                )
+
+            out = out.withColumn(
+                "__leftRowName", _side_name(self._join_leaves(j.left))
+            ).withColumn(
+                "__rightRowName", _side_name(self._join_leaves(j.right))
+            )
+            side_rns = dict(side_rns)
+            side_rns["__left"] = "__leftRowName"
+            side_rns["__right"] = "__rightRowName"
         return out, aliases, rn_col, side_rns
 
+    _CELL_TEMPORALS = {
+        "temporal_count": "count",
+        "temporal_sum": "sum",
+        "temporal_avg": "avg",
+        "temporal_min": "min",
+        "temporal_max": "max",
+        "temporal_earliest": "earliest",
+        "temporal_latest": "latest",
+    }
+
+    def _rewrite_cells_temporals(
+        self, df: DataFrame, stm: ast.SelectStatement, name: str
+    ):
+        """Over a register_cells() dataset, temporal_*(x) reduces the
+        cell's SUPERPOSITION per row (MLDB-1235; the plain column ref
+        already reads GET_LATEST from the wide view). Each distinct
+        temporal call becomes a per-(row,column) aggregation over the
+        raw cells joined back on the row key; the row form
+        temporal_*({*}) AS * expands to one such column per cell
+        column. One partial-agg shuffle per distinct temporal
+        function — never a per-row Python loop."""
+        import dataclasses
+
+        info = self._cells[name]
+        cells: DataFrame = info["cells"]  # type: ignore[assignment]
+        row_c, col_c, val_c, ts_c = (
+            info["row"], info["column"], info["value"], info["ts"]
+        )
+
+        def _star_row(a: ast.Expr) -> bool:
+            return (
+                isinstance(a, ast.RowLiteral)
+                and len(a.fields) == 1
+                and a.fields[0][0] == "*"
+            )
+
+        # the per-row aggregated wide view for one temporal function,
+        # restricted to the named columns
+        def _agg_wide(base: str, wanted: list[str], prefix: str) -> DataFrame:
+            v, t = F.col(val_c), F.col(ts_c)
+            fns = {
+                "count": F.count(v), "sum": F.sum(v), "avg": F.avg(v),
+                "min": F.min(v), "max": F.max(v),
+                "earliest": F.min_by(v, t), "latest": F.max_by(v, t),
+            }
+            per_cell = (
+                cells.filter(F.col(col_c).isin(wanted))
+                .groupBy(row_c, col_c)
+                .agg(fns[base].alias("__tv"))
+            )
+            return per_cell.groupBy(
+                F.col(row_c).alias("__cellsRow")
+            ).agg(
+                *[
+                    F.max(F.when(F.col(col_c) == c, F.col("__tv"))).alias(
+                        f"{prefix}{c}"
+                    )
+                    for c in wanted
+                ]
+            )
+
+        new_select: list[ast.SelectItem] = []
+        changed = False
+        mapping: list[tuple[ast.Expr, str]] = []
+        join_dfs: list[DataFrame] = []
+        for i, it in enumerate(stm.select):
+            if (
+                isinstance(it, ast.ExprItem)
+                and it.alias == "*"
+                and isinstance(it.expr, ast.FunctionCall)
+                and it.expr.name in self._CELL_TEMPORALS
+                and len(it.expr.args) == 1
+                and _star_row(it.expr.args[0])
+            ):
+                base = self._CELL_TEMPORALS[it.expr.name]
+                prefix = f"__tr{i}_"
+                join_dfs.append(
+                    _agg_wide(base, list(info["columns"]), prefix)
+                )
+                new_select.extend(
+                    ast.ExprItem(ast.ColumnRef(f"{prefix}{c}"), c)
+                    for c in info["columns"]
+                )
+                changed = True
+                continue
+            if isinstance(it, ast.ExprItem):
+                for n in _walk(it.expr):
+                    if (
+                        isinstance(n, ast.FunctionCall)
+                        and n.name in self._CELL_TEMPORALS
+                        and len(n.args) == 1
+                        and isinstance(n.args[0], ast.ColumnRef)
+                        and n.args[0].name in info["columns"]
+                        and not any(n == m for m, _ in mapping)
+                    ):
+                        base = self._CELL_TEMPORALS[n.name]
+                        cname = f"__tc{len(mapping)}_{n.args[0].name}"
+                        join_dfs.append(
+                            _agg_wide(base, [n.args[0].name], "").select(
+                                "__cellsRow",
+                                F.col(n.args[0].name).alias(cname),
+                            )
+                        )
+                        mapping.append((n, cname))
+            new_select.append(it)
+        if mapping:
+            new_select = [
+                dataclasses.replace(it, expr=_substitute(it.expr, mapping))
+                if isinstance(it, ast.ExprItem)
+                else it
+                for it in new_select
+            ]
+            changed = True
+        if not changed:
+            return df, stm
+        for jd in join_dfs:
+            df = df.join(jd, "__cellsRow", "left")
+        return df, dataclasses.replace(stm, select=new_select)
+
     def _statement(self, stm: ast.SelectStatement, params) -> DataFrame:
+        if stm.from_ is None and any(
+            isinstance(it, ast.Wildcard) for it in stm.select
+        ):
+            # MLDB-1732: the reference rejects SELECT * with no table
+            raise ValueError("Wildcard usage requires a FROM statement")
         df, row_name_col, ts_col, aliases, side_rns = self._resolve_from(stm, params)
+        if (
+            isinstance(stm.from_, ast.TableRef)
+            and stm.from_.name in self._cells
+        ):
+            df, stm = self._rewrite_cells_temporals(df, stm, stm.from_.name)
         # applied-function entities: fn({…})[out] rewrites to an
         # output-column reference after applying the transform once
         df, stm = self._apply_row_functions(df, stm, params)
@@ -2399,7 +2645,18 @@ class MldbContext:
                 )
                 cols.append(binder.bind(it.expr).alias(name))
         if stm.named is not None:
-            cols.append(binder.bind(stm.named).cast("string").alias("rowName"))
+            named = binder.bind(stm.named)
+            # a NULL row name is a runtime error in the reference
+            # (MLDBFB-345), not a silently-null rowName
+            cols.append(
+                F.when(named.isNotNull(), named.cast("string"))
+                .otherwise(
+                    F.raise_error(
+                        F.lit("Can't create a row with a null name")
+                    )
+                )
+                .alias("rowName")
+            )
         # without NAMED, rowName is not carried implicitly
         return self._spread_columns(df.select(*cols, *extra_cols))
 

@@ -1911,3 +1911,420 @@ def test_qualified_wildcard_unknown_alias_errors(mldb):
     assert _q(mldb, "SELECT z.* FROM mqw AS z") == [("r1", 1, 2)]
     with pytest.raises(Exception, match="unknown table"):
         mldb.query("SELECT bogus.* FROM mqw").collect()
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch: temporal cluster
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def m1235(spark):
+    """MLDB-1235-temporal-aggregators.py fixture: two rows, columns x
+    and y each holding values at three timestamps."""
+    from mldb_spark.dialect import MldbContext
+
+    before, sometime, after = (
+        "2016-01-01 12:23:34", "2016-01-02 12:23:34", "2016-01-03 12:23:34"
+    )
+    rows = []
+    for i in range(1, 3):
+        rn = f"row_{i}"
+        rows += [
+            (rn, "x", float(-i), before), (rn, "y", float(i), before),
+            (rn, "x", 0.0, sometime), (rn, "y", 0.0, sometime),
+            (rn, "x", float(i + 1), after), (rn, "y", float(-i - 1), after),
+        ]
+    cells = spark.createDataFrame(
+        rows, "row string, column string, value double, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ctx = MldbContext(spark)
+    ctx.register_cells("dataset", cells)
+    return ctx
+
+
+def _qc(ctx, sql):
+    return [tuple(r) for r in ctx.query(sql).collect()]
+
+
+def test_mldb_1235_min_reads_latest(m1235):
+    """MLDB-1235 test_min_returns_last_event: a table aggregate over a
+    temporal dataset reads each cell at its LATEST value — min(x)
+    over latest (2, 3) is 2, never the older -1/-2/0 values."""
+    assert _qc(m1235, "select min(x) as min_x from dataset") == [(2.0,)]
+
+
+def test_mldb_1235_temporal_earliest_latest_on_column(m1235):
+    assert _qc(
+        m1235,
+        "select temporal_earliest(x) as t from dataset order by rowName()",
+    ) == [(-1.0,), (-2.0,)]
+    assert _qc(
+        m1235,
+        "select temporal_latest(x) as t from dataset order by rowName()",
+    ) == [(2.0,), (3.0,)]
+
+
+def test_mldb_1235_temporal_min_max_count_on_column(m1235):
+    assert _qc(
+        m1235, "select temporal_min(x) from dataset order by rowName()"
+    ) == [(-1.0,), (-2.0,)]
+    assert _qc(
+        m1235, "select temporal_max(x) as max from dataset order by rowName()"
+    ) == [(2.0,), (3.0,)]
+    assert _qc(
+        m1235, "select temporal_count(x) from dataset order by rowName()"
+    ) == [(3,), (3,)]
+    assert _qc(
+        m1235, "select temporal_sum(x) as s from dataset order by rowName()"
+    ) == [(1.0,), (1.0,)]
+
+
+def test_mldb_1235_temporal_on_row_form(m1235):
+    """temporal_X({*}) as * applies the per-row superposition
+    reduction to EVERY cell column and spreads the results."""
+    out = m1235.query(
+        "select temporal_earliest({*}) as * from dataset order by rowName()"
+    )
+    assert out.columns == ["x", "y"]
+    assert [tuple(r) for r in out.collect()] == [(-1.0, 1.0), (-2.0, 2.0)]
+    assert _qc(
+        m1235,
+        "select temporal_latest({*}) as * from dataset order by rowName()",
+    ) == [(2.0, -2.0), (3.0, -3.0)]
+    assert _qc(
+        m1235,
+        "select temporal_min({*}) as * from dataset order by rowName()",
+    ) == [(-1.0, -2.0), (-2.0, -3.0)]
+    assert _qc(
+        m1235,
+        "select temporal_max({*}) as * from dataset order by rowName()",
+    ) == [(2.0, 1.0), (3.0, 2.0)]
+    assert _qc(
+        m1235,
+        "select temporal_count({*}) as * from dataset order by rowName()",
+    ) == [(3, 3), (3, 3)]
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch: join cluster
+# ---------------------------------------------------------------------------
+
+
+def test_mldb_1710_left_right_rowname(mldb):
+    """MLDB-1710-left-right-rowname.py: leftRowName()/rightRowName()
+    read the top-level join side's row name — bare for a single
+    table, the bracketed composite for a nested join side, '' for an
+    outer non-match, and an error outside a join."""
+    _ds(mldb, "m1710a", [("x", 1)], "rn string, a int")
+    _ds(mldb, "m1710b", [("y", 1)], "rn string, a int")
+    _ds(mldb, "m1710c", [("z", 1)], "rn string, a int")
+    assert _q(
+        mldb,
+        "select leftRowName() as l from m1710a as d1 join m1710b as d2 "
+        "on d1.a = d2.a",
+    ) == [("x",)]
+    assert _q(
+        mldb,
+        "select rightRowName() as r from m1710a as d1 join m1710b as d2 "
+        "on d1.a = d2.a",
+    ) == [("y",)]
+    # nested: left side of ((a join b) join c) is the composite
+    assert _q(
+        mldb,
+        "select leftRowName() as l, rightRowName() as r "
+        "from m1710a as d1 join m1710b as d2 on d1.a = d2.a "
+        "join m1710c as d3 on d1.a = d3.a",
+    ) == [("[x]-[y]", "z")]
+    # outer non-match: rightRowName is ''
+    assert _q(
+        mldb,
+        "select leftRowName() as l, rightRowName() as r "
+        "from m1710a as d1 left join m1710b as d2 on d1.a = d2.a + 1",
+    ) == [("x", "")]
+    for fn in ("leftRowName", "rightRowName"):
+        with pytest.raises(Exception, match="not available outside of a join"):
+            mldb.query(f"select {fn}() from m1710a").collect()
+
+
+def test_mldb_1899_left_join_extra_on_conditions(mldb):
+    """MLDB-1899-duplicated-rows-in-equijoins.py: LEFT JOIN with
+    extra ON conditions (always-false, half-true, cross-side theta)
+    keeps every left row exactly once when unmatched — no duplicates,
+    no drops."""
+    _ds(
+        mldb,
+        "m1899l",
+        [(str(i), i % 10, 2) for i in range(100)],
+        "rn string, c int, const int",
+    )
+    _ds(
+        mldb,
+        "m1899r",
+        [(str(i), i % 10, i % 2) for i in range(100)],
+        "rn string, c int, d int",
+    )
+    q = (
+        "SELECT count(*) AS n FROM m1899l AS lt LEFT JOIN m1899r AS rt ON "
+    )
+    assert _q(mldb, q + "lt.c = rt.c") == [(1000,)]
+    # right condition always false: every left row survives alone
+    assert _q(mldb, q + "lt.c = rt.c AND 2 < rt.d") == [(100,)]
+    # right condition half true: 50 unmatched + 50 * 10 matches
+    assert _q(mldb, q + "lt.c = rt.c AND rt.d = 1") == [(550,)]
+    # cross-side theta always true / always false
+    assert _q(mldb, q + "lt.c = rt.c AND lt.const > rt.d") == [(1000,)]
+    assert _q(mldb, q + "lt.c = rt.c AND lt.const < rt.d") == [(100,)]
+
+
+def test_mldb_2074_empty_join(mldb):
+    """MLDB-2074-empty-join.py: joins against an EMPTY dataset — left
+    join keeps all left rows with '[row]-[]' names, reversed left
+    join and inner join are empty."""
+    _ds(
+        mldb,
+        "m2074a",
+        [("row1", 1, 1), ("row2", 1, 2), ("row3", 2, 1), ("row4", 2, 2)],
+        "rn string, one int, two int",
+    )
+    _ds(mldb, "m2074e", [], "rn string, one int")
+    out = mldb.query(
+        "SELECT a.one AS one, a.two AS two, rowName() AS r FROM m2074a AS a "
+        "LEFT JOIN m2074e AS e ON a.one = e.one ORDER BY rowName()"
+    )
+    rows = [(r["one"], r["two"], r["r"]) for r in out.collect()]
+    assert rows == [
+        (1, 1, "[row1]-[]"), (1, 2, "[row2]-[]"),
+        (2, 1, "[row3]-[]"), (2, 2, "[row4]-[]"),
+    ]
+    assert _q(
+        mldb,
+        "SELECT count(*) AS n FROM m2074e AS e LEFT JOIN m2074a AS a "
+        "ON a.one = e.one AND a.two = e.one",
+    ) == [(0,)]
+    assert _q(
+        mldb,
+        "SELECT count(*) AS n FROM m2074a AS a JOIN m2074e AS e "
+        "ON a.one = e.one",
+    ) == [(0,)]
+
+
+def test_mldbfb_308_where_on_outer_join(mldb):
+    """MLDBFB-308-where-outer-join-test.py: WHERE over a column that
+    only one side of an outer join carries must bind (NULL for the
+    other side's rows), not error."""
+    _ds(mldb, "m308", [("userValid", 1)], "rn string, behA int")
+    out = mldb.query(
+        "SELECT 1 AS one FROM m308 AS a OUTER JOIN "
+        "(SELECT behA + 1 AS behB FROM m308) AS b ON a.behA = b.behB "
+        "WHERE a.behA = 1"
+    )
+    assert out.count() == 1
+
+
+def test_mldb_1430_scalar_over_aggregates(mldb):
+    """MLDB-1430-aggregate-bug.py test_having: scalar arithmetic OVER
+    aggregates (sum(x)/count(x)) computed alongside plain aggregates
+    in one ungrouped select."""
+    _ds(
+        mldb,
+        "m1430",
+        [(str(i), float(20 + i)) for i in range(8)] + [("n1", None)],
+        "rn string, age double",
+    )
+    out = _q(
+        mldb,
+        "select count(*) as x, sum(age) / count(age) as y, count(*) as z "
+        "from m1430",
+    )
+    assert out == [(9, 23.5, 9)]
+
+
+def test_mldb_1732_wildcard_requires_from(mldb):
+    """MLDB-1732-columnCount_in_where.py: SELECT * without FROM is the
+    reference's 'Wildcard usage requires a FROM statement' error;
+    WHERE columnCount() works over a dataset."""
+    _ds(mldb, "m1732", [("a", 1)], "rn string, x int")
+    with pytest.raises(Exception, match="FROM"):
+        mldb.query("SELECT *").collect()
+    assert _q(
+        mldb, "SELECT x FROM m1732 WHERE columnCount() > 0"
+    ) == [(1,)]
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch: no-FROM / scalar semantics cluster
+# ---------------------------------------------------------------------------
+
+
+def test_where_without_dataset(mldb):
+    """where-without-dataset.py: SELECT without FROM is a one-row
+    relation — WHERE false and LIMIT 0 empty it, LIMIT 1 keeps it."""
+    assert _q(mldb, "SELECT 1 AS v WHERE false") == []
+    assert _q(mldb, "SELECT 1 AS v LIMIT 0") == []
+    assert _q(mldb, "SELECT 1 AS v LIMIT 1") == [(1,)]
+
+
+def test_mldb_619_newlines_in_sql(mldb):
+    """MLDB-619_newlines_in_sql.py: newlines anywhere whitespace goes."""
+    _ds(mldb, "m619", [("rowname", 0)], "rn string, colname int")
+    assert _q(mldb, "select colname\nfrom m619") == [(0,)]
+    assert _q(mldb, "select\ncolname\nfrom\nm619\nwhere\ncolname\n=\n0") == [(0,)]
+
+
+def test_mldb_1706_horizontal_on_strings_and_timestamps(mldb):
+    """MLDB-1706-horizontal.py: horizontal_min/max over string and
+    timestamp row literals (not just numerics)."""
+    assert _q(mldb, "select horizontal_min({'a','b'}) as v") == [("a",)]
+    assert _q(mldb, "select horizontal_max({'a','b'}) as v") == [("b",)]
+    out = _q(
+        mldb,
+        "select cast(horizontal_min({TIMESTAMP 1, TIMESTAMP 2}) as string) as v",
+    )
+    assert out[0][0].startswith("1970-01-01 00:00:01")
+    out = _q(
+        mldb,
+        "select cast(horizontal_max({TIMESTAMP 1, TIMESTAMP 2}) as string) as v",
+    )
+    assert out[0][0].startswith("1970-01-01 00:00:02")
+
+
+def test_mldb_2043_big_int_preserved(mldb):
+    """MLDB-2043_tabular_big_int.py: integers beyond 32 bits survive
+    storage and selection exactly."""
+    _ds(
+        mldb,
+        "m2043",
+        [("first row", 9936626511), ("second row", 0)],
+        "rn string, c long",
+    )
+    assert _q(mldb, "select c from m2043 order by rowName()") == [
+        (9936626511,), (0,),
+    ]
+
+
+def test_mldb_798_math_precision(mldb):
+    """MLDB-798-sql-operation-precision.py: math builtins match
+    python's to the last bit, and mod() keeps C semantics (result
+    takes the DIVIDEND's sign, unlike python's %)."""
+    import math
+
+    _ds(mldb, "m798", [("r", 1.0)], "rn string, d double")
+    f = 2.7693234399157856
+    exact = {
+        f"ceil({f!r})": float(math.ceil(f)),
+        f"floor({f!r})": float(math.floor(f)),
+        f"abs({-f!r})": math.fabs(-f),
+        f"sqrt({f!r})": math.sqrt(f),
+    }
+    for expr, want in exact.items():
+        got = _q(mldb, f"select {expr} as v from m798")[0][0]
+        assert got == want, (expr, got, want)
+    # transcendentals: JVM Math.log/exp/pow may differ from C libm
+    # (what both python and the C++ reference call) by 1 ulp — allow
+    # exactly that, nothing more
+    near = {
+        f"ln({f!r})": math.log(f),
+        f"exp({f!r})": math.exp(f),
+        f"pow({f!r}, 3.1)": math.pow(f, 3.1),
+    }
+    for expr, want in near.items():
+        got = _q(mldb, f"select {expr} as v from m798")[0][0]
+        assert abs(got - want) <= abs(math.ulp(want)), (expr, got, want)
+    # C-style mod: -7 mod 3 = -1 (python gives 2)
+    assert _q(mldb, "select mod(-7, 3) as v from m798") == [(-1,)]
+    assert _q(mldb, "select mod(7, -3) as v from m798") == [(1,)]
+
+
+def test_mldb_1586_select_reads_latest_value(spark):
+    """MLDB-1586_colname_multivalue.py: a column recorded at several
+    timestamps reads its LATEST value in a plain select."""
+    from mldb_spark.dialect import MldbContext
+
+    cells = spark.createDataFrame(
+        [
+            ("r1", "a", 1.0, 0.0), ("r1", "a", 2.0, 2.0), ("r1", "b", 2.0, 0.0),
+            ("r2", "a", 3.0, 0.0), ("r2", "b", 4.0, 0.0),
+        ],
+        "row string, column string, value double, tsr double",
+    ).select("row", "column", "value", F.col("tsr").cast("timestamp").alias("ts"))
+    ctx = MldbContext(spark)
+    ctx.register_cells("example", cells)
+    out = [
+        tuple(r)
+        for r in ctx.query(
+            "select a from example order by rowName()"
+        ).collect()
+    ]
+    assert out == [(2.0,), (3.0,)]
+
+
+def test_mldb_869_select_expression(mldb):
+    """MLDB-869-select-expression.py: gibberish select list errors;
+    alias.* with ORDER BY rowName() DESC LIMIT keeps the right rows."""
+    _ds(
+        mldb,
+        "m869",
+        [(f"row_{i}", i) for i in range(10)],
+        "rn string, x int",
+    )
+    with pytest.raises(Exception):
+        mldb.query("SELECT 5 golden rings, 3 french hens FROM m869").collect()
+    out = mldb.query(
+        "SELECT z.* FROM m869 as z ORDER BY rowName() DESC LIMIT 3"
+    )
+    assert [r["x"] for r in out.collect()] == [9, 8, 7]
+
+
+def test_mldb_895_fuzz_precedence(mldb):
+    """MLDB-895-fuzz-cases.py: % binds tighter than IN (1 % 2 IN (4)
+    is (1%2) IN (4)), -- starts a comment mid-expression, glued
+    number-keyword tokens lex apart (2IN), truth-valued IN elements
+    compare as 1/0, and CAST of a mod-by-zero errors."""
+    assert _q(mldb, "select 1 % 2 IN (4) as v") == [(False,)]
+    assert _q(mldb, "select 1%2IN (4) as v") == [(False,)]
+    # '--' comments out the rest: equivalent to select 01
+    assert _q(mldb, "select 01--1%0e83^ 2 + (9)") == [(1,)]
+    # 2 IN (-12, 1 IN (0,11) -> 0, 0 IN (0,11) -> 1, 0<0 -> 0, 11)
+    assert _q(
+        mldb,
+        "select 2 IN (-1%1-11, 1 IN (21%1,11), 1%1%1 IN (31%1,11), "
+        "1%1<1%1, 11) as v",
+    ) == [(False,)]
+    with pytest.raises(Exception):
+        mldb.query("select CAST (61971-71%0 AS timestamp)").collect()
+
+
+def test_null_column_sparse_is_null(mldb):
+    """null_column_test.py: IS NULL / IS NOT NULL over a sparse
+    column that only some rows carry."""
+    _ds(
+        mldb,
+        "mnullc",
+        [("r1", 1, None), ("r2", 1, 2)],
+        "rn string, col1 int, col2 int",
+    )
+    out = mldb.query("SELECT col2 FROM mnullc WHERE col2 IS NOT NULL")
+    assert [(r["col2"],) for r in out.collect()] == [(2,)]
+    out = mldb.query(
+        "SELECT col1, rowName() AS r FROM mnullc WHERE col2 IS NULL"
+    )
+    assert [(r["col1"], r["r"]) for r in out.collect()] == [(1, "r1")]
+
+
+def test_mldbfb_345_named_on_null(mldb):
+    """MLDBFB-345: NAMED over a NULL value is a runtime error, not a
+    silently-null row name; filtering the nulls first works; NAMED
+    works without a dataset."""
+    _ds(
+        mldb,
+        "m345",
+        [("row1", "a", None), ("row2", None, "b")],
+        "rn string, behA string, behB string",
+    )
+    out = mldb.query("SELECT * NAMED behA FROM m345 WHERE behA IS NOT NULL")
+    assert [r["rowName"] for r in out.collect()] == ["a"]
+    with pytest.raises(Exception, match="null name"):
+        mldb.query("SELECT * NAMED behA FROM m345").collect()
+    out = mldb.query("SELECT 1 AS one NAMED 'the one'")
+    assert [(r["one"], r["rowName"]) for r in out.collect()] == [(1, "the one")]
