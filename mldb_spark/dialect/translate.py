@@ -83,6 +83,7 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         language_id,
         normalize_text,
         quality_score,
+        redact_pii,
         token_count,
         tokenize,
         tokenize_counts,
@@ -91,6 +92,7 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         cosine_similarity,
         dot_product,
     )
+    from mldb_spark.functions.web import canonicalize_url as _canonicalize_url_fn
 
     simple = {
         "abs": F.abs, "sqrt": F.sqrt, "exp": F.exp, "ln": F.log,
@@ -107,6 +109,10 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         "tokenize": tokenize_counts, "token_count": token_count,
         "language_id": language_id, "quality_score": quality_score,
         "normalize_text": normalize_text, "tokenize_counts": tokenize_counts,
+        # corpus-tier scalar surface (beyond-reference): PII scrub and
+        # URL canonicalization reachable straight from SQL/REST
+        "redact_pii": redact_pii,
+        "canonicalize_url": _canonicalize_url_fn,
         "md5": F.md5,
         "asinh": F.asinh, "acosh": F.acosh, "atanh": F.atanh,
         # isinf/isfinite (builtin_functions.cc math family): finite =
@@ -1779,6 +1785,7 @@ class MldbContext:
             return self._table_function(a, params)
         if isinstance(a, ast.FunctionCall) and a.name in (
             "row_dataset", "merge", "sample", "transpose", "all_cells",
+            "decontaminate", "mixture_sample",
         ):
             # nested dataset functions parse as expression calls —
             # re-route (merge(row_dataset(...), ...), MLDB-2103)
@@ -1892,6 +1899,54 @@ class MldbContext:
                 df,
                 where_row=pred_binder.bind(pred).cast("boolean"),
                 where_columns=cols,
+            )
+        if tf.name in ("decontaminate", "mixture_sample"):
+            # corpus-tier dataset functions (beyond-reference): the
+            # LLM-training-data passes reachable from SQL —
+            #   decontaminate(corpus, benchmark, {n: 13, id: 'doc_id',
+            #                                     text: 'text'})
+            #   mixture_sample(corpus, {alpha: 0.5, source: 'source',
+            #                           weight: 'n_tokens',
+            #                           key: 'doc_id'})
+            from mldb_spark import corpus as corpus_ops
+
+            df = self._resolve_tf_arg(tf.args[0], params)
+            rest = list(tf.args[1:])
+            opts: dict[str, object] = {}
+            if rest and isinstance(rest[-1], ast.RowLiteral):
+                for k, v in rest.pop().fields:
+                    if not isinstance(v, ast.Literal):
+                        raise ValueError(
+                            f"{tf.name}() options must be literals"
+                        )
+                    opts[k.lower()] = v.value
+            if tf.name == "decontaminate":
+                if len(rest) != 1:
+                    raise ValueError(
+                        "decontaminate(corpus, benchmark [, {options}])"
+                    )
+                bench = self._resolve_tf_arg(rest[0], params)
+                return corpus_ops.decontaminate(
+                    df,
+                    bench,
+                    n=int(opts.get("n", 13)),  # type: ignore[arg-type]
+                    id_col=str(opts.get("id", "doc_id")),
+                    text_col=str(opts.get("text", "text")),
+                    mark_only=bool(opts.get("markonly", False)),
+                )
+            if rest:
+                raise ValueError("mixture_sample(corpus [, {options}])")
+            return corpus_ops.mixture_sample(
+                df,
+                source_col=str(opts.get("source", "source")),
+                weight_col=str(opts.get("weight", "n_tokens")),
+                key_col=str(opts.get("key", "doc_id")),
+                alpha=float(opts.get("alpha", 0.5)),  # type: ignore[arg-type]
+                target_weight=(
+                    float(opts["target"])  # type: ignore[arg-type]
+                    if "target" in opts
+                    else None
+                ),
             )
         if tf.name == "transpose":
             from mldb_spark.operators.relational import transpose_cells

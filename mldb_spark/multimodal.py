@@ -123,6 +123,114 @@ def pil_available() -> bool:
         return False
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode(content: bytes, out_w: int, out_h: int) -> np.ndarray:
+    """REAL pure-stdlib PNG decoder (zlib inflate + the 5 PNG scanline
+    filters, PNG spec RFC 2083 §6): 8-bit grayscale / gray+alpha /
+    RGB / RGBA / palette, non-interlaced. Luma-converts (ITU-R 601)
+    and nearest-neighbor resizes to the (h, w) uint8 contract the
+    other decoders share. Filters none/up are vectorized; sub/avg/
+    paeth unfilter sequentially per scanline (the fallback path —
+    Pillow takes over whenever importable)."""
+    import struct
+    import zlib
+
+    if not content.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = channels = color_type = None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(content):
+        (ln,), typ = struct.unpack(">I", content[pos:pos + 4]), content[pos + 4:pos + 8]
+        pos += 8
+        data = content[pos:pos + ln]
+        pos += ln + 4  # payload + CRC
+        if typ == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or interlace != 0:
+                raise ValueError(
+                    "unsupported PNG (need 8-bit depth, non-interlaced)"
+                )
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+            if channels is None:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("corrupt PNG (bad decompressed length)")
+    img = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    bpp = channels
+    off = 0
+    for y in range(height):
+        f = raw[off]
+        off += 1
+        line = np.frombuffer(raw[off:off + stride], np.uint8).copy()
+        off += stride
+        if f == 0:
+            pass
+        elif f == 2:  # Up — uint8 wrap IS the spec's mod-256 add
+            line += prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            cur = line.astype(np.int32)
+            pl = prev.astype(np.int32)
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = pl[x]
+                c = pl[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (cur[x] + pred) & 0xFF
+            line = rec.astype(np.uint8)
+        else:
+            raise ValueError(f"corrupt PNG (filter {f})")
+        img[y] = line
+        prev = line
+    px = img.reshape(height, width, channels)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("corrupt PNG (palette image without PLTE)")
+        px = palette[px[:, :, 0]]
+    if px.shape[2] >= 3:
+        gray = (
+            0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        ).astype(np.uint8)
+    else:
+        gray = px[:, :, 0]
+    yi = np.arange(out_h) * height // out_h
+    xi = np.arange(out_w) * width // out_w
+    return gray[yi][:, xi].astype(np.uint8)
+
+
+def _auto_decode(content: bytes, out_w: int, out_h: int) -> np.ndarray:
+    """No-PIL auto path: real PNG decode for PNG payloads, the
+    deterministic stub for every other format (JPEG etc. need codecs
+    this container lacks)."""
+    if content.startswith(_PNG_SIG):
+        return _png_decode(content, out_w, out_h)
+    return _fake_decode(content, out_w, out_h)
+
+
 def _pil_decode(content: bytes, out_w: int, out_h: int) -> np.ndarray:
     """REAL decoder: Pillow decode -> grayscale -> resize, same
     (h, w) uint8 contract as the stub. Only reachable when Pillow is
@@ -147,17 +255,24 @@ def decode_images(
     fixed-shape pixel arrays (row-major) with per-row error capture.
 
     decoder: 'auto' routes through the REAL Pillow codec when it is
-    importable on the driver and the stub otherwise; 'pil' / 'stub'
-    force a path ('pil' raises if Pillow is absent). The choice is
-    resolved driver-side and shipped in the closure so a cluster with
-    mixed executor images decodes consistently."""
+    importable on the driver; otherwise PNG payloads go through the
+    REAL pure-stdlib PNG decoder (_png_decode) and only non-PNG
+    formats fall back to the stub. 'pil' / 'png' / 'stub' force a
+    path ('pil' raises if Pillow is absent). The choice is resolved
+    driver-side and shipped in the closure so a cluster with mixed
+    executor images decodes consistently."""
     if decoder == "auto":
-        decoder = "pil" if pil_available() else "stub"
+        decoder = "pil" if pil_available() else "png_or_stub"
     if decoder == "pil" and not pil_available():
         raise ValueError("decoder='pil' but Pillow is not importable")
-    if decoder not in ("pil", "stub"):
+    if decoder not in ("pil", "png", "stub", "png_or_stub"):
         raise ValueError(f"unknown decoder {decoder!r}")
-    decode_one = _pil_decode if decoder == "pil" else _fake_decode
+    decode_one = {
+        "pil": _pil_decode,
+        "png": _png_decode,
+        "stub": _fake_decode,
+        "png_or_stub": _auto_decode,
+    }[decoder]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1427,3 +1427,29 @@ SELECT c."row", c."column", round(c."value", 2) AS "value", c.ts
 FROM cells c JOIN surv USING ("row")
 ORDER BY c."row", c."column", c.ts
 """
+
+ORACLES["qa17_corpus_sql_surface"] = f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 3, 1) + 1),
+                        i -> array_to_string(toks[i:i+3], ' ')) AS shs
+  FROM t
+), bench AS (
+  SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 50 = 0
+), hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 50 <> 0)
+  WHERE s IN (SELECT s FROM bench)
+), kept AS (
+  SELECT doc_id, source, text FROM t
+  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(length(
+         regexp_replace(text || ' x@y.com', '{_PP["email"]}',
+                        '{_PT["email"]}', 'g')
+       )) AS BIGINT) AS red_len
+FROM kept GROUP BY source ORDER BY source
+"""

@@ -2616,3 +2616,36 @@ QUERIES = {
     and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
     and callable(fn)
 }
+
+
+def qa17_corpus_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus tier reached from SQL (beyond-reference dialect
+    surface): FROM decontaminate(corpus, benchmark, {n: 4}) composed
+    with the redact_pii scalar in the select list. Same shingle
+    parameters as qa02, so the oracle replays the overlap with DuckDB
+    list ops and the redaction with the shared PII pattern constants.
+    Scale shape identical to qa02/qa05: benchmark shingles broadcast,
+    corpus never shuffles, redaction is a pure-JVM regexp chain."""
+    ctx = _dialect_ctx(spark, sf)
+    docs = load(spark, sf, "documents")
+    ctx.register("corpusdocs", docs.filter(F.col("doc_id") % 50 != 0))
+    ctx.register("benchdocs", docs.filter(F.col("doc_id") % 50 == 0))
+    return ctx.query(
+        "SELECT source, count(*) AS n_kept, "
+        "sum(length(redact_pii(text || ' x@y.com'))) AS red_len "
+        "FROM decontaminate(corpusdocs, benchdocs, {n: 4}) "
+        "GROUP BY source ORDER BY source"
+    ).select(
+        "source",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("red_len").cast("long").alias("red_len"),
+    )
+
+
+QUERIES = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q")
+    and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
+    and callable(fn)
+}

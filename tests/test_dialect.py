@@ -743,3 +743,32 @@ def test_tokenize_full_options_in_sql(ctx):
     assert dict(row["minlen"]) == {"aa": 1, "ccc": 1}
     assert dict(row["windowed"]) == {"b": 1, "c": 1}
     assert dict(row["valued"]) == {"x": 1, "y": 1}
+
+
+def test_corpus_tier_sql_surface(spark, sf_dir):
+    """The corpus-tier dataset/scalar functions are reachable from
+    SQL: FROM mixture_sample(ds, {...}) matches the Python API
+    exactly; redact_pii/canonicalize_url bind as scalars."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.catalog import load
+    from mldb_spark.corpus import mixture_sample
+    from mldb_spark.dialect import MldbContext
+
+    ctx = MldbContext(spark)
+    docs = load(spark, sf_dir, "documents")
+    ctx.register("docs", docs)
+    got = ctx.query(
+        "SELECT doc_id FROM mixture_sample(docs, "
+        "{alpha: 0.5, weight: 'n_chars'}) ORDER BY doc_id"
+    )
+    want = mixture_sample(docs, weight_col="n_chars", alpha=0.5)
+    assert [r["doc_id"] for r in got.collect()] == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+    out = ctx.query(
+        "SELECT redact_pii('mail a@b.co now') AS r, "
+        "canonicalize_url('HTTP://WWW.Ex.COM:80/P/?utm_source=x&q=1') AS u"
+    ).collect()[0]
+    assert out["r"] == "mail <EMAIL> now"
+    assert out["u"] == "http://ex.com/P?q=1"

@@ -187,35 +187,19 @@ def _tiny_png() -> bytes:
 
 
 def test_decode_images_codec_gate(spark):
-    """decode_images routes through the REAL Pillow codec when
-    importable and the md5-derived stub otherwise — both paths pinned
-    by the content-hash contract (same bytes -> same pixels)."""
-    import hashlib
-
-    import numpy as np
-
-    from mldb_spark.multimodal import (
-        _fake_decode,
-        decode_images,
-        pil_available,
-    )
+    """decode_images routes PNG payloads through a REAL codec on
+    every path — Pillow when importable, the pure-stdlib PNG decoder
+    otherwise — so the decoded pixels are the actual image content
+    either way. The md5 stub is reserved for formats with no codec
+    in the container (exercised in test_decode_images_real_png_path)."""
+    from mldb_spark.multimodal import decode_images, pil_available
 
     png = _tiny_png()
     df = spark.createDataFrame([(1, bytearray(png))], "media_id long, content binary")
     rows = decode_images(df, out_w=2, out_h=2).collect()
     assert len(rows) == 1 and rows[0]["error"] is None
-    got = list(rows[0]["pixels"])
-
-    if pil_available():
-        # real codec: decode must reproduce the actual encoded pixels
-        assert got == [10, 20, 30, 40]
-    else:
-        # stub: deterministic pseudo-pixels seeded by the content md5
-        expected = _fake_decode(png, 2, 2).ravel().tolist()
-        assert got == expected
-        seed = int.from_bytes(hashlib.md5(png).digest()[:8], "big")
-        rng = np.random.default_rng(seed)
-        assert got == rng.integers(0, 256, size=(2, 2), dtype=np.uint8).ravel().tolist()
+    # real codec (either path): the actual encoded pixels
+    assert list(rows[0]["pixels"]) == [10, 20, 30, 40]
 
     # forcing the absent codec must fail loudly, never silently stub
     if not pil_available():
@@ -223,3 +207,117 @@ def test_decode_images_codec_gate(spark):
 
         with _pytest.raises(ValueError, match="pil"):
             decode_images(df, decoder="pil")
+
+
+def _encode_png(px, color_type, filters):
+    """Minimal in-test PNG encoder: px is (h, w, channels) uint8,
+    one filter code per scanline — lets the test exercise every
+    unfilter path in _png_decode against ground-truth pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+    bpp = ch
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        out = np.zeros_like(line)
+        for x in range(len(line)):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(line[x]) - pred) & 0xFF
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_roundtrip():
+    """The pure-stdlib PNG decoder recovers exact pixels through
+    every scanline filter (none/sub/up/average/paeth), for
+    grayscale and RGB, at identity size."""
+    import numpy as np
+
+    from mldb_spark.multimodal import _png_decode
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(12, 10, 1), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        content = _encode_png(gray, 0, filters)
+        got = _png_decode(content, 10, 12)
+        assert np.array_equal(got, gray[:, :, 0]), filters
+
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [4, 3, 2, 1, 0]):
+        content = _encode_png(rgb, 2, filters)
+        got = _png_decode(content, 7, 9)
+        want = (
+            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        ).astype(np.uint8)
+        assert np.array_equal(got, want), filters
+
+
+def test_png_decode_errors():
+    import numpy as np
+    import pytest
+
+    from mldb_spark.multimodal import _png_decode
+
+    with pytest.raises(ValueError, match="signature"):
+        _png_decode(b"JFIFnotapng", 4, 4)
+    with pytest.raises(ValueError, match="truncated"):
+        _png_decode(b"\x89PNG\r\n\x1a\n", 4, 4)
+
+
+def test_decode_images_real_png_path(spark):
+    """End-to-end: decode_images with decoder='auto' (no PIL in this
+    container) routes PNG payloads through the REAL decoder — the
+    output pixels are the actual image content, not the stub's
+    md5-derived noise — while non-PNG payloads still land on the
+    stub with no per-row failure."""
+    import numpy as np
+
+    from mldb_spark.multimodal import decode_images
+
+    px = np.zeros((8, 8, 1), np.uint8)
+    px[:4, :, 0] = 10
+    px[4:, :, 0] = 200
+    png = _encode_png(px, 0, [0])
+    rows = [(1, bytearray(png)), (2, bytearray(b"JFIF-not-a-png-payload"))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in decode_images(df, 8, 8).collect()}
+    assert out[1]["error"] is None
+    got = np.array(out[1]["pixels"], np.uint8).reshape(8, 8)
+    assert np.array_equal(got, px[:, :, 0])
+    assert out[2]["error"] is None  # stub path, deterministic noise
+    assert len(out[2]["pixels"]) == 64
