@@ -51,9 +51,38 @@ class Mldb:
 
     # -- procedures (the §2.13 batch operators) -----------------------------
 
+    @staticmethod
+    def _input_spec_to_sql(spec: "str | dict") -> str:
+        """Procedure inputData accepts the reference's two spec forms
+        (MLDB-1104-input-data-spec.py; sql/sql_expression.cc
+        InputQuery): a plain SQL string, or the structured object
+        {select, from: <name or {id}>, where, groupBy, having,
+        orderBy, named, limit, offset}."""
+        if isinstance(spec, str):
+            return spec
+        frm = spec.get("from")
+        if isinstance(frm, dict):
+            frm = frm.get("id")
+        if not frm:
+            raise ValueError("input data spec must contain a FROM clause")
+        sql = f"SELECT {spec.get('select', '*')}"
+        if spec.get("named"):
+            sql += f" NAMED {spec['named']}"
+        sql += f" FROM {frm}"
+        for kw, key in (
+            ("WHERE", "where"), ("GROUP BY", "groupBy"),
+            ("HAVING", "having"), ("ORDER BY", "orderBy"),
+        ):
+            if spec.get(key):
+                sql += f" {kw} {spec[key]}"
+        for kw in ("limit", "offset"):
+            if spec.get(kw) is not None:
+                sql += f" {kw.upper()} {int(spec[kw])}"  # type: ignore[arg-type]
+        return sql
+
     def transform(
         self,
-        input_sql: str,
+        input_sql: "str | dict",
         output_dataset: str,
         params: dict[str, object] | None = None,
         skip_empty_rows: bool = False,
@@ -62,7 +91,7 @@ class Mldb:
         query, register (and return) the result as a new dataset.
         Writing to a real table is the caller's `.write` away — the
         registered result stays a lazy plan until acted on."""
-        out = self.query(input_sql, params)
+        out = self.query(self._input_spec_to_sql(input_sql), params)
         if skip_empty_rows:
             from pyspark.sql import functions as F
 
@@ -89,9 +118,27 @@ class Mldb:
         self.create_dataset(output, out)
         return out
 
-    def split(self, dataset: str, weights: list[float], seed: int = 42) -> list[DataFrame]:
-        """split procedure (builtin/datasetsplit_procedure.cc:302)."""
-        return self.dataset(dataset).randomSplit(weights, seed)
+    def split(
+        self,
+        dataset: str,
+        weights: list[float],
+        seed: int = 42,
+        stratify_by: str | None = None,
+        exact: bool = True,
+    ) -> list[DataFrame]:
+        """split procedure (builtin/datasetsplit_procedure.cc:302;
+        MLDB-2180): exact-proportion, deterministic, disjoint splits
+        with per-label spread when stratify_by names a label column.
+        exact=False falls back to Bernoulli randomSplit — the scale
+        path for unstratified TB-size inputs (the exact unstratified
+        split is a single-reducer global sort)."""
+        if not exact:
+            return self.dataset(dataset).randomSplit(weights, seed)
+        from mldb_spark.operators.relational import stratified_split
+
+        return stratified_split(
+            self.dataset(dataset), weights, label_col=stratify_by, seed=seed
+        )
 
     def summary_statistics(self, dataset: str) -> DataFrame:
         from mldb_spark.operators.relational import summary_statistics

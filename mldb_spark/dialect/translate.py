@@ -792,6 +792,21 @@ class Binder:
         if e.op == "@":
             # re-stamping passes the value through (see at() in _call)
             return self.bind(e.left)
+        if (
+            e.op in ("=", "!=")
+            and isinstance(e.left, ast.IntervalLiteral)
+            and isinstance(e.right, ast.IntervalLiteral)
+        ):
+            # interval literals compare as the (months, days, seconds)
+            # TRIPLE, not a normalized duration: the reference keeps
+            # calendar components distinct, so 1 day != 24H and
+            # 1 month != 30 days (MLDB-724; sql/interval.cc). Spark's
+            # interval types either normalize days-to-hours or refuse
+            # mixed year-month comparisons, so fold the literal case
+            # at bind time.
+            lt = (e.left.months, e.left.days, e.left.seconds)
+            rt = (e.right.months, e.right.days, e.right.seconds)
+            return F.lit((lt == rt) if e.op == "=" else (lt != rt))
         l, r = self.bind(e.left), self.bind(e.right)
         op = e.op
         if op in ("+", "-", "*", "/"):

@@ -146,13 +146,29 @@ def merge_datasets(dfs: Sequence[DataFrame], on: str = "rowName") -> DataFrame:
     return out
 
 
-def union_datasets(dfs: Sequence[DataFrame]) -> DataFrame:
+def union_datasets(
+    dfs: Sequence[DataFrame],
+    index_row_names: bool = False,
+    row_name_col: str = "rowName",
+) -> DataFrame:
     """Row-wise union with open schemas (missing columns -> NULL).
 
     Reference: union dataset (builtin/union_dataset.cc:39).
+    index_row_names=True applies the reference's naming rule: each
+    subdataset's row names are prefixed with its 0-based index
+    ("0.row1", "1.row1" — union_dataset_test.py), keeping rows from
+    different inputs distinct even when their names collide.
     """
-    out = dfs[0]
-    for nxt in dfs[1:]:
+    parts = []
+    for i, df in enumerate(dfs):
+        if index_row_names and row_name_col in df.columns:
+            df = df.withColumn(
+                row_name_col,
+                F.concat(F.lit(f"{i}."), F.col(row_name_col).cast("string")),
+            )
+        parts.append(df)
+    out = parts[0]
+    for nxt in parts[1:]:
         out = out.unionByName(nxt, allowMissingColumns=True)
     return out
 
@@ -510,3 +526,60 @@ def dist_table(
         .withColumn(f"{prefix}_min", F.min(value_col).over(w))
         .withColumn(f"{prefix}_max", F.max(value_col).over(w))
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    weights: Sequence[float],
+    label_col: str | None = None,
+    seed: int = 0,
+) -> list[DataFrame]:
+    """Deterministic EXACT-proportion split, optionally stratified by
+    a label column — the reference's split procedure semantics
+    (builtin/datasetsplit_procedure.cc:302; MLDB-2180): split sizes
+    are exact (largest-remainder over the cumulative fractions, not
+    Bernoulli like randomSplit), every label lands in every split
+    whenever it has >= n_splits rows (the 'spread' rule — the
+    boundary for split i is clamped to [i+1, n-(k-1-i)]), splits are
+    disjoint and exhaustive, and the assignment is a pure function of
+    (row content, seed) so re-runs and engines agree.
+
+    Within each label, rows are ranked by a content hash and the
+    rank-range [b_{i-1}, b_i) goes to split i with
+    b_i = clamp(round(cum_i * n), i+1, n-(k-1-i)). On MLDB-2180's
+    fixtures this reproduces the reference's exact per-label counts
+    (16/4 with 13x+3y / 3x+1y, 8/2 per label, one-per-split spread).
+
+    Scale: stratified splits parallelize across labels (one window
+    per label partition). The UNstratified exact path is a global
+    window = single-reducer sort; at TB scale either stratify or use
+    df.randomSplit (approximate) instead.
+    """
+    k = len(weights)
+    total = float(sum(weights))
+    fracs = [w / total for w in weights]
+    key = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    part = (
+        Window.partitionBy(label_col) if label_col else Window.partitionBy(F.lit(1))
+    )
+    d = df.withColumn(
+        "__rk", F.row_number().over(part.orderBy(key)).cast("long") - 1
+    ).withColumn("__n", F.count(F.lit(1)).over(part).cast("long"))
+    n = F.col("__n")
+    assign = F.lit(k - 1)
+    cum = 0.0
+    bounds = []
+    for i in range(k - 1):
+        cum += fracs[i]
+        b = F.least(
+            F.greatest(F.round(F.lit(cum) * n).cast("long"), F.lit(i + 1)),
+            n - F.lit(k - 1 - i),
+        )
+        bounds.append(b)
+    for i in reversed(range(k - 1)):
+        assign = F.when(F.col("__rk") < bounds[i], F.lit(i)).otherwise(assign)
+    d = d.withColumn("__split", assign)
+    return [
+        d.filter(F.col("__split") == i).drop("__rk", "__n", "__split")
+        for i in range(k)
+    ]

@@ -2328,3 +2328,138 @@ def test_mldbfb_345_named_on_null(mldb):
         mldb.query("SELECT * NAMED behA FROM m345").collect()
     out = mldb.query("SELECT 1 AS one NAMED 'the one'")
     assert [(r["one"], r["rowName"]) for r in out.collect()] == [(1, "the one")]
+
+
+def test_mldb_2180_dataset_split(spark):
+    """MLDB-2180-dataset-split.py: the split procedure gives EXACT
+    proportions (16/4 from 20 at [0.8,0.2] — never Bernoulli drift),
+    represents every label in every split when the label has enough
+    rows (the 'spread' rule: 2 rows of each label at [0.8,0.2] still
+    puts one in each split), keeps per-label proportions (10x/10y ->
+    8+8 train, 2+2 test), stays disjoint/exhaustive, and is
+    deterministic across runs."""
+    from mldb_spark.operators.relational import stratified_split
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "rn string, label string")
+
+    # ds1: 2 x + 2 y -> one of each label in each split
+    ds1 = mk([(str(i), "x" if i < 2 else "y") for i in range(4)])
+    tr, te = stratified_split(ds1, [0.8, 0.2], label_col="label")
+    for part in (tr, te):
+        assert sorted(r["label"] for r in part.collect()) == ["x", "y"]
+
+    # ds2: 16 x + 4 y -> exactly 16/4 overall, 13x+3y / 3x+1y
+    ds2 = mk([(str(i), "x" if i < 16 else "y") for i in range(20)])
+    tr, te = stratified_split(ds2, [0.8, 0.2], label_col="label")
+    trc = [r["label"] for r in tr.collect()]
+    tec = [r["label"] for r in te.collect()]
+    assert len(trc) == 16 and len(tec) == 4
+    assert trc.count("x") == 13 and trc.count("y") == 3
+    assert tec.count("x") == 3 and tec.count("y") == 1
+
+    # ds3: 10 x + 10 y -> 8+8 / 2+2
+    ds3 = mk([(str(i), "x" if i < 10 else "y") for i in range(20)])
+    tr, te = stratified_split(ds3, [0.8, 0.2], label_col="label")
+    trc = [r["label"] for r in tr.collect()]
+    tec = [r["label"] for r in te.collect()]
+    assert trc.count("x") == 8 and trc.count("y") == 8
+    assert tec.count("x") == 2 and tec.count("y") == 2
+
+    # disjoint + exhaustive + deterministic
+    ids_tr = {r["rn"] for r in tr.collect()}
+    ids_te = {r["rn"] for r in te.collect()}
+    assert not (ids_tr & ids_te)
+    assert len(ids_tr | ids_te) == 20
+    tr2, _ = stratified_split(ds3, [0.8, 0.2], label_col="label")
+    assert {r["rn"] for r in tr2.collect()} == ids_tr
+
+    # three-way split stays exact
+    a, b, c = stratified_split(ds3, [0.5, 0.3, 0.2], label_col="label")
+    assert (a.count(), b.count(), c.count()) == (10, 6, 4)
+
+
+def test_mldb_724_interval_equivalences(mldb):
+    """MLDB-724-time-arithmetic.py's INTERVAL battery: unit spellings
+    normalize into the (months, days, seconds) triple, so '10 s' =
+    '10second', '60 MINUTE' = '1H', '1 w' = '7day', '1 year' =
+    '12month', '1Y2W' = '12MONTH14d' — but calendar components stay
+    DISTINCT: 1 day != 24H, 1 month != 30day/4 week, 1 year !=
+    365 day."""
+    equal = [
+        ("10 s", "10second"), ("22S", "22 SECOND"),
+        ("60 MINUTE", "1H"), ("10 minute", "600second"),
+        ("2H", "120m"), ("2 hour", "2 HOUR"),
+        ("24 H", "1440 m"), ("24 H", "86400 s"),
+        ("1 d", "1day"), ("1 D", "1 DAY"),
+        ("1 w", "7day"), ("1week", "1 WEEK"),
+        ("1MONTH", "1 month"), ("1 year", "12month"),
+        ("1YEAR", "1 Y"), ("1Y2W", "12MONTH14d"),
+        ("1 day 5H", "1d 18000 second"),
+    ]
+    for a, b in equal:
+        assert _q(
+            mldb, f"select INTERVAL '{a}' = INTERVAL '{b}' as equal"
+        ) == [(True,)], (a, b)
+    distinct = [
+        ("1 day", "24H"), ("1 month", "30day"),
+        ("1 month", "4 week"), ("1 year", "365 day"),
+    ]
+    for a, b in distinct:
+        assert _q(
+            mldb, f"select INTERVAL '{a}' = INTERVAL '{b}' as equal"
+        ) == [(False,)], (a, b)
+
+
+def test_mldb_1104_input_data_spec(mldb):
+    """MLDB-1104-input-data-spec.py: procedure inputData accepts both
+    the SQL-string form and the structured object form
+    ({select, from: {id}, where, orderBy, limit}); a spec without a
+    FROM errors with the reference's message (MLDB-1258)."""
+    _ds(
+        mldb,
+        "m1104",
+        [(f"r{i}", float(i), float(i * 2)) for i in range(10)],
+        "rn string, x double, y double",
+    )
+    out1 = mldb.transform("SELECT x, y FROM m1104 WHERE x >= 5", "m1104_a")
+    out2 = mldb.transform(
+        {"select": "x, y", "from": {"id": "m1104"}, "where": "x >= 5"},
+        "m1104_b",
+    )
+    assert sorted(tuple(r) for r in out1.select("x", "y").collect()) == sorted(
+        tuple(r) for r in out2.select("x", "y").collect()
+    )
+    out3 = mldb.transform(
+        {"from": "m1104", "orderBy": "x DESC", "limit": 3}, "m1104_c"
+    )
+    assert [r["x"] for r in out3.select("x").collect()] == [9.0, 8.0, 7.0]
+    with pytest.raises(Exception, match="FROM clause"):
+        mldb.transform({"select": "1"}, "m1104_d")
+
+
+def test_union_dataset_row_naming(spark):
+    """union_dataset_test.py: the union dataset prefixes each
+    subdataset's row names with its 0-based index (0.row1, 1.row1),
+    so colliding names stay distinct; missing columns are NULL; a
+    dataset unioned with itself doubles with both prefixes."""
+    from mldb_spark.operators.relational import union_datasets
+
+    ds1 = spark.createDataFrame([("row1", "A")], "rowName string, colA string")
+    ds2 = spark.createDataFrame([("row1", "B")], "rowName string, colB string")
+    out = union_datasets([ds1, ds2], index_row_names=True)
+    rows = {r["rowName"]: (r["colA"], r["colB"]) for r in out.collect()}
+    assert rows == {"0.row1": ("A", None), "1.row1": (None, "B")}
+
+    ds3 = spark.createDataFrame(
+        [("row1", "AA", "BB", None), ("row2", "A", None, "C")],
+        "rowName string, colA string, colB string, colC string",
+    )
+    out = union_datasets([ds3, ds3], index_row_names=True)
+    got = sorted(
+        (r["rowName"], r["colA"], r["colB"], r["colC"]) for r in out.collect()
+    )
+    assert got == [
+        ("0.row1", "AA", "BB", None), ("0.row2", "A", None, "C"),
+        ("1.row1", "AA", "BB", None), ("1.row2", "A", None, "C"),
+    ]
