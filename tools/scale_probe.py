@@ -56,7 +56,11 @@ def probe_ops(spark, docs):
         repetition_signals,
         unigram_logprob_scores,
     )
-    from mldb_spark.dedup import dedup_exact, minhash_near_duplicates
+    from mldb_spark.dedup import (
+        connected_components,
+        dedup_exact,
+        minhash_near_duplicates,
+    )
 
     bench = docs.filter(F.col("doc_id") % 997 == 0)
     corpus = docs.filter(F.col("doc_id") % 997 != 0)
@@ -72,6 +76,16 @@ def probe_ops(spark, docs):
         ),
         "line_dedup": lambda: dedup_lines(explode_pseudo_lines(docs, 8)),
         "unigram_logprob": lambda: unigram_logprob_scores(docs),
+        # pairs -> groups (pointer-jumping min-label): the dedup
+        # resolution step; input pair count grows superlinearly with
+        # replicas, so time tracks OUTPUT (pairs), not corpus rows
+        "connected_components": lambda: connected_components(
+            minhash_near_duplicates(
+                docs, num_hashes=16, bands=4, threshold=0.25, shingle_words=3
+            ).select(
+                F.col("id_a").alias("a"), F.col("id_b").alias("b")
+            )
+        ),
     }
 
 
