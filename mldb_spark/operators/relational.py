@@ -353,36 +353,116 @@ def column_expr(
     return df.select(*picked)
 
 
-def summary_statistics(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
-    """Per-column stats dataset: one row per column.
+def summary_statistics(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    top_k: int = 10,
+) -> DataFrame:
+    """Per-column stats dataset: one row per column with the
+    reference's summary.statistics field set
+    (builtin/summary_statistics_proc.cc:516;
+    summary_stats_proc_test.py): data_type (number/categorical),
+    num_null, EXACT num_unique, min/max/avg/stddev (sample — NaN for
+    a single value, like the reference), discrete quartiles
+    (percentile_disc, so [1,1,10] gives 1/1/10), and the top-k
+    most_frequent_items with their counts.
 
-    Reference: summary.statistics procedure
-    (builtin/summary_statistics_proc.cc:516) emits min/max/mean/
-    cardinality per column. One pass over the data: all per-column
-    aggregates are computed in a single wide agg (one job, partial
-    aggregation map-side), then unpivoted driver-side (tiny).
+    Two jobs, both scale-shaped: (a) one wide single-pass agg for the
+    numeric stats (map-side partial; percentile_disc is a sort-based
+    exact aggregate per column); (b) ONE stacked (column, value)
+    shuffle shared by the exact distinct counts and the frequency
+    top-k — never an Expand node (multiple countDistincts in a wide
+    agg multiply the scan: the r2 bench regression), never one job
+    per column. Final assembly is columns-sized, driver-side.
     """
     cols = list(columns or df.columns)
-    aggs = []
+    dts = dict(df.dtypes)
+    num_types = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    is_num = {
+        c: dts[c] in num_types or dts[c].startswith("decimal") for c in cols
+    }
+
+    def q(c: str) -> str:
+        return f"`{c}`"
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
     for c in cols:
-        dt = dict(df.dtypes)[c]
-        numeric = dt in ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
-        aggs += [
-            F.count(F.col(c)).alias(f"{c}__count"),
-            F.approx_count_distinct(F.col(c)).alias(f"{c}__approx_distinct"),
-            (F.round(F.avg(F.col(c)), 4) if numeric else F.lit(None).cast("double")).alias(f"{c}__avg"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-        ]
+        col = F.col(q(c))
+        aggs.append(F.count(col).alias(f"{c}__count"))
+        if is_num[c]:
+            aggs += [
+                F.avg(col).alias(f"{c}__avg"),
+                F.stddev_samp(col).alias(f"{c}__std"),
+                F.min(col).cast("double").alias(f"{c}__min"),
+                F.max(col).cast("double").alias(f"{c}__max"),
+                F.expr(
+                    f"percentile_disc(0.25) WITHIN GROUP (ORDER BY {q(c)})"
+                ).cast("double").alias(f"{c}__q1"),
+                F.expr(
+                    f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {q(c)})"
+                ).cast("double").alias(f"{c}__med"),
+                F.expr(
+                    f"percentile_disc(0.75) WITHIN GROUP (ORDER BY {q(c)})"
+                ).cast("double").alias(f"{c}__q3"),
+            ]
     row = df.agg(*aggs).collect()[0].asDict()
-    spark = df.sparkSession
-    out = [
-        (c, row[f"{c}__count"], row[f"{c}__approx_distinct"], row[f"{c}__avg"],
-         row[f"{c}__min"], row[f"{c}__max"])
-        for c in cols
-    ]
-    return spark.createDataFrame(
-        out, "column string, count bigint, approx_distinct bigint, avg double, min string, max string"
+    total = row["__total"]
+
+    stacked = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(q(c)).cast("string").alias("value"),
+                )
+                for c in cols
+            ])
+        ).alias("s")
+    ).select("s.column", "s.value").filter(F.col("value").isNotNull())
+    per_val = stacked.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    uniq = {
+        r["column"]: r["u"]
+        for r in per_val.groupBy("column")
+        .agg(F.count(F.lit(1)).alias("u"))
+        .collect()
+    }
+    w = Window.partitionBy("column").orderBy(F.desc("n"), F.asc("value"))
+    top = (
+        per_val.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_k)
+        .collect()
+    )
+    freq: dict[str, dict[str, int]] = {}
+    for r in top:
+        freq.setdefault(r["column"], {})[r["value"]] = r["n"]
+
+    nan = float("nan")
+    out = []
+    for c in cols:
+        cnt = row[f"{c}__count"]
+        if is_num[c]:
+            std = row[f"{c}__std"]
+            out.append((
+                c, "number", total - cnt, uniq.get(c, 0),
+                row[f"{c}__min"], row[f"{c}__max"], row[f"{c}__avg"],
+                nan if (cnt >= 1 and std is None) else std,
+                row[f"{c}__q1"], row[f"{c}__med"], row[f"{c}__q3"],
+                freq.get(c, {}),
+            ))
+        else:
+            out.append((
+                c, "categorical", total - cnt, uniq.get(c, 0),
+                None, None, None, None, None, None, None,
+                freq.get(c, {}),
+            ))
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, data_type string, num_null bigint, "
+        "num_unique bigint, min double, max double, avg double, "
+        "stddev double, q1 double, median double, q3 double, "
+        "most_frequent_items map<string,bigint>",
     )
 
 
@@ -583,3 +663,39 @@ def stratified_split(
         d.filter(F.col("__split") == i).drop("__rk", "__n", "__split")
         for i in range(k)
     ]
+
+
+def stats_table_multi(
+    df: DataFrame,
+    seq_cols: Sequence[Column],
+    key_cols: Sequence[str],
+    outcomes: "dict[str, Column]",
+) -> DataFrame:
+    """statsTable.train with the reference's full output shape
+    (plugins/feature_gen/stats_table_procedure.cc:1001;
+    MLDB-873_stats_table_test.py): for EACH key column independently
+    (not the key tuple), each row gains `trial.<key>` = number of
+    STRICTLY PRIOR rows sharing that key value, and
+    `<outcome>.<key>` = how many of those satisfied each named
+    outcome — leak-free CTR-style features over multiple outcomes.
+
+    One cumulative window per key column (shuffle on that key);
+    outcomes share the window, so the shuffle count is
+    len(key_cols), independent of the outcome count.
+    """
+    out = df
+    for k in key_cols:
+        w = (
+            Window.partitionBy(k)
+            .orderBy(*seq_cols)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = out.withColumn(f"trial.{k}", F.count(F.lit(1)).over(w))
+        for name, cond in outcomes.items():
+            out = out.withColumn(
+                f"{name}.{k}",
+                F.coalesce(
+                    F.sum(cond.cast("long")).over(w), F.lit(0)
+                ),
+            )
+    return out

@@ -266,8 +266,10 @@ def test_summary_statistics(spark, sf_dir):
 
     out = summary_statistics(load(spark, sf_dir, "part"), ["p_size", "p_type"])
     rows = {r["column"]: r for r in out.collect()}
-    assert rows["p_size"]["count"] > 0 and rows["p_size"]["avg"] is not None
-    assert rows["p_type"]["avg"] is None
+    assert rows["p_size"]["data_type"] == "number"
+    assert rows["p_size"]["avg"] is not None and rows["p_size"]["num_unique"] > 0
+    assert rows["p_type"]["data_type"] == "categorical"
+    assert rows["p_type"]["avg"] is None and rows["p_type"]["most_frequent_items"]
 
 
 def test_utilities(spark, tmp_path):

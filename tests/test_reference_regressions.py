@@ -2463,3 +2463,80 @@ def test_union_dataset_row_naming(spark):
         ("0.row1", "AA", "BB", None), ("0.row2", "A", None, "C"),
         ("1.row1", "AA", "BB", None), ("1.row2", "A", None, "C"),
     ]
+
+
+def test_summary_stats_proc(spark):
+    """summary_stats_proc_test.py: the summary.statistics field set —
+    number vs categorical typing, num_null (rows missing the sparse
+    column), exact num_unique, DISCRETE quartiles ([1,1,10] -> 1/1/10
+    — percentile_disc, not interpolation), sample stddev (NaN for a
+    single observation), and most_frequent_items counts."""
+    import math
+
+    from mldb_spark.operators.relational import summary_statistics
+
+    df = spark.createDataFrame(
+        [
+            ("row1", 1.0, 2.0, None, "pataté"),
+            ("row2", 10.0, None, 20.0, "banane"),
+            ("row3", 1.0, None, None, None),
+        ],
+        "rn string, colA double, colB double, colC double, colTxt string",
+    )
+    rows = {
+        r["column"]: r
+        for r in summary_statistics(
+            df, ["colA", "colB", "colC", "colTxt"]
+        ).collect()
+    }
+    a = rows["colA"]
+    assert a["data_type"] == "number"
+    assert a["num_null"] == 0 and a["num_unique"] == 2
+    assert (a["min"], a["max"], a["avg"]) == (1.0, 10.0, 4.0)
+    assert (a["q1"], a["median"], a["q3"]) == (1.0, 1.0, 10.0)
+    assert abs(a["stddev"] - 5.196152422706632) < 1e-12
+    assert dict(a["most_frequent_items"]) == {"1.0": 2, "10.0": 1}
+
+    b = rows["colB"]
+    assert b["num_null"] == 2 and b["num_unique"] == 1
+    assert (b["q1"], b["median"], b["q3"]) == (2.0, 2.0, 2.0)
+    assert math.isnan(b["stddev"])  # single observation
+
+    t = rows["colTxt"]
+    assert t["data_type"] == "categorical"
+    assert t["num_null"] == 1 and t["num_unique"] == 2
+    assert t["min"] is None and t["avg"] is None
+    assert dict(t["most_frequent_items"]) == {"pataté": 1, "banane": 1}
+
+
+def test_mldb_873_stats_table_multi_outcome(spark):
+    """MLDB-873_stats_table_test.py: statsTable.train counts per KEY
+    COLUMN independently with multiple named outcomes — row br_3
+    (host=pataté.com, region=on) sees trial.region=1 prior on-row,
+    label.region=0 (that row had no CLICK), label.host=1 (the prior
+    pataté.com row had CLICK), not_label.region=1, not_label.host=0."""
+    from mldb_spark.operators.relational import stats_table_multi
+
+    df = spark.createDataFrame(
+        [
+            ("br_1", "pataté.com", "qc", "1"),
+            ("br_2", "poire.com", "on", None),
+            ("br_3", "pataté.com", "on", None),
+        ],
+        "rn string, host string, region string, click string",
+    )
+    out = stats_table_multi(
+        df,
+        [F.col("rn")],
+        ["host", "region"],
+        {
+            "label": F.col("click").isNotNull(),
+            "not_label": F.col("click").isNull(),
+        },
+    )
+    r3 = {r["rn"]: r for r in out.collect()}["br_3"]
+    assert r3["trial.region"] == 1 and r3["trial.host"] == 1
+    assert r3["label.region"] == 0 and r3["label.host"] == 1
+    assert r3["not_label.region"] == 1 and r3["not_label.host"] == 0
+    r1 = {r["rn"]: r for r in out.collect()}["br_1"]
+    assert r1["trial.host"] == 0 and r1["label.host"] == 0
