@@ -276,10 +276,14 @@ def ranking(
     rank_type: str = "index",
     output_col: str = "rank",
     partition_by: Sequence[str] = (),
+    zero_based: bool = False,
 ) -> DataFrame:
     """Rank rows under ORDER BY (builtin/ranking_procedure.cc:199).
 
     rank_type: 'index' -> row_number, 'percentile' -> percent_rank.
+    The reference's index ranks are 0-BASED (ranking_test.py: the
+    first row gets rank 0) — pass zero_based=True for that parity;
+    the default stays 1-based for SQL-conventional consumers (q17).
     Partitioned windows shuffle-by-key; a global window is a single
     sort — acceptable for top-k-ish outputs, otherwise pre-aggregate.
     """
@@ -289,7 +293,10 @@ def ranking(
         else Window.orderBy(*order_by)
     )
     fn = F.row_number() if rank_type == "index" else F.percent_rank()
-    return df.withColumn(output_col, fn.over(w))
+    rank = fn.over(w)
+    if zero_based and rank_type == "index":
+        rank = rank - F.lit(1)
+    return df.withColumn(output_col, rank)
 
 
 def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:

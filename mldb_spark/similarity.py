@@ -343,3 +343,63 @@ def ivf_topk_quantized(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neighbors(
+    dataset: DataFrame,
+    row_name_col: str = "rowName",
+    feature_cols: "list[str] | None" = None,
+    metric: str = "euclidean",
+):
+    """embedding.neighbors function entity (builtin/embedding.cc:1420;
+    MLDB-283): returns fn(coords, num_neighbors=None,
+    max_distance=None) -> list[(rowName, distance)] sorted by
+    distance then rowName.
+
+    coords is either a {column: value} dict, an ordered value list,
+    or an existing rowName (MLDB-509's self-lookup — distance 0 to
+    itself included, exactly like the reference).
+
+    Scale shape: one scan of the embedding dataset per application —
+    the query point is a literal folded into the plan; top-k is a
+    TakeOrdered (no global sort materialization). Function
+    application is per-query (the reference binds it per row only
+    through SQL application, which composes this same scan).
+    """
+    cols = feature_cols or [c for c in dataset.columns if c != row_name_col]
+
+    def fn(coords, num_neighbors: int | None = None, max_distance: float | None = None):
+        if isinstance(coords, str):
+            hit = dataset.filter(F.col(row_name_col) == coords).limit(1).collect()
+            if not hit:
+                raise KeyError(f"unknown row {coords!r}")
+            point = [float(hit[0][c]) for c in cols]
+        elif isinstance(coords, dict):
+            point = [float(coords[c]) for c in cols]
+        else:
+            point = [float(v) for v in coords]
+        if metric == "euclidean":
+            d2 = None
+            for c, v in zip(cols, point):
+                t = (F.col(c) - F.lit(v)) * (F.col(c) - F.lit(v))
+                d2 = t if d2 is None else d2 + t
+            dist = F.sqrt(d2)
+        elif metric == "cosine":
+            from mldb_spark.functions.vector import cosine_similarity
+
+            arr = F.array(*[F.lit(v) for v in point])
+            vec = F.array(*[F.col(c).cast("double") for c in cols])
+            dist = F.lit(1.0) - cosine_similarity(vec, arr)
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
+        out = dataset.select(
+            F.col(row_name_col).alias("neighbor"), dist.alias("distance")
+        )
+        if max_distance is not None:
+            out = out.filter(F.col("distance") <= float(max_distance))
+        out = out.orderBy("distance", "neighbor")
+        if num_neighbors is not None:
+            out = out.limit(int(num_neighbors))
+        return [(r["neighbor"], r["distance"]) for r in out.collect()]
+
+    return fn

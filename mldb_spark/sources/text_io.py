@@ -113,6 +113,8 @@ def import_json(
     select: list[Column] | None = None,
     arrays: str = "parse",
     max_one_hot: int = 1024,
+    named: Column | None = None,
+    line_numbers: bool = False,
 ) -> DataFrame:
     """import.json: JSON-lines → DataFrame (nested structs preserved;
     the reference flattens to dotted paths — use flatten_struct to
@@ -163,10 +165,26 @@ def import_json(
             else:
                 cols.append(F.col(field.name))
         df = df.select(*cols)
+    if line_numbers:
+        # 1-based input-order line numbers (MLDB-1266's lineNumber()
+        # row-name idiom): row_number over the ingestion order. A
+        # global window — import-sized inputs only; at TB scale name
+        # rows from content instead.
+        from pyspark.sql import Window
+
+        df = df.withColumn(
+            "lineNumber",
+            F.row_number().over(
+                Window.orderBy(F.monotonically_increasing_id())
+            ).cast("long"),
+        )
     if where is not None:
         df = df.filter(where)
+    if named is not None:
+        df = df.withColumn("rowName", named.cast("string"))
     if select is not None:
-        df = df.select(*select)
+        keep = [c for c in ("rowName",) if c in df.columns]
+        df = df.select(*select, *[F.col(c) for c in keep])
     return df
 
 

@@ -2540,3 +2540,93 @@ def test_mldb_873_stats_table_multi_outcome(spark):
     assert r3["not_label.region"] == 1 and r3["not_label.host"] == 0
     r1 = {r["rn"]: r for r in out.collect()}["br_1"]
     assert r1["trial.host"] == 0 and r1["label.host"] == 0
+
+
+def test_mldb_283_embedding_neighbors(spark):
+    """MLDB-283-embedding-nearest-neighbours.py: the
+    embedding.neighbors function — distances from a literal point,
+    self-lookup by rowName (MLDB-509, distance 0 included),
+    numNeighbors truncation, and maxDistance filtering."""
+    from mldb_spark.similarity import embedding_neighbors
+
+    ds = spark.createDataFrame(
+        [("ex1", 0.0, 0.0), ("ex2", 0.0, 1.0), ("ex3", 1.0, 0.0), ("ex4", 1.0, 1.0)],
+        "rowName string, x double, y double",
+    )
+    nn = embedding_neighbors(ds)
+    got = nn({"x": 0.5, "y": 0.5})
+    assert [n for n, _ in got] == ["ex1", "ex2", "ex3", "ex4"]
+    for _, d in got:
+        assert abs(d - 0.7071067811865476) < 1e-9
+
+    got = nn({"x": 0.1, "y": 0.2})
+    want = [0.22360679774997896, 0.806225774829855, 0.9219544457292887,
+            1.2041594578792296]
+    assert [round(d, 7) for _, d in got] == [round(w, 7) for w in want]
+
+    got = nn("ex1")
+    assert got[0] == ("ex1", 0.0)
+    assert [n for n, _ in got] == ["ex1", "ex2", "ex3", "ex4"]
+    assert abs(got[3][1] - 1.4142135623730951) < 1e-9
+
+    assert [n for n, _ in nn("ex1", num_neighbors=2)] == ["ex1", "ex2"]
+    assert [n for n, _ in nn("ex1", num_neighbors=2, max_distance=0.5)] == ["ex1"]
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        nn("nope")
+
+
+def test_ranking_procedure_zero_based(spark):
+    """ranking_test.py: the ranking procedure's index ranks are
+    0-based and follow the statement's ORDER BY — merged back with
+    the source, (score, rank) are (0,0), (1,1), ..., (n-1, n-1)."""
+    from mldb_spark.operators.relational import ranking
+
+    ds = spark.createDataFrame(
+        [(f"row{i}", i) for i in range(123)], "rn string, score int"
+    )
+    out = ranking(
+        ds, order_by=[F.asc("score")], zero_based=True
+    ).orderBy("rank")
+    rows = [(r["score"], r["rank"]) for r in out.collect()]
+    assert rows[0] == (0, 0) and rows[1] == (1, 1)
+    assert rows[-1] == (122, 122)
+
+
+def test_mldb_1266_import_json_named_select(spark, tmp_path):
+    """MLDB-1266-import_json.py: select projection (incl. EXCLUDING
+    and AS renames are the caller's Columns here), named row names
+    from a column, and lineNumber()-based naming."""
+    import json as _json
+
+    from mldb_spark.sources.text_io import import_json
+
+    p = tmp_path / "d.json"
+    rows = [
+        {"colA": 1, "colB": "pwet pwet"},
+        {"colA": 2, "colB": "pwet pwet 2"},
+        {"colA": 3, "colB": "pwet pwet 3"},
+        {"colC": {"a": 1}},
+        {"colD": [1, 2]},
+        {"colE": None},
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    out = import_json(spark, str(p), select=[F.col("colA")])
+    assert [r["colA"] for r in out.collect()] == [1, 2, 3, None, None, None]
+
+    out = import_json(
+        spark, str(p), named=F.col("colB"), where=F.col("colB").isNotNull()
+    )
+    assert sorted(r["rowName"] for r in out.collect()) == [
+        "pwet pwet", "pwet pwet 2", "pwet pwet 3",
+    ]
+
+    out = import_json(
+        spark, str(p), line_numbers=True,
+        named=F.col("lineNumber") - 1,
+    )
+    got = {r["rowName"]: r["colA"] for r in out.collect()}
+    assert got == {"0": 1, "1": 2, "2": 3, "3": None, "4": None, "5": None}
