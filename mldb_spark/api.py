@@ -70,7 +70,7 @@ class Mldb:
             sql += f" NAMED {spec['named']}"
         sql += f" FROM {frm}"
         for kw, key in (
-            ("WHERE", "where"), ("GROUP BY", "groupBy"),
+            ("WHEN", "when"), ("WHERE", "where"), ("GROUP BY", "groupBy"),
             ("HAVING", "having"), ("ORDER BY", "orderBy"),
         ):
             if spec.get(key):

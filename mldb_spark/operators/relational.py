@@ -706,3 +706,121 @@ def stats_table_multi(
                 ),
             )
     return out
+
+
+_DIST_TABLE_STATS = ("count", "avg", "std", "min", "max")
+
+
+def dist_table_multi(
+    df: DataFrame,
+    seq_cols: Sequence[Column],
+    key_cols: Sequence[str],
+    outcomes: "dict[str, Column]",
+    statistics: Sequence[str] = _DIST_TABLE_STATS,
+) -> DataFrame:
+    """experimental.distTable.train with the reference's full output
+    shape (plugins/feature_gen/dist_table_procedure.cc:842;
+    MLDB-1750-dist-tables.py): for EACH key column and EACH named
+    outcome, every row gains `<outcome>.<key>.<stat>` — the
+    count/avg/std/min/max of the outcome over STRICTLY PRIOR rows
+    sharing that key value. std is the sample stddev (NaN below 2
+    observations); undefined stats are NaN, never NULL; a NULL key
+    contributes and receives nothing (count 0). Unknown statistic
+    names raise, as the reference does.
+
+    One cumulative window per key column (shuffle on that key),
+    shared across outcomes and statistics.
+    """
+    bad = [s for s in statistics if s not in _DIST_TABLE_STATS]
+    if bad:
+        raise ValueError(f"Unknown distribution table statistic: {bad}")
+    nan = F.lit(float("nan"))
+    out = df
+    for k in key_cols:
+        w = (
+            Window.partitionBy(k)
+            .orderBy(*seq_cols)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        knull = F.col(k).isNull()
+        for name, val in outcomes.items():
+            fns = {
+                "count": F.count(val).over(w),
+                "avg": F.avg(val).over(w),
+                "std": F.stddev_samp(val).over(w),
+                "min": F.min(val).over(w),
+                "max": F.max(val).over(w),
+            }
+            for s in statistics:
+                if s == "count":
+                    col = F.when(knull, F.lit(0)).otherwise(fns[s]).cast("long")
+                else:
+                    col = F.when(knull, nan).otherwise(
+                        F.coalesce(fns[s].cast("double"), nan)
+                    )
+                out = out.withColumn(f"{name}.{k}.{s}", col)
+    return out
+
+
+def dist_table_totals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    outcomes: "dict[str, Column]",
+) -> DataFrame:
+    """The trained dist table itself: final per-(key column, value)
+    outcome stats, long form (key, value, then
+    `<outcome>.<stat>` columns) — what distTableFileUrl persists and
+    distTable.getStats serves. One groupBy per key column (the
+    distinct-value tables are model-sized)."""
+    parts = []
+    for k in key_cols:
+        aggs = []
+        for name, val in outcomes.items():
+            aggs += [
+                F.count(val).cast("long").alias(f"{name}.count"),
+                F.avg(val).cast("double").alias(f"{name}.avg"),
+                F.stddev_samp(val).cast("double").alias(f"{name}.std"),
+                F.min(val).cast("double").alias(f"{name}.min"),
+                F.max(val).cast("double").alias(f"{name}.max"),
+            ]
+        parts.append(
+            df.filter(F.col(k).isNotNull())
+            .groupBy(F.col(k).cast("string").alias("value"))
+            .agg(*aggs)
+            .select(F.lit(k).alias("key"), "*")
+        )
+    return union_datasets(parts)
+
+
+def dist_table_get_stats(
+    totals: DataFrame,
+    outcomes: Sequence[str],
+    statistics: Sequence[str] = _DIST_TABLE_STATS,
+):
+    """experimental.distTable.getStats function entity
+    (dist_table_procedure.cc; MLDB-1750): fn({key: value, ...}) ->
+    {'stats.<outcome>.<key>.<stat>': v}. Unknown values give count 0
+    and NaN stats, exactly like the reference. The totals table is
+    collected once at build time (model-sized lookup)."""
+    rows = totals.collect()
+    lut = {(r["key"], r["value"]): r for r in rows}
+    nan = float("nan")
+
+    def fn(features: "dict[str, object]") -> "dict[str, object]":
+        out: dict[str, object] = {}
+        for k, v in features.items():
+            hit = lut.get((k, str(v)))
+            for name in outcomes:
+                for s in statistics:
+                    key = f"stats.{name}.{k}.{s}"
+                    if hit is None:
+                        out[key] = 0 if s == "count" else nan
+                    else:
+                        val = hit[f"{name}.{s}"]
+                        if s == "count":
+                            out[key] = val
+                        else:
+                            out[key] = nan if val is None else val
+        return out
+
+    return fn

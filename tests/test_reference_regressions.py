@@ -2630,3 +2630,118 @@ def test_mldb_1266_import_json_named_select(spark, tmp_path):
     )
     got = {r["rowName"]: r["colA"] for r in out.collect()}
     assert got == {"0": 1, "1": 2, "2": 3, "3": None, "4": None, "5": None}
+
+
+def test_mldb_1750_dist_tables(spark):
+    """MLDB-1750-dist-tables.py: the full distTable matrix — per key
+    column, per outcome, running count/avg/std/min/max of strictly
+    prior rows (sample std, NaN under 2 obs; NULL keys get nothing),
+    the trained-totals getStats function with unknown-value NaN
+    semantics, and the unknown-statistic error."""
+    import math
+
+    from mldb_spark.operators.relational import (
+        dist_table_get_stats,
+        dist_table_multi,
+        dist_table_totals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("row0", "patate.com", "canada", 1.0, 2.0, 0),
+            ("row1", "poil.com", "canada", 3.0, 4.0, 1),
+            ("row2", "poil.com", None, 7.0, 8.0, 2),
+            ("row3", "patate.com", "usa", 9.0, 10.0, 3),
+            ("row4", "poil.com", "usa", 11.0, 10.0, 4),
+        ],
+        "rn string, host string, region string, price double, target2 double, ord int",
+    )
+    out = dist_table_multi(
+        df,
+        [F.col("ord")],
+        ["host", "region"],
+        {"price": F.col("price"), "target": F.col("target2")},
+    )
+    rows = {r["rn"]: r for r in out.collect()}
+
+    def stats(rn, pfx):
+        r = rows[rn]
+        return tuple(r[f"{pfx}.{s}"] for s in ("count", "avg", "std", "min", "max"))
+
+    def eqnan(got, want):
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            if isinstance(w, float) and math.isnan(w):
+                assert isinstance(g, float) and math.isnan(g), (got, want)
+            else:
+                assert g == w, (got, want)
+
+    nan = float("nan")
+    eqnan(stats("row0", "price.host"), (0, nan, nan, nan, nan))
+    eqnan(stats("row1", "price.region"), (1, 1.0, nan, 1.0, 1.0))
+    eqnan(stats("row1", "target.region"), (1, 2.0, nan, 2.0, 2.0))
+    eqnan(stats("row2", "price.host"), (1, 3.0, nan, 3.0, 3.0))
+    eqnan(stats("row2", "price.region"), (0, nan, nan, nan, nan))  # NULL key
+    eqnan(stats("row3", "price.host"), (1, 1.0, nan, 1.0, 1.0))
+    eqnan(stats("row3", "price.region"), (0, nan, nan, nan, nan))
+    eqnan(
+        stats("row4", "price.host"),
+        (2, 5.0, 2 * math.sqrt(2.0), 3.0, 7.0),
+    )
+    eqnan(stats("row4", "price.region"), (1, 9.0, nan, 9.0, 9.0))
+    eqnan(
+        stats("row4", "target.host"),
+        (2, 6.0, 2 * math.sqrt(2.0), 4.0, 8.0),
+    )
+    eqnan(stats("row4", "target.region"), (1, 10.0, nan, 10.0, 10.0))
+
+    # the trained function over final totals
+    totals = dist_table_totals(
+        df, ["host", "region"], {"price": F.col("price"), "target": F.col("target2")}
+    )
+    get_stats = dist_table_get_stats(totals, ["price", "target"])
+    got = get_stats({"host": "patate.com", "region": "usa"})
+    assert got["stats.price.host.count"] == 2
+    assert got["stats.price.host.avg"] == 5.0
+    assert abs(got["stats.price.host.std"] - math.sqrt(32.0)) < 1e-12
+    assert got["stats.price.region.count"] == 2
+    assert got["stats.price.region.avg"] == 10.0
+    assert abs(got["stats.price.region.std"] - math.sqrt(2.0)) < 1e-12
+    assert got["stats.target.region.count"] == 2
+    assert got["stats.target.region.std"] == 0.0
+    unknown = get_stats({"host": "prout", "region": "prout"})
+    assert unknown["stats.price.host.count"] == 0
+    assert math.isnan(unknown["stats.price.host.avg"])
+
+    with pytest.raises(ValueError, match="Unknown distribution table"):
+        dist_table_multi(
+            df, [F.col("ord")], ["host"], {"price": F.col("price")},
+            statistics=["patate"],
+        )
+
+
+def test_mldb_945_when_in_transform_spec(spark):
+    """MLDB-945-WHEN-in-proc-and-func.py: WHEN inside a structured
+    input-data spec ({from, when, where}) reaches the transform
+    procedure; cells outside the WHEN window are dropped while rows
+    survive through their passing cells."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    cells = spark.createDataFrame(
+        [
+            ("r1", "x", 1.0, 1000.0), ("r1", "y", 2.0, 90000.0),
+            ("r2", "x", 3.0, 1000.0), ("r2", "y", 4.0, 1000.0),
+        ],
+        "row string, column string, value double, tsr double",
+    ).select("row", "column", "value", F.col("tsr").cast("timestamp").alias("ts"))
+    mldb.create_dataset("w945", cells, row_name_col="row", ts_col="ts")
+    out = mldb.transform(
+        {
+            "from": "w945",
+            "when": "ts < CAST('1970-01-01T01:00:00' AS timestamp)",
+        },
+        "w945_out",
+    )
+    got = {(r["row"], r["column"]) for r in out.collect()}
+    assert got == {("r1", "x"), ("r2", "x"), ("r2", "y")}
