@@ -1453,3 +1453,59 @@ SELECT source, count(*) AS n_kept,
        )) AS BIGINT) AS red_len
 FROM kept GROUP BY source ORDER BY source
 """
+
+ORACLES["qa18_feature_tables"] = """
+WITH base AS (
+  SELECT * FROM orders WHERE o_custkey < 500
+)
+SELECT o_orderkey,
+  CAST(count(o_totalprice) OVER wc AS BIGINT) AS cust_n,
+  coalesce(round(avg(o_totalprice) OVER wc + 1e-9, 4), -1) AS cust_avg,
+  coalesce(round(min(o_totalprice) OVER wc + 1e-9, 2), -1) AS cust_min,
+  coalesce(round(max(o_totalprice) OVER wc + 1e-9, 2), -1) AS cust_max,
+  CAST(count(*) OVER wp AS BIGINT) AS prio_trials,
+  CAST(coalesce(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                OVER wp, 0) AS BIGINT) AS prio_big
+FROM base
+WINDOW
+  wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+  wp AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+ORDER BY o_orderkey
+"""
+
+ORACLES["qa19_summary_statistics"] = """
+WITH n AS (SELECT count(*) AS total FROM part)
+SELECT * FROM (
+  SELECT 'p_size' AS "column", 'number' AS data_type,
+    CAST((SELECT total FROM n) - count(p_size) AS BIGINT) AS num_null,
+    CAST(count(DISTINCT p_size) AS BIGINT) AS num_unique,
+    round(min(p_size) + 1e-9, 4) AS min_v,
+    round(max(p_size) + 1e-9, 4) AS max_v,
+    round(avg(p_size) + 1e-9, 4) AS avg_v,
+    round(stddev_samp(p_size) + 1e-9, 4) AS std_v,
+    round(quantile_disc(p_size, 0.25) + 1e-9, 4) AS q1_v,
+    round(quantile_disc(p_size, 0.5) + 1e-9, 4) AS med_v,
+    round(quantile_disc(p_size, 0.75) + 1e-9, 4) AS q3_v
+  FROM part
+  UNION ALL
+  SELECT 'p_retailprice', 'number',
+    CAST((SELECT total FROM n) - count(p_retailprice) AS BIGINT),
+    CAST(count(DISTINCT p_retailprice) AS BIGINT),
+    round(min(p_retailprice) + 1e-9, 4),
+    round(max(p_retailprice) + 1e-9, 4),
+    round(avg(p_retailprice) + 1e-9, 4),
+    round(stddev_samp(p_retailprice) + 1e-9, 4),
+    round(quantile_disc(p_retailprice, 0.25) + 1e-9, 4),
+    round(quantile_disc(p_retailprice, 0.5) + 1e-9, 4),
+    round(quantile_disc(p_retailprice, 0.75) + 1e-9, 4)
+  FROM part
+  UNION ALL
+  SELECT 'p_type', 'categorical',
+    CAST((SELECT total FROM n) - count(p_type) AS BIGINT),
+    CAST(count(DISTINCT p_type) AS BIGINT),
+    -1, -1, -1, -1, -1, -1, -1
+  FROM part
+) ORDER BY "column"
+"""

@@ -2649,3 +2649,92 @@ QUERIES = {
     and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
     and callable(fn)
 }
+
+
+def qa18_feature_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """distTable.train + statsTable.train feature generation
+    (plugins/feature_gen/dist_table_procedure.cc:842,
+    stats_table_procedure.cc:1001; MLDB-1750/MLDB-873): per KEY
+    COLUMN leak-free running stats of strictly-prior outcomes —
+    count/avg/min/max of o_totalprice per customer plus prior-trial /
+    prior-positive counts per order priority. The oracle replays
+    every window with ANSI frames, so a frame-boundary or NULL-mask
+    bug breaks the hash. One shuffle per key column."""
+    from mldb_spark.operators.relational import dist_table_multi, stats_table_multi
+
+    orders = load(spark, sf, "orders").filter(F.col("o_custkey") < 500)
+    seq = [F.col("o_orderdate"), F.col("o_orderkey")]
+    out = dist_table_multi(
+        orders, seq, ["o_custkey"], {"price": F.col("o_totalprice")},
+        statistics=("count", "avg", "min", "max"),
+    )
+    out = stats_table_multi(
+        out, seq, ["o_orderpriority"],
+        {"big": F.col("o_totalprice") > 150000},
+    )
+
+    def num(c, nd=2):
+        col = F.col(c)
+        return F.when(
+            col.isNull() | F.isnan(col), F.lit(-1.0)
+        ).otherwise(F.round(col + F.lit(1e-9), nd))
+
+    return out.select(
+        "o_orderkey",
+        F.col("`price.o_custkey.count`").cast("long").alias("cust_n"),
+        num("`price.o_custkey.avg`", 4).alias("cust_avg"),
+        num("`price.o_custkey.min`").alias("cust_min"),
+        num("`price.o_custkey.max`").alias("cust_max"),
+        F.col("`trial.o_orderpriority`").cast("long").alias("prio_trials"),
+        F.col("`big.o_orderpriority`").cast("long").alias("prio_big"),
+    ).orderBy("o_orderkey")
+
+
+QUERIES = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q")
+    and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
+    and callable(fn)
+}
+
+
+def qa19_summary_statistics(spark: SparkSession, sf: str) -> DataFrame:
+    """summary.statistics procedure over part
+    (builtin/summary_statistics_proc.cc:516;
+    summary_stats_proc_test.py field set): number vs categorical
+    typing, exact num_unique, discrete quartiles (percentile_disc —
+    never interpolation), sample stddev. Oracle replays each column
+    as a one-row aggregate (quantile_disc in DuckDB) unioned
+    together. Plan: one wide single-pass agg + one stacked
+    (column,value) shuffle for exact distincts — no Expand node, no
+    per-column jobs."""
+    from mldb_spark.operators.relational import summary_statistics
+
+    part = load(spark, sf, "part")
+    out = summary_statistics(part, ["p_size", "p_retailprice", "p_type"])
+
+    def num(c, nd=4):
+        col = F.col(c)
+        return F.when(
+            col.isNull() | F.isnan(col), F.lit(-1.0)
+        ).otherwise(F.round(col + F.lit(1e-9), nd))
+
+    return out.select(
+        "column", "data_type",
+        F.col("num_null").cast("long").alias("num_null"),
+        F.col("num_unique").cast("long").alias("num_unique"),
+        num("min").alias("min_v"), num("max").alias("max_v"),
+        num("avg").alias("avg_v"), num("stddev").alias("std_v"),
+        num("q1").alias("q1_v"), num("median").alias("med_v"),
+        num("q3").alias("q3_v"),
+    ).orderBy("column")
+
+
+QUERIES = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q")
+    and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
+    and callable(fn)
+}
