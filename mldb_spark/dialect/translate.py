@@ -1167,6 +1167,18 @@ class Binder:
             raw = [None] * len(vals) + list(e.args[1:])
             return _scalar_fn(name, vals + rest, raw)  # type: ignore[arg-type]
         args = [self.bind(a) for a in e.args]
+        if name == "jaccard_index" and len(e.args) == 2:
+            # the reference's jaccard operates on rows-as-SETS
+            # (MLDB-1668: jaccard_index(tokenize(a), tokenize(b))) —
+            # a bag-of-words MAP argument contributes its key set
+            from mldb_spark.functions.core import jaccard_index as _ji
+
+            conv = []
+            for a, c in zip(e.args, args):
+                if self._static_dtype(a).startswith("map"):
+                    c = F.map_keys(c)
+                conv.append(c)
+            return _ji(conv[0], conv[1])
         return _scalar_fn(name, args, e.args)
 
     def _expr_ndim(self, e: ast.Expr) -> int:

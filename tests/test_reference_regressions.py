@@ -2745,3 +2745,23 @@ def test_mldb_945_when_in_transform_spec(spark):
     )
     got = {(r["row"], r["column"]) for r in out.collect()}
     assert got == {("r1", "x"), ("r2", "x"), ("r2", "y")}
+
+
+def test_mldb_1668_jaccard_index(mldb):
+    """MLDB-1668_jaccard_index.py: jaccard over tokenize bags, incl.
+    the both-empty = 1 convention and disjoint = 0."""
+    cases = [
+        ("1234 king st., london, on", "1234 king street london, gb",
+         0.42857142857142855),
+        ("hola amigo", "chao amigo", 0.3333333333333333),
+        ("", "", 1.0),
+        ("a b c", "x y z r", 0.0),
+    ]
+    for a, b, want in cases:
+        got = _q(
+            mldb,
+            "select jaccard_index("
+            f"tokenize('{a}', {{splitChars: ' .,'}}), "
+            f"tokenize('{b}', {{splitChars: ' .,'}})) as jaccard",
+        )[0][0]
+        assert abs(got - want) < 1e-12, (a, b, got, want)
