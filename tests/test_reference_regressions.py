@@ -2765,3 +2765,126 @@ def test_mldb_1668_jaccard_index(mldb):
             f"tokenize('{b}', {{splitChars: ' .,'}})) as jaccard",
         )[0][0]
         assert abs(got - want) < 1e-12, (a, b, got, want)
+
+
+def test_mldb_1624_theta_and_disguised_equi_joins(join_tables):
+    """MLDB-1624 test_non_equi_join_with_function /
+    test_disguised_equi_join / MLDBFB-503 precedence: function-based
+    theta conditions, an arithmetic condition that IS an equi-join in
+    disguise (i + k = 3), and unary-minus precedence in ON."""
+    mldb = join_tables
+    out = _q(
+        mldb,
+        "SELECT J1_TBL.i AS i, J2_TBL.k AS k FROM J1_TBL JOIN J2_TBL "
+        "ON J1_TBL.i < abs(J2_TBL.k) ORDER BY rowName()",
+    )
+    assert len(out) == 20 and out[0] == (1, 2) and out[-1] == (0, -5)
+    out = _q(
+        mldb,
+        "SELECT J1_TBL.t AS t, J2_TBL.k AS k FROM J1_TBL JOIN J2_TBL "
+        "ON regex_search(J1_TBL.t, 'three') and J2_TBL.k > 3",
+    )
+    assert out == [("three", 4)]
+    want = [("one", 2), ("three", 0), ("four", -1), ("six", -3),
+            ("eight", -5), ("eight", -5)]
+    out = _q(
+        mldb,
+        "SELECT J1_TBL.t AS t, J2_TBL.k AS k FROM J1_TBL JOIN J2_TBL "
+        "ON J1_TBL.i + J2_TBL.k = 3 ORDER BY rowName()",
+    )
+    assert out == want
+    # MLDBFB-503: -J2_TBL.k + 3 parses as (-k) + 3, not -(k + 3)
+    o1 = _q(
+        mldb,
+        "SELECT J1_TBL.i AS i, J2_TBL.k AS k FROM J1_TBL JOIN J2_TBL "
+        "ON J1_TBL.i = (-J2_TBL.k) + 3 ORDER BY rowName()",
+    )
+    o2 = _q(
+        mldb,
+        "SELECT J1_TBL.i AS i, J2_TBL.k AS k FROM J1_TBL JOIN J2_TBL "
+        "ON J1_TBL.i = -J2_TBL.k + 3 ORDER BY rowName()",
+    )
+    assert o1 == o2 == [(1, 2), (3, 0), (4, -1), (6, -3), (8, -5), (8, -5)]
+
+
+def test_mldb_1624_multiway_full_join_row_names(mldb):
+    """MLDB-1624 test_multiway_join: chained FULL joins keep the
+    bracketed composite row name with EMPTY brackets for every
+    non-matching side ([]-[]-[03])."""
+    _ds(mldb, "mt1", [("01", "bb", 11)], "rn string, name string, n int")
+    _ds(
+        mldb, "mt2",
+        [("01", "bb", 12), ("02", "cc", 22), ("03", "ee", 42)],
+        "rn string, name string, n int",
+    )
+    _ds(
+        mldb, "mt3",
+        [("01", "bb", 13), ("02", "cc", 23), ("03", "dd", 33)],
+        "rn string, name string, n int",
+    )
+    out = mldb.query(
+        "SELECT mt1.n AS n1, mt2.n AS n2, mt3.n AS n3, rowName() AS r "
+        "FROM mt1 FULL JOIN mt2 ON mt1.name = mt2.name "
+        "FULL JOIN mt3 ON mt2.name = mt3.name ORDER BY rowName()"
+    )
+    rows = {r["r"]: (r["n1"], r["n2"], r["n3"]) for r in out.collect()}
+    assert rows == {
+        "[01]-[01]-[01]": (11, 12, 13),
+        "[]-[02]-[02]": (None, 22, 23),
+        "[]-[]-[03]": (None, None, 33),
+        "[]-[03]-[]": (None, 42, None),
+    }
+
+
+def test_mldb_1624_subquery_joins(mldb):
+    """MLDB-1624 test_join_with_subqueries: aliased subselects on
+    both sides of inner/left/full joins, subtable-prefixed columns
+    and bracketed row names."""
+    _ds(
+        mldb, "mq2",
+        [("01", "bb", 12), ("02", "cc", 22), ("03", "ee", 42)],
+        "rn string, name string, n int",
+    )
+    _ds(
+        mldb, "mq3",
+        [("01", "bb", 13), ("02", "cc", 23), ("03", "dd", 33)],
+        "rn string, name string, n int",
+    )
+    inner = _q(
+        mldb,
+        "SELECT s2.name AS a, s2.n AS b, s3.n AS c FROM "
+        "(SELECT name, n FROM mq2) AS s2 JOIN "
+        "(SELECT name, n FROM mq3) AS s3 ON s2.name = s3.name "
+        "ORDER BY a",
+    )
+    assert inner == [("bb", 12, 13), ("cc", 22, 23)]
+    left = _q(
+        mldb,
+        "SELECT s2.name AS a, s3.n AS c FROM "
+        "(SELECT name, n FROM mq2) AS s2 LEFT JOIN "
+        "(SELECT name, n FROM mq3) AS s3 ON s2.name = s3.name "
+        "ORDER BY a",
+    )
+    assert left == [("bb", 13), ("cc", 23), ("ee", None)]
+    full = _q(
+        mldb,
+        "SELECT s2.n AS b, s3.n AS c FROM "
+        "(SELECT name, n FROM mq2) AS s2 FULL JOIN "
+        "(SELECT name, n FROM mq3) AS s3 ON s2.name = s3.name "
+        "ORDER BY coalesce(s2.n, -1), coalesce(s3.n, -1)",
+    )
+    assert full == [(None, 33), (12, 13), (22, 23), (42, None)]
+
+
+def test_mldb_1624_join_on_false(mldb):
+    """MLDB-1624 test_join_on_false: OUTER JOIN with an
+    always-false condition keeps every row of both sides unmatched
+    ([row1]-[] and []-[row2])."""
+    _ds(mldb, "mjf1", [("row1", 1)], "rn string, colA int")
+    _ds(mldb, "mjf2", [("row2", 1)], "rn string, colB int")
+    out = mldb.query(
+        "SELECT mjf1.colA AS a, mjf2.colB AS b, rowName() AS r "
+        "FROM mjf1 OUTER JOIN mjf2 ON false ORDER BY rowName()"
+    )
+    rows = {r["r"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {"[row1]-[]": (1, None), "[]-[row2]": (None, 1)}
