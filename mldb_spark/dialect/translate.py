@@ -1515,6 +1515,36 @@ def _substitute(e: ast.Expr, mapping: list[tuple[ast.Expr, str]]) -> ast.Expr:
     return e
 
 
+def _rewrite(e: ast.Expr, fn) -> ast.Expr:
+    """Generic expr->expr rewriter: fn(node) returns a replacement or
+    None to recurse. Works over every dataclass AST node by field
+    reflection (lists and (cond, val) tuples included)."""
+    import dataclasses
+
+    rep = fn(e)
+    if rep is not None:
+        return rep
+    if not dataclasses.is_dataclass(e):
+        return e
+
+    def rec(v):
+        if isinstance(v, ast.Expr):
+            return _rewrite(v, fn)
+        if isinstance(v, list):
+            return [rec(x) for x in v]
+        if isinstance(v, tuple):
+            return tuple(rec(x) for x in v)
+        return v
+
+    changes = {}
+    for f in dataclasses.fields(e):
+        old = getattr(e, f.name)
+        new = rec(old)
+        if new is not old:
+            changes[f.name] = new
+    return dataclasses.replace(e, **changes) if changes else e
+
+
 def _walk(e: ast.Expr):
     """Yield every node of an expression tree (pre-order)."""
     yield e
@@ -2391,6 +2421,30 @@ class MldbContext:
         )
 
         ordagg_names: list[str] = []
+        if is_agg and stm.order_by and stm.named is not None:
+            # ORDER BY rowName() under GROUP BY + NAMED orders by the
+            # NAMED expression itself (MLDB-809's
+            # `… NAMED group_key_element(0) GROUP BY label
+            #  ORDER BY rowName()`)
+            import dataclasses
+
+            named_expr = stm.named
+            stm = dataclasses.replace(
+                stm,
+                order_by=[
+                    ast.OrderItem(
+                        _rewrite(
+                            o.expr,
+                            lambda n: named_expr
+                            if isinstance(n, ast.FunctionCall)
+                            and n.name == "rowname" and not n.args
+                            else None,
+                        ),
+                        o.ascending,
+                    )
+                    for o in stm.order_by
+                ],
+            )
         if is_agg and stm.order_by:
             # ORDER BY over aggregates not in the select list
             # (MLDBFB-638's `ORDER BY min(z), y`): compute them as
@@ -2751,6 +2805,14 @@ class MldbContext:
         # (core/bound_queries.cc:1683-1703).
         group_cols = [binder.bind(g).alias(f"__g{i}") for i, g in enumerate(stm.group_by)]
         key_map = [(g, f"__g{k}") for k, g in enumerate(stm.group_by)]
+        # group_key_element(n) reads the n-th GROUP BY key
+        # (MLDB-809's NAMED group_key_element(0); sql registration in
+        # sql/builtin_functions.cc) — rewrite it like any key-equal
+        # subtree
+        key_map.extend(
+            (ast.FunctionCall("group_key_element", [ast.Literal(k)]), f"__g{k}")
+            for k in range(len(stm.group_by))
+        )
         # a ColumnRef key matches select items under ANY qualification
         # spelling — bare, alias-qualified, dotted alias (MLDB-835's
         # `SELECT "a.b" … GROUP BY "q.r"."a.b"`): map every

@@ -2888,3 +2888,69 @@ def test_mldb_1624_join_on_false(mldb):
     )
     rows = {r["r"]: (r["a"], r["b"]) for r in out.collect()}
     assert rows == {"[row1]-[]": (1, None), "[]-[row2]": (None, 1)}
+
+
+def test_mldb_770_809_row_agg_group_by(mldb):
+    """MLDB-770-group-by-parsing.js / MLDB-809-group-by-rowname.js:
+    min({*})/max({*}) under GROUP BY aggregate per COLUMN; NAMED can
+    read the grouping label directly or via group_key_element(0);
+    count({*}) counts non-null per column (MLDB-703) and GROUP BY 1
+    (a constant) forms one group."""
+    _ds(
+        mldb,
+        "m770",
+        [("ex1", 0, 0, "cat"), ("ex2", 1, 1, "dog"), ("ex3", 1, 2, "cat")],
+        "rn string, x int, y int, label string",
+    )
+    out = mldb.query(
+        "SELECT min({x, y}) AS mn, max({x, y}) AS mx NAMED label "
+        "FROM m770 GROUP BY label ORDER BY rowName()"
+    )
+    rows = [
+        (r["rowName"], r["mn"]["x"], r["mn"]["y"], r["mx"]["x"], r["mx"]["y"])
+        for r in out.collect()
+    ]
+    assert rows == [("cat", 0, 0, 1, 2), ("dog", 1, 1, 1, 1)]
+
+    out = mldb.query(
+        "SELECT min({x}) AS mn NAMED group_key_element(0) "
+        "FROM m770 GROUP BY label ORDER BY rowName()"
+    )
+    assert [r["rowName"] for r in out.collect()] == ["cat", "dog"]
+
+    # MLDB-703: per-column non-null counts; GROUP BY 1 = one group
+    _ds(
+        mldb,
+        "m703",
+        [("ex1", 1, 2, None), ("ex2", 2, None, 4), ("ex3", None, None, 3)],
+        "rn string, x int, y int, z int",
+    )
+    out = mldb.query("select count({x, y, z}) as c from m703 group by 1")
+    r = out.collect()[0]["c"]
+    assert (r["x"], r["y"], r["z"]) == (2, 1, 2)
+    # count(x) == count(*) when x filtered non-null (MLDB-1256)
+    a = _q(
+        mldb,
+        "select x, count(x) as a from m703 where x is not null group by x "
+        "order by x",
+    )
+    b = _q(
+        mldb,
+        "select x, count(*) as a from m703 where x is not null group by x "
+        "order by x",
+    )
+    assert a == b == [(1, 1), (2, 1)]
+
+
+def test_mldb_238_sort_missing_values(mldb):
+    """MLDB-238-sorting-missing-values.js: ORDER BY over a sparse
+    column orders the rows MISSING it first (ascending)."""
+    _ds(
+        mldb,
+        "m238",
+        [("row1", 1, 2, None, None), ("row2", 2, None, 2, None),
+         ("row3", None, None, 2, 3)],
+        "rn string, Weight int, col2 int, col3 int, Weight2 int",
+    )
+    out = mldb.query("select rowName() AS r from m238 order by Weight, col3")
+    assert [r["r"] for r in out.collect()] == ["row3", "row1", "row2"]
