@@ -2954,3 +2954,94 @@ def test_mldb_238_sort_missing_values(mldb):
     )
     out = mldb.query("select rowName() AS r from m238 order by Weight, col3")
     assert [r["r"] for r in out.collect()] == ["row3", "row1", "row2"]
+
+
+def test_mldb_2169_csv_extra_columns(spark, tmp_path):
+    """MLDB-2169-skip-extra-columns.js: rows with MORE fields than
+    the header keep the declared columns (the reference needs
+    ignoreExtraColumns=true for this; the Spark CSV reader's
+    declared-schema semantics give it by construction — documented
+    divergence: there is no erroring mode for extras)."""
+    from mldb_spark.sources.text_io import import_text
+
+    p = tmp_path / "extra.csv"
+    p.write_text("a,b\n1,2\n3,4\n5,6,7\n5,6,7,8\n5,6, 7\n5,6,\n9,10\n")
+    out = import_text(spark, str(p))
+    assert [(r["a"], r["b"]) for r in out.collect()] == [
+        (1, 2), (3, 4), (5, 6), (5, 6), (5, 6), (5, 6), (9, 10),
+    ]
+
+
+def test_mldb_749_import_offset_limit(spark, tmp_path):
+    """MLDB-749-count-with-offset-limit.js: import.text offset/limit
+    line-window semantics — limit caps rows, an over-long limit is
+    the full set, offset drops the first n data lines."""
+    from mldb_spark.sources.text_io import import_text
+
+    p = tmp_path / "win.csv"
+    p.write_text("a,b\n" + "\n".join(f"{i},{i*2}" for i in range(50)))
+    total = import_text(spark, str(p)).count()
+    assert total == 50
+    assert import_text(spark, str(p), limit=10).count() == 10
+    assert import_text(spark, str(p), limit=total + 2000).count() == total
+    assert import_text(spark, str(p), offset=10).count() == total - 10
+    # offset+limit compose: the window [10, 15)
+    win = import_text(spark, str(p), offset=10, limit=5)
+    assert sorted(r["a"] for r in win.collect()) == [10, 11, 12, 13, 14]
+
+
+def test_mldb_543_column_named_zero(mldb):
+    """MLDB-543-column-named-zero.js: a column (and rows) named '0'
+    are addressable — bare-ident resolution vs numeric literals, and
+    the quoted form "0" selects the column."""
+    _ds(mldb, "m543", [("0", 0), ("1", 0)], 'rn string, `0` int')
+    out = mldb.query('select "0" AS z from m543 order by rowName()')
+    assert [r["z"] for r in out.collect()] == [0, 0]
+    out = mldb.query("select * from m543 order by rowName()")
+    assert [r["rn"] for r in out.collect()] == ["0", "1"]
+
+
+def test_mldb_768_order_by_unknown_function(mldb):
+    """MLDB-768-order-by-missing-function.js: ORDER BY hello() is an
+    unknown-function error, not a silent constant sort."""
+    _ds(mldb, "m768", [("ex1", 0)], "rn string, x int")
+    with pytest.raises(Exception, match="(?i)unknown|unable to find"):
+        mldb.query("SELECT 1 AS v from m768 order by hello()").collect()
+
+
+def test_mldb_119_wildcard_matches_no_columns(mldb):
+    """MLDB-119-select_no_columns.js: a prefix wildcard matching no
+    columns yields an EMPTY projection — the reference's procedures
+    reject it ('matched no columns'); the query surface returns no
+    columns rather than all of them."""
+    _ds(mldb, "m119", [("row1", 1, 2)], "rn string, col1 int, col2 int")
+    out = mldb.query("select bonus* from m119")
+    assert out.columns == [] or out.columns == ["rowName"]
+
+
+def test_mldb_816_pivot_named_group(mldb):
+    """MLDB-816-scatter-aggregate.js: pivot(what, how) AS * NAMED who
+    GROUP BY who — the scatter shape with string values and sparse
+    absent cells."""
+    _ds(
+        mldb,
+        "m816",
+        [("0", "mustard", "moved", "kitchen"),
+         ("1", "plum", "moved", "kitchen"),
+         ("2", "mustard", "stabbed", "plum"),
+         ("3", "mustard", "killed", "plum"),
+         ("4", "plum", "died", "stabbed")],
+        "rn string, who string, what string, how string",
+    )
+    out = mldb.query(
+        "SELECT pivot(what, how) AS * NAMED who FROM m816 "
+        "GROUP BY who ORDER BY who"
+    )
+    rows = {r["rowName"]: r.asDict() for r in out.collect()}
+    m = rows["mustard"]
+    assert (m.get("killed"), m.get("moved"), m.get("stabbed")) == (
+        "plum", "kitchen", "plum",
+    )
+    p = rows["plum"]
+    assert (p.get("died"), p.get("moved")) == ("stabbed", "kitchen")
+    assert p.get("killed") is None and p.get("stabbed") is None
