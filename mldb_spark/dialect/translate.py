@@ -2207,6 +2207,7 @@ class MldbContext:
                 "count": F.count(v), "sum": F.sum(v), "avg": F.avg(v),
                 "min": F.min(v), "max": F.max(v),
                 "earliest": F.min_by(v, t), "latest": F.max_by(v, t),
+                "latest_ts": F.max(t), "earliest_ts": F.min(t),
             }
             per_cell = (
                 cells.filter(F.col(col_c).isin(wanted))
@@ -2248,26 +2249,50 @@ class MldbContext:
                 )
                 changed = True
                 continue
-            if isinstance(it, ast.ExprItem):
-                for n in _walk(it.expr):
-                    if (
-                        isinstance(n, ast.FunctionCall)
-                        and n.name in self._CELL_TEMPORALS
-                        and len(n.args) == 1
-                        and isinstance(n.args[0], ast.ColumnRef)
-                        and n.args[0].name in info["columns"]
-                        and not any(n == m for m, _ in mapping)
-                    ):
-                        base = self._CELL_TEMPORALS[n.name]
-                        cname = f"__tc{len(mapping)}_{n.args[0].name}"
-                        join_dfs.append(
-                            _agg_wide(base, [n.args[0].name], "").select(
-                                "__cellsRow",
-                                F.col(n.args[0].name).alias(cname),
-                            )
-                        )
-                        mapping.append((n, cname))
             new_select.append(it)
+
+        # scalar temporal calls anywhere in select, WHERE, or ORDER BY
+        # (MLDB-605's `WHERE latest_timestamp(imp) <
+        # latest_timestamp(click)`) — latest/earliest_timestamp(col)
+        # reduce the cell's ts range per row
+        ts_fns = {
+            "latest_timestamp": "latest_ts",
+            "earliest_timestamp": "earliest_ts",
+        }
+
+        def _collect(expr: ast.Expr) -> None:
+            for n in _walk(expr):
+                base = None
+                if isinstance(n, ast.FunctionCall) and len(n.args) == 1:
+                    if n.name in self._CELL_TEMPORALS:
+                        base = self._CELL_TEMPORALS[n.name]
+                    elif n.name in ts_fns:
+                        base = ts_fns[n.name]
+                if (
+                    base is not None
+                    and isinstance(n.args[0], ast.ColumnRef)
+                    and n.args[0].name in info["columns"]
+                    and not any(n == m for m, _ in mapping)
+                ):
+                    cname = f"__tc{len(mapping)}_{n.args[0].name}"
+                    join_dfs.append(
+                        _agg_wide(base, [n.args[0].name], "").select(
+                            "__cellsRow",
+                            F.col(n.args[0].name).alias(cname),
+                        )
+                    )
+                    mapping.append((n, cname))
+
+        for it in new_select:
+            if isinstance(it, ast.ExprItem):
+                _collect(it.expr)
+        if stm.where is not None:
+            _collect(stm.where)
+        for o in stm.order_by:
+            _collect(o.expr)
+
+        new_where = stm.where
+        new_order = list(stm.order_by)
         if mapping:
             new_select = [
                 dataclasses.replace(it, expr=_substitute(it.expr, mapping))
@@ -2275,12 +2300,20 @@ class MldbContext:
                 else it
                 for it in new_select
             ]
+            if new_where is not None:
+                new_where = _substitute(new_where, mapping)
+            new_order = [
+                ast.OrderItem(_substitute(o.expr, mapping), o.ascending)
+                for o in stm.order_by
+            ]
             changed = True
         if not changed:
             return df, stm
         for jd in join_dfs:
             df = df.join(jd, "__cellsRow", "left")
-        return df, dataclasses.replace(stm, select=new_select)
+        return df, dataclasses.replace(
+            stm, select=new_select, where=new_where, order_by=new_order
+        )
 
     def _statement(self, stm: ast.SelectStatement, params) -> DataFrame:
         if stm.from_ is None and any(

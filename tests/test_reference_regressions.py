@@ -3045,3 +3045,40 @@ def test_mldb_816_pivot_named_group(mldb):
     p = rows["plum"]
     assert (p.get("died"), p.get("moved")) == ("stabbed", "kitchen")
     assert p.get("killed") is None and p.get("stabbed") is None
+
+
+def test_mldb_605_timestamp_where(spark):
+    """MLDB-605-timestamp-query.js: latest_timestamp(col) compares
+    per row in WHERE over a temporal cells dataset — imp-then-click,
+    click-then-imp, and simultaneous rows separate cleanly."""
+    from mldb_spark.dialect import MldbContext
+
+    cells = spark.createDataFrame(
+        [
+            ("row1_imp_then_click", "imp", 0.0, 1.0),
+            ("row1_imp_then_click", "click", 0.0, 2.0),
+            ("row2_click_then_imp", "click", 0.0, 1.0),
+            ("row2_click_then_imp", "imp", 0.0, 2.0),
+            ("row3_click_and_imp", "click", 0.0, 1.0),
+            ("row3_click_and_imp", "imp", 0.0, 1.0),
+        ],
+        "row string, column string, value double, tsr double",
+    ).select("row", "column", "value", F.col("tsr").cast("timestamp").alias("ts"))
+    ctx = MldbContext(spark)
+    ctx.register_cells("t605", cells)
+
+    def rows(q):
+        return [r["r"] for r in ctx.query(q).collect()]
+
+    assert rows(
+        "select rowName() as r from t605 "
+        "where latest_timestamp(imp) < latest_timestamp(click)"
+    ) == ["row1_imp_then_click"]
+    assert rows(
+        "select rowName() as r from t605 "
+        "where latest_timestamp(click) < latest_timestamp(imp)"
+    ) == ["row2_click_then_imp"]
+    assert rows(
+        "select rowName() as r from t605 "
+        "where latest_timestamp(click) = latest_timestamp(imp)"
+    ) == ["row3_click_and_imp"]
