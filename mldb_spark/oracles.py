@@ -1509,3 +1509,21 @@ SELECT * FROM (
   FROM part
 ) ORDER BY "column"
 """
+
+ORACLES["qa20_cells_temporal_sql"] = """
+WITH cells AS (
+  SELECT CAST(user_id AS VARCHAR) AS r, event_type AS c, "value" AS v, ts
+  FROM events
+), per AS (
+  SELECT r,
+    count(v) FILTER (c = 'purchase') AS n_p,
+    round(sum(v) FILTER (c = 'purchase') + 0.000000001, 2) AS sum_p,
+    round(max(v) FILTER (c = 'click') + 0.000000001, 2) AS max_c,
+    round(arg_max(v, ts) FILTER (c = 'purchase') + 0.000000001, 2)
+      AS latest_p
+  FROM cells GROUP BY r
+)
+SELECT r, CAST(n_p AS BIGINT) AS n_p, sum_p,
+       coalesce(max_c, -1) AS max_c, latest_p
+FROM per WHERE n_p >= 2 ORDER BY r
+"""

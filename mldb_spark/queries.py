@@ -2738,3 +2738,42 @@ QUERIES = {
     and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
     and callable(fn)
 }
+
+
+def qa20_cells_temporal_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """The temporal cells SQL surface end-to-end (MLDB-1235/1586/605
+    semantics; core/bound_queries.cc:385,394): events registered as a
+    cells dataset, plain column refs read GET_LATEST, temporal_*
+    reduce each row's superposition — in the select list AND in
+    WHERE. The oracle replays with FILTERed aggregates + arg_max per
+    user. Plan: one hash-agg per distinct temporal call + the latest
+    pivot, all joined on the row key — no Python, no wide pivots."""
+    from mldb_spark.dialect import MldbContext
+    from mldb_spark.operators.temporal import events_to_cells
+
+    ctx = MldbContext(spark)
+    cells = events_to_cells(load(spark, sf, "events"))
+    ctx.register_cells("ec", cells)
+    out = ctx.query(
+        "SELECT rowName() AS r, temporal_count(purchase) AS n_p, "
+        "round(temporal_sum(purchase) + 0.000000001, 2) AS sum_p, "
+        "round(temporal_max(click) + 0.000000001, 2) AS max_c, "
+        "round(purchase + 0.000000001, 2) AS latest_p "
+        "FROM ec WHERE temporal_count(purchase) >= 2 ORDER BY r"
+    )
+    return out.select(
+        "r",
+        F.col("n_p").cast("long").alias("n_p"),
+        "sum_p",
+        F.coalesce("max_c", F.lit(-1.0)).alias("max_c"),
+        "latest_p",
+    )
+
+
+QUERIES = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q")
+    and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
+    and callable(fn)
+}
