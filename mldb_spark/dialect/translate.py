@@ -68,6 +68,18 @@ def _mime_type_fn(c: Column) -> Column:
     return sniff_mime(c.cast("binary"))
 
 
+def _cxx_log(c: Column, fn) -> Column:
+    """C/C++ logarithm edge semantics: log(0) = -Inf, log(<0) = NaN
+    (the reference evaluates through libm; Spark's builtins return
+    NULL for non-positive inputs)."""
+    x = c.cast("double")
+    return (
+        F.when(x == 0, F.lit(float("-inf")))
+        .when(x < 0, F.lit(float("nan")))
+        .otherwise(fn(x))
+    )
+
+
 def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Column:
     """Scalar builtin dispatch (families from SURVEY §2.9; reference
     registrations in sql/builtin_functions.cc)."""
@@ -95,7 +107,11 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
     from mldb_spark.functions.web import canonicalize_url as _canonicalize_url_fn
 
     simple = {
-        "abs": F.abs, "sqrt": F.sqrt, "exp": F.exp, "ln": F.log,
+        "abs": F.abs, "sqrt": F.sqrt, "exp": F.exp,
+        # C++ log conventions (MLDB-781-numeric-functions.js):
+        # ln(0) = -Inf, ln(negative) = NaN — Spark's log would give
+        # NULL for both
+        "ln": lambda c: _cxx_log(c, F.log),
         "floor": F.floor, "ceil": F.ceiling, "ceiling": F.ceiling,
         "lower": F.lower, "upper": F.upper,
         # length counts characters and coerces numbers to their string
@@ -173,7 +189,12 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
     if name in binary and len(args) == 2:
         return binary[name](args[0], args[1])
     if name == "log":
-        return F.log(args[0]) if len(args) == 1 else F.log(args[0], args[1])
+        # reference log family (builtin_functions.cc; MLDB-781):
+        # log(x) is BASE-10 (log(1000) = 3), log(b, x) is base-b,
+        # ln(x) is natural; 0 -> -Inf, negative -> NaN
+        if len(args) == 1:
+            return _cxx_log(args[0], F.log10)
+        return _cxx_log(args[1], lambda c: F.log(c) / F.log(args[0]))
     if name == "tokenize" and len(args) == 2:
         # tokenize(str, {splitChars, quoteChar, ngramRange,
         # minTokenLength, limit, offset, value}) — the reference's

@@ -3082,3 +3082,43 @@ def test_mldb_605_timestamp_where(spark):
         "select rowName() as r from t605 "
         "where latest_timestamp(click) = latest_timestamp(imp)"
     ) == ["row3_click_and_imp"]
+
+
+def test_mldb_781_numeric_functions(mldb):
+    """MLDB-781-numeric-functions.js: the log family — log(x) is
+    BASE-10, log(b, x) base-b, ln natural; zero gives -Inf and
+    negatives NaN (libm conventions, not Spark's NULL); mod keeps
+    the dividend's sign; power/sqrt invert."""
+    import math
+
+    def one(expr):
+        return _q(mldb, f"select {expr} as v")[0][0]
+
+    assert one("log(1000)") == 3.0
+    assert one("log(1)") == 0.0
+    assert one("log(2, 16)") == 4.0
+    assert one("log(2, 1)") == 0.0
+    assert abs(one("ln(2)") - 0.6931471805599453) < 1e-15
+    assert one("ln(1)") == 0.0
+    for e in ("ln(0)", "log(0)", "log(2, 0)"):
+        assert one(e) == float("-inf"), e
+    for e in ("ln(-1)", "log(-1)", "log(2, -1)", "sqrt(-1)"):
+        assert math.isnan(one(e)), e
+    assert one("ln(NULL)") is None
+    assert one("sqrt(power(4, 2))") == 4.0
+    assert one("mod(-1, 2)") == -1
+    assert one("power(-1, 2)") == 1.0
+    assert one("ceil(-12.4343454)") == -12.0
+    assert one("floor(-12.4343454)") == -13.0
+
+
+def test_mldb_826_vector_ops(mldb):
+    """MLDB-826-vector-ops.js: vector_sum/diff/product/quotient over
+    embedding literals built from columns."""
+    _ds(mldb, "m826", [("r1", 10, 20, 50, 5)], "rn string, a int, b int, a2 int, b2 int")
+    assert _q(mldb, "select vector_sum([a,b], [a,b]) as v from m826") == [([20, 40],)]
+    assert _q(mldb, "select vector_diff([a,b], [a,b]) as v from m826") == [([0, 0],)]
+    assert _q(mldb, "select vector_product([a,b], [a,b]) as v from m826") == [([100, 400],)]
+    assert _q(mldb, "select vector_quotient([a,b], [a,b]) as v from m826") == [([1.0, 1.0],)]
+    assert _q(mldb, "select vector_sum([a, a2], [b, b2]) as v from m826") == [([30, 55],)]
+    assert _q(mldb, "select vector_diff([a, a2], [b, b2]) as v from m826") == [([-10, 45],)]
