@@ -105,6 +105,10 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         dot_product,
     )
     from mldb_spark.functions.web import canonicalize_url as _canonicalize_url_fn
+    from mldb_spark.functions.paths import (
+        parse_path as _parse_path,
+        stringify_path as _stringify_path,
+    )
 
     simple = {
         "abs": F.abs, "sqrt": F.sqrt, "exp": F.exp,
@@ -125,6 +129,10 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         "tokenize": tokenize_counts, "token_count": token_count,
         "language_id": language_id, "quality_score": quality_score,
         "normalize_text": normalize_text, "tokenize_counts": tokenize_counts,
+        # path scalar surface (sql/path_functions; MLDB-1648):
+        # stringify renders with quoting, parse splits respecting it
+        "stringify_path": _stringify_path,
+        "parse_path": _parse_path,
         # corpus-tier scalar surface (beyond-reference): PII scrub and
         # URL canonicalization reachable straight from SQL/REST
         "redact_pii": redact_pii,
@@ -700,6 +708,17 @@ class Binder:
         if isinstance(e, ast.Case):
             return self._case(e)
         if isinstance(e, ast.Cast):
+            if e.type_name == "path":
+                # CAST (x AS path) (MLDB-1648): an embedding becomes
+                # one path element per item (stringified); a string
+                # becomes a SINGLE-element path (no dot splitting —
+                # parse_path does that)
+                c = self.bind(e.operand)
+                if self._static_dtype(e.operand).startswith("array") or isinstance(
+                    e.operand, ast.EmbeddingLiteral
+                ):
+                    return F.transform(c, lambda x: x.cast("string"))
+                return F.array(c.cast("string"))
             if e.type_name not in _CAST_TYPES:
                 raise ValueError(f"unknown cast type {e.type_name}")
             # reference semantics: failed casts yield NULL

@@ -3122,3 +3122,22 @@ def test_mldb_826_vector_ops(mldb):
     assert _q(mldb, "select vector_quotient([a,b], [a,b]) as v from m826") == [([1.0, 1.0],)]
     assert _q(mldb, "select vector_sum([a, a2], [b, b2]) as v from m826") == [([30, 55],)]
     assert _q(mldb, "select vector_diff([a, a2], [b, b2]) as v from m826") == [([-10, 45],)]
+
+
+def test_mldb_1648_path_values(mldb):
+    """MLDB-1648-path-values.js: CAST AS path (embedding -> one
+    element per item, string -> a SINGLE element, no dot-splitting),
+    stringify_path renders dotted with quoting, parse_path inverts
+    it."""
+    def one(expr):
+        return _q(mldb, f"select {expr} as v")[0][0]
+
+    assert one("cast (['1'] as path)") == ["1"]
+    assert one("cast ([1] as path)") == ["1"]
+    assert one("cast ([1,2,3] as path)") == ["1", "2", "3"]
+    assert one("cast ('1.2.3' as path)") == ["1.2.3"]
+    assert one("stringify_path(['1','2','3'])") == "1.2.3"
+    assert one("parse_path(stringify_path(['1','2','3']))") == ["1", "2", "3"]
+    # quoting round-trip: an element containing a dot
+    assert one("stringify_path(['a.b', 'c'])") == '"a.b".c'
+    assert one("parse_path(stringify_path(['a.b', 'c']))") == ["a.b", "c"]
