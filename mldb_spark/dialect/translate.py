@@ -1042,7 +1042,9 @@ class Binder:
             i = _literal_int(e.args[0]) if e.args else None
             if i is None:
                 raise ValueError("rowPathElement(n) needs a literal index")
-            return F.element_at(parts, i + 1 if i >= 0 else i)
+            # out-of-range is NULL (MLDB-1636), never an ANSI index
+            # error
+            return F.try_element_at(parts, F.lit(i + 1 if i >= 0 else i))
         if name in ("rownumber", "totalrows"):
             marker = "__rowNumber" if name == "rownumber" else "__totalRows"
             if marker in self.colset:

@@ -3141,3 +3141,49 @@ def test_mldb_1648_path_values(mldb):
     # quoting round-trip: an element containing a dot
     assert one("stringify_path(['a.b', 'c'])") == '"a.b".c'
     assert one("parse_path(stringify_path(['a.b', 'c']))") == ["a.b", "c"]
+
+
+def test_mldb_410_named_transformed_rowname(mldb):
+    """MLDB-410-set-output-rowname.js: NAMED rowName() +
+    '_transformed' rewrites output row names via string
+    concatenation with +."""
+    _ds(
+        mldb,
+        "m410",
+        [("ex1", 0, 0, "cat"), ("ex2", 1, 1, "dog"), ("ex3", 1, 2, "cat")],
+        "rn string, x int, y int, label string",
+    )
+    out = mldb.query(
+        "select x, y, label NAMED rowName() + '_transformed' FROM m410 "
+        "ORDER BY rowName() DESC"
+    )
+    rows = [(r["rowName"], r["label"], r["x"], r["y"]) for r in out.collect()]
+    assert rows == [
+        ("ex3_transformed", "cat", 1, 2),
+        ("ex2_transformed", "dog", 1, 1),
+        ("ex1_transformed", "cat", 0, 0),
+    ]
+
+
+def test_mldb_1636_row_path_elements(mldb):
+    """MLDB-1636-row-column-path.js: rowPath()/rowPathElement(n) over
+    multi-element row names — negative indexes count from the end,
+    out-of-range gives NULL, and path equality filters work."""
+    _ds(
+        mldb,
+        "m1636",
+        [(f"examples.{i}", i) for i in range(5)],
+        "rn string, v int",
+    )
+    out = mldb.query(
+        "select rowPath() as p, rowPathElement(0) as e0, "
+        "rowPathElement(1) as e1, rowPathElement(-1) as em1, "
+        "rowPathElement(2) as e2 from m1636 "
+        "where rowPathElement(-1) = rowPathElement(1) order by rowName()"
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    last = [r for r in rows if r["e1"] == "4"][0]
+    assert list(last["p"]) == ["examples", "4"]
+    assert last["e0"] == "examples" and last["em1"] == "4"
+    assert last["e2"] is None
