@@ -1863,7 +1863,10 @@ class MldbContext:
         if isinstance(src, ast.TableFunction):
             df = self._table_function(src, params)
             rn = "rowName" if "rowName" in df.columns else None
-            return df, rn, None, set(), {}
+            # the AS alias qualifies columns (MLDB-1315's
+            # `SELECT x.* FROM row_dataset(...) AS x`)
+            aliases = {src.alias} if src.alias else set()
+            return df, rn, None, aliases, {}
         if isinstance(src, ast.Join):
             df, aliases, rn_col, side_rns = self._build_join(src, params)
             return df, rn_col, None, aliases, side_rns
@@ -1914,10 +1917,22 @@ class MldbContext:
                 fields = [(str(i), x) for i, x in enumerate(arg.items)]
             else:
                 fields = list(arg.fields)
-            # the argument is a literal row: one literal-sized eval
+            # the argument is a literal row: one literal-sized eval.
+            # An all-numeric row keeps a DOUBLE value column (the
+            # q40 shape); mixed-type rows (MLDB-1315's
+            # {x:1, z:'three'}) fall back to STRING — the reference's
+            # variant cells have no single Spark type, and
+            # CAST (value AS NUMBER) recovers the numerics
+            numeric = all(
+                isinstance(x, ast.Literal)
+                and isinstance(x.value, (int, float))
+                and not isinstance(x.value, bool)
+                for _, x in fields
+            )
+            vtype = "double" if numeric else "string"
             vals = self.spark.range(1).select(
                 *[
-                    binder.bind(x).cast("double").alias(f"__v{i}")
+                    binder.bind(x).cast(vtype).alias(f"__v{i}")
                     for i, (_, x) in enumerate(fields)
                 ]
             ).collect()[0]
@@ -1926,7 +1941,7 @@ class MldbContext:
                     (str(i), n, vals[f"__v{i}"])
                     for i, (n, _) in enumerate(fields)
                 ],
-                "rowName string, column string, value double",
+                f"rowName string, column string, value {vtype}",
             )
         if tf.name == "merge":
             from mldb_spark.operators.relational import merge_datasets

@@ -3187,3 +3187,38 @@ def test_mldb_1636_row_path_elements(mldb):
     assert list(last["p"]) == ["examples", "4"]
     assert last["e0"] == "examples" and last["em1"] == "4"
     assert last["e2"] is None
+
+
+def test_mldb_1315_row_dataset_mixed_types(mldb):
+    """MLDB-1315-row-table-expressions.js: row_dataset over a
+    MIXED-type row literal ({x:1, y:2, z:'three'}) works, and
+    CAST (value AS NUMBER) IS NULL recovers the non-numeric cells.
+    Divergence (documented at the binding site): the reference's
+    variant cells keep per-cell types; here mixed rows share one
+    STRING value column, so numerics render as their string form."""
+    out = mldb.query(
+        "SELECT * FROM row_dataset({x:1, y:2, z:'three'}) ORDER BY rowName()"
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("0", "x", "1"), ("1", "y", "2"), ("2", "z", "three"),
+    ]
+    # the function body of the reference's `poil` sql.query entity
+    out = mldb.query(
+        "SELECT upper(column) AS column, value "
+        "FROM row_dataset({x:1, y:2, z:'three'}) "
+        "WHERE CAST (value AS NUMBER) IS NULL"
+    )
+    assert [tuple(r) for r in out.collect()] == [("Z", "three")]
+    # the AS alias qualifies the dataset-function columns
+    out = mldb.query(
+        "SELECT x.* FROM row_dataset({x: 1, y:2, z: 'three'}) AS x "
+        "ORDER BY rowName()"
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("0", "x", "1"), ("1", "y", "2"), ("2", "z", "three"),
+    ]
+    # all-numeric rows keep the double value column (the q40 shape)
+    out = mldb.query("SELECT * FROM row_dataset({a:1, b:2})")
+    assert sorted(tuple(r) for r in out.collect()) == [
+        ("0", "a", 1.0), ("1", "b", 2.0),
+    ]
