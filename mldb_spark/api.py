@@ -183,9 +183,10 @@ class Mldb:
                         )
                     ):
                         qualified_cols.extend(
-                            _F.col(it.qualifier)
-                            .getField(f.name)
-                            .alias(f"{it.qualifier}.{f.name}")
+                            (
+                                f"{it.qualifier}.{f.name}",
+                                _F.col(it.qualifier).getField(f.name),
+                            )
                             for f in df.schema[it.qualifier].dataType.fields
                         )
                     continue
@@ -201,11 +202,15 @@ class Mldb:
             if not plain and not qualified_cols:
                 return df
             binder = Binder(df.columns, params or {}, dtypes=dict(df.dtypes))
-            cols = qualified_cols + [
-                binder.bind(it.expr).alias(it.alias or _expr_name(it.expr, i))
+            named = dict(qualified_cols)
+            named.update(
+                (it.alias or _expr_name(it.expr, i), binder.bind(it.expr))
                 for i, it in plain
-            ]
-            return df.select("*", *cols)
+            )
+            # withColumns REPLACES same-named columns — an output that
+            # shares an input column's name shadows it (MLDB-1563's
+            # identity function: expression 'input' outputs 'input')
+            return df.withColumns(named)
 
         self.functions.register(name, apply)
         # visible to the dialect too: SELECT f({input: {…}})[out] …

@@ -492,14 +492,55 @@ def _restamp_ts(e: ast.Expr) -> ast.Expr | None:
     return None
 
 
+def _struct_field_names(dt: str) -> list[str]:
+    """Top-level field names of a struct dtype string
+    ('struct<1:int,a:struct<b:int>>' -> ['1', 'a']) — fromDDL rejects
+    numeric field names, so split on depth-0 commas instead."""
+    inner = dt[len("struct<"):-1]
+    names: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(inner + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            field = inner[start:i]
+            names.append(field.split(":", 1)[0].strip().strip("`"))
+            start = i + 1
+    return [n for n in names if n]
+
+
 def _is_const_expr(e: ast.Expr) -> bool:
     """Static constness: literal trees (and operators over them) are
-    const; anything touching a column, parameter or function is not."""
+    const; anything touching a column, parameter or function is not.
+    AND/OR short-circuit at bind time like the reference
+    (sql_expression_operations.cc:1969-2030, pinned by MLDB-1935):
+    AND with a constant-false or constant-NULL side is constant, OR
+    with a constant-true or constant-NULL side is constant."""
     if isinstance(e, ast.Literal):
         return True
     if isinstance(e, ast.Unary):
         return _is_const_expr(e.operand)
     if isinstance(e, ast.Binary):
+        if e.op in ("and", "or"):
+            for side in (e.left, e.right):
+                if not isinstance(side, ast.Literal):
+                    continue
+                v = side.value
+                if v is None:
+                    return True
+                falsy = v is False or (
+                    isinstance(v, (int, float)) and not isinstance(v, bool) and v == 0
+                )
+                truthy = v is True or (
+                    isinstance(v, (int, float)) and not isinstance(v, bool) and v != 0
+                )
+                if e.op == "and" and falsy:
+                    return True
+                if e.op == "or" and truthy:
+                    return True
         return _is_const_expr(e.left) and _is_const_expr(e.right)
     if isinstance(e, ast.EmbeddingLiteral):
         return all(_is_const_expr(x) for x in e.items)
@@ -697,7 +738,18 @@ class Binder:
             )
         if isinstance(e, ast.InKeysValues):
             src = self.bind(e.source)
-            arr = F.map_keys(src) if e.which == "keys" else F.map_values(src)
+            dt = self._static_dtype(e.source)
+            if dt.startswith("struct<"):
+                # row-valued source (MLDB-1563's
+                # KEYS OF identity({input: {"1": 1}})[input]): field
+                # names are the keys, statically known
+                names = _struct_field_names(dt)
+                if e.which == "keys":
+                    arr = F.array(*[F.lit(n) for n in names])
+                else:
+                    arr = F.array(*[src.getField(n) for n in names])
+            else:
+                arr = F.map_keys(src) if e.which == "keys" else F.map_values(src)
             out = F.array_contains(arr, self.bind(e.operand))
             return ~out if e.negated else out
         if isinstance(e, ast.LikeOp):
@@ -724,6 +776,10 @@ class Binder:
             # reference semantics: failed casts yield NULL
             return self.bind(e.operand).try_cast(_CAST_TYPES[e.type_name])
         if isinstance(e, ast.EmbeddingLiteral):
+            if not e.items:
+                # MLDB-1567: `[]` is the null (empty) value, not an
+                # empty array
+                return F.lit(None)
             return F.array(*[self.bind(x) for x in e.items])
         if isinstance(e, ast.RowLiteral):
             return F.struct(
@@ -1529,32 +1585,17 @@ def _days_interval(col: Column) -> Column:
 
 def _substitute(e: ast.Expr, mapping: list[tuple[ast.Expr, str]]) -> ast.Expr:
     """Replace any subtree equal to a mapped expression with a
-    ColumnRef to its output name (dataclass equality = structural)."""
-    for target, name in mapping:
-        if e == target:
-            return ast.ColumnRef(name)
-    if isinstance(e, ast.Unary):
-        return ast.Unary(e.op, _substitute(e.operand, mapping))
-    if isinstance(e, ast.Binary):
-        return ast.Binary(e.op, _substitute(e.left, mapping), _substitute(e.right, mapping))
-    if isinstance(e, ast.Between):
-        return ast.Between(
-            _substitute(e.operand, mapping),
-            _substitute(e.low, mapping),
-            _substitute(e.high, mapping),
-            e.negated,
-        )
-    if isinstance(e, ast.Case):
-        return ast.Case(
-            _substitute(e.operand, mapping) if e.operand else None,
-            [(_substitute(c, mapping), _substitute(v, mapping)) for c, v in e.branches],
-            _substitute(e.otherwise, mapping) if e.otherwise else None,
-        )
-    if isinstance(e, ast.FunctionCall):
-        return ast.FunctionCall(e.name, [_substitute(a, mapping) for a in e.args])
-    if isinstance(e, ast.Index):
-        return ast.Index(_substitute(e.operand, mapping), _substitute(e.key, mapping))
-    return e
+    ColumnRef to its output name (dataclass equality = structural).
+    Rides the reflection rewriter so EVERY node type recurses
+    (MLDB-1563 nests the target inside IN (KEYS OF …))."""
+
+    def fn(node: ast.Expr) -> ast.Expr | None:
+        for target, name in mapping:
+            if node == target:
+                return ast.ColumnRef(name)
+        return None
+
+    return _rewrite(e, fn)
 
 
 def _rewrite(e: ast.Expr, fn) -> ast.Expr:
@@ -1588,31 +1629,25 @@ def _rewrite(e: ast.Expr, fn) -> ast.Expr:
 
 
 def _walk(e: ast.Expr):
-    """Yield every node of an expression tree (pre-order)."""
+    """Yield every node of an expression tree (pre-order). Field
+    reflection covers EVERY dataclass node type — hand-listing
+    children missed InKeysValues/InSelect/Cast/LikeOp subtrees
+    (MLDB-1563 nests a function call inside IN (KEYS OF …))."""
+    import dataclasses
+
     yield e
-    children: list[ast.Expr] = []
-    if isinstance(e, ast.Unary):
-        children = [e.operand]
-    elif isinstance(e, ast.Binary):
-        children = [e.left, e.right]
-    elif isinstance(e, ast.Between):
-        children = [e.operand, e.low, e.high]
-    elif isinstance(e, ast.Case):
-        children = ([e.operand] if e.operand else []) + [
-            x for c, v in e.branches for x in (c, v)
-        ] + ([e.otherwise] if e.otherwise else [])
-    elif isinstance(e, ast.FunctionCall):
-        children = list(e.args)
-    elif isinstance(e, ast.Index):
-        children = [e.operand, e.key]
-    elif isinstance(e, ast.InList):
-        children = [e.operand, *e.items]
-    elif isinstance(e, ast.EmbeddingLiteral):
-        children = list(e.items)
-    elif isinstance(e, ast.RowLiteral):
-        children = [x for _, x in e.fields]
-    for c in children:
-        yield from _walk(c)
+    if not dataclasses.is_dataclass(e):
+        return
+
+    def rec(v):
+        if isinstance(v, ast.Expr):
+            yield from _walk(v)
+        elif isinstance(v, (list, tuple)):
+            for x in v:
+                yield from rec(x)
+
+    for f in dataclasses.fields(e):
+        yield from rec(getattr(e, f.name))
 
 
 def _expr_name(e: ast.Expr, idx: int) -> str:
@@ -1752,7 +1787,65 @@ class MldbContext:
         applied: set[str] = set()
         accessed: set[int] = set()
         arg_cols: list[str] = []
+        fn_intro: list[str] = []  # non-internal cols a fn application added
         spread_outputs: dict[int, list[str]] = {}  # id(item) -> fn output cols
+
+        def _apply_indexed_calls(expr: ast.Expr, df: DataFrame) -> DataFrame:
+            # fn({…})[out] anywhere in a clause: apply fn to the
+            # rowset once, substitute the call with its output column
+            # (MLDB-1563 puts one inside WHERE … IN (KEYS OF …))
+            for node in _walk(expr):
+                if (
+                    isinstance(node, ast.Index)
+                    and isinstance(node.operand, ast.FunctionCall)
+                    and self._lookup_function(node.operand.name) is not None
+                    and isinstance(node.key, ast.Literal)
+                ):
+                    fname = node.operand.name
+                    if fname not in applied:
+                        args = node.operand.args
+                        if args and isinstance(args[0], ast.RowLiteral):
+                            abinder = Binder(
+                                df.columns, params, dtypes=dict(df.dtypes)
+                            )
+                            for field_name, fexpr in args[0].fields:
+                                if field_name not in df.columns:
+                                    df = df.withColumn(
+                                        field_name, abinder.bind(fexpr)
+                                    )
+                                    arg_cols.append(field_name)
+                        before = set(df.columns)
+                        df = self._lookup_function(fname)(df)
+                        applied.add(fname)
+                        fn_intro.extend(
+                            c for c in df.columns if c not in before
+                        )
+                    key = str(node.key.value)
+                    # route through an __-prefixed internal copy so
+                    # the output (and any materialized argument it
+                    # shadows) stays out of SELECT * expansion
+                    # (MLDB-1563's expected rows carry only the
+                    # dataset's own columns)
+                    if key in df.columns:
+                        internal = f"__fnout__{fname}__{key}"
+                        if internal not in df.columns:
+                            df = df.withColumn(internal, F.col(f"`{key}`"))
+                        mapping.append((node, internal))
+                    else:
+                        mapping.append((node, key))
+                    accessed.add(id(node.operand))
+            for node in _walk(expr):
+                if (
+                    isinstance(node, ast.FunctionCall)
+                    and self._lookup_function(node.name) is not None
+                    and id(node) not in accessed
+                ):
+                    raise ValueError(
+                        f"registered function {node.name!r} needs an output "
+                        f"accessor: {node.name}({{…}})[output_column]"
+                    )
+            return df
+
         for it in stm.select:
             if not isinstance(it, ast.ExprItem):
                 continue
@@ -1784,46 +1877,22 @@ class MldbContext:
                 spread_outputs[id(it)] = outs
                 accessed.add(id(it.expr))
                 continue
-            for node in _walk(it.expr):
-                if (
-                    isinstance(node, ast.Index)
-                    and isinstance(node.operand, ast.FunctionCall)
-                    and self._lookup_function(node.operand.name) is not None
-                    and isinstance(node.key, ast.Literal)
-                ):
-                    fname = node.operand.name
-                    if fname not in applied:
-                        args = node.operand.args
-                        if args and isinstance(args[0], ast.RowLiteral):
-                            abinder = Binder(
-                                df.columns, params, dtypes=dict(df.dtypes)
-                            )
-                            for field_name, fexpr in args[0].fields:
-                                if field_name not in df.columns:
-                                    df = df.withColumn(
-                                        field_name, abinder.bind(fexpr)
-                                    )
-                                    arg_cols.append(field_name)
-                        df = self._lookup_function(fname)(df)
-                        applied.add(fname)
-                    mapping.append((node, str(node.key.value)))
-                    accessed.add(id(node.operand))
-            for node in _walk(it.expr):
-                if (
-                    isinstance(node, ast.FunctionCall)
-                    and self._lookup_function(node.name) is not None
-                    and id(node) not in accessed
-                ):
-                    raise ValueError(
-                        f"registered function {node.name!r} needs an output "
-                        f"accessor: {node.name}({{…}})[output_column]"
-                    )
+            df = _apply_indexed_calls(it.expr, df)
+        for clause in [stm.where, stm.named, stm.having] + [
+            o.expr for o in stm.order_by
+        ]:
+            if clause is not None:
+                df = _apply_indexed_calls(clause, df)
         if not mapping and not spread_outputs:
             return df, stm
         out_names = {name for _, name in mapping} | {
             c for outs in spread_outputs.values() for c in outs
         }
-        stale = [c for c in arg_cols if c not in out_names]
+        stale = [
+            c
+            for c in dict.fromkeys(arg_cols + fn_intro)
+            if c not in out_names
+        ]
         if stale:
             df = df.drop(*stale)
         import dataclasses
@@ -1841,7 +1910,21 @@ class MldbContext:
                 )
             else:
                 new_select.append(it)
-        return df, dataclasses.replace(stm, select=new_select)
+
+        def _sub(e: ast.Expr | None) -> ast.Expr | None:
+            return _substitute(e, mapping) if e is not None else None
+
+        return df, dataclasses.replace(
+            stm,
+            select=new_select,
+            where=_sub(stm.where),
+            named=_sub(stm.named),
+            having=_sub(stm.having),
+            order_by=[
+                dataclasses.replace(o, expr=_substitute(o.expr, mapping))
+                for o in stm.order_by
+            ],
+        )
 
     def query(self, sql: str, params: dict[str, object] | None = None) -> DataFrame:
         return self._statement(parse_statement(sql), params or {})

@@ -3222,3 +3222,59 @@ def test_mldb_1315_row_dataset_mixed_types(mldb):
     assert sorted(tuple(r) for r in out.collect()) == [
         ("0", "a", 1.0), ("1", "b", 2.0),
     ]
+
+
+def test_mldb_1563_keys_of_applied_function(mldb):
+    """MLDB-1563-keys-values-of.js: a registered sql.expression
+    function applied inside WHERE — rowName() IN
+    (KEYS OF identity({input: {"1": 1}})[input]) — resolves, and the
+    output row carries only the dataset's own columns."""
+    mldb.create_sql_expression_function("identity1563", "input")
+    _ds(
+        mldb,
+        "t1563",
+        [("1", "plum", "moved", "kitchen"), ("2", "mustard", "stabbed", "plum")],
+        "rn string, who string, what string, how string",
+    )
+    out = mldb.query(
+        "SELECT * FROM t1563 WHERE rowName() IN "
+        '(KEYS OF identity1563({input: {"1": 1}})[input])'
+    )
+    assert out.columns == ["rn", "who", "what", "how"]
+    assert [tuple(r) for r in out.collect()] == [
+        ("1", "plum", "moved", "kitchen"),
+    ]
+
+
+def test_mldb_1567_empty_literals(mldb):
+    """MLDB-1567-empty-literal.js: `[]` is the null value; `{}` is an
+    empty row; transpose(select 1) without () is a parse error."""
+    import pytest
+
+    assert mldb.query("select [] as x").collect()[0]["x"] is None
+    row = mldb.query("select {} as x").collect()[0]
+    assert tuple(row["x"]) == ()
+    with pytest.raises(Exception):
+        mldb.query("select * from transpose(select 1)")
+
+
+def test_mldb_1935_const_binding(mldb):
+    """MLDB-1935-const-binding.py: __isconst over bind-time
+    short-circuits (sql_expression_operations.cc:1969-2030) — AND
+    with a constant-false/NULL side and OR with a constant-true/NULL
+    side are constant; everything touching a column is not."""
+    _ds(mldb, "m1935", [("row1", 1, "blah")], "rn string, a int, b string")
+
+    def isconst(expr):
+        return mldb.query(
+            f"SELECT __isconst({expr}) as c FROM m1935"
+        ).collect()[0]["c"]
+
+    for expr in ("1", "1 < 2", "1 + 2", "-(2)", "true OR false",
+                 "true OR a", "a OR true", "null OR a", "a OR null",
+                 "true AND false", "false AND a", "a AND false",
+                 "null AND a", "a AND null"):
+        assert isconst(expr) == 1, expr
+    for expr in ("a", "a < 1", "a + 1", "-a", "false OR a", "a OR a",
+                 "a AND true"):
+        assert isconst(expr) == 0, expr
