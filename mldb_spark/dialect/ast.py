@@ -139,6 +139,9 @@ class SelectItem:
 class ExprItem(SelectItem):
     expr: Expr
     alias: str | None
+    # surface spelling of an unnamed item — the reference's output
+    # column name for it (MLDB-195); None when aliased or synthesized
+    surface: str | None = field(default=None, compare=False)
 
 
 @dataclass

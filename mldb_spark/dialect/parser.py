@@ -98,9 +98,16 @@ def parse_interval_text(text: str) -> tuple[int, int, float]:
 
 
 class Token:
-    __slots__ = ("kind", "value", "glued")
+    __slots__ = ("kind", "value", "glued", "start", "end")
 
-    def __init__(self, kind: str, value: str, glued: bool = False):
+    def __init__(
+        self,
+        kind: str,
+        value: str,
+        glued: bool = False,
+        start: int = 0,
+        end: int = 0,
+    ):
         self.kind = kind
         self.value = value
         # glued: no whitespace between this token and the previous one
@@ -108,6 +115,12 @@ class Token:
         # multiplication (spaced), as the reference's parser does by
         # matching the identifier and `*` as one unit
         self.glued = glued
+        # source char span — lets the parser recover the surface text
+        # of unnamed select items, which is the reference's output
+        # column name (MLDB-195's `select 2.2 * Weight` names its
+        # column "2.2 * Weight")
+        self.start = start
+        self.end = end
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Token({self.kind},{self.value!r})"
@@ -130,23 +143,35 @@ def tokenize(sql: str) -> list[Token]:
             glued = False
             continue
         text = m.group()
+        span = (m.start(), m.end())
         if kind == "ident" and text.lower() in KEYWORDS:
-            out.append(Token("kw", text.lower(), glued))
+            out.append(Token("kw", text.lower(), glued, *span))
         elif kind == "qident":
-            out.append(Token("ident", text[1:-1].replace('""', '"'), glued))
+            out.append(Token("ident", text[1:-1].replace('""', '"'), glued, *span))
         elif kind == "string":
-            out.append(Token("string", text[1:-1].replace("''", "'"), glued))
+            out.append(Token("string", text[1:-1].replace("''", "'"), glued, *span))
         else:
-            out.append(Token(kind, text, glued))
+            out.append(Token(kind, text, glued, *span))
         glued = True
-    out.append(Token("eof", ""))
+    out.append(Token("eof", "", False, len(sql), len(sql)))
     return out
 
 
 class Parser:
     def __init__(self, sql: str):
+        self.sql = sql
         self.toks = tokenize(sql)
         self.i = 0
+
+    def _surface(self, start_tok: int, end_tok: int) -> str:
+        """Source text spanning tokens [start_tok, end_tok) — the
+        reference names unnamed output columns by the expression's
+        surface spelling (MLDB-195)."""
+        if end_tok <= start_tok:
+            return ""
+        a = self.toks[start_tok].start
+        b = self.toks[end_tok - 1].end
+        return self.sql[a:b].strip()
 
     # -- token helpers ------------------------------------------------------
 
@@ -539,7 +564,9 @@ class Parser:
             alias = self.next().value
             self.next()
             return ast.ExprItem(self.parse_expr(), alias)
+        start_tok = self.i
         e = self.parse_expr()
+        surface = self._surface(start_tok, self.i)
         alias = None
         if self.accept_kw("as"):
             alias_tok = self.next()
@@ -552,7 +579,7 @@ class Parser:
                 raise SyntaxError(f"bad alias {alias_tok}")
             else:
                 alias = alias_tok.value
-        return ast.ExprItem(e, alias)
+        return ast.ExprItem(e, alias, surface=surface or None)
 
     def _column_expr_item(self) -> ast.ColumnExprItem:
         item = ast.ColumnExprItem()

@@ -1660,6 +1660,20 @@ def _expr_name(e: ast.Expr, idx: int) -> str:
     return f"_{idx}"
 
 
+def _item_name(it: ast.ExprItem, idx: int) -> str:
+    """Output column name of a select item: explicit alias, else the
+    bare column name, else the expression's SURFACE spelling — the
+    reference names unnamed outputs by their source text (MLDB-195's
+    `select 2.2 * Weight` -> column "2.2 * Weight")."""
+    if it.alias:
+        return it.alias
+    if isinstance(it.expr, ast.ColumnRef):
+        return it.expr.name
+    if getattr(it, "surface", None):
+        return it.surface  # type: ignore[return-value]
+    return _expr_name(it.expr, idx)
+
+
 class MldbContext:
     """Catalog + query entry point: the translator's equivalent of
     the reference's /v1/query endpoint over named datasets."""
@@ -2456,11 +2470,24 @@ class MldbContext:
         )
 
     def _statement(self, stm: ast.SelectStatement, params) -> DataFrame:
-        if stm.from_ is None and any(
-            isinstance(it, ast.Wildcard) for it in stm.select
-        ):
-            # MLDB-1732: the reference rejects SELECT * with no table
-            raise ValueError("Wildcard usage requires a FROM statement")
+        if stm.from_ is None:
+            if any(isinstance(it, ast.Wildcard) for it in stm.select):
+                # MLDB-1732: the reference rejects SELECT * with no table
+                raise ValueError("Wildcard usage requires a FROM statement")
+            # … including wildcard fields of row literals
+            # (MLDB-1834's SELECT {*})
+            for it in stm.select:
+                if isinstance(it, ast.ExprItem) and any(
+                    isinstance(n, ast.RowLiteral)
+                    and any(
+                        fn.endswith("*")
+                        and isinstance(fx, ast.ColumnRef)
+                        and fx.name == fn
+                        for fn, fx in n.fields
+                    )
+                    for n in _walk(it.expr)
+                ):
+                    raise ValueError("Cannot use wildcards with no FROM clause")
         df, row_name_col, ts_col, aliases, side_rns = self._resolve_from(stm, params)
         if (
             isinstance(stm.from_, ast.TableRef)
@@ -2625,7 +2652,7 @@ class MldbContext:
             import dataclasses
 
             sel_map = [
-                (it.expr, it.alias or _expr_name(it.expr, j))
+                (it.expr, _item_name(it, j))
                 for j, it in enumerate(stm.select)
                 if isinstance(it, ast.ExprItem)
             ]
@@ -2949,9 +2976,7 @@ class MldbContext:
             elif isinstance(it, ast.ColumnExprItem):
                 cols.extend(self._expand_column_expr(df, it, binder.params))
             else:
-                name = f"__spread{i}" if it.alias == "*" else (
-                    it.alias or _expr_name(it.expr, i)
-                )
+                name = f"__spread{i}" if it.alias == "*" else _item_name(it, i)
                 cols.append(binder.bind(it.expr).alias(name))
         if stm.named is not None:
             named = binder.bind(stm.named)
@@ -3007,9 +3032,7 @@ class MldbContext:
         for i, it in enumerate(stm.select):
             if isinstance(it, ast.Wildcard):
                 raise ValueError("wildcard select not allowed with GROUP BY")
-            name = f"__spread{i}" if it.alias == "*" else (
-                it.alias or _expr_name(it.expr, i)
-            )
+            name = f"__spread{i}" if it.alias == "*" else _item_name(it, i)
             if _contains_aggregate(it.expr):
                 agg_cols.append(binder.bind(it.expr).alias(name))
                 items.append((name, None))
@@ -3067,7 +3090,7 @@ class MldbContext:
             # rewritten to the key (MLDB-2111's
             # `GROUP BY x+1 HAVING x+1 = 3`).
             select_map = [
-                (it.expr, it.alias or _expr_name(it.expr, j))
+                (it.expr, _item_name(it, j))
                 for j, it in enumerate(stm.select)
                 if isinstance(it, ast.ExprItem)
             ]

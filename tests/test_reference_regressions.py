@@ -3278,3 +3278,75 @@ def test_mldb_1935_const_binding(mldb):
     for expr in ("a", "a < 1", "a + 1", "-a", "false OR a", "a OR a",
                  "a AND true"):
         assert isconst(expr) == 0, expr
+
+
+def test_mldb_195_surface_column_names(mldb):
+    """MLDB-195-column-left-multiplication.js: an unnamed select item
+    is named by its SURFACE spelling — `select 2.2 * Weight` outputs
+    a column literally called '2.2 * Weight'."""
+    _ds(mldb, "m195", [("row1", 1.0, 2.0)], "rn string, Weight double, col2 double")
+    out = mldb.query("select 2.2 * Weight from m195")
+    assert out.columns == ["2.2 * Weight"]
+    assert out.collect()[0][0] == 2.2
+
+
+def test_mldb_1721_quoted_pathelements(mldb):
+    """MLDB-1721_pathelements_quoted.py: tokenize with escaped
+    splitChars produces bag columns whose names carry newlines and
+    backslashes intact."""
+    _ds(
+        mldb,
+        "m1721",
+        [("a", "hola \nreturn"), ("b", "hola \\return")],
+        "rn string, text string",
+    )
+    out = mldb.query(
+        "SELECT tokenize(lower(text), {splitChars: ' -''\"?!;:/[]*,.'}) as * "
+        "FROM m1721 order by rowName() DESC"
+    )
+    assert sorted(out.columns) == ["\nreturn", "\\return", "hola"]
+    rows = [tuple(r) for r in out.select("\nreturn", "\\return", "hola").collect()]
+    assert rows == [(None, 1, 1), (1, None, 1)]
+
+
+def test_mldb_1933_subselect_column_expr(mldb):
+    """MLDB-1933-subselect-flatten.py: COLUMN EXPR STRUCTURED
+    (SELECT …) over subselect-built embedding columns."""
+    out = mldb.query(
+        "SELECT COLUMN EXPR STRUCTURED (SELECT 1) "
+        "FROM (SELECT [[2,3],[4,5]] as myembedding)"
+    )
+    assert out.columns == ["myembedding"]
+    assert [tuple(r) for r in out.collect()] == [(1,)]
+    out = mldb.query(
+        "SELECT COLUMN EXPR STRUCTURED (SELECT 1) "
+        "FROM (SELECT [2,3] as x,[4,5] as y)"
+    )
+    assert out.columns == ["x", "y"]
+    assert [tuple(r) for r in out.collect()] == [(1, 1)]
+
+
+def test_mldb_1834_row_wildcard_needs_from(mldb):
+    """MLDB-1834: SELECT {*} with no FROM clause errors."""
+    import pytest
+
+    with pytest.raises(ValueError, match="wildcards with no FROM"):
+        mldb.query("SELECT {*}")
+
+
+def test_mldb_2077_merge_single_dataset(mldb):
+    """MLDB-2077_merge_single_ds.py: merge of ONE dataset is that
+    dataset."""
+    _ds(mldb, "m2077", [("1", "A")], "rn string, colA string")
+    out = mldb.query("SELECT * FROM merge(m2077)")
+    assert [tuple(r) for r in out.collect()] == [("1", "A")]
+
+
+def test_mldb_1788_scalar_as_star_errors(mldb):
+    """MLDB-1788_select_col_as_star_err.py: spreading a scalar column
+    with AS * is an error, not a silent pass-through."""
+    import pytest
+
+    _ds(mldb, "m1788", [("row1", 1)], "rn string, col int")
+    with pytest.raises(Exception):
+        mldb.query("SELECT col AS * FROM m1788").collect()
