@@ -247,6 +247,18 @@ class Mldb:
 
         self.functions.register(name, run)
 
+        def apply(df: DataFrame, params: dict[str, object] | None = None) -> DataFrame:
+            # dialect application (MLDB-1320's SELECT poil()[output]
+            # as *): the one-row result attaches as a struct column
+            # named 'output', broadcast-joined onto the rowset
+            res = run(params)
+            out = res.select(
+                F.struct(*[F.col(f"`{c}`") for c in res.columns]).alias("output")
+            )
+            return df.crossJoin(F.broadcast(out))
+
+        self.ctx.register_function(name, apply)
+
     def apply_function(self, name: str, *args, **kwargs):
         return self.functions.apply(name, *args, **kwargs)
 

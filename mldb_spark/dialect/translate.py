@@ -492,6 +492,34 @@ def _restamp_ts(e: ast.Expr) -> ast.Expr | None:
     return None
 
 
+def _row_literal_leaves(rl: ast.RowLiteral) -> list[ast.Expr]:
+    """Leaf value expressions of a (possibly nested) row literal, in
+    written order — the reference's row-to-embedding flattening
+    (MLDB-1947's reshape over {"0": {"0": 1, "1": 2}, …})."""
+    out: list[ast.Expr] = []
+    for _, x in rl.fields:
+        if isinstance(x, ast.RowLiteral):
+            out.extend(_row_literal_leaves(x))
+        else:
+            out.append(x)
+    return out
+
+
+def _embedding_literal_size(e: ast.EmbeddingLiteral) -> int | None:
+    """Total leaf count of a nested embedding literal; None when any
+    item is not statically sized."""
+    total = 0
+    for x in e.items:
+        if isinstance(x, ast.EmbeddingLiteral):
+            n = _embedding_literal_size(x)
+            if n is None:
+                return None
+            total += n
+        else:
+            total += 1
+    return total
+
+
 def _struct_field_names(dt: str) -> list[str]:
     """Top-level field names of a struct dtype string
     ('struct<1:int,a:struct<b:int>>' -> ['1', 'a']) — fromDDL rejects
@@ -1326,25 +1354,51 @@ class Binder:
             tensor_slice,
         )
 
-        nd = self._expr_ndim(e.args[0])
+        arg0 = e.args[0]
+        bound0: Column | None = None
+        static_size: int | None = None
+        if isinstance(arg0, ast.RowLiteral):
+            # a row argument flattens to its leaf values in written
+            # order (MLDB-1947's reshape({"0": 1, …}, [2, 2]))
+            leaves = _row_literal_leaves(arg0)
+            bound0 = F.array(*[self.bind(x) for x in leaves])
+            nd = 1
+            static_size = len(leaves)
+        else:
+            nd = self._expr_ndim(arg0)
+            if isinstance(arg0, ast.EmbeddingLiteral):
+                static_size = _embedding_literal_size(arg0)
         if nd < 1:
             raise ValueError(
                 f"{e.name}() requires an embedding argument (array-typed "
                 f"column or [...] literal)"
             )
+        if bound0 is None:
+            bound0 = self.bind(arg0)
         if e.name == "flatten":
-            return tensor_flatten(self.bind(e.args[0]), nd)
+            return tensor_flatten(bound0, nd)
         if e.name == "shape":
-            return tensor_shape(self.bind(e.args[0]), nd)
+            return tensor_shape(bound0, nd)
         if e.name == "slice":
             idx = _literal_int(e.args[1]) if len(e.args) == 2 else None
             if idx is None:
                 raise ValueError("slice(val, index) needs a literal index")
-            return tensor_slice(self.bind(e.args[0]), idx, nd)
+            return tensor_slice(bound0, idx, nd)
         # reshape(val, shape[, newel])
         shape = self._shape_literal(e.args[1])
         fill = self.bind(e.args[2]) if len(e.args) == 3 else None
-        return tensor_reshape(self.bind(e.args[0]), shape, nd, fill)
+        if fill is None and static_size is not None:
+            import math
+
+            if static_size != math.prod(shape):
+                # the 2-arg form cannot change the element count
+                # (builtin_functions.cc reshape; MLDB-1947 pins the
+                # message)
+                raise ValueError(
+                    "Attempt to change embedding size by reshaping: "
+                    f"{static_size} elements into shape {shape}"
+                )
+        return tensor_reshape(bound0, shape, nd, fill)
 
     _ROW_AGG = {
         "count": lambda c: F.count(c),

@@ -591,13 +591,13 @@ def test_tensor_functions_in_sql(ctx):
     assert [int(v) for v in row["cat"]] == [1, 2, 3]
 
 
-def test_tensor_reshape_mismatch_is_null(ctx):
-    # 2-arg reshape with a count mismatch -> NULL (engine fail-as-NULL
-    # convention; the reference raises a query error here)
-    row = ctx.query(
-        "SELECT reshape([1, 2, 3], [2, 2]) AS bad FROM region LIMIT 1"
-    ).collect()[0]
-    assert row["bad"] is None
+def test_tensor_reshape_mismatch_raises(ctx):
+    # 2-arg reshape with a statically-known count mismatch raises at
+    # bind time, matching the reference's query error (MLDB-1947)
+    import pytest
+
+    with pytest.raises(ValueError, match="Attempt to change embedding size"):
+        ctx.query("SELECT reshape([1, 2, 3], [2, 2]) AS bad FROM region LIMIT 1")
 
 
 def test_pyeval_inline_lambda(ctx):

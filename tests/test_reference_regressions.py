@@ -3350,3 +3350,76 @@ def test_mldb_1788_scalar_as_star_errors(mldb):
     _ds(mldb, "m1788", [("row1", 1)], "rn string, col int")
     with pytest.raises(Exception):
         mldb.query("SELECT col AS * FROM m1788").collect()
+
+
+def test_mldb_1947_reshape_builtin(mldb):
+    """MLDB-1947-reshape-builtin.py: shape/reshape over embeddings
+    AND row literals; the 2-arg form errors on element-count change;
+    non-embedding arguments error."""
+    import pytest
+
+    def one(q):
+        return mldb.query(f"SELECT {q} as r").collect()[0]["r"]
+
+    assert list(one("shape([[1,2],[3,4]])")) == [2, 2]
+    assert list(one("shape(reshape([[1,2],[3,4]], [2,2]))")) == [2, 2]
+    assert list(one("shape(reshape([[1,2],[3,4]], [4]))")) == [4]
+    assert list(one("shape([1,2,3,4])")) == [4]
+    assert list(one("shape(reshape([1,2,3,4], [2,2]))")) == [2, 2]
+    with pytest.raises(ValueError, match="Attempt to change embedding size"):
+        mldb.query("SELECT shape(reshape([1,2,3,4,5], [2,2])) as dim")
+    with pytest.raises(ValueError, match="requires an embedding"):
+        mldb.query("SELECT shape(reshape('not an embedding', [1])) as dim")
+    with pytest.raises(ValueError, match="literal"):
+        mldb.query("SELECT shape(reshape([1], 'not an embedding')) as dim")
+    # row arguments flatten to their leaves in written order
+    r = one('reshape({"0": 1, "1": 2, "2": 3, "3": 4}, [2, 2])')
+    assert [list(x) for x in r] == [[1, 2], [3, 4]]
+    r = one('reshape({"0": {"0": 1, "1": 2}, "1": {"0": 3, "1": 4}}, [4])')
+    assert list(r) == [1, 2, 3, 4]
+    r = one('reshape({"0": {"0": 1, "1": 2}, "1": {"0": 3, "1": 4}}, [1, 4])')
+    assert [list(x) for x in r] == [[1, 2, 3, 4]]
+
+
+def test_mldb_1320_sql_query_named_columns(mldb):
+    """MLDB-1320-sql-query-whole-table.js: a NAMED_COLUMNS sql.query
+    function applied from SQL — whole table, LIMIT, LIMIT+OFFSET —
+    pivots (column, value) rows into one output row."""
+    _ds(
+        mldb,
+        "t1320",
+        [("all systems", "GO"), ("hello", "world")],
+        "rn string, value string",
+    )
+    mldb.create_sql_query_function(
+        "poil1320",
+        "select *, rowName() AS column from t1320 order by rowName()",
+        output="NAMED_COLUMNS",
+    )
+    out = mldb.query("SELECT poil1320()[output] as *")
+    assert out.columns == ["all systems", "hello"]
+    assert [tuple(r) for r in out.collect()] == [("GO", "world")]
+    mldb.create_sql_query_function(
+        "poil1320b",
+        "select *, rowName() AS column from t1320 order by rowName() LIMIT 1",
+        output="NAMED_COLUMNS",
+    )
+    out = mldb.query("SELECT poil1320b()[output] as *")
+    assert out.columns == ["all systems"]
+    mldb.create_sql_query_function(
+        "poil1320c",
+        "select *, rowName() AS column from t1320 "
+        "order by rowName() LIMIT 1 OFFSET 1",
+        output="NAMED_COLUMNS",
+    )
+    out = mldb.query("SELECT poil1320c()[output] as *")
+    assert out.columns == ["hello"]
+    assert [tuple(r) for r in out.collect()] == [("world",)]
+
+
+def test_mldb_1884_timestamp_consistency(mldb):
+    """MLDB-1884-timestamp-consistency.py: scalar selects over
+    null/string/NULL-LIKE all answer without error."""
+    assert mldb.query("SELECT null as x").collect()[0]["x"] is None
+    assert mldb.query("SELECT 'patate' as x").collect()[0]["x"] == "patate"
+    assert mldb.query("SELECT NULL LIKE 'abc' as x").collect()[0]["x"] is None
