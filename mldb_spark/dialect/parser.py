@@ -680,8 +680,13 @@ class Parser:
             on = None
             if self.accept_kw("on"):
                 on = self.parse_expr()
-            if not isinstance(right, (ast.TableRef, ast.SelectStatement)):
-                raise SyntaxError("join right side must be a table or subselect")
+            if not isinstance(
+                right, (ast.TableRef, ast.SelectStatement, ast.TableFunction)
+            ):
+                raise SyntaxError(
+                    "join right side must be a table, subselect or "
+                    "dataset function"
+                )
             left = ast.Join(left, right, kind, on)
 
     def _table_primary(self):

@@ -252,9 +252,13 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
             F.transform(distinct, lambda d: F.size(F.filter(toks, lambda t: t == d))),
         )
     if name == "regex_match":
-        if not isinstance(raw_args[1], ast.Literal):
-            raise ValueError("regex_match(str, regex) needs a literal pattern")
-        return args[0].rlike(f"^(?:{raw_args[1].value})$")
+        if isinstance(raw_args[1], ast.Literal):
+            return args[0].rlike(f"^(?:{raw_args[1].value})$")
+        # dynamic pattern (MLDB-1631 builds one from rowName());
+        # rlike accepts a column regexp — anchor it the same way
+        return F.rlike(
+            args[0], F.concat(F.lit("^(?:"), args[1], F.lit(")$"))
+        )
     if name in ("date_part", "date_trunc"):
         # date_part/date_trunc(unit, ts [, tzoffset]) — unit and the
         # optional timezone offset are bind-time literals, with the
@@ -2217,14 +2221,74 @@ class MldbContext:
             from mldb_spark.operators.relational import transpose_cells
 
             df = self._resolve_tf_arg(tf.args[0], params)
-            if "row" not in df.columns and "rowName" in df.columns:
-                df = df.withColumnRenamed("rowName", "row")
-            if not {"row", "column"}.issubset(df.columns):
-                raise ValueError(
-                    "transpose() needs the cell layout (row, column, …)"
-                )
-            return transpose_cells(df)
+            if {"row", "column"}.issubset(df.columns) or (
+                {"rowName", "column"}.issubset(df.columns)
+            ):
+                if "row" not in df.columns:
+                    df = df.withColumnRenamed("rowName", "row")
+                return transpose_cells(df)
+            return self._transpose_wide(df)
         raise ValueError(f"unknown dataset function {tf.name!r}")
+
+    _TRANSPOSE_MAX_ROWS = 10_000
+
+    def _transpose_wide(self, df: DataFrame) -> DataFrame:
+        """Transpose a WIDE dataset (builtin/transposed_dataset.cc):
+        output rows are the input's columns, output columns its row
+        names. The new column set is the input's row count, so the
+        input must be matrix-sized — capped loudly at
+        _TRANSPOSE_MAX_ROWS (the reference is equally RAM-bound
+        here); the cells layout (q54) stays the zero-shuffle scale
+        path."""
+        if "rowName" not in df.columns:
+            raise ValueError(
+                "transpose() over a wide dataset needs row names "
+                "(NAMED or a registered dataset)"
+            )
+        data_cols = [
+            c for c in df.columns if c != "rowName" and not c.startswith("__")
+        ]
+        names = [
+            r[0]
+            for r in df.select("rowName")
+            .limit(self._TRANSPOSE_MAX_ROWS + 1)
+            .collect()
+        ]
+        if len(names) > self._TRANSPOSE_MAX_ROWS:
+            raise ValueError(
+                "transpose() over a wide dataset is capped at "
+                f"{self._TRANSPOSE_MAX_ROWS} rows (each becomes an "
+                "output column); use the cell layout for larger data"
+            )
+        numeric = all(
+            not dt.startswith(("string", "binary", "array", "map", "struct"))
+            for c, dt in df.dtypes
+            if c in data_cols
+        )
+        vt = "double" if numeric else "string"
+        melted = df.select(
+            F.col("rowName"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(f"`{c}`").cast(vt).alias("value"),
+                        )
+                        for c in data_cols
+                    ]
+                )
+            ).alias("cell"),
+        ).select(
+            F.col("cell.column").alias("rowName"),
+            F.col("rowName").alias("__orig_row"),
+            F.col("cell.value").alias("value"),
+        )
+        return (
+            melted.groupBy("rowName")
+            .pivot("__orig_row", [str(n) for n in names])
+            .agg(F.first("value"))
+        )
 
     def _table(self, name: str):
         if name not in self._datasets:
@@ -2249,11 +2313,21 @@ class MldbContext:
             df, meta = self._table(node.name)
             return df, node.alias or node.name, meta["rowName"]
         if isinstance(node, ast.SelectStatement):
-            return (
-                self._statement(node, params),
-                getattr(node, "from_alias", None),
-                None,
-            )
+            sdf = self._statement(node, params)
+            rn = "rowName" if "rowName" in sdf.columns else None
+            if rn is None and node.from_ is None:
+                # constant selects produce one row named 'result'
+                # (the reference's no-FROM row naming; MLDB-1631
+                # expects the join row "[result]-[toy story]")
+                sdf = sdf.withColumn("rowName", F.lit("result"))
+                rn = "rowName"
+            return sdf, getattr(node, "from_alias", None), rn
+        if isinstance(node, ast.TableFunction):
+            # dataset function as a join side (MLDB-1631 joins against
+            # transpose((select … named …)))
+            df = self._table_function(node, params)
+            rn = "rowName" if "rowName" in df.columns else None
+            return df, node.alias, rn
         raise ValueError(f"unsupported join side {node!r}")
 
     def _build_join(self, j: ast.Join, params) -> tuple[DataFrame, set[str], str | None, dict[str, str]]:
