@@ -129,9 +129,14 @@ class Mldb:
         """split procedure (builtin/datasetsplit_procedure.cc:302;
         MLDB-2180): exact-proportion, deterministic, disjoint splits
         with per-label spread when stratify_by names a label column.
-        exact=False falls back to Bernoulli randomSplit — the scale
-        path for unstratified TB-size inputs (the exact unstratified
-        split is a single-reducer global sort)."""
+
+        NOTE (ADVICE r5): the default changed from Bernoulli
+        randomSplit to exact=True in round 5. The exact unstratified
+        path now ranks through the parallel zipWithIndex pattern
+        (global_hash_index) — no single-reducer stage — but still
+        costs one count job plus one range shuffle; exact=False keeps
+        Bernoulli randomSplit as the cheapest TB-scale path when
+        exact proportions aren't required."""
         if not exact:
             return self.dataset(dataset).randomSplit(weights, seed)
         from mldb_spark.operators.relational import stratified_split

@@ -202,7 +202,26 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         # ln(x) is natural; 0 -> -Inf, negative -> NaN
         if len(args) == 1:
             return _cxx_log(args[0], F.log10)
-        return _cxx_log(args[1], lambda c: F.log(c) / F.log(args[0]))
+        # log(b, x) = ln(x)/ln(b) with libm edges on BOTH operands
+        # (ADVICE r5: x == 0 with base < 1 is +Inf, not -Inf, because
+        # ln(base) < 0; base == 1 divides by zero per IEEE)
+        lx = _cxx_log(args[1], F.log)
+        lb = _cxx_log(args[0], F.log)
+        nan = F.lit(float("nan"))
+        pinf = F.lit(float("inf"))
+        ninf = F.lit(float("-inf"))
+        return (
+            F.when(F.isnan(lx) | F.isnan(lb), nan)
+            .when(
+                lb == 0,  # base == 1: IEEE x/0 — signed Inf, 0/0 = NaN
+                F.when(lx > 0, pinf).when(lx < 0, ninf).otherwise(nan),
+            )
+            .when(
+                lx == ninf,  # x == 0: sign follows ln(base)
+                F.when(lb == ninf, nan).when(lb < 0, pinf).otherwise(ninf),
+            )
+            .otherwise(F.try_divide(lx, lb))
+        )
     if name == "tokenize" and len(args) == 2:
         # tokenize(str, {splitChars, quoteChar, ngramRange,
         # minTokenLength, limit, offset, value}) — the reference's
@@ -1861,6 +1880,29 @@ class MldbContext:
         arg_cols: list[str] = []
         fn_intro: list[str] = []  # non-internal cols a fn application added
         spread_outputs: dict[int, list[str]] = {}  # id(item) -> fn output cols
+        # key -> internal column holding the DATASET value of a column a
+        # function output will shadow. apply() writes outputs with
+        # withColumns, which REPLACES same-named columns — without the
+        # stash, `SELECT out, f({a: a})[out]` would silently return the
+        # function output for the plain `out` reference too.
+        shadow: dict[str, str] = {}
+        # pre-pass: every [key] accessed on each registered function
+        # anywhere in the statement, so the dataset value can be stashed
+        # BEFORE the first application overwrites it
+        indexed_keys: dict[str, set[str]] = {}
+        for _e in [it.expr for it in stm.select if isinstance(it, ast.ExprItem)] + [
+            c for c in [stm.where, stm.named, stm.having] if c is not None
+        ] + [o.expr for o in stm.order_by]:
+            for _n in _walk(_e):
+                if (
+                    isinstance(_n, ast.Index)
+                    and isinstance(_n.operand, ast.FunctionCall)
+                    and self._lookup_function(_n.operand.name) is not None
+                    and isinstance(_n.key, ast.Literal)
+                ):
+                    indexed_keys.setdefault(_n.operand.name, set()).add(
+                        str(_n.key.value)
+                    )
 
         def _apply_indexed_calls(expr: ast.Expr, df: DataFrame) -> DataFrame:
             # fn({…})[out] anywhere in a clause: apply fn to the
@@ -1886,6 +1928,14 @@ class MldbContext:
                                         field_name, abinder.bind(fexpr)
                                     )
                                     arg_cols.append(field_name)
+                        # stash dataset columns this function's accessed
+                        # outputs would shadow (original value survives
+                        # for plain references)
+                        for k in sorted(indexed_keys.get(fname, ())):
+                            if k in df.columns and k not in shadow:
+                                sh = f"__shadow__{k}"
+                                df = df.withColumn(sh, F.col(f"`{k}`"))
+                                shadow[k] = sh
                         before = set(df.columns)
                         df = self._lookup_function(fname)(df)
                         applied.add(fname)
@@ -1898,7 +1948,15 @@ class MldbContext:
                     # shadows) stays out of SELECT * expansion
                     # (MLDB-1563's expected rows carry only the
                     # dataset's own columns)
-                    if key in df.columns:
+                    if key in shadow:
+                        internal = f"__fnout__{fname}__{key}"
+                        if internal not in df.columns:
+                            # capture the function output, then restore
+                            # the dataset's value for plain references
+                            df = df.withColumn(internal, F.col(f"`{key}`"))
+                            df = df.withColumn(key, F.col(shadow[key]))
+                        mapping.append((node, internal))
+                    elif key in df.columns:
                         internal = f"__fnout__{fname}__{key}"
                         if internal not in df.columns:
                             df = df.withColumn(internal, F.col(f"`{key}`"))
@@ -1962,7 +2020,7 @@ class MldbContext:
         }
         stale = [
             c
-            for c in dict.fromkeys(arg_cols + fn_intro)
+            for c in dict.fromkeys(arg_cols + fn_intro + list(shadow.values()))
             if c not in out_names
         ]
         if stale:

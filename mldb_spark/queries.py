@@ -2578,15 +2578,6 @@ def qa12_row_number(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-QUERIES = {
-    name: fn
-    for name, fn in sorted(globals().items())
-    if name.startswith("q")
-    and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
-    and callable(fn)
-}
-
-
 def qa16_get_all_where(spark: SparkSession, sf: str) -> DataFrame:
     """GET_ALL with a general multi-column WHERE, from SQL: the
     all_cells() dataset function pivots the GET_LATEST view to the
@@ -2607,15 +2598,6 @@ def qa16_get_all_where(spark: SparkSession, sf: str) -> DataFrame:
         "FROM all_cells(ecells, purchase > 200 AND click < 100) "
         "ORDER BY row, column, ts"
     )
-
-
-QUERIES = {
-    name: fn
-    for name, fn in sorted(globals().items())
-    if name.startswith("q")
-    and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
-    and callable(fn)
-}
 
 
 def qa17_corpus_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
@@ -2640,15 +2622,6 @@ def qa17_corpus_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_kept").cast("long").alias("n_kept"),
         F.col("red_len").cast("long").alias("red_len"),
     )
-
-
-QUERIES = {
-    name: fn
-    for name, fn in sorted(globals().items())
-    if name.startswith("q")
-    and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
-    and callable(fn)
-}
 
 
 def qa18_feature_tables(spark: SparkSession, sf: str) -> DataFrame:
@@ -2690,15 +2663,6 @@ def qa18_feature_tables(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-QUERIES = {
-    name: fn
-    for name, fn in sorted(globals().items())
-    if name.startswith("q")
-    and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
-    and callable(fn)
-}
-
-
 def qa19_summary_statistics(spark: SparkSession, sf: str) -> DataFrame:
     """summary.statistics procedure over part
     (builtin/summary_statistics_proc.cc:516;
@@ -2729,15 +2693,6 @@ def qa19_summary_statistics(spark: SparkSession, sf: str) -> DataFrame:
         num("q1").alias("q1_v"), num("median").alias("med_v"),
         num("q3").alias("q3_v"),
     ).orderBy("column")
-
-
-QUERIES = {
-    name: fn
-    for name, fn in sorted(globals().items())
-    if name.startswith("q")
-    and (name[1:3].isdigit() or (name[1] == "a" and name[2:4].isdigit()))
-    and callable(fn)
-}
 
 
 def qa20_cells_temporal_sql(spark: SparkSession, sf: str) -> DataFrame:

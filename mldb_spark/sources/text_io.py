@@ -183,7 +183,15 @@ def import_json(
     if named is not None:
         df = df.withColumn("rowName", named.cast("string"))
     if select is not None:
-        keep = [c for c in ("rowName",) if c in df.columns]
+        # thread the computed naming columns through the projection,
+        # skipping any the select list already produces (a select of
+        # rowName itself must not duplicate the column)
+        picked = df.select(*select).columns
+        keep = [
+            c
+            for c in ("rowName", "lineNumber")
+            if c in df.columns and c not in picked
+        ]
         df = df.select(*select, *[F.col(c) for c in keep])
     return df
 

