@@ -1527,3 +1527,87 @@ SELECT r, CAST(n_p AS BIGINT) AS n_p, sum_p,
        coalesce(max_c, -1) AS max_c, latest_p
 FROM per WHERE n_p >= 2 ORDER BY r
 """
+
+# qa21: the q33 minhash-pair chain feeding a recursive-CTE transitive
+# closure — the DuckDB replay of dedup_groups(minhash_pairs(...)).
+ORACLES["qa21_dedup_chain_sql"] = f"""
+WITH pairs AS (
+  SELECT id_a, id_b FROM ({ORACLES["q33_minhash_pairs"]}) q
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+closure AS (
+  WITH RECURSIVE r(s, t) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.s, e.b FROM r JOIN edges e ON r.t = e.a
+  )
+  SELECT s, t FROM r
+)
+SELECT CAST(s AS BIGINT) AS node,
+       CAST(LEAST(s, MIN(t)) AS BIGINT) AS component
+FROM closure GROUP BY s ORDER BY node
+"""
+
+# q77/q78 (graduated from ROWS_ONLY, VERDICT r5 #6): the Spark query
+# exports its fitted logistic coefficients to .oracle_fixtures/ and
+# these oracles replay the closed-form scoring. The parity harness
+# runs the Spark side first, so the fixture is fresh.
+import os as _os
+
+_FIXDIR = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".oracle_fixtures")
+
+_ORDER_FEATS = """
+  SELECT o_orderkey,
+         CAST(year(o_orderdate) - 1995 AS DOUBLE) AS f_year,
+         CAST(month(o_orderdate) AS DOUBLE) AS f_month,
+         CAST(substr(o_orderpriority, 1, 1) AS DOUBLE) AS f_priority,
+         CAST(o_custkey % 100 AS DOUBLE) AS f_cust,
+         CAST(2 * CAST(substr(o_orderpriority, 1, 1) AS DOUBLE)
+              + month(o_orderdate) + (o_orderkey % 7) >= 16 AS DOUBLE) AS label
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+    AND o_custkey IS NOT NULL
+"""
+
+ORACLES["q77_sql_applied_function"] = f"""
+WITH c AS (SELECT * FROM read_parquet('{_FIXDIR}/q77_coefs.parquet')),
+f AS ({_ORDER_FEATS}),
+s AS (
+  SELECT label,
+         1.0 / (1.0 + exp(-(c.b + c.w_year * f_year + c.w_month * f_month
+                            + c.w_prio * f_priority + c.w_cust * f_cust)))
+           AS score
+  FROM f CROSS JOIN c
+  WHERE o_orderkey % 5 = 0
+)
+SELECT label, count(*) AS n,
+       round(min(score) + 0.000000001, 4) AS min_score,
+       round(max(score) + 0.000000001, 4) AS max_score
+FROM s GROUP BY label ORDER BY label
+"""
+
+ORACLES["q78_classifier_explain"] = f"""
+WITH c AS (SELECT * FROM read_parquet('{_FIXDIR}/q78_coefs.parquet')),
+f AS ({_ORDER_FEATS}),
+e AS (
+  SELECT label,
+         round(f_year * c.w_year, 6) AS ey,
+         round(f_month * c.w_month, 6) AS em,
+         round(f_priority * c.w_prio, 6) AS ep,
+         round(f_cust * c.w_cust, 6) AS ec,
+         round(c.b, 6) AS bias
+  FROM f CROSS JOIN c
+  WHERE o_orderkey % 5 = 0
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(ey) + 1e-9, 4) AS avg_f_year,
+       round(avg(em) + 1e-9, 4) AS avg_f_month,
+       round(avg(ep) + 1e-9, 4) AS avg_f_priority,
+       round(avg(ec) + 1e-9, 4) AS avg_f_cust,
+       round(avg(bias) + 1e-9, 4) AS avg_bias
+FROM e GROUP BY label ORDER BY label
+"""

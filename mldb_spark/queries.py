@@ -1627,29 +1627,55 @@ def q76_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def export_oracle_fixture(name: str, row: "dict[str, float]") -> None:
+    """Write a one-row parquet the DuckDB oracle replays — the bridge
+    that graduates model-backed gates from rows-only to oracle-backed
+    (VERDICT r5 #6): the Spark query exports the fitted coefficients,
+    and the (static) oracle SQL reads them back with read_parquet at
+    a fixed repo-relative path and applies the same closed-form
+    scoring. The parity harness always runs the Spark side first, so
+    the fixture is fresh for the replay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".oracle_fixtures")
+    os.makedirs(d, exist_ok=True)
+    table = pa.table({k: [float(v)] for k, v in row.items()})
+    pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+
+
 def q77_sql_applied_function(spark: SparkSession, sf: str) -> DataFrame:
     """Applied-function entity called from dialect SQL — the
     reference's `SELECT my_fn({features})[output]` pattern
     (sql_expression_operations.h:488-531): train a scorer, register
-    it on the context, score + aggregate entirely in SQL. Rows-only:
-    the LBFGS fit is engine-internal."""
+    it on the context, score + aggregate entirely in SQL.
+    Oracle-backed (graduated from rows-only, VERDICT r5 #6): the
+    fitted logistic coefficients are exported to a fixture parquet
+    and the DuckDB oracle replays sigmoid(b + w·x) closed-form."""
     from mldb_spark.dialect import MldbContext
     from mldb_spark.ml.procedures import classifier_train
     from mldb_spark.ml.registry import FunctionRegistry
 
     feats = _order_features(spark, sf)
     reg = FunctionRegistry()
-    classifier_train(
+    model = classifier_train(
         feats.filter(F.col("o_orderkey") % 5 != 0),
         ["f_year", "f_month", "f_priority", "f_cust"], "label", "q77_clf", reg,
+    )
+    w = [float(c) for c in model.coefficients]
+    export_oracle_fixture(
+        "q77_coefs",
+        {"w_year": w[0], "w_month": w[1], "w_prio": w[2], "w_cust": w[3],
+         "b": float(model.intercept)},
     )
     ctx = MldbContext(spark)
     ctx.register("orders_feat", feats.filter(F.col("o_orderkey") % 5 == 0))
     ctx.register_function("q77_clf", lambda d: reg.apply("q77_clf", d))
     return ctx.query(
         "SELECT label, count(*) AS n, "
-        "round(min(q77_clf({f_year, f_month, f_priority, f_cust})[score]), 4) AS min_score, "
-        "round(max(q77_clf({f_year, f_month, f_priority, f_cust})[score]), 4) AS max_score "
+        "round(min(q77_clf({f_year, f_month, f_priority, f_cust})[score]) + 0.000000001, 4) AS min_score, "
+        "round(max(q77_clf({f_year, f_month, f_priority, f_cust})[score]) + 0.000000001, 4) AS max_score "
         "FROM orders_feat GROUP BY label ORDER BY label"
     )
 
@@ -1657,8 +1683,9 @@ def q77_sql_applied_function(spark: SparkSession, sf: str) -> DataFrame:
 def q78_classifier_explain(spark: SparkSession, sf: str) -> DataFrame:
     """classifier.explain (plugins/jml/classifier.cc:1502): per-label
     mean feature contributions (coef·x decomposition of the margin)
-    over a held-out split. Rows-only: coefficients depend on the
-    engine-internal fit."""
+    over a held-out split. Oracle-backed (graduated from rows-only,
+    VERDICT r5 #6): the fitted coefficients export to a fixture
+    parquet and the DuckDB oracle replays the w·x decomposition."""
     from mldb_spark.ml.procedures import classifier_explain, classifier_train
     from mldb_spark.ml.registry import FunctionRegistry
 
@@ -1668,14 +1695,23 @@ def q78_classifier_explain(spark: SparkSession, sf: str) -> DataFrame:
     model = classifier_train(
         feats.filter(F.col("o_orderkey") % 5 != 0), cols, "label", "q78_clf", reg
     )
+    w = [float(c) for c in model.coefficients]
+    export_oracle_fixture(
+        "q78_coefs",
+        {"w_year": w[0], "w_month": w[1], "w_prio": w[2], "w_cust": w[3],
+         "b": float(model.intercept)},
+    )
     classifier_explain(model, cols, "q78_explain", reg)
     explained = reg.apply("q78_explain", feats.filter(F.col("o_orderkey") % 5 == 0))
     return (
         explained.groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            *[F.round(F.avg(f"explain_{c}"), 4).alias(f"avg_{c}") for c in cols],
-            F.round(F.avg("bias"), 4).alias("avg_bias"),
+            *[
+                F.round(F.avg(f"explain_{c}") + 1e-9, 4).alias(f"avg_{c}")
+                for c in cols
+            ],
+            F.round(F.avg("bias") + 1e-9, 4).alias("avg_bias"),
         )
         .orderBy("label")
     )
@@ -2723,6 +2759,27 @@ def qa20_cells_temporal_sql(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce("max_c", F.lit(-1.0)).alias("max_c"),
         "latest_p",
     )
+
+
+def qa21_dedup_chain_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """The full canonical dedup chain from SQL (VERDICT r5 #5):
+    FROM dedup_groups(minhash_pairs(documents, {...})) — MinHash+LSH
+    banding candidate pairs resolved into duplicate groups by
+    pointer-jumping connected components, composed as nested
+    FROM-clause dataset functions through the dialect. The DuckDB
+    oracle replays the whole chain: md5-family minhash signatures,
+    banded candidate join, agreement scoring, then a recursive-CTE
+    transitive closure with min-id canonical labels. Scale shape:
+    the exploded (band, key) single equi-self-join feeding O(log d)
+    label-propagation rounds — no new shuffles added by the SQL
+    surface."""
+    ctx = _dialect_ctx(spark, sf)
+    ctx.register("documents", load(spark, sf, "documents"))
+    return ctx.query(
+        "SELECT node, component FROM dedup_groups(minhash_pairs("
+        "documents, {numHashes: 16, bands: 4, threshold: 0.25, "
+        "shingleWords: 3})) ORDER BY node"
+    ).select(F.col("node").cast("long"), F.col("component").cast("long"))
 
 
 QUERIES = {

@@ -28,8 +28,6 @@ ROWS_ONLY = {
     "q74_classifier_experiment",
     "q75_tsne",
     "q76_ivf_ann",
-    "q77_sql_applied_function",
-    "q78_classifier_explain",
     "q79_word2vec_pooling",
     "q80_porter_stems",  # Porter's measure loops aren't SQL-replayable
     "qa07_pack_sequences",  # FFD bin assignment is imperative; invariants in test_corpus.py

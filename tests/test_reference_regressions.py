@@ -1873,6 +1873,32 @@ def test_pivot_duplicate_keys(mldb):
     assert dict(out[1][1]) == {"a": 7}
 
 
+def test_pivot_duplicate_keys_latest_wins(mldb):
+    """When the dataset carries a timestamp column, duplicate pivot
+    keys resolve LAST-WRITER (latest cell wins) — the reference's
+    PivotAccum cell semantics (sql/builtin_aggregators.cc:950-997;
+    VERDICT r5 note on MLDB-1323). The older-but-larger value must
+    lose to the newer-but-smaller one."""
+    import datetime as _dt
+
+    df = mldb.spark.createDataFrame(
+        [
+            ("r1", 1, "a", 9, _dt.datetime(2020, 1, 1)),
+            ("r2", 1, "a", 5, _dt.datetime(2021, 1, 1)),  # newer, smaller
+            ("r3", 1, "b", 3, _dt.datetime(2020, 6, 1)),
+            ("r4", 2, "a", 7, _dt.datetime(2020, 1, 1)),
+        ],
+        "rn string, grp int, k string, v int, ts timestamp",
+    )
+    mldb.create_dataset("mdupts", df, row_name_col="rn", ts_col="ts")
+    out = _q(
+        mldb,
+        "select grp, pivot(k, v) as p from mdupts group by grp order by grp",
+    )
+    assert dict(out[0][1]) == {"a": 5, "b": 3}
+    assert dict(out[1][1]) == {"a": 7}
+
+
 def test_row_number_orders_by_select_alias(mldb):
     """rowNumber()'s window ordering must resolve ORDER BY names that
     are select ALIASES (previously bound pre-projection, the alias
