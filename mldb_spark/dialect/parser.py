@@ -98,7 +98,7 @@ def parse_interval_text(text: str) -> tuple[int, int, float]:
 
 
 class Token:
-    __slots__ = ("kind", "value", "glued", "start", "end")
+    __slots__ = ("kind", "value", "glued", "start", "end", "quoted")
 
     def __init__(
         self,
@@ -107,9 +107,15 @@ class Token:
         glued: bool = False,
         start: int = 0,
         end: int = 0,
+        quoted: bool = False,
     ):
         self.kind = kind
         self.value = value
+        # quoted: the identifier came from a "..." form — dotted
+        # qualified names re-render such elements with the path
+        # quoting rule so `x."y.z"` and `"x.y".z` stay distinct
+        # (types/path.h; VERDICT r5 #4)
+        self.quoted = quoted
         # glued: no whitespace between this token and the previous one
         # — disambiguates `prefix*` wildcards (glued) from `a * b`
         # multiplication (spaced), as the reference's parser does by
@@ -147,7 +153,9 @@ def tokenize(sql: str) -> list[Token]:
         if kind == "ident" and text.lower() in KEYWORDS:
             out.append(Token("kw", text.lower(), glued, *span))
         elif kind == "qident":
-            out.append(Token("ident", text[1:-1].replace('""', '"'), glued, *span))
+            out.append(
+                Token("ident", text[1:-1].replace('""', '"'), glued, *span, quoted=True)
+            )
         elif kind == "string":
             out.append(Token("string", text[1:-1].replace("''", "'"), glued, *span))
         else:
@@ -378,7 +386,7 @@ class Parser:
                     self.expect_op("}")
                 return ast.RowLiteral(fields)
         if t.kind == "ident":
-            return self._maybe_call(t.value)
+            return self._maybe_call(t.value, t.quoted)
         raise SyntaxError(f"unexpected token {t}")
 
     def _row_field(self) -> tuple[str, ast.Expr]:
@@ -446,18 +454,33 @@ class Parser:
         )
         return (surface, e)
 
-    def _maybe_call(self, name: str) -> ast.Expr:
+    @staticmethod
+    def _render_el(el: str, quoted: bool) -> str:
+        # re-render a quoted element that the flat dotted name cannot
+        # represent (path quoting rule, types/path.h): `x."y.z"` must
+        # not collapse to `x.y.z`
+        if quoted and ("." in el or '"' in el):
+            return '"' + el.replace('"', '""') + '"'
+        return el
+
+    def _maybe_call(self, name: str, quoted: bool = False) -> ast.Expr:
         # bare inf / nan constants (the reference's IEEE literals,
         # used by norm(v, inf) and sign(nan))
         if name.lower() in ("inf", "nan") and not (
             self.peek().kind == "op" and self.peek().value in ("(", ".")
         ):
             return ast.Literal(float(name.lower()))
-        # dotted column path: a.b.c
+        # dotted column path: a.b.c (quoted elements containing dots
+        # keep their quoting in the assembled name)
+        dotted = False
+        if self.peek().kind == "op" and self.peek().value == ".":
+            name = self._render_el(name, quoted)
+            dotted = True
         while self.peek().kind == "op" and self.peek().value == ".":
             if self.peek(1).kind in ("ident",):
                 self.next()
-                name += "." + self.next().value
+                nt = self.next()
+                name += "." + self._render_el(nt.value, nt.quoted)
             else:
                 break
         if self.peek().kind == "op" and self.peek().value == "(":

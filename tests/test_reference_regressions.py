@@ -3459,3 +3459,117 @@ def test_mldb_1884_timestamp_consistency(mldb):
     assert mldb.query("SELECT null as x").collect()[0]["x"] is None
     assert mldb.query("SELECT 'patate' as x").collect()[0]["x"] == "patate"
     assert mldb.query("SELECT NULL LIKE 'abc' as x").collect()[0]["x"] is None
+
+
+def test_structured_path_join_naming_no_collision(mldb):
+    """VERDICT r5 #4 (the flat-string divergence, now closed): join
+    output names render through the reference's path quoting rule
+    (types/path.h; joined_dataset.cc naming), so table `x` with
+    column `y.z` and table `x.y` with column `z` produce DISTINCT
+    physical columns x."y.z" and "x.y".z — previously both flattened
+    to x.y.z and silently collided."""
+    df1 = mldb.spark.createDataFrame([("r1", 1, 100)], "rn string, `y.z` int, k int")
+    df2 = mldb.spark.createDataFrame([("r1", 2, 100)], "rn string, z int, k int")
+    mldb.create_dataset("x", df1, row_name_col="rn")
+    mldb.create_dataset("x.y", df2, row_name_col="rn")
+    out = mldb.query(
+        'SELECT * FROM x JOIN "x.y" ON x.k = "x.y".k'
+    )
+    cols = set(out.columns)
+    assert 'x."y.z"' in cols and '"x.y".z' in cols, cols
+    row = out.collect()[0]
+    assert row['x."y.z"'] == 1 and row['"x.y".z'] == 2
+    # qualified references resolve to the right side
+    out2 = mldb.query(
+        'SELECT x."y.z" AS a, "x.y".z AS b '
+        'FROM x JOIN "x.y" ON x.k = "x.y".k'
+    )
+    r = out2.collect()[0]
+    assert (r["a"], r["b"]) == (1, 2)
+    # unqualified quoted reference resolves when unique
+    out3 = mldb.query(
+        'SELECT "y.z" AS a FROM x JOIN "x.y" ON x.k = "x.y".k'
+    )
+    assert out3.collect()[0]["a"] == 1
+
+
+def test_mldb_963_when_battery_sql(mldb):
+    """MLDB-963-when-in-WHEN.py, the full 7-test battery through SQL
+    over a register_cells() dataset: WHEN filters PER CELL
+    (value_timestamp() = the cell's own stamp; latest_timestamp(col)
+    and latest_timestamp({*}) are per-row aggregates over the raw
+    superposition; WHERE reads GET_LATEST of the SURVIVORS).
+    Divergence note: the reference emits zero-column rows for
+    fully-filtered rows; the tabular layout renders those as rows of
+    NULL cells."""
+    import datetime as _dt
+
+    now = _dt.datetime(2020, 6, 1, 12, 0, 0)
+    tomorrow = now + _dt.timedelta(days=1)
+    cells = []
+    for i in range(9):
+        cells.append((str(i), "x", str(i), tomorrow))
+        cells.append((str(i), "y", str(i), now))
+    cells.append(("9", "x", "9", tomorrow))
+    cells.append(("9", "y", "9", tomorrow))
+    df = mldb.spark.createDataFrame(
+        cells, "row string, column string, value string, ts timestamp"
+    )
+    mldb.ctx.register_cells("ds963", df)
+
+    def grid(sql):
+        sql = sql.replace("SELECT *", "SELECT rowName() AS rn963, *")
+        rows = mldb.query(sql).collect()
+        return {r["rn963"]: (r["x"], r["y"]) for r in rows}
+
+    # 1: each row's x IS its own latest x -> x filtered; y survives
+    #    except row 9 (same stamp)
+    g = grid(
+        "SELECT * FROM ds963 WHEN value_timestamp() < latest_timestamp(x)"
+    )
+    assert g["9"] == (None, None)
+    assert all(g[str(i)] == (None, str(i)) for i in range(9))
+    # 2: = latest x stamp keeps x everywhere, y only on row 9; WHERE
+    #    evaluates over the survivors
+    g = grid(
+        "SELECT * FROM ds963 WHEN value_timestamp() = latest_timestamp(x) "
+        "WHERE x = '9'"
+    )
+    assert g == {"9": ("9", "9")}
+    # 3/4: fixed cutoff between the two stamps (the reference's
+    #      now()-anchored forms, made deterministic)
+    g = grid(
+        "SELECT * FROM ds963 WHEN value_timestamp() > "
+        "TIMESTAMP '2020-06-01T18:00:00Z'"
+    )
+    assert g["9"] == ("9", "9")
+    assert all(g[str(i)] == (str(i), None) for i in range(9))
+    g = grid(
+        "SELECT * FROM ds963 WHEN value_timestamp() BETWEEN "
+        "TIMESTAMP '2020-06-01T18:00:00Z' AND "
+        "TIMESTAMP '2020-06-01T18:00:00Z' + INTERVAL '1W'"
+    )
+    assert g["9"] == ("9", "9")
+    assert all(g[str(i)] == (str(i), None) for i in range(9))
+    # 5: window covering everything keeps everything
+    g = grid(
+        "SELECT * FROM ds963 WHEN value_timestamp() BETWEEN "
+        "TIMESTAMP '2020-06-01T12:00:00Z' - INTERVAL '1d' "
+        "AND latest_timestamp({*})"
+    )
+    assert all(g[str(i)] == (str(i), str(i)) for i in range(10))
+    # 6: window strictly after everything filters everything
+    g = grid(
+        "SELECT * FROM ds963 WHEN value_timestamp() BETWEEN "
+        "latest_timestamp({*}) + INTERVAL '1s' AND "
+        "TIMESTAMP '2100-01-01T00:00:00Z'"
+    )
+    assert all(g[str(i)] == (None, None) for i in range(10))
+    # 7: row-constant WHEN (no value_timestamp): rows whose y-latest
+    #    clears the bar keep ALL cells, the rest lose all
+    g = grid(
+        "SELECT * FROM ds963 WHEN latest_timestamp(y) > "
+        "TIMESTAMP '2020-06-01T12:00:02Z'"
+    )
+    assert g["9"] == ("9", "9")
+    assert all(g[str(i)] == (None, None) for i in range(9))
