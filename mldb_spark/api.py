@@ -435,8 +435,15 @@ class Mldb:
                 raise ValueError(f"createEntity: unknown function type {etype!r}")
         elif kind == "procedure":
             if etype == "transform":
-                self.transform(params["inputData"], params["outputDataset"])
-                status = {"outputDataset": params["outputDataset"]}
+                # outputDataset accepts a plain id string OR a
+                # {id, [type]} config row with a defaulted type
+                # (MLDB-1025-dataset-output-with-default.py)
+                out_spec = params["outputDataset"]
+                out_id = (
+                    out_spec["id"] if isinstance(out_spec, dict) else out_spec
+                )
+                self.transform(params["inputData"], out_id)
+                status = {"outputDataset": out_id}
             else:
                 raise ValueError(f"createEntity: unknown procedure type {etype!r}")
         else:

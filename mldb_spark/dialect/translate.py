@@ -62,6 +62,24 @@ _CAST_TYPES = {
 }
 
 
+
+_POSIX_CLASSES = {
+    "alnum": "Alnum", "alpha": "Alpha", "blank": "Blank",
+    "cntrl": "Cntrl", "digit": "Digit", "graph": "Graph",
+    "lower": "Lower", "print": "Print", "punct": "Punct",
+    "space": "Space", "upper": "Upper", "xdigit": "XDigit",
+}
+
+
+def _posix_re(pat: str) -> str:
+    """Translate POSIX bracket classes ([:digit:] inside a character
+    class) to Java's \\p{...} spelling — the reference's regex engine
+    accepts them (MLDB-1172's 'feat[[:digit:]]'), Java's does not."""
+    for k, v in _POSIX_CLASSES.items():
+        pat = pat.replace(f"[:{k}:]", f"\\p{{{v}}}")
+    return pat
+
+
 def _mime_type_fn(c: Column) -> Column:
     from mldb_spark.multimodal import sniff_mime
 
@@ -170,7 +188,8 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         # (std::regex_match, builtin_functions.cc:1038); regex_search
         # is the find-anywhere form (:1049). Spark's rlike is search
         # semantics, so regex_match anchors the pattern.
-        "regex_search": lambda c, p: F.rlike(c, p),
+        # regex_search dispatches below (literal patterns get POSIX
+        # class translation)
         "jaccard_index": jaccard_index, "dot_product": dot_product,
         "cosine_similarity": cosine_similarity,
         "binomial_lb_80": binomial_lb_80, "binomial_ub_80": binomial_ub_80,
@@ -270,9 +289,13 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
             distinct,
             F.transform(distinct, lambda d: F.size(F.filter(toks, lambda t: t == d))),
         )
+    if name == "regex_search":
+        if isinstance(raw_args[1], ast.Literal):
+            return F.rlike(args[0], F.lit(_posix_re(str(raw_args[1].value))))
+        return F.rlike(args[0], args[1])
     if name == "regex_match":
         if isinstance(raw_args[1], ast.Literal):
-            return args[0].rlike(f"^(?:{raw_args[1].value})$")
+            return args[0].rlike(f"^(?:{_posix_re(str(raw_args[1].value))})$")
         # dynamic pattern (MLDB-1631 builds one from rowName());
         # rlike accepts a column regexp — anchor it the same way
         return F.rlike(
@@ -382,7 +405,9 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
     if name == "replace_nan":
         return F.when(F.isnan(args[0]), args[1]).otherwise(args[0])
     if name == "regex_replace":
-        return F.regexp_replace(args[0], raw_args[1].value, raw_args[2].value)  # type: ignore[union-attr]
+        return F.regexp_replace(
+            args[0], _posix_re(str(raw_args[1].value)), raw_args[2].value  # type: ignore[union-attr]
+        )
     if name == "geo_distance":
         return geo_distance(*args)
     if name == "coalesce":
@@ -461,13 +486,17 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
 
         return porter_stem_udf()(args[0])
     if name == "parse_json":
-        # flat-object form → MAP<string,string>; nested JSON should
-        # use the json path extraction functions instead. The options
-        # row (MLDBFB-573: {arrays: 'parse'|'encode', ignoreErrors})
-        # is accepted — malformed input already parses to NULL (the
-        # ignoreErrors behavior); arrays-of-scalars render as their
-        # JSON text in the MAP form either way (divergence from the
-        # reference's sparse one-hot 'encode' columns noted)
+        # full flattening to dotted paths in a MAP<string,string>
+        # (TypeSystem.md complex-type flattening): nested objects and
+        # — with arrays='parse' (the default) — array elements under
+        # their 0-based index (friends.0.name, MLDB-1779/1275);
+        # arrays='encode' one-hots scalar arrays and renders object
+        # arrays as JSON text. Malformed input parses to NULL (the
+        # ignoreErrors behavior). Arrow-batched UDF — parse_json is an
+        # import-shaped function, not a hot scan path.
+        from mldb_spark.functions.text import parse_json_flatten_udf
+
+        arrays_mode = "parse"
         if len(raw_args) == 2:
             if not isinstance(raw_args[1], ast.RowLiteral):
                 raise ValueError("parse_json options must be a row literal")
@@ -482,7 +511,8 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
                         raise ValueError(
                             f"unknown parse_json arrays mode {v.value!r}"
                         )
-        return F.from_json(args[0], "map<string,string>")
+                    arrays_mode = str(v.value)
+        return parse_json_flatten_udf(arrays_mode)(args[0])
     if name == "canonicalize_url":
         from mldb_spark.functions.web import canonicalize_url
 
@@ -1616,7 +1646,10 @@ class _ColumnMetaBinder(Binder):
         if n in ("columnname", "columnpath"):
             return F.col("columnName")
         if n == "rowcount":
-            return F.col("rowCount")
+            # the number of rows in which this column HAS a value
+            # (SelectExpression.md; MLDB-1172 filters a sparse column
+            # with rowCount() > 1) — not the table's row total
+            return F.col("n_nonnull")
         if n == "columnpathlength":
             return F.size(F.split(F.col("columnName"), r"\."))
         if n == "columnpathelement":
@@ -1624,8 +1657,10 @@ class _ColumnMetaBinder(Binder):
             if i is None:
                 raise ValueError("columnPathElement needs a literal index")
             parts = F.split(F.col("columnName"), r"\.")
-            # element_at is 1-based; negative indexes count from the end
-            return F.element_at(parts, i + 1 if i >= 0 else i)
+            # element_at is 1-based; negative indexes count from the
+            # end; out-of-range yields NULL (the reference's semantics
+            # — MLDB-1779 filters 1-element paths with element 1)
+            return F.try_element_at(parts, F.lit(i + 1 if i >= 0 else i))
         return super()._call(e)
 
 
@@ -1715,6 +1750,18 @@ def _days_interval(col: Column) -> Column:
     return F.make_dt_interval(
         F.lit(0), F.lit(0), F.lit(0), col.cast("double") * F.lit(86400.0)
     )
+
+
+def _call_fn(fn, df: DataFrame, call_params: "dict[str, object]"):
+    """Apply a registered function entity, forwarding the call's
+    literal argument fields as $params when the entity accepts them
+    (sql.query functions — MLDB-1319's poil3({n: 1}))."""
+    if call_params:
+        try:
+            return fn(df, params=call_params)
+        except TypeError:
+            pass
+    return fn(df)
 
 
 def _render_path_el(el: str) -> str:
@@ -2022,11 +2069,17 @@ class MldbContext:
                     fname = node.operand.name
                     if fname not in applied:
                         args = node.operand.args
+                        call_params: dict[str, object] = {}
                         if args and isinstance(args[0], ast.RowLiteral):
                             abinder = Binder(
                                 df.columns, params, dtypes=dict(df.dtypes)
                             )
                             for field_name, fexpr in args[0].fields:
+                                if isinstance(fexpr, ast.Literal):
+                                    # literal fields double as $params
+                                    # for parameterized entities
+                                    # (MLDB-1319's poil3({n: 1}))
+                                    call_params[field_name] = fexpr.value
                                 if field_name not in df.columns:
                                     df = df.withColumn(
                                         field_name, abinder.bind(fexpr)
@@ -2041,7 +2094,9 @@ class MldbContext:
                                 df = df.withColumn(sh, F.col(f"`{k}`"))
                                 shadow[k] = sh
                         before = set(df.columns)
-                        df = self._lookup_function(fname)(df)
+                        df = _call_fn(
+                            self._lookup_function(fname), df, call_params
+                        )
                         applied.add(fname)
                         fn_intro.extend(
                             c for c in df.columns if c not in before
@@ -2092,16 +2147,19 @@ class MldbContext:
             ):
                 fname = it.expr.name
                 args = it.expr.args
+                call_params = {}
                 if args and isinstance(args[0], ast.RowLiteral):
                     abinder = Binder(df.columns, params, dtypes=dict(df.dtypes))
                     for field_name, fexpr in args[0].fields:
                         if field_name.endswith("*"):
                             continue  # {*} wildcard: row passes through
+                        if isinstance(fexpr, ast.Literal):
+                            call_params[field_name] = fexpr.value
                         if field_name not in df.columns:
                             df = df.withColumn(field_name, abinder.bind(fexpr))
                             arg_cols.append(field_name)
                 before = set(df.columns)
-                df = self._lookup_function(fname)(df)
+                df = _call_fn(self._lookup_function(fname), df, call_params)
                 applied.add(fname)
                 outs = [c for c in df.columns if c not in before]
                 if not outs:
@@ -3238,13 +3296,19 @@ class MldbContext:
     def _expand_expr_column_exprs(self, df, stm, params):
         """Pre-pass: COLUMN EXPR used INSIDE expressions — a
         row-literal field like horizontal_sum({COLUMN EXPR (...)})
-        (MLDB-1172) — expands to explicit column fields against the
-        bound dataset before binding."""
+        in the SELECT list or WHERE/HAVING/NAMED/ORDER BY clauses
+        (MLDB-1172 uses it as a WHERE condition) — expands to
+        explicit column fields against the bound dataset before
+        binding."""
+        clause_exprs = [
+            it.expr for it in stm.select if isinstance(it, ast.ExprItem)
+        ] + [
+            c for c in (stm.where, stm.having, stm.named) if c is not None
+        ] + [o.expr for o in stm.order_by]
         if not any(
             isinstance(n, ast.ColumnExprRef)
-            for it in stm.select
-            if isinstance(it, ast.ExprItem)
-            for n in _walk(it.expr)
+            for e in clause_exprs
+            for n in _walk(e)
         ):
             return stm
         import dataclasses
@@ -3290,7 +3354,21 @@ class MldbContext:
             else it
             for it in stm.select
         ]
-        return dataclasses.replace(stm, select=new_select)
+
+        def opt(e):
+            return rewrite(e) if e is not None else None
+
+        return dataclasses.replace(
+            stm,
+            select=new_select,
+            where=opt(stm.where),
+            having=opt(stm.having),
+            named=opt(stm.named),
+            order_by=[
+                dataclasses.replace(o, expr=rewrite(o.expr))
+                for o in stm.order_by
+            ],
+        )
 
     def _expand_column_expr(
         self, df: DataFrame, item: ast.ColumnExprItem, params: dict,

@@ -474,3 +474,62 @@ def pii_counts(text: Column) -> Column:
         )
         out = F.regexp_replace(out, pat, tag)
     return F.struct(*cols)
+
+
+def parse_json_flatten_udf(arrays: str = "parse"):
+    """parse_json with the reference's complex-type FLATTENING
+    (TypeSystem.md 'Complex type flattening'; json parsing in
+    sql/json_expression.cc): nested objects flatten to dotted paths
+    and — with arrays='parse' — array elements flatten under their
+    0-based index (friends.0.name), so `parse_json(x) AS *` spreads
+    to the reference's sparse column set (MLDB-1779/1275).
+    arrays='encode' keeps the one-hot form for scalar arrays
+    (path.value -> 1) and renders object arrays as JSON text at their
+    index path. Output is MAP<string,string>; malformed input -> NULL
+    (the ignoreErrors behavior). Arrow-batched."""
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import MapType, StringType
+
+    def scalar_text(v):
+        if v is None:
+            return None
+        if isinstance(v, str):
+            return v
+        return json.dumps(v)
+
+    def flatten(obj, path, out):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                flatten(v, f"{path}.{k}" if path else str(k), out)
+        elif isinstance(obj, list):
+            if arrays == "encode":
+                for i, v in enumerate(obj):
+                    if isinstance(v, (dict, list)):
+                        out[f"{path}.{i}"] = json.dumps(
+                            v, separators=(",", ":"), sort_keys=True
+                        )
+                    else:
+                        out[f"{path}.{scalar_text(v)}"] = "1"
+            else:
+                for i, v in enumerate(obj):
+                    flatten(v, f"{path}.{i}" if path else str(i), out)
+        else:
+            out[path] = scalar_text(obj)
+
+    def run(s):
+        def one(x):
+            if x is None:
+                return None
+            try:
+                parsed = json.loads(x)
+            except Exception:
+                return None
+            out: dict = {}
+            flatten(parsed, "", out)
+            return out
+
+        return s.map(one)
+
+    return pandas_udf(run, MapType(StringType(), StringType()))

@@ -48,9 +48,14 @@ def melt(
     MeltProcedure.md). Spark: stack()/melt — narrow transform, no
     shuffle; output rows = rows * len(value_vars).
     """
+    def ref(c: str):
+        # literal dotted names (flattened JSON paths) must not parse
+        # as struct access (MLDB-1275 melts friends.0/friends.1)
+        return F.col(f"`{c}`").alias(c) if "." in c else c
+
     return df.melt(
-        ids=list(id_vars),
-        values=list(value_vars),
+        ids=[ref(c) for c in id_vars],
+        values=[ref(c) for c in value_vars],
         variableColumnName=key_col,
         valueColumnName=value_col,
     )

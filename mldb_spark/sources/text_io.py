@@ -237,5 +237,15 @@ def export_csv(
     only for modest outputs (the reference is single-node and always
     writes one file; distributed default keeps one file per
     partition)."""
+    # VOID columns (open-schema unknown references bound to NULL)
+    # export as empty cells like any other NULL — the CSV source
+    # rejects the VOID type outright (MLDB-1098's `select bar`)
+    if any(t == "void" for _, t in df.dtypes):
+        df = df.select(
+            *[
+                F.col(f"`{c}`").cast("string").alias(c) if t == "void" else F.col(f"`{c}`")
+                for c, t in df.dtypes
+            ]
+        )
     out = df.coalesce(1) if single_file else df
     out.write.mode("overwrite").option("header", header).option("sep", delimiter).csv(path)

@@ -3573,3 +3573,547 @@ def test_mldb_963_when_battery_sql(mldb):
     )
     assert g["9"] == ("9", "9")
     assert all(g[str(i)] == (None, None) for i in range(9))
+
+
+def test_mldb_1172_column_expr_battery(mldb):
+    """MLDB-1172_column_expr_fail.py: COLUMN EXPR with ORDER BY
+    rowCount() DESC LIMIT, regex_match over columnName(), COLUMN EXPR
+    inside horizontal_sum in SELECT *and WHERE*, and over a
+    subselect."""
+    mldb.create_dataset(
+        "toy1172",
+        mldb.spark.createDataFrame(
+            [(1, 1, 1), (1, 1, None), (1, None, None)],
+            "feat1 int, feat2 int, feat3 int",
+        ),
+    )
+    out = mldb.query(
+        "select COLUMN EXPR (ORDER BY rowCount() DESC LIMIT 2) from toy1172"
+    )
+    assert sorted(out.columns) == ["feat1", "feat2"]
+    out = mldb.query(
+        "select COLUMN EXPR (WHERE regex_match(columnName(), "
+        "'feat[[:digit:]]') ORDER BY rowCount() DESC LIMIT 2) from toy1172"
+    )
+    assert sorted(out.columns) == ["feat1", "feat2"]
+
+    _ds(
+        mldb,
+        "ds1172",
+        [("user1", 1, None), ("user2", None, 1)],
+        'rn string, `0:behA` int, `0:behB` int',
+    )
+    rows = _q(
+        mldb,
+        'SELECT * FROM ds1172 WHERE horizontal_sum({"0:behA"}) > 0',
+    )
+    assert rows == [("user1", 1, None)]
+    rows = _q(
+        mldb,
+        "SELECT horizontal_sum({COLUMN EXPR (WHERE regex_match("
+        "columnName(), '[[:digit:]]+:behA'))}) AS res FROM ds1172 "
+        "ORDER BY rowName()",
+    )
+    assert rows == [(1,), (0,)]
+    rows = _q(
+        mldb,
+        "SELECT * FROM ds1172 WHERE horizontal_sum({COLUMN EXPR (WHERE "
+        "regex_match(columnName(), '[[:digit:]]+:behA'))}) > 0",
+    )
+    assert rows == [("user1", 1, None)]
+    # subselect source (test_column_expr_sub_select)
+    _ds(
+        mldb,
+        "ds1172b",
+        [("user1", 1, 3), ("user2", 1, None)],
+        "rn string, x int, y int",
+    )
+    out = mldb.query(
+        "SELECT COLUMN EXPR (WHERE rowCount() > 1) from "
+        "(select * from ds1172b)"
+    )
+    # rn rides through `select *` as a data column here (rowCount 2)
+    assert sorted(out.columns) == ["rn", "x"]
+
+
+def test_mldb_1092_binomial_confidence(mldb):
+    """MLDB-1092_conf_interval.py: binomial_ub_80/binomial_lb_80
+    Wilson bounds pinned to the reference's values."""
+    rows = _q(
+        mldb,
+        "SELECT binomial_ub_80(200, 35) as ub, binomial_lb_80(200, 35) as lb",
+    )
+    assert abs(rows[0][0] - 0.2120410) < 0.001
+    assert abs(rows[0][1] - 0.143) < 0.001
+    _ds(
+        mldb,
+        "toy1092",
+        [("u1", 200, 35), ("u2", 500, 35)],
+        "rn string, trials int, succ int",
+    )
+    rows = _q(
+        mldb,
+        "SELECT binomial_ub_80(trials, succ) as ub, "
+        "binomial_lb_80(trials, succ) as lb from toy1092 "
+        "order by rowName() ASC",
+    )
+    assert abs(rows[0][0] - 0.212) < 0.001
+    assert abs(rows[0][1] - 0.143) < 0.001
+    assert abs(rows[1][1] - 0.0567) < 0.001
+
+
+def test_mldb_1336_builtin_arg_checks(mldb):
+    """MLDB-1336-builtin-checks.py: wrong argument COUNTS to builtins
+    raise binding errors (sqrt(1,2,3)); non-numeric input to a
+    numeric builtin is the cast-fail path."""
+    import pytest
+
+    with pytest.raises(Exception, match="sqrt|argument"):
+        mldb.query("SELECT sqrt(1,2,3) AS v").collect()
+
+
+def test_mldb_1098_csv_export_advanced(mldb, tmp_path):
+    """MLDB-1098-csv-export-advanced.py: export.csv writes sparse
+    NULLs as empty cells, supports rowName() columns, duplicate
+    select items (B, B as D), constants, and unknown (open-schema)
+    columns as empty."""
+    from mldb_spark.sources.text_io import export_csv
+
+    _ds(
+        mldb,
+        "my1098",
+        [("1", "A1", None, None), ("2", None, "B2", None),
+         ("3", None, None, "C3"), ("4", "A4", None, "C4")],
+        "rn string, A string, B string, C string",
+    )
+    import glob as _glob
+
+    def read_csv_dir(d):
+        lines = []
+        for f in sorted(_glob.glob(d + "/part-*")):
+            lines.extend(open(f).read().splitlines())
+        return lines
+
+    p1 = str(tmp_path / "star.csv")
+    export_csv(
+        mldb.query("select * excluding(rn) from my1098 order by rowName()"),
+        p1,
+        single_file=True,
+    )
+    assert read_csv_dir(p1) == ["A,B,C", "A1,,", ",B2,", ",,C3", "A4,,C4"]
+    p2 = str(tmp_path / "rn.csv")
+    export_csv(
+        mldb.query(
+            "select rowName() as rowName, * excluding(rn) from my1098 "
+            "order by rowName()"
+        ),
+        p2,
+        single_file=True,
+    )
+    assert read_csv_dir(p2) == [
+        "rowName,A,B,C", "1,A1,,", "2,,B2,", "3,,,C3", "4,A4,,C4",
+    ]
+    p3 = str(tmp_path / "mix.csv")
+    export_csv(
+        mldb.query(
+            "select 'foo' as foo, bar, rowName() as rowName, B as D "
+            "from my1098 order by rowName()"
+        ),
+        p3,
+        single_file=True,
+    )
+    assert read_csv_dir(p3) == [
+        "foo,bar,rowName,D",
+        "foo,,1,", "foo,,2,B2", "foo,,3,", "foo,,4,",
+    ]
+
+
+def test_mldb_1319_sql_query_function_binding(mldb):
+    """MLDB-1319-new-executor-function-binding.js: sql.query function
+    entities whose queries JOIN on rowName() (plain, cast, and
+    cast-plus-$param arithmetic), applied from SQL with `AS *`;
+    literal argument fields forward as $params (poil3({n: 1}))."""
+    _ds(
+        mldb, "t1319a",
+        [("1", 1, 2, None), ("2", 2, None, 4), ("3", None, None, 3)],
+        "rn string, x int, y int, z int",
+    )
+    _ds(
+        mldb, "t1319b",
+        [("1", 1, 2), ("2", 2, 2), ("3", None, 3)],
+        "rn string, x int, z int",
+    )
+    mldb.create_sql_query_function(
+        "poil1319",
+        "select test1.x AS t1x, test1.y AS t1y, test2.x AS t2x, "
+        "test2.z AS t2z from t1319a AS test1 join t1319b AS test2 "
+        "on test1.rowName() = test2.rowName() order by test1.rowName()",
+    )
+    row = mldb.query("SELECT poil1319()[output] AS o FROM t1319a LIMIT 1").collect()[0]
+    o = row["o"].asDict() if hasattr(row["o"], "asDict") else dict(row["o"])
+    assert (o["t1x"], o["t1y"], o["t2x"], o["t2z"]) == (1, 2, 1, 2)
+    mldb.create_sql_query_function(
+        "poil1319c",
+        "select test1.x AS t1x, test1.z AS t1z, test2.x AS t2x, "
+        "test2.z AS t2z from t1319a AS test1 join t1319b AS test2 "
+        "on cast(test1.rowName() as integer) = "
+        "cast(test2.rowName() as integer) + $n order by test1.rowName()",
+    )
+    row = mldb.query(
+        "SELECT poil1319c({n: 1})[output] AS o FROM t1319a LIMIT 1"
+    ).collect()[0]
+    o = row["o"].asDict() if hasattr(row["o"], "asDict") else dict(row["o"])
+    assert (o["t1x"], o["t1z"], o["t2x"], o["t2z"]) == (2, 4, 1, 2)
+
+
+def test_mldb_1025_output_dataset_with_default(mldb):
+    """MLDB-1025-dataset-output-with-default.py: a transform
+    procedure's outputDataset accepts both the plain-string id form
+    and the {id: ...} config form (type defaulted)."""
+    _ds(
+        mldb, "m1025",
+        [(str(i), i, i) for i in range(9)],
+        "rn string, x int, y int",
+    )
+    mldb.create_entity(
+        "procedure",
+        {
+            "id": "t1025a",
+            "type": "transform",
+            "params": {
+                "inputData": {
+                    "from": {"id": "m1025"},
+                    "where": "rowName() = '2'",
+                },
+                "outputDataset": "out1025a",
+            },
+        },
+    )
+    rows = mldb.query("SELECT x, y FROM out1025a").collect()
+    assert [(r["x"], r["y"]) for r in rows] == [(2, 2)]
+    mldb.create_entity(
+        "procedure",
+        {
+            "id": "t1025b",
+            "type": "transform",
+            "params": {
+                "inputData": {
+                    "from": {"id": "m1025"},
+                    "where": "rowName() = '2'",
+                },
+                "outputDataset": {"id": "out1025b"},
+            },
+        },
+    )
+    rows = mldb.query("SELECT x, y FROM out1025b").collect()
+    assert [(r["x"], r["y"]) for r in rows] == [(2, 2)]
+
+
+def test_mldb_1702_superposition_comparisons(mldb):
+    """MLDB-1702_comparisons_test.py: comparisons over a superposed
+    cell read its LATEST value (a: 1; b: 1@4,1@5; c: 0@4,0@5;
+    d: 0@4,1@5 -> 1; e: 1@4,0@5 -> 0); truth values render 1/0."""
+    import datetime as _dt
+
+    rows = []
+    for col, pairs in [
+        ("a", [(1, 4)]),
+        ("b", [(1, 4), (1, 5)]),
+        ("c", [(0, 4), (0, 5)]),
+        ("d", [(0, 4), (1, 5)]),
+        ("e", [(1, 4), (0, 5)]),
+    ]:
+        for v, t in pairs:
+            rows.append(("u1", col, float(v), _dt.datetime(2020, 1, 1, 0, 0, t)))
+    cells = mldb.spark.createDataFrame(
+        rows, "row string, column string, value double, ts timestamp"
+    )
+    mldb.ctx.register_cells("ds1702", cells)
+
+    def rq(letter, op, value):
+        return mldb.query(
+            f'SELECT "{letter}" {op} {value} AS r FROM ds1702'
+        ).collect()[0]["r"]
+
+    for letter, latest in [("a", 1), ("b", 1), ("c", 0), ("d", 1), ("e", 0)]:
+        assert rq(letter, ">", 1) == (1 if latest > 1 else 0), letter
+        assert rq(letter, ">", 0) == (1 if latest > 0 else 0), letter
+        assert rq(letter, ">=", 1) == (1 if latest >= 1 else 0), letter
+        assert rq(letter, "=", 1) == (1 if latest == 1 else 0), letter
+        assert rq(letter, "=", 0) == (1 if latest == 0 else 0), letter
+        assert rq(letter, "<", 1) == (1 if latest < 1 else 0), letter
+        assert rq(letter, "!=", 1) == (1 if latest != 1 else 0), letter
+
+
+def test_mldb_1779_column_expr_pathnames(mldb):
+    """MLDB-1779-column_expr_pathnames.py: bare COLUMN EXPR ()
+    selects everything; columnPathElement(n) (and negative n) match
+    against flattened dotted paths from parse_json."""
+    sub = (
+        "select parse_json('"
+        '{"age": 5, "friends": [{"name": "tommy"}, {"name": "sally"}]}'
+        "') as *"
+    )
+    a = mldb.query(f"SELECT column expr () from ({sub})")
+    b = mldb.query(f"SELECT * from ({sub})")
+    assert sorted(a.columns) == sorted(b.columns)
+    out = mldb.query(
+        f"select COLUMN EXPR (WHERE columnPathElement(1) = '0') FROM ({sub})"
+    )
+    assert out.columns == ["friends.0.name"]
+    assert out.collect()[0][0] == "tommy"
+    out = mldb.query(
+        f"select COLUMN EXPR (WHERE columnPathElement(-2) = '0') FROM ({sub})"
+    )
+    assert out.columns == ["friends.0.name"]
+    assert out.collect()[0][0] == "tommy"
+
+
+def test_mldb_1275_melt_with_parse_json(mldb):
+    """MLDB-1275_melt_procedure.py (core semantics): parse_json with
+    arrays='encode' renders object-array elements as JSON text at
+    their index paths (friends.1), and melting the friends.* columns
+    yields one row per (row, melted column) with the key holding the
+    melted path."""
+    import json as _json
+
+    row1 = {
+        "name": "bill", "age": 25,
+        "friends": [{"name": "mich", "age": 20},
+                    {"name": "jean", "age": 18}],
+    }
+    _ds(mldb, "mj1275", [("row1", _json.dumps(row1))], "rn string, data string")
+    out = mldb.query(
+        "SELECT parse_json(data, {arrays: 'encode'}) AS * FROM mj1275"
+    )
+    row = out.collect()[0]
+    d = row.asDict()
+    assert d["age"] == "25"
+    assert _json.loads(d["friends.1"]) == {"age": 18, "name": "jean"}
+    # arrays='parse' (default): fully flattened element paths
+    out = mldb.query("SELECT parse_json(data) AS * FROM mj1275")
+    d = out.collect()[0].asDict()
+    assert d["friends.1.name"] == "jean" and d["friends.0.age"] == "20"
+    # melt the friends columns
+    mldb.create_dataset(
+        "wide1275",
+        mldb.query(
+            "SELECT parse_json(data, {arrays: 'encode'}) AS * FROM mj1275"
+        ),
+    )
+    melted = mldb.melt(
+        "wide1275", ["name", "age"], ["friends.0", "friends.1"], "melted1275"
+    )
+    rows = {r["key"]: r for r in melted.collect()}
+    assert set(rows) == {"friends.0", "friends.1"}
+    assert rows["friends.1"]["age"] == "25"
+    assert _json.loads(rows["friends.1"]["value"])["name"] == "jean"
+
+
+def test_mldb_1802_qualified_order_by(mldb):
+    """MLDB-1802-select-orderby.py: ORDER BY alias-qualified columns
+    (dataset1.x) orders correctly whether or not the select list
+    carries the ordering column."""
+    _ds(
+        mldb, "d1802",
+        [("row_c", 1, 3), ("row_b", 2, 2), ("row_a", 3, 1)],
+        "rn string, x int, y int",
+    )
+    r1 = _q(mldb, "SELECT 1 FROM d1802 AS dataset1 ORDER BY dataset1.x")
+    assert r1 == [(1,), (1,), (1,)]
+    r2 = _q(
+        mldb,
+        "SELECT dataset1.y AS v FROM d1802 AS dataset1 ORDER BY dataset1.x",
+    )
+    assert r2 == [(3,), (2,), (1,)]
+
+
+def test_mldb_1808_precision_loss(mldb):
+    """MLDB-1808_precision_loss_issue.py: doubles survive the full
+    query path at full precision — storage, literal select, and
+    aggregation."""
+    n1, n2 = 71218.50311678024, 255650.6226198759
+    _ds(mldb, "d1808", [("1", n1), ("2", n2)], "rn string, a double")
+    assert _q(mldb, "SELECT a FROM d1808 ORDER BY rowName()") == [(n1,), (n2,)]
+    assert _q(mldb, f"SELECT {n2:.10f} AS v")[0][0] == n2
+    assert _q(mldb, "SELECT sum(a) AS s FROM d1808")[0][0] == n1 + n2
+    assert _q(mldb, "SELECT avg(a) AS s FROM d1808")[0][0] == (n1 + n2) / 2
+
+
+def test_mldb_1911_horizontal_agg_no_from(mldb):
+    """MLDB-1911_horizontal_agg_no_from.py: horizontal_* over a row
+    literal WITHOUT a FROM clause (the reference itself marks these
+    expectedFailure — this engine supports them)."""
+    assert _q(mldb, "SELECT horizontal_sum({1 AS a, 2 AS b}) AS s")[0][0] == 3
+    assert _q(mldb, "SELECT horizontal_count({1 AS a, 2 AS b}) AS c")[0][0] == 2
+    assert _q(mldb, "SELECT horizontal_min({1 AS a, 2 AS b}) AS m")[0][0] == 1
+
+
+def test_mldb_1921_merge_plain_string_datasets(mldb):
+    """MLDB-1921_merge_ds_strings.py: merging datasets named by plain
+    strings (the reference marks this expectedFailure; the dialect's
+    FROM merge(ds1, ds2) takes bare names)."""
+    _ds(mldb, "m1921a", [("row1", 1)], "rn string, A int")
+    _ds(mldb, "m1921b", [("row1", 2)], "rn string, B int")
+    rows = _q(
+        mldb,
+        "SELECT A, B FROM merge(m1921a, m1921b) ORDER BY rowName()",
+    )
+    assert rows == [(1, 2)]
+
+
+def test_mldb_1933_column_expr_structured_select(mldb):
+    """MLDB-1933-subselect-flatten.py: COLUMN EXPR STRUCTURED with a
+    per-column SELECT transform over embedding columns — constant
+    replacement and norm(value(), 2)."""
+    out = mldb.query(
+        "SELECT COLUMN EXPR STRUCTURED (SELECT 1) "
+        "FROM (SELECT [2,3] as x, [4,5] as y)"
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 1)]
+    assert sorted(out.columns) == ["x", "y"]
+    out = mldb.query(
+        "SELECT COLUMN EXPR STRUCTURED (SELECT norm(value(), 2)) "
+        "FROM (SELECT [2,3] as x, [4,5] as y)"
+    )
+    row = out.collect()[0]
+    assert abs(row["x"] - 3.605551275463989) < 1e-12
+    assert abs(row["y"] - 6.4031242374328485) < 1e-12
+
+
+def test_mldb_2108_split_part_row_form(mldb):
+    """MLDB-2108-split-string.py: 2-arg split_part(x, sep) returns
+    the split elements (the reference's row form renders here as an
+    array — element access via [n]); UTF-8 content and separators
+    split correctly."""
+    rows = _q(
+        mldb,
+        "SELECT split_part(x, '::') AS x FROM (SELECT 'A::B::C' as x)",
+    )
+    assert list(rows[0][0]) == ["A", "B", "C"]
+    assert _q(
+        mldb,
+        "SELECT split_part(x, ' ')[2] AS x "
+        "FROM (SELECT 'The Quick Brown Fox' as x)",
+    )[0][0] == "Brown"
+    assert _q(
+        mldb,
+        "SELECT split_part(x, ' ')[4] AS x FROM "
+        "(SELECT 'ᛖᚴ ᚷᛖᛏ ᛖᛏᛁ ᚧ ᚷᛚᛖᚱ ᛘᚾ ᚦᛖᛋᛋ ᚨᚧ ᚡᛖ ᚱᚧᚨ ᛋᚨᚱ' as x)",
+    )[0][0] == "ᚷᛚᛖᚱ"
+    assert _q(
+        mldb,
+        "SELECT split_part(x, 'ᚧ')[4] AS x FROM "
+        "(SELECT 'ᛖᚴᚧᚷᛖᛏᚧᛖᛏᛁᚧᚷᛚᛖᚱᚧᛘᚾᚧᚦᛖᛋᛋᚧᚨᚧᚧᚡᛖᚧᚱᚧᚨᚧᛋᚨᚱ' as x)",
+    )[0][0] == "ᛘᚾ"
+
+
+def test_mldb_2064_transform_row_dataset(mldb):
+    """MLDB-2064_transform_proc_row_expr.py: a transform procedure
+    whose inputData is a row_dataset() with a spaced column name
+    materializes identically to the direct query."""
+    q = 'SELECT * FROM row_dataset({"My Value": 1})'
+    good = [tuple(r) for r in mldb.query(q).collect()]
+    mldb.create_entity(
+        "procedure",
+        {
+            "id": "t2064",
+            "type": "transform",
+            "params": {
+                "inputData": q,
+                "outputDataset": {"id": "keywords2064", "type": "tabular"},
+            },
+        },
+    )
+    assert [tuple(r) for r in mldb.query("select * from keywords2064").collect()] == good
+
+
+def test_mldb_2077_merge_single_dataset(mldb):
+    """MLDB-2077_merge_single_ds.py: merge() of a single dataset is
+    the identity."""
+    _ds(mldb, "m2077", [("1", "A")], "rn string, colA string")
+    rows = _q(mldb, "SELECT colA FROM merge(m2077)")
+    assert rows == [("A",)]
+
+
+def test_mldb_2040_theta_join_battery(mldb):
+    """MLDB-2040_join_tests.py: LEFT/RIGHT/FULL theta joins (>, >=,
+    <, <=, compound, arithmetic, no-match) with the reference's
+    [left]-[right] row naming and NULL padding."""
+    _ds(
+        mldb, "a2040",
+        [("row1", 1, 1), ("row2", 1, 2), ("row3", 2, 1), ("row4", 2, 2)],
+        "rn string, one int, two int",
+    )
+    _ds(
+        mldb, "b2040",
+        [("row0", 0), ("row1", 1), ("row2", 2)],
+        "rn string, one int",
+    )
+
+    def rows(sql):
+        out = mldb.query(sql)
+        return [tuple(r) for r in out.collect()]
+
+    base = (
+        "SELECT rowName() AS r, a.one AS ao, a.two AS at, b.one AS bo "
+        "FROM a2040 AS a {} JOIN b2040 AS b ON {} ORDER BY rowName()"
+    )
+    assert rows(base.format("LEFT", "a.one > b.one")) == [
+        ("[row1]-[row0]", 1, 1, 0),
+        ("[row2]-[row0]", 1, 2, 0),
+        ("[row3]-[row0]", 2, 1, 0),
+        ("[row3]-[row1]", 2, 1, 1),
+        ("[row4]-[row0]", 2, 2, 0),
+        ("[row4]-[row1]", 2, 2, 1),
+    ]
+    assert rows(base.format("LEFT", "a.one < b.one")) == [
+        ("[row1]-[row2]", 1, 1, 2),
+        ("[row2]-[row2]", 1, 2, 2),
+        ("[row3]-[]", 2, 1, None),
+        ("[row4]-[]", 2, 2, None),
+    ]
+    assert rows(base.format("LEFT", "a.one - 100 > b.one")) == [
+        ("[row1]-[]", 1, 1, None),
+        ("[row2]-[]", 1, 2, None),
+        ("[row3]-[]", 2, 1, None),
+        ("[row4]-[]", 2, 2, None),
+    ]
+    assert rows(base.format("LEFT", "a.one > b.one AND a.two > b.one")) == [
+        ("[row1]-[row0]", 1, 1, 0),
+        ("[row2]-[row0]", 1, 2, 0),
+        ("[row3]-[row0]", 2, 1, 0),
+        ("[row4]-[row0]", 2, 2, 0),
+        ("[row4]-[row1]", 2, 2, 1),
+    ]
+    assert rows(base.format("LEFT", "a.one > b.one AND a.two - 1 < b.one")) == [
+        ("[row1]-[]", 1, 1, None),
+        ("[row2]-[]", 1, 2, None),
+        ("[row3]-[row1]", 2, 1, 1),
+        ("[row4]-[]", 2, 2, None),
+    ]
+    assert rows(base.format("LEFT", "a.one >= b.one AND a.two <= b.one")) == [
+        ("[row1]-[row1]", 1, 1, 1),
+        ("[row2]-[]", 1, 2, None),
+        ("[row3]-[row1]", 2, 1, 1),
+        ("[row3]-[row2]", 2, 1, 2),
+        ("[row4]-[row2]", 2, 2, 2),
+    ]
+    # FULL theta with non-matches on both sides
+    _ds(
+        mldb, "cross2040",
+        [("row1", 1, 9), ("row2", 1, 9)],
+        "rn string, one int, two int",
+    )
+    got = rows(
+        "SELECT rowName() AS r, b.one AS bo, c.one AS co, c.two AS ct "
+        "FROM b2040 AS b FULL JOIN cross2040 AS c "
+        "ON b.one < c.one AND c.two < b.one ORDER BY rowName()"
+    )
+    assert got == [
+        ("[]-[row1]", None, 1, 9),
+        ("[]-[row2]", None, 1, 9),
+        ("[row0]-[]", 0, None, None),
+        ("[row1]-[]", 1, None, None),
+        ("[row2]-[]", 2, None, None),
+    ]

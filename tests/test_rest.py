@@ -177,3 +177,36 @@ def test_function_application_route(spark):
         assert out["output"]["rez"] == 12
     finally:
         srv.stop()
+
+
+def test_mldb_2107_atom_format_battery(server):
+    """MLDB-2107-scalar-format.py: the atom format returns the bare
+    scalar for every type, and errors on multiple columns, multiple
+    rows, no rows, and no columns."""
+    import urllib.error
+    import urllib.parse
+
+    def atom(q):
+        qs = urllib.parse.quote(q)
+        return _get(server, f"/v1/query?q={qs}&format=atom")[1]
+
+    def atom_error(q):
+        qs = urllib.parse.quote(q)
+        try:
+            _get(server, f"/v1/query?q={qs}&format=atom")
+        except urllib.error.HTTPError as e:
+            return json.loads(e.read()).get("error", "")
+        raise AssertionError("expected an atom-format error")
+
+    assert atom("select x from (select 17 as x)") == 17
+    assert atom("select x from (select 2.3 as x)") == 2.3
+    assert atom("select x from (select 'blah' as x)") == "blah"
+    assert atom("select x from (select false as x)") in (False, 0)
+    assert "column" in atom_error(
+        "select x, y from (select false as x, 1 as y)"
+    ).lower()
+    assert "row" in atom_error("select r_name from region").lower()
+    assert atom("select r_name from region order by r_name limit 1") == "AFRICA"
+    assert "row" in atom_error(
+        "select r_name from region where r_name = 'patate'"
+    ).lower()
