@@ -203,6 +203,40 @@ class Mldb:
                 ):
                     df = self.ctx._lookup_function(it.expr.name)(df)
                     continue
+                if (
+                    isinstance(it.expr, _ast.Index)
+                    and isinstance(it.expr.operand, _ast.FunctionCall)
+                    and self.ctx._lookup_function(it.expr.operand.name)
+                    is not None
+                    and isinstance(it.expr.key, _ast.Literal)
+                ):
+                    # composed accessor form inside a function body:
+                    # inner({...})[out] AS name (MLDB-1190's
+                    # getMsgStats({text: raw_text}) as msgStats) —
+                    # materialize the argument fields, apply the inner
+                    # entity, extract the output column
+                    inner = it.expr.operand
+                    abinder = Binder(
+                        df.columns, params or {}, dtypes=dict(df.dtypes)
+                    )
+                    arg_tmp: list[str] = []
+                    if inner.args and isinstance(
+                        inner.args[0], _ast.RowLiteral
+                    ):
+                        for fname, fexpr in inner.args[0].fields:
+                            if fname not in df.columns:
+                                df = df.withColumn(
+                                    fname, abinder.bind(fexpr)
+                                )
+                                arg_tmp.append(fname)
+                    df = self.ctx._lookup_function(inner.name)(df)
+                    key = str(it.expr.key.value)
+                    out_name = it.alias or _expr_name(it.expr, i)
+                    if key in df.columns and out_name != key:
+                        df = df.withColumn(out_name, _F.col(f"`{key}`"))
+                    if arg_tmp:
+                        df = df.drop(*[c for c in arg_tmp if c != out_name])
+                    continue
                 plain.append((i, it))
             if not plain and not qualified_cols:
                 return df
@@ -435,6 +469,12 @@ class Mldb:
                 raise ValueError(f"createEntity: unknown function type {etype!r}")
         elif kind == "procedure":
             if etype == "transform":
+                # missing inputs are configuration errors, not crashes
+                # (MLDB-2119_segfault_transform_no_input.py)
+                if "inputData" not in params:
+                    raise ValueError("You need to define inputData")
+                if "outputDataset" not in params:
+                    raise ValueError("You need to define outputDataset")
                 # outputDataset accepts a plain id string OR a
                 # {id, [type]} config row with a defaulted type
                 # (MLDB-1025-dataset-output-with-default.py)

@@ -144,7 +144,10 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         "acos": F.acos, "atan": F.atan, "sinh": F.sinh, "cosh": F.cosh,
         "tanh": F.tanh, "to_timestamp": F.to_timestamp,
         "date_trunc_day": lambda c: F.date_trunc("day", c),
-        "tokenize": tokenize_counts, "token_count": token_count,
+        # the reference's tokenize preserves case (sql/tokenize.cc;
+        # MLDB-1190 keeps 'I')
+        "tokenize": lambda c: tokenize_counts(c, lowercase=False),
+        "token_count": token_count,
         "language_id": language_id, "quality_score": quality_score,
         "normalize_text": normalize_text, "tokenize_counts": tokenize_counts,
         # path scalar surface (sql/path_functions; MLDB-1648):
@@ -271,6 +274,7 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
             limit=(int(lit_of("limit")) if lit_of("limit") is not None else None),
             offset=int(lit_of("offset", 0)),
             quote_char=lit_of("quotechar"),
+            lowercase=False,
         )
         distinct = F.array_distinct(toks)
         if "value" in opts:
@@ -385,6 +389,7 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
             split_chars=split_chars,
             min_token_length=min_len,
             quote_char=quote_char,
+            lowercase=False,
         )
         n = _literal_int(raw_args[1])
         if n is None:
@@ -695,7 +700,14 @@ class Binder:
         if isinstance(e, ast.Cast):
             return e.type_name
         if isinstance(e, ast.IntervalLiteral):
-            return "interval"
+            return "interval" if e.months else "interval day to second"
+        if isinstance(e, ast.Binary) and e.op in ("+", "-"):
+            # interval +/- interval stays an interval (MLDB-1033's
+            # negative-interval rendering)
+            lt = self._static_dtype(e.left)
+            rt = self._static_dtype(e.right)
+            if lt.startswith("interval") and rt.startswith("interval"):
+                return lt
         if isinstance(e, ast.Literal):
             if isinstance(e.value, bool):
                 return "boolean"
@@ -854,6 +866,41 @@ class Binder:
                 return F.array(c.cast("string"))
             if e.type_name not in _CAST_TYPES:
                 raise ValueError(f"unknown cast type {e.type_name}")
+            if e.type_name == "string" and self._static_dtype(
+                e.operand
+            ).startswith("interval day"):
+                # the reference's interval rendering (MLDB-1033/1038:
+                # "1H 16M 7.89S", "-0.1S", zero = "0S"): skip zero
+                # components, no padding, fraction trimmed
+                c = self.bind(e.operand)
+                # Spark renders dt intervals as
+                # INTERVAL '[-]D HH:MM:SS[.f]' DAY TO SECOND — parse
+                # the components back out (casting to long truncates
+                # fractional seconds)
+                txt = c.cast("string")
+                pat = r"INTERVAL '(-?)(\d+) (\d+):(\d+):(\d+(?:\.\d+)?)'"
+                neg = F.regexp_extract(txt, pat, 1) == "-"
+                days = F.regexp_extract(txt, pat, 2).cast("long")
+                hours = F.regexp_extract(txt, pat, 3).cast("long")
+                mins = F.regexp_extract(txt, pat, 4).cast("long")
+                secs = F.regexp_extract(txt, pat, 5).cast("double")
+                sec_txt = F.regexp_replace(
+                    F.regexp_extract(txt, pat, 5), r"(\.\d*?)0+$", r"$1"
+                )
+                sec_txt = F.regexp_replace(sec_txt, r"\.$", "")
+                sec_txt = F.regexp_replace(sec_txt, r"^0+(\d)", r"$1")
+                parts = F.concat_ws(
+                    " ",
+                    F.when(days > 0, F.concat(days.cast("string"), F.lit("D"))),
+                    F.when(hours > 0, F.concat(hours.cast("string"), F.lit("H"))),
+                    F.when(mins > 0, F.concat(mins.cast("string"), F.lit("M"))),
+                    F.when(
+                        (secs > 0)
+                        | ((days == 0) & (hours == 0) & (mins == 0)),
+                        F.concat(sec_txt, F.lit("S")),
+                    ),
+                )
+                return F.when(neg, F.concat(F.lit("-"), parts)).otherwise(parts)
             # reference semantics: failed casts yield NULL
             return self.bind(e.operand).try_cast(_CAST_TYPES[e.type_name])
         if isinstance(e, ast.EmbeddingLiteral):
@@ -1153,13 +1200,51 @@ class Binder:
         return ~out if e.negated else out
 
     def _case(self, e: ast.Case) -> Column:
+        # row-valued branches with different field sets unify to the
+        # UNION of fields, absent ones NULL — the reference's
+        # `CASE … THEN {z:5, y:8} ELSE {} END` (MLDB-1734); Spark's
+        # casewhen needs one struct type
+        row_vals = [
+            v
+            for v in [val for _, val in e.branches]
+            + ([e.otherwise] if e.otherwise is not None else [])
+            if isinstance(v, ast.RowLiteral)
+        ]
+        if row_vals:
+            all_fields: list[str] = []
+            for rl in row_vals:
+                for n, _x in rl.fields:
+                    if n not in all_fields:
+                        all_fields.append(n)
+            all_fields.sort()
+
+            def unify(v: ast.Expr) -> ast.Expr:
+                if not isinstance(v, ast.RowLiteral):
+                    return v
+                have = dict(v.fields)
+                return ast.RowLiteral(
+                    [
+                        (n, have.get(n, ast.Literal(None)))
+                        for n in all_fields
+                    ]
+                )
+
+            e = ast.Case(
+                e.operand,
+                [(c, unify(v)) for c, v in e.branches],
+                unify(e.otherwise) if e.otherwise is not None else None,
+            )
         col = None
         for cond, val in e.branches:
-            test = (
-                (self.bind(e.operand) == self.bind(cond))
-                if e.operand is not None
-                else self.bind(cond).cast("boolean")
-            )
+            if e.operand is not None:
+                op = self.bind(e.operand)
+                if self._is_booly(e.operand):
+                    # truth values participate as 1/0 (MLDB-1734's
+                    # `CASE x = 1 WHEN 1 THEN …`)
+                    op = op.cast("boolean").cast("int")
+                test = op == self.bind(cond)
+            else:
+                test = self.bind(cond).cast("boolean")
             col = F.when(test, self.bind(val)) if col is None else col.when(test, self.bind(val))
         if col is None:
             raise ValueError("CASE needs at least one WHEN")
@@ -2911,6 +2996,22 @@ class MldbContext:
                         )
                     )
                     mapping.append((n, cname))
+                elif (
+                    base in ("latest_ts", "earliest_ts")
+                    and _star_row(n.args[0])
+                    and not any(n == m for m, _ in mapping)
+                ):
+                    # latest/earliest_timestamp({*}): the row's full
+                    # ts range over every cell (MLDB-998's
+                    # min(earliest_timestamp({*})) range query)
+                    agg = F.min if base == "earliest_ts" else F.max
+                    cname = f"__tc{len(mapping)}_star"
+                    join_dfs.append(
+                        cells.groupBy(
+                            F.col(row_c).alias("__cellsRow")
+                        ).agg(agg(F.col(ts_c)).alias(cname))
+                    )
+                    mapping.append((n, cname))
 
         for it in new_select:
             if isinstance(it, ast.ExprItem):
@@ -3108,6 +3209,54 @@ class MldbContext:
         )
 
         ordagg_names: list[str] = []
+        if (
+            is_agg
+            and stm.order_by
+            and stm.named is None
+            and stm.group_by
+            and any(
+                isinstance(n, ast.FunctionCall)
+                and n.name == "rowname"
+                and not n.args
+                for o in stm.order_by
+                for n in _walk(o.expr)
+            )
+        ):
+            # ORDER BY rowName() under a plain GROUP BY orders by the
+            # synthesized group-row name — the reference renders it as
+            # "[key]" per key, joined with '-' (MLDB-702's
+            # `min({*}) … GROUP BY label ORDER BY rowName()`)
+            import dataclasses
+
+            def _bracket(e: ast.Expr) -> ast.Expr:
+                return ast.Binary(
+                    "||",
+                    ast.Binary("||", ast.Literal("["), ast.Cast(e, "string")),
+                    ast.Literal("]"),
+                )
+
+            gname: ast.Expr = _bracket(stm.group_by[0])
+            for g in stm.group_by[1:]:
+                gname = ast.Binary(
+                    "||", ast.Binary("||", gname, ast.Literal("-")), _bracket(g)
+                )
+            _gname = gname
+            stm = dataclasses.replace(
+                stm,
+                order_by=[
+                    ast.OrderItem(
+                        _rewrite(
+                            o.expr,
+                            lambda n: _gname
+                            if isinstance(n, ast.FunctionCall)
+                            and n.name == "rowname" and not n.args
+                            else None,
+                        ),
+                        o.ascending,
+                    )
+                    for o in stm.order_by
+                ],
+            )
         if is_agg and stm.order_by and stm.named is not None:
             # ORDER BY rowName() under GROUP BY + NAMED orders by the
             # NAMED expression itself (MLDB-809's

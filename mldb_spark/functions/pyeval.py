@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     DataType,
     DoubleType,
     LongType,
+    MapType,
     StringType,
 )
 
@@ -42,6 +43,11 @@ _TYPES: dict[str, DataType] = {
     "integer": LongType(),
     "string": StringType(),
     "boolean": BooleanType(),
+    # dict results become a MAP<string,string> row — `AS *` spreads it
+    # to sparse columns (the jseval row-output contract, MLDB-704's
+    # `jseval(...) AS *`); values render as strings like the engine's
+    # other open-schema row forms
+    "row": MapType(StringType(), StringType()),
 }
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -55,6 +61,12 @@ def compile_lambda(src: str, argnames: list[str]):
     for n in argnames:
         if not _NAME_RE.match(n):
             raise ValueError(f"pyeval: invalid argument name {n!r}")
+    # tolerate the reference's `return <expr>` spelling (jseval
+    # bodies are statements; a single trailing return is the common
+    # form in its test corpus — MLDB-704)
+    stripped = src.strip()
+    if stripped.startswith("return "):
+        src = stripped[len("return "):]
     env = {"math": math, "re": re}
     try:
         fn = eval(  # noqa: S307 — pyeval IS the documented escape hatch
@@ -75,15 +87,28 @@ def pyeval_udf(src: str, argnames: list[str], out_type: str = "number"):
         )
     fn = compile_lambda(src, argnames)
     spark_type = _TYPES[out_type]
+    def _row_cast(r):
+        if not isinstance(r, dict):
+            raise TypeError("pyeval row output needs a dict")
+        return {
+            str(k): (None if v is None else str(v)) for k, v in r.items()
+        }
+
     cast = {
         "number": float, "double": float, "integer": int,
-        "string": str, "boolean": bool,
+        "string": str, "boolean": bool, "row": _row_cast,
     }[out_type]
 
     @F.pandas_udf(spark_type)
     def run(*cols: pd.Series) -> pd.Series:
         out = []
-        for vals in zip(*[c.to_list() for c in cols]):
+        # struct-typed arguments arrive as a pd.DataFrame — hand the
+        # lambda a per-row dict (the {*} row-input contract, MLDB-704)
+        mats = [
+            c.to_dict("records") if isinstance(c, pd.DataFrame) else c.to_list()
+            for c in cols
+        ]
+        for vals in zip(*mats):
             try:
                 r = fn(*vals)
                 out.append(None if r is None else cast(r))

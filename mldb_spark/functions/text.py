@@ -53,6 +53,7 @@ def tokenize_opts(
     limit: int | None = None,
     offset: int = 0,
     quote_char: str | None = None,
+    lowercase: bool = True,
 ) -> Column:
     """tokenize() with the reference's option surface
     (sql/tokenize.cc; doc ValueExpression.md §tokenize: splitChars,
@@ -64,13 +65,14 @@ def tokenize_opts(
     element."""
     import re as _re
 
+    base = F.lower(text) if lowercase else text.cast("string")
     if quote_char is not None:
         # quoted spans survive whole: extract quoted|unquoted runs,
         # then strip the quotes
         q = _re.escape(quote_char)
         split_cls = _re.escape(split_chars) if split_chars else r",\s"
         pat = f"{q}[^{q}]*{q}|[^{split_cls}{q}]+"
-        raw = F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0))
+        raw = F.regexp_extract_all(base, F.lit(pat), F.lit(0))
         toks = F.transform(
             raw, lambda t: F.regexp_replace(t, f"^{q}|{q}$", "")
         )
@@ -78,7 +80,7 @@ def tokenize_opts(
         pattern = (
             "[" + _re.escape(split_chars) + "]+" if split_chars else TOKEN_SPLIT_RE
         )
-        toks = F.split(F.lower(text), pattern)
+        toks = F.split(base, pattern)
     toks = F.filter(
         toks,
         lambda t: (t != F.lit("")) & (F.length(t) >= min_token_length),
@@ -96,10 +98,20 @@ def tokenize_opts(
     return out
 
 
-def tokenize_counts(text: Column) -> Column:
+def tokenize_counts(text: Column, lowercase: bool = True) -> Column:
     """Bag-of-words as MAP<token, count> — the reference's tokenize()
-    output shape (one sparse column per token, flattened)."""
-    toks = tokenize(text)
+    output shape (one sparse column per token, flattened). The
+    reference does NOT fold case (sql/tokenize.cc; MLDB-1190 keeps
+    'I') — the SQL dialect passes lowercase=False; the Python-level
+    corpus pipelines keep the folding default."""
+    toks = (
+        tokenize(text)
+        if lowercase
+        else F.filter(
+            F.split(text.cast("string"), TOKEN_SPLIT_RE),
+            lambda t: t != F.lit(""),
+        )
+    )
     distinct = F.array_distinct(toks)
     return F.map_from_arrays(
         distinct,

@@ -37,6 +37,7 @@ def import_text(
     skip_line_regex: str | None = None,
     multi_line: bool = False,
     replace_invalid_characters_with: str | None = None,
+    headers: "list[str] | None" = None,
 ) -> DataFrame:
     """import.text: CSV → DataFrame with the reference's per-line
     options (plugins/textual/importtext_procedure.h:22-57). Header
@@ -48,6 +49,8 @@ def import_text(
     BEFORE parsing (the reference's skipLineRegex; the header line is
     exempt); multi_line enables quoted embedded newlines.
     """
+    if headers is not None:
+        header = False
     reader = (
         spark.read.option("header", header)
         .option("sep", delimiter)
@@ -70,7 +73,11 @@ def import_text(
         df = reader.csv(kept.rdd.map(lambda r: r["value"]))
     else:
         df = reader.csv(path)
-    if not header:
+    if headers is not None:
+        # user-supplied header names (the reference's `headers`
+        # option, MLDB-1121/1428): the file has no header line
+        df = df.toDF(*headers)
+    elif not header:
         df = df.toDF(*[f"x{i}" for i in range(len(df.columns))])
     if offset or limit is not None:
         df = df.withColumn("__line", F.monotonically_increasing_id())

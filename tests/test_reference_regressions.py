@@ -1457,11 +1457,14 @@ def test_mldb_1172_column_expr_in_expression(mldb):
     """MLDB-1172_column_expr_fail.py: COLUMN EXPR with ORDER BY
     rowCount() LIMIT, and COLUMN EXPR inside a row literal feeding
     horizontal_sum."""
-    _ds(
-        mldb,
+    # no rn data column: rowCount() counts rows-with-value, so a
+    # row-name column would outrank the sparse features
+    mldb.create_dataset(
         "m1172",
-        [("rowA", 1, 1, 1), ("rowB", 1, 1, None), ("rowC", 1, None, None)],
-        "rn string, feat1 int, feat2 int, feat3 int",
+        mldb.spark.createDataFrame(
+            [(1, 1, 1), (1, 1, None), (1, None, None)],
+            "feat1 int, feat2 int, feat3 int",
+        ),
     )
     out = mldb.query(
         "select COLUMN EXPR (ORDER BY rowCount() DESC LIMIT 2) from m1172"
@@ -1476,7 +1479,7 @@ def test_mldb_1172_column_expr_in_expression(mldb):
         mldb,
         "SELECT horizontal_sum({COLUMN EXPR (WHERE "
         "regex_match(columnName(), 'feat.*'))}) AS res FROM m1172 "
-        "ORDER BY rowName()",
+        "ORDER BY res DESC",
     )]
     assert vals == [3.0, 2.0, 1.0]
     df = mldb.spark.createDataFrame(
@@ -4117,3 +4120,375 @@ def test_mldb_2040_theta_join_battery(mldb):
         ("[row1]-[]", 1, None, None),
         ("[row2]-[]", 2, None, None),
     ]
+
+
+def test_mldb_2142_prefix_suffix(mldb):
+    """MLDB-2142-prefix-suffix.py: remove_prefix/remove_suffix match
+    exact affixes (no-op when not an affix); non-string args raise."""
+    import pytest
+
+    assert _q(mldb, "SELECT remove_prefix('awesome', 'awe') AS v")[0][0] == "some"
+    assert _q(mldb, "SELECT remove_prefix('awesome', 'eso') AS v")[0][0] == "awesome"
+    assert _q(mldb, "SELECT remove_suffix('awesome', 'some') AS v")[0][0] == "awe"
+    assert _q(mldb, "SELECT remove_suffix('awesome', 'eso') AS v")[0][0] == "awesome"
+
+
+def test_mldb_2119_transform_requires_input(mldb):
+    """MLDB-2119_segfault_transform_no_input.py: a transform
+    procedure without inputData raises a clear error, not a crash."""
+    import pytest
+
+    with pytest.raises(Exception, match="inputData|input"):
+        mldb.create_entity(
+            "procedure",
+            {"id": "t2119", "type": "transform", "params": {}},
+        )
+
+
+def test_mldb_909_when_superposition_windows(mldb):
+    """MLDB-909-simple-WHEN-expression.py (multi-ts half): WHEN
+    windows over a cell's superposition keep exactly the in-window
+    values; the surviving latest is observable through the plain
+    column read. Inverted BETWEEN filters everything."""
+    import datetime as _dt
+
+    cells = mldb.spark.createDataFrame(
+        [
+            ("row1", "colA", 2.0, _dt.datetime(1970, 1, 2)),
+            ("row1", "colA", 4.0, _dt.datetime(1970, 1, 4)),
+            ("row1", "colA", 6.0, _dt.datetime(1970, 1, 6)),
+        ],
+        "row string, column string, value double, ts timestamp",
+    )
+    mldb.ctx.register_cells("ds909m", cells)
+
+    def col_a(when):
+        rows = mldb.query(f"SELECT colA FROM ds909m WHEN {when}").collect()
+        assert len(rows) == 1
+        return rows[0]["colA"]
+
+    for w in (
+        "value_timestamp() BETWEEN TIMESTAMP '1970-01-03T00:00:00Z' "
+        "AND TIMESTAMP '1970-01-05T00:00:00Z'",
+        "value_timestamp() >= TIMESTAMP '1970-01-03T00:00:00Z' AND "
+        "value_timestamp() <= TIMESTAMP '1970-01-05T00:00:00Z'",
+        "value_timestamp() BETWEEN TIMESTAMP '1970-01-04T00:00:00Z' "
+        "AND TIMESTAMP '1970-01-04T00:00:00Z'",
+        "value_timestamp() = TIMESTAMP '1970-01-04T00:00:00Z'",
+    ):
+        assert col_a(w) == 4.0, w
+    # inverted window: everything filtered; the row remains with a
+    # NULL cell (tabular rendering of the zero-column row)
+    assert col_a(
+        "value_timestamp() BETWEEN TIMESTAMP '1970-01-04T23:59:59Z' "
+        "AND TIMESTAMP '1970-01-03T23:59:59Z'"
+    ) is None
+    # mixed columns (dataset3): only the early colA value survives
+    cells3 = mldb.spark.createDataFrame(
+        [
+            ("row1", "colA", 1.0, _dt.datetime(1970, 1, 2)),
+            ("row1", "colB", 3.0, _dt.datetime(1970, 1, 4)),
+            ("row1", "colB", 5.0, _dt.datetime(1970, 1, 6)),
+        ],
+        "row string, column string, value double, ts timestamp",
+    )
+    mldb.ctx.register_cells("ds909n", cells3)
+    rows = mldb.query(
+        "SELECT colA, colB FROM ds909n WHEN value_timestamp() < "
+        "TIMESTAMP '1970-01-03T00:00:00Z'"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["colA"] == 1.0 and rows[0]["colB"] is None
+
+
+def test_mldb_998_timestamp_range(mldb):
+    """MLDB-998-get-timestamp-range.js: the dataset's timestamp range
+    via min(earliest_timestamp({*})) / max(latest_timestamp({*}))
+    over the full cell superposition."""
+    import datetime as _dt
+
+    cells = mldb.spark.createDataFrame(
+        [
+            ("row1", "imp", 0.0, _dt.datetime(2015, 1, 1)),
+            ("row1", "click", 0.0, _dt.datetime(2015, 1, 2)),
+            ("row2", "click", 0.0, _dt.datetime(2015, 1, 3)),
+            ("row2", "imp", 1.0, _dt.datetime(2015, 1, 1)),
+            ("row3", "click", 0.0, _dt.datetime(2015, 1, 1)),
+            ("row3", "imp", 0.0, _dt.datetime(2015, 1, 1)),
+        ],
+        "row string, column string, value double, ts timestamp",
+    )
+    mldb.ctx.register_cells("t998", cells)
+    row = mldb.query(
+        "SELECT min(earliest_timestamp({*})) AS e, "
+        "max(latest_timestamp({*})) AS l FROM t998"
+    ).collect()[0]
+    assert row["e"] == _dt.datetime(2015, 1, 1)
+    assert row["l"] == _dt.datetime(2015, 1, 3)
+
+
+def test_mldb_1033_interval_rendering(mldb):
+    """MLDB-1033/1034/1037/1038: CAST (interval AS STRING) renders
+    the reference's compact form — zero components skipped, no
+    padding, fractional seconds trimmed, empty interval = '0S',
+    negative sign leads."""
+    def render(expr):
+        return _q(mldb, f"SELECT CAST ({expr} AS STRING) AS v")[0][0]
+
+    assert render("INTERVAL '4567.89s'") == "1H 16M 7.89S"
+    assert render("INTERVAL '6789.0123s'") == "1H 53M 9.0123S"
+    assert render("INTERVAL '56789.0123s'") == "15H 46M 29.0123S"
+    assert render("INTERVAL '0s'") == "0S"
+    assert render("INTERVAL '90061.5s'") == "1D 1H 1M 1.5S"
+    assert render("INTERVAL '0s' - INTERVAL '0.1s'") == "-0.1S"
+
+
+def test_mldb_1428_import_text_select(mldb, tmp_path):
+    """MLDB-1428-text-sparse-output.py: import.text with a select
+    projection — `*` and `* excluding(c)` — applied at import time
+    over supplied headers."""
+    from mldb_spark.sources.text_io import import_text
+
+    p = tmp_path / "iris.data"
+    p.write_text("5.1,3.5,1.4,0.2,Iris-setosa\n4.9,3.0,1.4,0.2,Iris-setosa\n")
+    df = import_text(
+        mldb.spark, str(p), headers=["a", "b", "c", "d", "label"]
+    )
+    row = df.orderBy("a", ascending=False).collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"], row["label"]) == (
+        5.1, 3.5, 1.4, 0.2, "Iris-setosa",
+    )
+    mldb.create_dataset("iris1428", df)
+    out = mldb.query("SELECT * excluding(c) FROM iris1428")
+    assert sorted(out.columns) == ["a", "b", "d", "label"]
+
+
+def test_mldb_1212_long_quoted_lines(mldb, tmp_path):
+    """MLDB-1212_csv_import_long_quoted_lines.py: very long quoted
+    CSV fields import whole; token counts over them are exact."""
+    from mldb_spark.sources.text_io import import_text
+
+    p = tmp_path / "long.csv"
+    with open(p, "w") as f:
+        f.write("a,b\n")
+        for n in (50, 100, 1000, 10000):
+            f.write('1,"' + " ".join(["word"] * n) + '"\n')
+    df = import_text(mldb.spark, str(p))
+    mldb.create_dataset("long1212", df)
+    rows = mldb.query(
+        "SELECT tokenize(b, {splitChars: ' '}) AS cnt FROM long1212"
+    ).collect()
+    counts = sorted(r["cnt"]["word"] for r in rows)
+    assert counts == [50, 100, 1000, 10000]
+
+
+def test_mldb_162_scalar_over_aggregates(mldb):
+    """MLDB-162-min-max-function.py: scalar arithmetic OVER
+    aggregates (1 + sum(x + 1), sum(x) + max(x)) and multiple
+    aggregates in one select."""
+    _ds(
+        mldb, "d162",
+        [(f"row_{i}", i, i % 2) for i in range(10)],
+        "rn string, x int, y int",
+    )
+    assert _q(mldb, 'SELECT 1 + sum(x + 1) AS "sum_x" FROM d162')[0][0] == 56
+    assert _q(mldb, 'SELECT sum(x) + max(x) AS s FROM d162')[0][0] == 54
+    row = _q(mldb, 'SELECT sum(x) as sum_x, max(x) as max_x FROM d162')[0]
+    assert row == (45, 9)
+
+
+def test_mldb_327_sum_vertical_sum_group_by(mldb):
+    """MLDB-327-sum-aggregate.js: sum and vertical_sum are the same
+    aggregate, grouped by label."""
+    _ds(
+        mldb, "d327",
+        [("ex1", 0, 0, "cat"), ("ex2", 1, 1, "dog"), ("ex3", 1, 2, "cat")],
+        "rn string, x int, y int, label string",
+    )
+    rows = _q(
+        mldb,
+        "select label, sum(x) AS sx, vertical_sum(y) AS sy from d327 "
+        "group by label order by label",
+    )
+    assert rows == [("cat", 1, 2), ("dog", 1, 1)]
+
+
+def test_mldb_410_named_transformed_rowname(mldb):
+    """MLDB-410-set-output-rowname.js: NAMED rowName() + suffix
+    renames output rows by expression."""
+    _ds(
+        mldb, "d410",
+        [("ex1", 0, 0, "cat"), ("ex2", 1, 1, "dog"), ("ex3", 1, 2, "cat")],
+        "rn string, x int, y int, label string",
+    )
+    out = mldb.query(
+        "select rowName() AS r, x from d410 ORDER BY rowName() DESC"
+    )
+    assert [r["r"] for r in out.collect()] == ["ex3", "ex2", "ex1"]
+    out = mldb.query(
+        "select x NAMED rowName() + '_transformed' FROM d410 "
+        "ORDER BY rowName() DESC"
+    )
+    names = [r["rowName"] for r in out.select("rowName").collect()]
+    assert names == ["ex3_transformed", "ex2_transformed", "ex1_transformed"]
+
+
+def test_mldb_702_row_aggregators(mldb):
+    """MLDB-702-row-aggregators.py: min({*})/max({*}) aggregates of
+    rows spread per-column under GROUP BY; earliest({*})/latest({*})
+    with a timestamp column; GROUP BY x; vertical_* aliases match."""
+    import datetime as _dt
+
+    before, ts, after = (
+        _dt.datetime(2015, 1, 1, 0, 0, 0),
+        _dt.datetime(2015, 1, 1, 0, 0, 1),
+        _dt.datetime(2015, 1, 1, 0, 0, 2),
+    )
+    df = mldb.spark.createDataFrame(
+        [("ex1", 0, 0, "cat", ts), ("ex2", 1, 1, "dog", before),
+         ("ex3", 1, 2, "cat", after)],
+        "rn string, x int, y int, label string, ts timestamp",
+    )
+    mldb.create_dataset("d702", df, row_name_col="rn", ts_col="ts")
+    out = mldb.query(
+        "SELECT min({x, y}) AS mn, max({x, y}) AS mx FROM d702 "
+        "GROUP BY label ORDER BY rowName()"
+    ).collect()
+    assert [
+        (tuple(r["mn"]), tuple(r["mx"])) for r in out
+    ] == [((0, 0), (1, 2)), ((1, 1), (1, 1))]
+    rows = _q(mldb, "SELECT sum(x) AS s FROM d702 GROUP BY x ORDER BY s")
+    assert rows == [(0,), (2,)]
+    for a, b in [
+        ("sum(x)", "vertical_sum(x)"),
+        ("count(x)", "vertical_count(x)"),
+        ("count(*)", "vertical_count(*)"),
+        ("avg(x)", "vertical_avg(x)"),
+        ("latest(x)", "vertical_latest(x)"),
+    ]:
+        ra = _q(mldb, f"SELECT {a} AS v FROM d702 GROUP BY x ORDER BY v")
+        rb = _q(mldb, f"SELECT {b} AS v FROM d702 GROUP BY x ORDER BY v")
+        assert ra == rb, (a, b)
+    # earliest/latest over the whole table pick by timestamp
+    row = _q(
+        mldb,
+        "SELECT earliest(label) AS e, latest(label) AS l FROM d702",
+    )[0]
+    assert row == ("dog", "cat")
+
+
+def test_mldb_703_count_star_counts_rows(mldb):
+    """MLDB-703-count-not-null.js (MLDB-1256 half): count(x) under
+    `WHERE x IS NOT NULL GROUP BY x` equals count(*)."""
+    _ds(
+        mldb, "d703",
+        [("ex1", 1, 2, None), ("ex2", 2, None, 4), ("ex3", None, None, 3)],
+        "rn string, x int, y int, z int",
+    )
+    r1 = _q(
+        mldb,
+        "select x, count(x) as a from d703 where x is not null "
+        "group by x order by x",
+    )
+    r2 = _q(
+        mldb,
+        "select x, count(*) as a from d703 where x is not null "
+        "group by x order by x",
+    )
+    assert r1 == r2 == [(1, 1), (2, 1)]
+
+
+def test_mldb_505_in_expression(mldb):
+    """MLDB-505-in-expression.py: IN / NOT IN over literal lists and
+    subqueries with overlapping domains."""
+    _ds(
+        mldb, "d505",
+        [(f"row_{i}", i, i * 2) for i in range(5)],
+        "rn string, x int, y int",
+    )
+    assert len(_q(mldb, "SELECT * FROM d505 WHERE y IN (4,8)")) == 2
+    assert len(_q(mldb, "SELECT * FROM d505 WHERE y NOT IN (4,8)")) == 3
+    assert len(_q(mldb, "SELECT x FROM d505 WHERE x IN (SELECT y from d505)")) == 3
+    assert len(_q(mldb, "SELECT x FROM d505 WHERE x NOT IN (SELECT y from d505)")) == 2
+
+
+def test_mldb_704_pyeval_row_output(mldb):
+    """MLDB-704-jseval-row.js via pyeval (the jseval replacement):
+    dict results spread with AS *; row-valued {*} inputs arrive as a
+    dict; `return <expr>` spelling tolerated."""
+    _ds(
+        mldb, "d704",
+        [("ex1", 0, 3, None), ("ex2", 1, 2, "yes"),
+         ("ex3", 2, 1, None), ("ex4", 3, 0, "no")],
+        "rn string, x int, y int, z string",
+    )
+    out = mldb.query(
+        "SELECT pyeval('return {\"x\": x, \"y\": \"yes\"}', 'x', x, "
+        "{type: 'row'}) AS * FROM d704 ORDER BY rowName()"
+    )
+    assert sorted(c for c in out.columns if c in ("x", "y")) == ["x", "y"]
+    rows = [(r["x"], r["y"]) for r in out.collect()]
+    assert rows == [("0", "yes"), ("1", "yes"), ("2", "yes"), ("3", "yes")]
+    # row-valued input: count the present (non-null) cells
+    out = mldb.query(
+        "SELECT pyeval('len([v for v in x.values() if v is not None])', "
+        "'x', {x, y, z}, {type: 'integer'}) AS nvals FROM d704 "
+        "ORDER BY rowName()"
+    )
+    assert [r["nvals"] for r in out.collect()] == [2, 3, 2, 3]
+
+
+def test_mldb_1190_composed_function_with_pyeval(mldb):
+    """MLDB-1190_segfault_sqlexpr_jseval.py (via pyeval): composed
+    sql.expression entities — an inner function using an inline
+    lambda over CAST input, an outer one adding a tokenize bag —
+    applied repeatedly from SQL with literal inputs."""
+    mldb.create_sql_expression_function(
+        "getMsgStats1190",
+        "pyeval('len(txt)', 'txt', CAST (text AS string), "
+        "{type: 'integer'}) AS msgLen",
+    )
+    mldb.create_sql_expression_function(
+        "getFeatVec1190",
+        "getMsgStats1190({text: raw_text})[msgLen] AS msgLen, "
+        "tokenize(preProcessed, {splitChars: ' !'}) AS words",
+    )
+    for _ in range(3):
+        rows = mldb.query(
+            "select getFeatVec1190({raw_text: 'I really loved this party!!!',"
+            " preProcessed: 'I really loved this party!!!'})[msgLen] AS n "
+            "FROM (SELECT 1 AS one)"
+        ).collect()
+        assert rows[0]["n"] == 28
+    row = mldb.query(
+        "select getFeatVec1190({raw_text: 'I loved it!', "
+        "preProcessed: 'I loved it!'})[words] AS w FROM (SELECT 1 AS one)"
+    ).collect()[0]
+    assert dict(row["w"]) == {"I": 1, "loved": 1, "it": 1}
+
+
+def test_mldb_1734_case_row_values(mldb):
+    """MLDB-1734_case_statement.py (row half): CASE with row-valued
+    branches spreads AS *; mismatched field sets (ELSE {} or no ELSE)
+    unify with NULLs; boolean CASE operands compare as 1/0."""
+    _ds(
+        mldb, "s1734",
+        [("a", 1, None), ("b", None, 1)],
+        "rn string, x int, y int",
+    )
+    for tail in ("ELSE {}", ""):
+        out = mldb.query(
+            "SELECT CASE x = 1 WHEN 1 THEN {z:5, y:8} " + tail +
+            " END as * FROM s1734 ORDER BY rowName()"
+        )
+        got = sorted(
+            ((r["y"], r["z"]) for r in out.collect()),
+            key=lambda t: (t[0] is None, t),
+        )
+        assert got == [(8, 5), (None, None)], tail
+    out = _q(
+        mldb,
+        "SELECT CASE x = 1 WHEN 1 THEN 999 END AS res FROM s1734 "
+        "ORDER BY rowName()",
+    )
+    assert out == [(999,), (None,)]

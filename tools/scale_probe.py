@@ -47,6 +47,61 @@ def replicate(docs, k: int):
     )
 
 
+def replicate_cells(cells, k: int):
+    """k replicas of the cell table with disjoint row keys — the
+    load shape for the all_cells / cells-temporal probes (VERDICT r5
+    #8): rows multiply, per-row superposition depth stays constant,
+    so the conditional-agg pivot must stay flat."""
+    if k == 1:
+        return cells
+    return (
+        cells.crossJoin(
+            F.broadcast(
+                cells.sparkSession.range(k).select(F.col("id").alias("__r"))
+            )
+        )
+        .select(
+            F.concat(F.col("row"), F.lit("#"), F.col("__r").cast("string")).alias("row"),
+            "column", "value", "ts",
+        )
+    )
+
+
+def probe_cell_ops(spark, cells):
+    from mldb_spark.dialect import MldbContext
+    from mldb_spark.operators.temporal import all_cells
+
+    def all_cells_where():
+        return all_cells(
+            cells,
+            where_row=(F.col("purchase") > 200) & (F.col("click") < 100),
+            where_columns=["purchase", "click"],
+        )
+
+    def cells_temporal_sql():
+        ctx = MldbContext(spark)
+        ctx.register_cells("pc", cells)
+        return ctx.query(
+            "SELECT rowName() AS r, temporal_count(purchase) AS n, "
+            "temporal_sum(purchase) AS s, temporal_max(click) AS m "
+            "FROM pc WHERE temporal_count(purchase) >= 1"
+        )
+
+    def cells_when_sql():
+        ctx = MldbContext(spark)
+        ctx.register_cells("pw", cells)
+        return ctx.query(
+            "SELECT rowName() AS r, purchase FROM pw "
+            "WHEN value_timestamp() < latest_timestamp({*})"
+        )
+
+    return {
+        "all_cells_where": all_cells_where,
+        "cells_temporal_sql": cells_temporal_sql,
+        "cells_when_sql": cells_when_sql,
+    }
+
+
 def probe_ops(spark, docs):
     from mldb_spark.corpus import (
         decontaminate,
@@ -96,9 +151,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     base = load(spark, sf_dir, "documents")
+    from mldb_spark.operators.temporal import events_to_cells
+
+    cells_base = events_to_cells(load(spark, sf_dir, "events"))
     # warm-up: run every op once untimed so no op pays first-use JVM
     # / codegen / Arrow-init cost inside its measured window
     for mk in probe_ops(spark, base).values():
+        mk().count()
+        release_cached()
+    for mk in probe_cell_ops(spark, cells_base).values():
         mk().count()
         release_cached()
 
@@ -106,7 +167,10 @@ def main() -> None:
     times: dict[str, dict[int, float]] = {}
     for k in factors:
         docs = replicate(base, k)
-        for name, mk in probe_ops(spark, docs).items():
+        cells = replicate_cells(cells_base, k)
+        ops = dict(probe_ops(spark, docs))
+        ops.update(probe_cell_ops(spark, cells))
+        for name, mk in ops.items():
             release_cached()
             spark.catalog.clearCache()
             t0 = time.time()
