@@ -4492,3 +4492,44 @@ def test_mldb_1734_case_row_values(mldb):
         "ORDER BY rowName()",
     )
     assert out == [(999,), (None,)]
+
+
+def test_mldb_665_kmeans_centroids_roundtrip(mldb):
+    """MLDB-665_nearest_neighbours.py (euclidean form): centroids
+    passed back through the trained kmeans assignment function map to
+    their own cluster; embedding.neighbors over the centroid table
+    returns the nearest centroid for a probe point."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.ml.procedures import kmeans_train
+    from mldb_spark.ml.registry import FunctionRegistry
+    from mldb_spark.similarity import embedding_neighbors
+    import random
+
+    random.seed(7)
+    rows = []
+    for i in range(90):
+        c = i % 3
+        base = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)][c]
+        rows.append(
+            (i, [base[0] + random.random(), base[1] + random.random()])
+        )
+    df = mldb.spark.createDataFrame(rows, "id long, emb array<double>")
+    reg = FunctionRegistry()
+    model, centroids = kmeans_train(df, "emb", k=3, seed=1, registry=reg)
+    cent_df = centroids.select(
+        F.col("cluster"), F.col("centroid").alias("emb")
+    )
+    assigned = reg.apply("kmeans", cent_df.withColumnRenamed("cluster", "cl"))
+    assert all(
+        r["cl"] == r["cluster"] for r in assigned.collect()
+    ), "every centroid must map to itself"
+    wide = centroids.select(
+        F.col("cluster").cast("string").alias("rowName"),
+        F.col("centroid")[0].alias("e0"),
+        F.col("centroid")[1].alias("e1"),
+    )
+    nn = embedding_neighbors(wide, feature_cols=["e0", "e1"])
+    top = nn([9.9, 0.4], num_neighbors=1)[0]
+    cent = {str(r["cluster"]): r["centroid"] for r in centroids.collect()}
+    assert cent[top[0]][0] > 5  # the (10, 0) cluster
