@@ -1611,3 +1611,25 @@ SELECT label, CAST(count(*) AS BIGINT) AS n,
        round(avg(bias) + 1e-9, 4) AS avg_bias
 FROM e GROUP BY label ORDER BY label
 """
+
+# qa22: per-cell WHEN replay — drop each row's globally-latest cell,
+# then GET_LATEST over the survivors.
+ORACLES["qa22_cells_when_sql"] = """
+WITH cells AS (
+  SELECT CAST(user_id AS VARCHAR) AS r, event_type AS c, "value" AS v, ts
+  FROM events
+), latest_any AS (
+  SELECT r, max(ts) AS lt FROM cells GROUP BY r
+), surv AS (
+  SELECT cells.* FROM cells JOIN latest_any USING (r)
+  WHERE ts < lt
+), piv AS (
+  SELECT r,
+         arg_max(v, ts) FILTER (c = 'purchase') AS p,
+         arg_max(v, ts) FILTER (c = 'click') AS cl
+  FROM surv GROUP BY r
+)
+SELECT r, round(p + 0.000000001, 2) AS surv_p,
+       coalesce(round(cl + 0.000000001, 2), -1.0) AS surv_c
+FROM piv WHERE p IS NOT NULL ORDER BY r
+"""

@@ -2782,6 +2782,35 @@ def qa21_dedup_chain_sql(spark: SparkSession, sf: str) -> DataFrame:
     ).select(F.col("node").cast("long"), F.col("component").cast("long"))
 
 
+def qa22_cells_when_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cell WHEN through SQL (round-6 surface; MLDB-963/909
+    semantics): value_timestamp() BETWEEN a fixed window AND below
+    each row's latest cell stamp — the superposition filters BEFORE
+    the GET_LATEST read, so the visible purchase value is the latest
+    SURVIVOR, not the global latest. Oracle replays by filtering the
+    cell rows then arg_max-pivoting. Scale: the WHEN filter is one
+    scan over cells + per-row ts-aggregate joins; the rebuilt latest
+    view keeps the same single-shuffle pivot plan (probe table in
+    STATUS, flat at 16x)."""
+    from mldb_spark.dialect import MldbContext
+    from mldb_spark.operators.temporal import events_to_cells
+
+    ctx = MldbContext(spark)
+    cells = events_to_cells(load(spark, sf, "events"))
+    ctx.register_cells("ew", cells)
+    out = ctx.query(
+        "SELECT rowName() AS r, "
+        "round(purchase + 0.000000001, 2) AS surv_p, "
+        "round(click + 0.000000001, 2) AS surv_c "
+        "FROM ew "
+        "WHEN value_timestamp() < latest_timestamp({*}) "
+        "WHERE purchase IS NOT NULL ORDER BY r"
+    )
+    return out.select(
+        "r", "surv_p", F.coalesce("surv_c", F.lit(-1.0)).alias("surv_c")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

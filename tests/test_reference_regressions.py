@@ -4533,3 +4533,87 @@ def test_mldb_665_kmeans_centroids_roundtrip(mldb):
     top = nn([9.9, 0.4], num_neighbors=1)[0]
     cent = {str(r["cluster"]): r["centroid"] for r in centroids.collect()}
     assert cent[top[0]][0] > 5  # the (10, 0) cluster
+
+
+def test_mldb_784_sql_query_function_params(mldb):
+    """MLDB-784_sqlquery_join.py (applications with $params): a
+    sql.query entity parameterized on $id returns the matching row;
+    $-params flow through WHERE with aggregates."""
+    _ds(
+        mldb, "ds784",
+        [(f"row_{i}", i, i * 2) for i in range(5)],
+        "rn string, x int, y int",
+    )
+    mldb.create_sql_query_function(
+        "patate784", "select x, y from ds784 where rowName() = $id"
+    )
+    row = mldb.apply_function("patate784", {"id": "row_2"}).collect()[0]
+    assert (row["x"], row["y"]) == (2, 4)
+    mldb.create_sql_query_function(
+        "poil784",
+        "select min(x) AS mn, max(y) AS mx from ds784 where x <= $x_max",
+    )
+    row = mldb.apply_function("poil784", {"x_max": 3}).collect()[0]
+    assert (row["mn"], row["mx"]) == (0, 6)
+
+
+def test_mldb_775_feature_hasher_modes(mldb):
+    """MLDB-775_hashbucket_feat_gen.py: feature_hasher with numBits=2
+    yields 2^2 buckets per row in both modes, and the 'columns' vs
+    'columnsAndValues' hashes differ (values participate in the hash
+    only in the latter)."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.functions.feature_gen import (
+        feature_hash_rows,
+        hashed_feature_vector,
+    )
+
+    rows = []
+    for i in range(5):
+        rows += [
+            (f"example-{i}", "fwin", float(i)),
+            (f"example-{i}", "fwine", float(i * 2)),
+            (f"example-{i}", "fwinette", float(i ** 4)),
+        ]
+    feats = mldb.spark.createDataFrame(rows, "id string, feature string, value double")
+    a = hashed_feature_vector(
+        feature_hash_rows(feats, num_bits=2, id_col="id", value_col="value",
+                          mode="columns"),
+        num_bits=2, id_col="id",
+    )
+    b = hashed_feature_vector(
+        feature_hash_rows(feats, num_bits=2, id_col="id", value_col="value",
+                          mode="columnsAndValues"),
+        num_bits=2, id_col="id",
+    )
+    va = {r["id"]: list(r[1]) for r in a.collect()}
+    vb = {r["id"]: list(r[1]) for r in b.collect()}
+    assert all(len(v) == 4 for v in va.values())
+    assert all(len(v) == 4 for v in vb.values())
+    # rows with different values must differ in columnsAndValues mode
+    assert vb["example-1"] != vb["example-2"]
+    # at least one row disagrees between the two modes
+    assert any(va[k] != vb[k] for k in va)
+
+
+def test_mldb_788_transform_preserves_query(mldb):
+    """MLDB-788_rowname_date_in_transform.py: a transform procedure
+    over {select, from} yields exactly the direct query's rows
+    (rowName()-derived columns included)."""
+    _ds(mldb, "ds788", [("row_0", 0)], "rn string, x int")
+    direct = [
+        tuple(r)
+        for r in mldb.query(
+            "SELECT x, 1 as y, rowName() as rowname FROM ds788"
+        ).collect()
+    ]
+    mldb.transform(
+        {"select": "x, 1 as y, rowName() as rowname", "from": {"id": "ds788"}},
+        "ds788_out",
+    )
+    via_proc = [
+        tuple(r)
+        for r in mldb.query("select x, y, rowname from ds788_out").collect()
+    ]
+    assert direct == via_proc
