@@ -415,6 +415,29 @@ class Mldb:
             return main(self, args)
         return ns.get("result")
 
+    def put_procedure(self, proc_id: str, config: dict) -> dict:
+        """PUT /v1/procedures/<id> semantics (MLDB-951): store the
+        config; run immediately only when params.runOnCreation is
+        true (the reference's default for PUT is False — a stored
+        procedure runs via POST .../runs)."""
+        config = dict(config)
+        config["id"] = proc_id
+        self._procedures = getattr(self, "_procedures", {})
+        self._procedures[proc_id] = config
+        params = config.get("params", {})
+        if params.get("runOnCreation", False):
+            status = self.create_entity("procedure", config)
+            return {"status": {"firstRun": status}, "config": config}
+        return {"config": config}
+
+    def run_procedure(self, proc_id: str) -> dict:
+        """POST /v1/procedures/<id>/runs: execute a stored procedure
+        (MLDB-951's runOnCreation=False flow)."""
+        self._procedures = getattr(self, "_procedures", {})
+        if proc_id not in self._procedures:
+            raise KeyError(f"unknown procedure {proc_id!r}")
+        return self.create_entity("procedure", self._procedures[proc_id])
+
     def create_entity(self, kind: str, config: dict) -> dict:
         """createEntity procedure (builtin/basic_procedures.cc:194-230):
         create another entity from a {type, id, params} config and

@@ -193,12 +193,32 @@ class MldbRestServer:
                     self._create("dataset", parts[2])
                 elif parts[:2] == ["v1", "functions"] and len(parts) == 3:
                     self._create("function", parts[2])
+                elif parts[:2] == ["v1", "procedures"] and len(parts) == 3:
+                    # store + optional runOnCreation (MLDB-951)
+                    try:
+                        self._send(
+                            201, facade.mldb.put_procedure(parts[2], self._body())
+                        )
+                    except Exception as e:
+                        self._send(400, {"error": str(e)})
                 else:
-                    self._send(404, {"error": "PUT supports /v1/datasets/<id> and /v1/functions/<id>"})
+                    self._send(404, {"error": "PUT supports /v1/datasets/<id>, /v1/functions/<id> and /v1/procedures/<id>"})
 
             def do_POST(self):
                 parts = [p for p in urlparse(self.path).path.split("/") if p]
-                if parts[:2] == ["v1", "procedures"]:
+                if (
+                    parts[:2] == ["v1", "procedures"]
+                    and len(parts) == 4
+                    and parts[3] == "runs"
+                ):
+                    # POST /v1/procedures/<id>/runs (MLDB-951)
+                    try:
+                        self._send(201, facade.mldb.run_procedure(parts[2]))
+                    except KeyError as e:
+                        self._send(404, {"error": str(e)})
+                    except Exception as e:
+                        self._send(400, {"error": str(e)})
+                elif parts[:2] == ["v1", "procedures"]:
                     self._create("procedure", None)
                 elif (
                     parts[:2] == ["v1", "functions"]

@@ -51,6 +51,14 @@ def import_text(
     """
     if headers is not None:
         header = False
+    # the reference accepts loose encoding spellings (MLDB-861 uses
+    # 'utf8'/'latin1'); Spark's CSVOptions wants canonical charsets
+    encoding = {
+        "utf8": "UTF-8", "utf-8": "UTF-8",
+        "latin1": "ISO-8859-1", "latin-1": "ISO-8859-1",
+        "iso8859-1": "ISO-8859-1", "ascii": "US-ASCII",
+        "utf16": "UTF-16", "utf-16": "UTF-16",
+    }.get(encoding.lower(), encoding)
     reader = (
         spark.read.option("header", header)
         .option("sep", delimiter)

@@ -4617,3 +4617,129 @@ def test_mldb_788_transform_preserves_query(mldb):
         for r in mldb.query("select x, y, rowname from ds788_out").collect()
     ]
     assert direct == via_proc
+
+
+def test_mldb_813_rowname_in_join(mldb):
+    """MLDB-813-rowname_in_join.py: join conditions on
+    alias.rowName() — against a data column and against the other
+    side's rowName(); composite [l]-[r] names; side-qualified
+    wildcard and ORDER BY side.rowName()."""
+    _ds(
+        mldb, "jd813a",
+        [(f"row_{i}", i) for i in range(10)],
+        "rn string, x int",
+    )
+    _ds(
+        mldb, "jd813b",
+        [(f"row_{i}", f"row_{i}", i) for i in range(5)],
+        "rn string, ds1_row string, y int",
+    )
+    out = mldb.query(
+        "SELECT rowName() AS r, d1.x AS x, d2.y AS y "
+        "FROM jd813a AS d1 JOIN jd813b AS d2 ON d1.rowName() = d2.ds1_row "
+        "ORDER BY rowName()"
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [
+        (f"[row_{i}]-[row_{i}]", i, i) for i in range(5)
+    ]
+    out = mldb.query(
+        "SELECT d2.* FROM jd813b AS d2 "
+        "INNER JOIN jd813a AS d1 ON d1.rowName() = d2.rowName() "
+        "ORDER BY d2.rowName()"
+    )
+    assert sorted(out.columns) == ["d2.ds1_row", "d2.rn", "d2.y"]
+    assert [r["d2.y"] for r in out.collect()] == list(range(5))
+
+
+def test_mldb_861_character_encoding(mldb, tmp_path):
+    """MLDB-861-character-encoding.py: the same content imported from
+    utf8 and latin1 files matches, non-ASCII headers included."""
+    from mldb_spark.sources.text_io import import_text
+
+    content = "Age,Nâme\n12,Niçolâß\n"
+    p8 = tmp_path / "utf8.csv"
+    p8.write_bytes(content.encode("utf-8"))
+    p1 = tmp_path / "latin1.csv"
+    p1.write_bytes(content.encode("latin-1"))
+    df8 = import_text(mldb.spark, str(p8), encoding="utf8")
+    df1 = import_text(mldb.spark, str(p1), encoding="latin1")
+    assert df8.columns == df1.columns == ["Age", "Nâme"]
+    assert [tuple(r) for r in df8.collect()] == [tuple(r) for r in df1.collect()]
+    assert df8.collect()[0]["Nâme"] == "Niçolâß"
+
+
+def test_mldb_902_non_ascii_row_names(mldb):
+    """MLDB-902-non-ascii-row-names.py: UTF-8 row names survive the
+    query path."""
+    _ds(
+        mldb, "nonascii902",
+        [("françois", 1.5, "0")],
+        "rn string, x double, label string",
+    )
+    out = mldb.query("select rowName() AS r, x from nonascii902")
+    row = out.collect()[0]
+    assert row["r"] == "françois" and row["x"] == 1.5
+
+
+def test_mldb_927_when_transform_roundtrip(mldb):
+    """MLDB-927-null-row-output.py (transform half): WHEN filters
+    inside a transform's inputData materialize the same rows the
+    direct query returns, and fully-filtered rows keep NULL cells."""
+    import datetime as _dt
+
+    t1 = _dt.datetime(2020, 1, 2)
+    t2 = _dt.datetime(2020, 1, 1)
+    df = mldb.spark.createDataFrame(
+        [("user1", 1, 2, t1), ("user2", 3, 4, t2)],
+        "rn string, x int, y int, ts timestamp",
+    )
+    mldb.create_dataset("d927", df, row_name_col="rn", ts_col="ts")
+    direct = mldb.query(
+        "select x, y from d927 when value_timestamp() <= "
+        "TIMESTAMP '2020-01-01T12:00:00Z' ORDER BY rowName()"
+    )
+    mldb.transform(
+        "select x, y from d927 when value_timestamp() <= "
+        "TIMESTAMP '2020-01-01T12:00:00Z'",
+        "d927_out",
+    )
+    got = [tuple(r) for r in mldb.query(
+        "select x, y from d927_out"
+    ).collect()]
+    want = [tuple(r) for r in direct.collect()]
+    assert sorted(got, key=str) == sorted(want, key=str)
+
+
+def test_mldb_915_pivot_transform(mldb):
+    """MLDB-915-pivot-transform.py: pivot(thing, has) AS * GROUP BY
+    person, direct and through a transform procedure."""
+    _ds(
+        mldb, "ex915",
+        [("r1", "nick", "appl", 1), ("r2", "nick", "goog", 2),
+         ("r3", "francois", "appl", 3), ("r4", "francois", "tsla", 4)],
+        "rn string, person string, thing string, has int",
+    )
+    def grid(src):
+        out = mldb.query(
+            f"select person, pivot(thing, has) as * from {src} "
+            "group by person"
+        )
+        return {
+            r["person"]: (r.asDict().get("appl"), r.asDict().get("goog"),
+                          r.asDict().get("tsla"))
+            for r in out.collect()
+        }
+
+    want = {"nick": (1, 2, None), "francois": (3, None, 4)}
+    assert grid("ex915") == want
+    mldb.transform(
+        "select person, pivot(thing, has) as * from ex915 group by person",
+        "ex915_out",
+    )
+    rows = {
+        r["person"]: (r.asDict().get("appl"), r.asDict().get("goog"),
+                      r.asDict().get("tsla"))
+        for r in mldb.query("select * from ex915_out").collect()
+    }
+    assert rows == want

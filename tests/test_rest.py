@@ -210,3 +210,42 @@ def test_mldb_2107_atom_format_battery(server):
     assert "row" in atom_error(
         "select r_name from region where r_name = 'patate'"
     ).lower()
+
+
+def test_mldb_951_run_on_creation_lifecycle(server):
+    """MLDB-951-run-on-creation.py: PUT /v1/procedures/<id> with
+    runOnCreation=False stores without running (no status); POST
+    .../runs executes it; runOnCreation=True reports a firstRun."""
+    import urllib.parse
+
+    # source table registered in the fixture: region
+    st, body = _req(server, "PUT", "/v1/procedures/t951", {
+        "type": "transform",
+        "params": {
+            "inputData": "select r_regionkey + 1 as k from region",
+            "outputDataset": {"id": "t951_out", "type": "sparse.mutable"},
+            "runOnCreation": False,
+        },
+    })
+    assert st == 201 and "status" not in body
+    # dataset must not exist yet
+    qs = urllib.parse.quote("select k from t951_out")
+    try:
+        _get(server, f"/v1/query?q={qs}")
+        raise AssertionError("t951_out must not exist before the run")
+    except Exception:
+        pass
+    st, _body = _req(server, "POST", "/v1/procedures/t951/runs", {})
+    assert st == 201
+    _, rows = _get(server, f"/v1/query?q={qs}&format=aos")
+    assert sorted(r["k"] for r in rows) == [1, 2, 3, 4, 5]
+    # runOnCreation True reports firstRun
+    st, body = _req(server, "PUT", "/v1/procedures/t951b", {
+        "type": "transform",
+        "params": {
+            "inputData": "select r_regionkey as k from region",
+            "outputDataset": "t951b_out",
+            "runOnCreation": True,
+        },
+    })
+    assert st == 201 and "firstRun" in body.get("status", {})
