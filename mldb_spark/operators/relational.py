@@ -880,3 +880,27 @@ def dist_table_get_stats(
         return out
 
     return fn
+
+
+def bucketize_named(
+    df: DataFrame,
+    order_by: Column,
+    buckets: "dict[str, tuple[float, float]]",
+    output_col: str = "bucket",
+) -> DataFrame:
+    """bucketize with the reference's percentileBuckets form
+    (plugins/feature_gen/bucketize_procedure.cc; MLDB-1043):
+    `{b1: [0, 50], b2: [50, 100]}` names each percentile range and
+    rows land in the bucket covering their rank percentile under the
+    given total order. Ranking rides global_hash_index (parallel
+    range sort + per-partition numbering — no single-reducer stage);
+    rows outside every range get NULL."""
+    n = df.count()
+    if n == 0:
+        return df.withColumn(output_col, F.lit(None).cast("string"))
+    d = global_hash_index(df, order_by, "__bk_rk")
+    pct = F.col("__bk_rk").cast("double") * F.lit(100.0 / n)
+    expr = F.lit(None).cast("string")
+    for name, (lo, hi) in reversed(list(buckets.items())):
+        expr = F.when((pct >= lo) & (pct < hi), F.lit(name)).otherwise(expr)
+    return d.withColumn(output_col, expr).drop("__bk_rk")

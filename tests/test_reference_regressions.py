@@ -4743,3 +4743,113 @@ def test_mldb_915_pivot_transform(mldb):
         for r in mldb.query("select * from ex915_out").collect()
     }
     assert rows == want
+
+
+def test_mldb_1116_tokensplit_unicode(mldb):
+    """MLDB-1116-tokensplit.py: tokensplit with a unicode emoji token
+    dictionary — text already space-separated around tokens passes
+    through unchanged (modulo the inserted split char collapsing into
+    the existing spacing)."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.functions.text import tokensplit
+
+    tokens = [":)", ":P", "(>_<)", "(ノಠ益ಠ)ノ彡┻━┻", "¯\\_(ツ)_/¯",
+              "¯\\_(ツ)_/¯¯¯¯¯¯"]
+    test_str = (
+        "whatever :P I do what ¯\\_(ツ)_/¯¯¯¯¯¯ I want (>_<) (>_<) "
+        "watwat :P (ノಠ益ಠ)ノ彡┻━┻ grrrr :P :P :P"
+    )
+    df = mldb.spark.createDataFrame([(test_str,)], "text string")
+    out = df.select(tokensplit(F.col("text"), tokens).alias("q")).collect()[0]["q"]
+    # longest-match first: the 6-bar shrug must not split as the short
+    # shrug + bars
+    assert "¯\\_(ツ)_/¯¯¯¯¯¯" in out
+    # collapsing the inserted spaces reproduces the original
+    assert " ".join(out.split()) == " ".join(test_str.split())
+
+
+def test_mldb_1127_svd_input_window(mldb):
+    """MLDB-1127-order-by-and-where-in-svd.py: the input-data spec's
+    where/offset/limit window changes what the SVD trains on — a
+    window over the 3-independent-column half yields 3 meaningful
+    singular values, a window over the 2-column half only 2."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mldb_spark.ml.procedures import svd_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    random.seed(3)
+    rows = []
+    for i in range(50):
+        rows.append((f"row_{i}", float(random.randint(1, 1000)),
+                     float(random.randint(1, 1000)),
+                     float(random.randint(1, 1000)), i))
+    for i in range(50, 100):
+        x = float(random.randint(1, 1000))
+        rows.append((f"row_{i}", x, x, float(random.randint(1, 1000)), i))
+    _ds(
+        mldb, "svd1127",
+        rows, "rn string, x double, y double, z double, idx int",
+    )
+
+    from mldb_spark.api import Mldb as _M
+
+    def window_rank(where):
+        sql = _M._input_spec_to_sql(
+            {"select": "rn, x, y, z", "from": {"id": "svd1127"},
+             "where": where}
+        )
+        df = mldb.query(sql)
+        # center columns so shared structure shows up as low rank
+        means = df.agg(
+            F.avg("x").alias("mx"), F.avg("y").alias("my"), F.avg("z").alias("mz")
+        ).collect()[0]
+        df = df.select(
+            "rn",
+            (F.col("x") - means["mx"]).alias("x"),
+            (F.col("y") - means["my"]).alias("y"),
+            (F.col("z") - means["mz"]).alias("z"),
+        )
+        cells = df.selectExpr(
+            "rn AS row_id",
+            "stack(3, 'x', x, 'y', y, 'z', z) AS (column, value)",
+        )
+        reg = FunctionRegistry()
+        _rows, _cols, s = svd_train(cells, k=3, registry=reg, name="svd1127f")
+        s = [float(v) for v in s]
+        # normalized tail singular value: near-zero when the window
+        # only spans rank-2 data (x == y exactly)
+        return s[2] / s[0]
+
+    r3 = window_rank("idx < 50")
+    r2 = window_rank("idx >= 50")
+    assert r3 > 0.1 and r2 < 0.01, (r3, r2)
+
+
+def test_mldb_1043_bucketize_percentile_buckets(mldb):
+    """MLDB-1043-bucketize-procedure.js: named percentileBuckets —
+    50/50 split over `ORDER BY score DESC` puts the top half in b1,
+    bottom half in b2 (the tied middle pair may land either side)."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.operators.relational import bucketize_named
+
+    df = mldb.spark.createDataFrame(
+        [("roger", 1), ("rolland", 0), ("ricardo", 4), ("rita", 4),
+         ("rantanplan", 7), ("rudolph", 6), ("rim", 3)],
+        "uid string, score int",
+    )
+    out = bucketize_named(
+        df,
+        # score DESC, uid as the deterministic tiebreak
+        F.struct((-F.col("score")).alias("s"), F.col("uid").alias("u")),
+        {"b1": (0.0, 50.0), "b2": (50.0, 100.0)},
+    )
+    got = {r["uid"]: r["bucket"] for r in out.collect()}
+    assert got["rantanplan"] == "b1" and got["rudolph"] == "b1"
+    assert got["roger"] == "b2" and got["rolland"] == "b2" and got["rim"] == "b2"
+    assert got["ricardo"] in ("b1", "b2") and got["rita"] in ("b1", "b2")
+    assert 3 <= sorted(got.values()).count("b1") <= 4  # tied pair flexes
