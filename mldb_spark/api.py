@@ -430,13 +430,21 @@ class Mldb:
             return {"status": {"firstRun": status}, "config": config}
         return {"config": config}
 
-    def run_procedure(self, proc_id: str) -> dict:
+    def run_procedure(
+        self, proc_id: str, params_override: "dict | None" = None
+    ) -> dict:
         """POST /v1/procedures/<id>/runs: execute a stored procedure
-        (MLDB-951's runOnCreation=False flow)."""
+        (MLDB-951's runOnCreation=False flow). A run body's params
+        override the stored config's per key (MLDBFB-208)."""
         self._procedures = getattr(self, "_procedures", {})
         if proc_id not in self._procedures:
             raise KeyError(f"unknown procedure {proc_id!r}")
-        return self.create_entity("procedure", self._procedures[proc_id])
+        config = dict(self._procedures[proc_id])
+        if params_override:
+            merged = dict(config.get("params", {}))
+            merged.update(params_override)
+            config["params"] = merged
+        return self.create_entity("procedure", config)
 
     def create_entity(self, kind: str, config: dict) -> dict:
         """createEntity procedure (builtin/basic_procedures.cc:194-230):

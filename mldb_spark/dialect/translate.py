@@ -969,9 +969,13 @@ class Binder:
                 if el in self.colset:
                     return el
                 dcands = [
-                    _pjoin(a, el)
+                    c
                     for a in sorted(self.table_aliases)
-                    if _pjoin(a, el) in self.colset
+                    for c in {
+                        _render_path_el(a) + "." + el,
+                        _pjoin(a, el),
+                    }
+                    if c in self.colset
                 ]
                 if len(dcands) > 1:
                     raise ValueError(
@@ -985,9 +989,10 @@ class Binder:
                 raw_rest = ".".join(rest)
                 if raw_rest in self.colset:
                     return raw_rest
-                cand = _pjoin(head, *rest)
-                if cand in self.colset:
-                    return cand
+                hp = _render_path_el(head) + "."
+                for cand in (hp + raw_rest, _pjoin(head, *rest)):
+                    if cand in self.colset:
+                        return cand
             return None
         if "." in name:
             # try every alias as a dotted PREFIX, longest first —
@@ -998,19 +1003,17 @@ class Binder:
                     rest = name[len(a) + 1:]
                     if rest in self.colset:
                         return rest
-                    # join-prefixed physical names render with the
-                    # path quoting rule (x."y.z"): a dotted remainder
-                    # names the quoted single-element column
-                    rendered = _pjoin(a, rest)
+                    # dotted-alias prefixes render quoted ("x.y".z)
+                    rendered = _render_path_el(a) + "." + rest
                     if rendered in self.colset:
                         return rendered
             # unqualified reference to a dotted single-element column
             # under a join: matches its quoted rendering on a unique
             # side (`"y.z"` -> x."y.z")
             dcands = [
-                _pjoin(a, name)
+                _render_path_el(a) + "." + name
                 for a in sorted(self.table_aliases)
-                if _pjoin(a, name) in self.colset
+                if _render_path_el(a) + "." + name in self.colset
             ]
             if len(dcands) > 1:
                 raise ValueError(
@@ -1020,9 +1023,9 @@ class Binder:
                 return dcands[0]
             return None
         cands = [
-            _pjoin(a, name)
+            _render_path_el(a) + "." + name
             for a in sorted(self.table_aliases)
-            if _pjoin(a, name) in self.colset
+            if _render_path_el(a) + "." + name in self.colset
         ]
         if len(cands) > 1:
             raise ValueError(f"ambiguous column {name!r}: matches {cands}")
@@ -2696,7 +2699,7 @@ class MldbContext:
         collide = {c for c, n in counts.items() if n > 1}
         aliases = {a for _df, a, _rn in infos.values() if a}
         side_rns = {
-            a: _pjoin(a, rn)
+            a: _render_path_el(a) + "." + rn
             for _df, a, rn in infos.values()
             if a and rn is not None
         }
@@ -2716,9 +2719,17 @@ class MldbContext:
                         "an alias (… AS x) to disambiguate"
                     )
                 return df
+            # physical column names are treated as RENDERED path
+            # strings (dotted = nested path, a la JSON flattening);
+            # only the ALIAS element needs quoting, which keeps
+            # table `x` col `y.z` (-> x.y.z, path x/y/z) distinct
+            # from table `x.y` col `z` (-> "x.y".z) while join-side
+            # nested wildcards (x.a.* over col a.b — MLDBFB-634)
+            # keep matching by prefix
+            apfx = _render_path_el(alias) + "."
             return df.select(
                 *[
-                    F.col(f"`{c}`" if "." in c else c).alias(_pjoin(alias, c))
+                    F.col(f"`{c}`" if "." in c else c).alias(apfx + c)
                     for c in df.columns
                 ]
             )
@@ -2753,7 +2764,7 @@ class MldbContext:
             if meta_rn is None:
                 leaf_rns = []
                 break
-            leaf_rns.append(_pjoin(alias, meta_rn) if alias else meta_rn)
+            leaf_rns.append(_render_path_el(alias) + "." + meta_rn if alias else meta_rn)
         if leaf_rns:
             rn_col = self._JOIN_ROW_NAME
             parts = [
@@ -2773,7 +2784,7 @@ class MldbContext:
                 cs = []
                 for t in ts:
                     _df, alias, meta_rn = infos[id(t)]
-                    cs.append(_pjoin(alias, meta_rn) if alias else meta_rn)
+                    cs.append(_render_path_el(alias) + "." + meta_rn if alias else meta_rn)
                 raw = [
                     F.coalesce(
                         F.col(f"`{c}`" if "." in c else c).cast("string"),
@@ -3683,7 +3694,11 @@ class MldbContext:
                     variants = {phys} | {
                         v
                         for a in binder.table_aliases
-                        for v in (f"{a}.{phys}", _pjoin(a, phys))
+                        for v in (
+                            f"{a}.{phys}",
+                            _render_path_el(a) + "." + phys,
+                            _pjoin(a, phys),
+                        )
                     }
                     key_map.extend(
                         (ast.ColumnRef(v), f"__g{k}")

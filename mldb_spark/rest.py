@@ -211,9 +211,20 @@ class MldbRestServer:
                     and len(parts) == 4
                     and parts[3] == "runs"
                 ):
-                    # POST /v1/procedures/<id>/runs (MLDB-951)
+                    # POST /v1/procedures/<id>/runs (MLDB-951); run
+                    # params override the stored config (MLDBFB-208)
                     try:
-                        self._send(201, facade.mldb.run_procedure(parts[2]))
+                        body = {}
+                        try:
+                            body = self._body()
+                        except Exception:
+                            pass
+                        self._send(
+                            201,
+                            facade.mldb.run_procedure(
+                                parts[2], body.get("params")
+                            ),
+                        )
                     except KeyError as e:
                         self._send(404, {"error": str(e)})
                     except Exception as e:

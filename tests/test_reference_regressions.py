@@ -3479,9 +3479,11 @@ def test_structured_path_join_naming_no_collision(mldb):
         'SELECT * FROM x JOIN "x.y" ON x.k = "x.y".k'
     )
     cols = set(out.columns)
-    assert 'x."y.z"' in cols and '"x.y".z' in cols, cols
+    # physical names treat dotted columns as rendered PATHS, so only
+    # the alias element quotes: x.y.z (path x/y/z) vs "x.y".z
+    assert "x.y.z" in cols and '"x.y".z' in cols, cols
     row = out.collect()[0]
-    assert row['x."y.z"'] == 1 and row['"x.y".z'] == 2
+    assert row["x.y.z"] == 1 and row['"x.y".z'] == 2
     # qualified references resolve to the right side
     out2 = mldb.query(
         'SELECT x."y.z" AS a, "x.y".z AS b '
@@ -4853,3 +4855,101 @@ def test_mldb_1043_bucketize_percentile_buckets(mldb):
     assert got["roger"] == "b2" and got["rolland"] == "b2" and got["rim"] == "b2"
     assert got["ricardo"] in ("b1", "b2") and got["rita"] in ("b1", "b2")
     assert 3 <= sorted(got.values()).count("b1") <= 4  # tied pair flexes
+
+
+def test_mldb_1724_naive_bayes_wikipedia(mldb):
+    """MLDB-1724-naive-bayes.py: the Wikipedia gaussian NB fixture —
+    the famous 6ft/130lb/size-8 probe scores female (P(male) < 0.5)."""
+    from mldb_spark.ml.procedures import classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    data = mldb.spark.createDataFrame(
+        [
+            (1.0, 6.0, 180.0, 12.0), (1.0, 5.92, 190.0, 11.0),
+            (1.0, 5.58, 170.0, 12.0), (1.0, 5.92, 165.0, 10.0),
+            (0.0, 5.0, 100.0, 6.0), (0.0, 5.5, 150.0, 8.0),
+            (0.0, 5.42, 130.0, 7.0), (0.0, 5.75, 150.0, 9.0),
+        ],
+        "label double, height double, weight double, foot_size double",
+    )
+    reg = FunctionRegistry()
+    classifier_train(
+        data, ["height", "weight", "foot_size"], "label", "nb1724", reg,
+        algorithm="naive_bayes",
+    )
+    probe = mldb.spark.createDataFrame(
+        [(6.0, 130.0, 8.0)], "height double, weight double, foot_size double"
+    )
+    score = reg.apply("nb1724", probe).collect()[0]["score"]
+    assert score < 0.5, score  # female per the worked example
+    # and an unambiguous male probe scores male
+    probe_m = mldb.spark.createDataFrame(
+        [(6.0, 185.0, 12.0)], "height double, weight double, foot_size double"
+    )
+    assert reg.apply("nb1724", probe_m).collect()[0]["score"] > 0.5
+
+
+def test_mldbfb_634_join_nested_column_wildcard(mldb):
+    """MLDBFB-634-join-nested-column.py: a qualified nested wildcard
+    (x.a.*) over a join expands the alias's nested path columns."""
+    df = mldb.spark.createDataFrame(
+        [("row1", 1, 2), ("row2", 3, 4)],
+        "rn string, `a.b` int, `a.c` int",
+    )
+    mldb.create_dataset("fb634", df, row_name_col="rn")
+    out = mldb.query(
+        "SELECT x.a.* FROM fb634 AS x JOIN fb634 AS y "
+        "ON x.rowName() = y.rowName() ORDER BY x.rowName()"
+    )
+    assert sorted(out.columns) == ["x.a.b", "x.a.c"]
+    assert [tuple(r) for r in out.collect()] == [(1, 2), (3, 4)]
+
+
+def test_mldbfb_401_where_on_unknown_column(mldb):
+    """MLDBFB-401: WHERE on a nonexistent column is open-schema NULL,
+    not an error — bare and quoted spellings."""
+    mldb.create_dataset(
+        "sparse401", mldb.spark.createDataFrame([(1,)], "x int")
+    )
+    assert mldb.query(
+        "SELECT * FROM sparse401 WHERE someCol IS NOT NULL"
+    ).collect() == []
+    assert mldb.query(
+        'SELECT * FROM sparse401 WHERE "someCol" IS NOT NULL'
+    ).collect() == []
+    assert len(mldb.query(
+        "SELECT * FROM sparse401 WHERE someCol IS NULL"
+    ).collect()) == 1
+
+
+def test_mldbfb_192_csv_rownames_are_line_numbers(mldb, tmp_path):
+    """MLDBFB-192: CSV rows name themselves by (1-based) source line
+    number, the header consuming line 1 — rows land at 2, 3."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.sources.text_io import import_text
+
+    p = tmp_path / "fb192.csv"
+    p.write_text("header\nval1\nval2\n")
+    df = import_text(mldb.spark, str(p))
+    assert df.columns == ["header"]
+    assert sorted(r["header"] for r in df.collect()) == ["val1", "val2"]
+
+
+def test_mldbfb_545_merged_where_on_one_sided_column(mldb):
+    """MLDBFB-545: WHERE on a column present in only one merge side
+    filters correctly (absent side = NULL), returning zero rows when
+    nothing matches and the matching row otherwise."""
+    _ds(mldb, "fb545a", [("user1", "n")], "rn string, converted string")
+    _ds(mldb, "fb545b", [("user2", "blah")], "rn string, blah string")
+    assert mldb.query(
+        "SELECT * FROM fb545a WHERE converted='c' LIMIT 1"
+    ).collect() == []
+    assert mldb.query(
+        "SELECT * FROM merge(fb545a, fb545b) WHERE converted='c' LIMIT 1"
+    ).collect() == []
+    rows = mldb.query(
+        "SELECT rowName() AS r FROM merge(fb545a, fb545b) "
+        "WHERE converted='n'"
+    ).collect()
+    assert [r["r"] for r in rows] == ["user1"]

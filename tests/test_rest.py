@@ -249,3 +249,29 @@ def test_mldb_951_run_on_creation_lifecycle(server):
         },
     })
     assert st == 201 and "firstRun" in body.get("status", {})
+
+
+def test_mldbfb_208_run_params_override(server):
+    """MLDBFB-208_procedure_params_overwrite_test.py: a run's params
+    override the stored procedure config per key."""
+    st, _b = _req(server, "PUT", "/v1/procedures/t208", {
+        "type": "transform",
+        "params": {
+            "inputData": "select r_regionkey as k from doesnotexist",
+            "outputDataset": "t208_bad",
+            "runOnCreation": False,
+        },
+    })
+    assert st == 201
+    st, _b = _req(server, "POST", "/v1/procedures/t208/runs", {
+        "params": {
+            "inputData": "select r_regionkey as k from region",
+            "outputDataset": "t208_out",
+        },
+    })
+    assert st == 201
+    import urllib.parse
+
+    qs = urllib.parse.quote("select k from t208_out order by k")
+    _, rows = _get(server, f"/v1/query?q={qs}&format=aos")
+    assert [r["k"] for r in rows] == [0, 1, 2, 3, 4]
