@@ -2354,9 +2354,9 @@ class MldbContext:
         if isinstance(a, ast.TableFunction):
             return self._table_function(a, params)
         if isinstance(a, ast.FunctionCall) and a.name in (
-            "row_dataset", "merge", "sample", "transpose", "all_cells",
-            "decontaminate", "mixture_sample", "minhash_pairs",
-            "dedup_groups",
+            "row_dataset", "atom_dataset", "merge", "sample", "transpose",
+            "all_cells", "decontaminate", "mixture_sample",
+            "minhash_pairs", "dedup_groups",
         ):
             # nested dataset functions parse as expression calls —
             # re-route (merge(row_dataset(...), ...), MLDB-2103)
@@ -2372,6 +2372,11 @@ class MldbContext:
         sql/builtin_dataset_functions.cc: transpose :107, merge :173,
         sample :213; table_expression_operations.h:210-240
         row_dataset/atom_dataset)."""
+        if tf.name == "atom_dataset":
+            # atom_dataset(<row literal>) — one row per atom like
+            # row_dataset, the column rendered as its path string
+            # (MLDB-1616/1639; table_expression_operations.h:210-240)
+            tf = ast.TableFunction("row_dataset", tf.args, tf.alias)
         if tf.name == "row_dataset":
             # row_dataset(<row or embedding literal>): one output row
             # per atom, named by its 0-based atom index, with

@@ -4953,3 +4953,57 @@ def test_mldbfb_545_merged_where_on_one_sided_column(mldb):
         "WHERE converted='n'"
     ).collect()
     assert [r["r"] for r in rows] == ["user1"]
+
+
+def test_mldb_1616_row_dataset_joins(mldb):
+    """MLDB-1616-row-dataset-segfault.js: subselects joined with
+    atom_dataset()/row_dataset() (cross, no ON) produce the composed
+    row with every side's columns and composite names."""
+    out = mldb.query(
+        "select rowName() AS r, * from (select 1 AS one) as x "
+        "join atom_dataset({x: 1}) as y"
+    )
+    row = out.collect()[0]
+    d = row.asDict()
+    assert d["x.one"] == 1 and d["y.column"] == "x" and d["y.value"] == 1.0
+    assert "-[0]" in d["r"]
+    out = mldb.query(
+        "select * from (select 1 AS one) as x "
+        "join atom_dataset({x: 1}) as y join row_dataset({z: 2}) as z"
+    )
+    d = out.collect()[0].asDict()
+    assert d["y.value"] == 1.0 and d["z.value"] == 2.0
+    assert d["z.column"] == "z"
+
+
+def test_mldb_1631_join_transpose_dynamic_regex(mldb):
+    """MLDB-1631-join-transpose-where-rowname.js: join a subselect
+    with a TRANSPOSED named row, filtering with a regex built from
+    the other side's rowName() at run time."""
+    out = mldb.query(
+        "select * from (select 'this is toy story time' as title) as y "
+        "join transpose((select {\"toy story\": 1, \"terminator\": 5} "
+        "as * named 'rating')) as x "
+        "where regex_match(y.title, '.*' + x.rowName() + '.*')"
+    )
+    rows = [r.asDict() for r in out.collect()]
+    assert len(rows) == 1
+    assert rows[0]["y.title"] == "this is toy story time"
+    assert rows[0]["x.rowName"] == "toy story"
+    assert rows[0]["x.rating"] == 1.0
+
+
+def test_mldb_1843_select_nesting_equivalence(mldb):
+    """MLDB-1843-select-disappearing-values.js: sql.query entities
+    whose bodies wrap the same tokenize AS * in different nesting
+    forms produce the same applied row."""
+    q = "SELECT tokenize('a,b,c') AS *"
+    mldb.create_sql_query_function("f1843a", q)
+    mldb.create_sql_query_function("f1843b", f"SELECT * FROM ({q})")
+
+    def one(fn):
+        out = mldb.query(f"SELECT {fn}()[output] AS o FROM (SELECT 1 AS d)")
+        r = out.collect()[0]["o"]
+        return dict(r.asDict()) if hasattr(r, "asDict") else dict(r)
+
+    assert one("f1843a") == one("f1843b") == {"a": 1, "b": 1, "c": 1}
