@@ -942,3 +942,66 @@ def svd_train(
     # construction in both regimes
     row_emb = embed_rows(cells)
     return row_emb, col_emb, sigma
+
+
+def tfidf_score_table(
+    bags: DataFrame,
+    dfs: DataFrame,
+    corpus_size: int,
+    tf_type: str = "raw",
+    idf_type: str = "inverseSmooth",
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    freq_col: str = "frequency",
+    df_col: str = "df",
+) -> DataFrame:
+    """The reference tfidf FUNCTION's full scoring matrix
+    (plugins/nlp/tfidf.cc:357-420; MLDB-1101): score each (doc, term,
+    frequency) row against a document-frequency table with
+
+      tf:  raw = f | log = ln(1+f) | augmented = .5 + .5*f/maxF(doc)
+      idf: unary = 1 | inverse = ln(N/(1+df))
+           | inverseSmooth = ln(1 + N/(1+df))   (the default)
+           | inverseMax = ln(1 + maxNt(doc)/(1+df))
+           | probabilisticInverse = ln((N-df)/(1+df))
+
+    where maxF(doc) is the doc's max term frequency and maxNt(doc)
+    the max df among the doc's KNOWN terms. Unknown terms score with
+    df = 0 (the reference's dfs.find miss). Plan: one broadcast df
+    join + one per-doc window for the two maxima — no Python."""
+    from pyspark.sql import Window
+
+    if tf_type not in ("raw", "log", "augmented"):
+        raise ValueError(f"unknown tfType {tf_type!r}")
+    if idf_type not in (
+        "unary", "inverse", "inverseSmooth", "inverseMax",
+        "probabilisticInverse",
+    ):
+        raise ValueError(f"unknown idfType {idf_type!r}")
+    j = bags.join(F.broadcast(dfs), term_col, "left").withColumn(
+        "__df", F.coalesce(F.col(df_col), F.lit(0)).cast("double")
+    )
+    w = Window.partitionBy(id_col)
+    j = j.withColumn("__maxF", F.max(freq_col).over(w)).withColumn(
+        "__maxNt", F.max("__df").over(w)
+    )
+    f = F.col(freq_col).cast("double")
+    tf = {
+        "raw": f,
+        "log": F.log(F.lit(1.0) + f),
+        "augmented": F.lit(0.5) + F.lit(0.5) * f / F.col("__maxF"),
+    }[tf_type]
+    n = F.lit(float(corpus_size))
+    dfv = F.col("__df")
+    idf = {
+        "unary": F.lit(1.0),
+        "inverse": F.log(n / (F.lit(1.0) + dfv)),
+        "inverseSmooth": F.log(F.lit(1.0) + n / (F.lit(1.0) + dfv)),
+        "inverseMax": F.log(
+            F.lit(1.0) + F.col("__maxNt") / (F.lit(1.0) + dfv)
+        ),
+        "probabilisticInverse": F.log((n - dfv) / (F.lit(1.0) + dfv)),
+    }[idf_type]
+    return j.select(
+        F.col(id_col), F.col(term_col), (tf * idf).alias("score")
+    )

@@ -5007,3 +5007,92 @@ def test_mldb_1843_select_nesting_equivalence(mldb):
         return dict(r.asDict()) if hasattr(r, "asDict") else dict(r)
 
     assert one("f1843a") == one("f1843b") == {"a": 1, "b": 1, "c": 1}
+
+
+def test_mldb_1552_where_rowname_conjunction(mldb):
+    """MLDB-1552-where-and-rowname-optim.py: WHERE combining a
+    column predicate with rowName() != ..., ORDER BY rowName() DESC."""
+    _ds(mldb, "d1552", [(f"row_{i}", i) for i in range(3)], "rn string, x int")
+    out = mldb.query(
+        "SELECT rowName() AS r, x FROM d1552 "
+        "WHERE (x IS NOT null) AND rowName() != 'row_1' "
+        "order by rowName() desc"
+    )
+    assert [tuple(r) for r in out.collect()] == [("row_2", 2), ("row_0", 0)]
+
+
+def test_mldb_1101_tfidf_function_matrix(mldb):
+    """MLDB-1101-tf-idf.py: document frequencies over the
+    peanut-butter corpus, and the tfidf scoring matrix's relative
+    orderings — rarer terms outrank common ones under every
+    (tfType, idfType) combination the reference tests."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.functions.text import tokenize_opts
+    from mldb_spark.ml.procedures import tfidf_score_table
+
+    corpus = [
+        ("row0", "peanut butter jelly peanut butter jelly"),
+        ("row1", "peanut butter jelly time peanut butter jelly time"),
+        ("row2", "this is the jelly song"),
+    ]
+    docs = mldb.spark.createDataFrame(corpus, "doc string, text string")
+    toks = docs.select(
+        "doc",
+        F.explode(
+            tokenize_opts(F.col("text"), split_chars=" ", min_token_length=2)
+        ).alias("term"),
+    )
+    dfs = (
+        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    got = {r["term"]: r["df"] for r in dfs.collect()}
+    assert got == {
+        "butter": 2, "is": 1, "jelly": 3, "peanut": 2,
+        "song": 1, "the": 1, "this": 1, "time": 1,
+    }
+    probe = mldb.spark.createDataFrame(
+        [("q", "jelly", 1), ("q", "time", 1), ("q", "butter", 2),
+         ("q", "bristol", 1)],
+        "doc_id string, term string, frequency int",
+    )
+    for tf_t, idf_t in [("raw", "inverseSmooth"),
+                        ("augmented", "inverseMax"),
+                        ("raw", "inverse")]:
+        out = tfidf_score_table(
+            probe, dfs.withColumnRenamed("term", "term"), 3,
+            tf_type=tf_t, idf_type=idf_t, term_col="term",
+        )
+        s = {r["term"]: r["score"] for r in out.collect()}
+        assert s["bristol"] > s["jelly"], (tf_t, idf_t, s)
+        assert s["butter"] >= s["jelly"], (tf_t, idf_t, s)
+        assert s["time"] > s["jelly"], (tf_t, idf_t, s)
+
+
+def test_mldb_1119_pooling_function(mldb):
+    """MLDB-1119_pooling_function.py: pooling with [avg, max]
+    aggregators over a 2-d embedding — doc1's max-x = 0.2, doc2's
+    avg-y = 0.32, unmatched docs pool to all-zero vectors
+    (MLDB-1733's no-match rows included)."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.functions.feature_gen import pooling
+
+    vectors = mldb.spark.createDataFrame(
+        [("allo", [0.2, 0.0]), ("mon", [0.8, 0.95]),
+         ("beau", [0.4, 0.01]), ("coco", [0.0, 0.5])],
+        "word string, vector array<double>",
+    )
+    bags = mldb.spark.createDataFrame(
+        [("doc1", "allo"), ("doc1", "coco"), ("doc2", "allo"),
+         ("doc2", "mon"), ("doc2", "beau"), ("doc3", "patate"),
+         ("doc4", "j'ai")],
+        "doc_id string, token string",
+    )
+    out = pooling(bags, vectors, aggregators=("avg", "max"))
+    vecs = {r["doc_id"]: list(r["embedding"]) for r in out.collect()}
+    # layout: [avg_x, avg_y, max_x, max_y]
+    assert abs(vecs["doc1"][2] - 0.2) < 1e-4   # max x of allo, coco
+    assert abs(vecs["doc2"][1] - 0.32) < 1e-4  # avg y of allo, mon, beau
+    assert vecs["doc4"] == [0.0, 0.0, 0.0, 0.0]
+    assert vecs["doc3"] == [0.0, 0.0, 0.0, 0.0]
