@@ -538,6 +538,16 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
             lit = opts.get("removesubdomain")
             remove_sub = bool(isinstance(lit, ast.Literal) and lit.value)
         return extract_domain(args[0], remove_sub)
+    if name in simple:
+        raise ValueError(
+            f"Binding builtin function {name}: expected 1 argument, "
+            f"got {len(args)}"
+        )
+    if name in binary:
+        raise ValueError(
+            f"Binding builtin function {name}: expected 2 arguments, "
+            f"got {len(args)}"
+        )
     raise ValueError(f"unknown function {name!r}")
 
 
@@ -1852,6 +1862,19 @@ def _call_fn(fn, df: DataFrame, call_params: "dict[str, object]"):
     return fn(df)
 
 
+# function-entity names that shadow prominent builtins are refused at
+# registration (MLDB-1661); the temporal_/horizontal_/vertical_
+# families are prefix-guarded at the call site
+_RESERVED_BUILTIN_NAMES = frozenset({
+    "tokenize", "sum", "avg", "min", "max", "count", "earliest",
+    "latest", "rowname", "rowhash", "rowpath", "pivot", "exp", "ln",
+    "log", "sqrt", "abs", "lower", "upper", "concat", "coalesce",
+    "cast", "regex_match", "regex_search", "regex_replace",
+    "parse_json", "jaccard_index", "levenshtein_distance", "now",
+    "to_timestamp", "date_part", "date_trunc", "norm", "normalize",
+})
+
+
 def _render_path_el(el: str) -> str:
     """One path element → its rendered form (reference types/path.h
     quoting: an element containing '.' or '"' renders double-quoted
@@ -2080,8 +2103,18 @@ class MldbContext:
         once, then extracts the named output column — the reference's
         `SELECT my_classifier({features: {*}})[score]` pattern. The
         argument row literal is informational (the transform closure
-        already knows its input columns)."""
-        self._functions[name.lower()] = fn
+        already knows its input columns).
+
+        Names of BUILT-IN functions are reserved (MLDB-1661: the
+        reference refuses `PUT /v1/functions/temporal_earliest`)."""
+        low = name.lower()
+        if low in _RESERVED_BUILTIN_NAMES or low.startswith(
+            ("temporal_", "horizontal_", "vertical_")
+        ):
+            raise ValueError(
+                f"MLDB already has a built-in function named {name!r}"
+            )
+        self._functions[low] = fn
 
     def _lookup_function(self, name: str):
         """Resolve an applied-function name: context-local first, then

@@ -5096,3 +5096,51 @@ def test_mldb_1119_pooling_function(mldb):
     assert abs(vecs["doc2"][1] - 0.32) < 1e-4  # avg y of allo, mon, beau
     assert vecs["doc4"] == [0.0, 0.0, 0.0, 0.0]
     assert vecs["doc3"] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_mldb_1661_builtin_name_conflict(mldb):
+    """MLDB-1661-function-name-conflict.py: registering a function
+    entity under a built-in function's name raises, and the builtin
+    keeps working."""
+    import datetime as _dt
+
+    import pytest
+
+    with pytest.raises(Exception, match="built-in"):
+        mldb.create_sql_query_function(
+            "temporal_earliest", "SELECT 1 AS one"
+        )
+    df = mldb.spark.createDataFrame(
+        [("a", 1.0, _dt.datetime(2020, 1, 1))],
+        "rn string, x double, ts timestamp",
+    )
+    mldb.create_dataset("d1661", df, row_name_col="rn", ts_col="ts")
+    assert _q(mldb, "SELECT temporal_earliest(x) AS v FROM d1661") == [(1.0,)]
+
+
+def test_mldb_1907_builtin_arity_errors(mldb):
+    """MLDB-1907-value-description-error.py: wrong arity on a builtin
+    reports the expected/got counts, not 'unknown function'."""
+    import pytest
+
+    with pytest.raises(Exception, match="expected 1 argument, got 2"):
+        mldb.query("select sqrt(2, NULL) AS v").collect()
+    with pytest.raises(Exception, match="expected 1 argument, got 2"):
+        mldb.query("select sqrt(2, 1) AS v").collect()
+
+
+def test_mldb_1950_merge_duplicate_row_names(mldb):
+    """MLDB-1950-crash-in-merge.py: merging sides whose rows share
+    one NAMED value must not crash (the reference skips this awaiting
+    its own fix); here the rowName join yields the name-group
+    product, deterministically."""
+    _ds(
+        mldb, "d1950",
+        [("rowname0", 1), ("rowname1", 1)],
+        "rn string, col int",
+    )
+    out = mldb.query(
+        "SELECT * from merge((SELECT col AS a NAMED 'name' FROM d1950), "
+        "(SELECT col AS b NAMED 'name' FROM d1950))"
+    )
+    assert out.count() == 4
