@@ -1633,3 +1633,31 @@ SELECT r, round(p + 0.000000001, 2) AS surv_p,
        coalesce(round(cl + 0.000000001, 2), -1.0) AS surv_c
 FROM piv WHERE p IS NOT NULL ORDER BY r
 """
+
+# qa23: the tfidf scoring matrix (augmented tf x inverseMax idf) —
+# tokenize, document frequencies, per-doc maxima, closed-form score.
+ORACLES["qa23_tfidf_matrix"] = f"""
+WITH docs AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 20 = 0
+), n AS (SELECT count(*) AS total FROM docs),
+bags AS (
+  SELECT doc_id, tok AS term, count(*) AS frequency
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM docs) u
+  GROUP BY doc_id, tok
+), dfs AS (
+  SELECT term, count(*) AS df FROM bags GROUP BY term
+), j AS (
+  SELECT b.doc_id, b.term, b.frequency,
+         CAST(coalesce(d.df, 0) AS DOUBLE) AS dfv,
+         max(b.frequency) OVER (PARTITION BY b.doc_id) AS maxF,
+         max(CAST(coalesce(d.df, 0) AS DOUBLE))
+           OVER (PARTITION BY b.doc_id) AS maxNt
+  FROM bags b LEFT JOIN dfs d USING (term)
+)
+SELECT doc_id, term,
+       round((0.5 + 0.5 * frequency / maxF)
+             * ln(1.0 + maxNt / (1.0 + dfv)) + 1e-9, 6) AS score
+FROM j
+WHERE term IN ('the', 'data', 'model', 'learning')
+ORDER BY doc_id, term
+"""

@@ -2811,6 +2811,39 @@ def qa22_cells_when_sql(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa23_tfidf_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference tfidf FUNCTION's scoring matrix
+    (plugins/nlp/tfidf.cc:357-420; MLDB-1101) over the documents
+    corpus: augmented tf x inverseMax idf — the combination exercising
+    BOTH per-doc maxima (max term frequency and max df among the
+    doc's terms). The DuckDB oracle replays tokenization, document
+    frequencies, the window maxima, and the closed-form score. Scale
+    shape: one broadcast df-join + one per-doc window."""
+    from mldb_spark.functions.text import tokenize
+    from mldb_spark.ml.procedures import tfidf_score_table
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") % 20 == 0)
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    bags = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("frequency")
+    )
+    dfs = bags.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.count()
+    out = tfidf_score_table(
+        bags, dfs, n, tf_type="augmented", idf_type="inverseMax"
+    )
+    return (
+        out.filter(F.col("term").isin("the", "data", "model", "learning"))
+        .select(
+            "doc_id", "term",
+            F.round(F.col("score") + 1e-9, 6).alias("score"),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
