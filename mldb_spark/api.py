@@ -426,7 +426,7 @@ class Mldb:
         self._procedures[proc_id] = config
         params = config.get("params", {})
         if params.get("runOnCreation", False):
-            status = self.create_entity("procedure", config)
+            status = self.run_procedure(proc_id)
             return {"status": {"firstRun": status}, "config": config}
         return {"config": config}
 
@@ -444,7 +444,30 @@ class Mldb:
             merged = dict(config.get("params", {}))
             merged.update(params_override)
             config["params"] = merged
-        return self.create_entity("procedure", config)
+        import datetime as _dt
+
+        started = _dt.datetime.utcnow().isoformat() + "Z"
+        try:
+            status = self.create_entity("procedure", config)
+            state = "finished"
+        except Exception:
+            state = "error"
+            raise
+        finally:
+            self._runs = getattr(self, "_runs", {})
+            self._runs[proc_id] = {
+                "runStarted": started,
+                "runFinished": _dt.datetime.utcnow().isoformat() + "Z",
+                "state": state,
+            }
+        return status
+
+    def latest_run(self, proc_id: str) -> dict:
+        """GET /v1/procedures/<id>/latestrun (MLDB-1359)."""
+        runs = getattr(self, "_runs", {})
+        if proc_id not in runs:
+            raise KeyError(f"no runs for procedure {proc_id!r}")
+        return runs[proc_id]
 
     def create_entity(self, kind: str, config: dict) -> dict:
         """createEntity procedure (builtin/basic_procedures.cc:194-230):

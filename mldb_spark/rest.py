@@ -150,6 +150,13 @@ class MldbRestServer:
                 try:
                     if parts[:2] == ["v1", "query"]:
                         self._send(200, facade.run_query(q))
+                    elif (
+                        parts[:2] == ["v1", "procedures"]
+                        and len(parts) == 4
+                        and parts[3] == "latestrun"
+                    ):
+                        # MLDB-1359: the most recent run's metadata
+                        self._send(200, facade.mldb.latest_run(parts[2]))
                     elif parts[:2] == ["v1", "datasets"] and len(parts) == 2:
                         self._send(200, facade.mldb.datasets())
                     elif parts[:2] == ["v1", "datasets"] and len(parts) == 3:

@@ -5144,3 +5144,28 @@ def test_mldb_1950_merge_duplicate_row_names(mldb):
         "(SELECT col AS b NAMED 'name' FROM d1950))"
     )
     assert out.count() == 4
+
+
+def test_mldb_1128_git_transform_pipeline(mldb):
+    """MLDB-1128-transform-utf8.js (shape): import.git → transform
+    deriving company = regex_replace(authorEmail, '.*@', '') → count
+    per company — the repo's own history as the fixture."""
+    from mldb_spark.sources.git_io import import_git
+
+    git = import_git(mldb.spark, "/root/repo", limit=20, import_stats=False)
+    mldb.create_dataset("git1128", git)
+    mldb.transform(
+        {
+            "select": "regex_replace(author_email, '.*@', '') as company, "
+                      "commit",
+            "from": "git1128",
+        },
+        "gitderived1128",
+    )
+    rows = _q(
+        mldb,
+        "SELECT company, count(*) AS n FROM gitderived1128 "
+        "GROUP BY company ORDER BY n DESC",
+    )
+    assert rows and rows[0][1] >= 1
+    assert all("@" not in r[0] for r in rows)

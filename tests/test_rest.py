@@ -275,3 +275,24 @@ def test_mldbfb_208_run_params_override(server):
     qs = urllib.parse.quote("select k from t208_out order by k")
     _, rows = _get(server, f"/v1/query?q={qs}&format=aos")
     assert [r["k"] for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_mldb_1359_latest_run(server):
+    """MLDB-1359_procedure_latest_run.py: /latestrun reports the most
+    recent run's metadata, advancing across runs."""
+    import time
+
+    _req(server, "PUT", "/v1/procedures/t1359", {
+        "type": "transform",
+        "params": {
+            "inputData": "select r_name from region",
+            "outputDataset": "t1359_out",
+            "runOnCreation": True,
+        },
+    })
+    st, first = _get(server, "/v1/procedures/t1359/latestrun")
+    assert st == 200 and first["state"] == "finished"
+    time.sleep(0.02)
+    _req(server, "POST", "/v1/procedures/t1359/runs", {})
+    _, second = _get(server, "/v1/procedures/t1359/latestrun")
+    assert second["runStarted"] > first["runStarted"]
