@@ -124,8 +124,12 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
     )
     from mldb_spark.functions.web import canonicalize_url as _canonicalize_url_fn
     from mldb_spark.functions.paths import (
+        flatten_path as _flatten_path,
         parse_path as _parse_path,
+        path_element as _path_element,
+        path_length as _path_length,
         stringify_path as _stringify_path,
+        unflatten_path as _unflatten_path,
     )
 
     simple = {
@@ -154,6 +158,9 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         # stringify renders with quoting, parse splits respecting it
         "stringify_path": _stringify_path,
         "parse_path": _parse_path,
+        "path_length": _path_length,
+        "flatten_path": _flatten_path,
+        "unflatten_path": _unflatten_path,
         # corpus-tier scalar surface (beyond-reference): PII scrub and
         # URL canonicalization reachable straight from SQL/REST
         "redact_pii": redact_pii,
@@ -187,6 +194,7 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         "mod": lambda a, b: a.cast("long") % b.cast("long"),
         "atan2": F.atan2,
         "quantize": quantize, "levenshtein_distance": F.levenshtein,
+        "path_element": _path_element,
         # regex_match is a FULL-string match in the reference
         # (std::regex_match, builtin_functions.cc:1038); regex_search
         # is the find-anywhere form (:1049). Spark's rlike is search

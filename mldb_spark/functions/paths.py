@@ -55,9 +55,10 @@ def stringify_path(p: Column) -> Column:
 
 
 def path_element(p: Column, n: Column | int) -> Column:
-    """n-th element (0-based, reference path_element)."""
+    """n-th element (0-based, reference path_element); out-of-range
+    yields NULL (never an ANSI index error)."""
     idx = (F.lit(n) if not isinstance(n, Column) else n) + 1
-    return F.element_at(p, idx.cast("int"))
+    return F.try_element_at(p, idx.cast("int"))
 
 
 def path_length(p: Column) -> Column:

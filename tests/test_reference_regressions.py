@@ -5169,3 +5169,56 @@ def test_mldb_1128_git_transform_pipeline(mldb):
     )
     assert rows and rows[0][1] >= 1
     assert all("@" not in r[0] for r in rows)
+
+
+def test_mldb_1597_grouped_stats_shape(mldb):
+    """MLDB-1597-regression.py (stats-transform shape): grouped
+    aggregates mixing sum-ratios, avg({row}) AS * spreads, and
+    arithmetic over aggregates."""
+    _ds(
+        mldb, "d1597",
+        [("r1", "a", 1.0, 2.0, 10.0, 5.0), ("r2", "a", 3.0, 4.0, 20.0, 10.0),
+         ("r3", "b", 5.0, 6.0, 30.0, 15.0)],
+        "rn string, dow string, b_1 double, b_2 double, e_1 double, e_2 double",
+    )
+    out = mldb.query(
+        "select dow, sum(e_1)/sum(e_2) as e, avg({b_1, b_2}) as *, "
+        "avg(b_1)/avg(b_2) as b_ratio from d1597 group by dow order by dow"
+    )
+    rows = {r["dow"]: r.asDict() for r in out.collect()}
+    assert rows["a"]["e"] == 2.0
+    assert rows["a"]["b_1"] == 2.0 and rows["a"]["b_2"] == 3.0
+    assert abs(rows["a"]["b_ratio"] - 2.0 / 3.0) < 1e-12
+    assert rows["b"]["e"] == 2.0 and rows["b"]["b_1"] == 5.0
+
+
+def test_mldb_2063_transform_row_dataset_and_paths(mldb):
+    """MLDB-2063-sparse-mutable-encodeVal.py: transform over a
+    row_dataset subselect; CAST AS path through a transform and
+    path_element/path_length over the stored path."""
+    mldb.transform(
+        "SELECT column AS title FROM (SELECT * FROM "
+        'row_dataset({"My Value": 1}))',
+        "keywords2063",
+    )
+    rows = _q(mldb, "select title from keywords2063")
+    assert rows == [("My Value",)]
+    # divergence note: the reference re-PARSES a stored path when the
+    # dataset round-trips it (Path::parse in coerceToPath), so its
+    # version of this test sees 3 elements; here CAST (string AS
+    # path) stays the documented single element (MLDB-1648) and the
+    # explicit parse_path reproduces the reference's 3-way split.
+    mldb.transform(
+        "SELECT CAST ('1.2.3' AS path) AS single, "
+        "parse_path('1.2.3') AS name FROM (SELECT 1 AS d)",
+        "paths2063",
+    )
+    out = _q(
+        mldb,
+        "SELECT path_element(name, 0) AS a, path_element(name, 1) AS b, "
+        "path_element(name, 2) AS c, path_length(name) AS length, "
+        "path_length(single) AS single_len, "
+        "path_element(single, 2) AS oob "
+        "FROM paths2063",
+    )
+    assert out == [("1", "2", "3", 3, 1, None)]
