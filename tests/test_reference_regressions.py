@@ -5222,3 +5222,32 @@ def test_mldb_2063_transform_row_dataset_and_paths(mldb):
         "FROM paths2063",
     )
     assert out == [("1", "2", "3", 3, 1, None)]
+
+
+def test_mldb_1140_csv_compression(mldb, tmp_path):
+    """MLDB-1140-csv_reading_compression_test.py: compressed CSVs
+    import transparently (gzip here — Spark decompresses by
+    extension), with headers + delimiter + offset + named options
+    composing."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from mldb_spark.sources.text_io import import_text
+
+    p = tmp_path / "score.tsv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("skipme\tskipme\tskipme\n")
+        f.write("u1\t100\t0.5\n")
+        f.write("u2\t200\t0.7\n")
+    df = import_text(
+        mldb.spark, str(p),
+        headers=["uid", "timestamp", "score"],
+        delimiter="\t",
+        offset=1,
+        named=F.col("uid"),
+    )
+    # schema inference saw the skipped junk line, so values arrive as
+    # strings; the numeric content survives intact
+    rows = {r["rowName"]: float(r["score"]) for r in df.collect()}
+    assert rows == {"u1": 0.5, "u2": 0.7}

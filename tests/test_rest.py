@@ -296,3 +296,25 @@ def test_mldb_1359_latest_run(server):
     _req(server, "POST", "/v1/procedures/t1359/runs", {})
     _, second = _get(server, "/v1/procedures/t1359/latestrun")
     assert second["runStarted"] > first["runStarted"]
+
+
+def test_mldb_2112_broken_procedure_is_400_not_500(server):
+    """MLDB-2112_500_on_broken_proc_test.py: a procedure whose query
+    is invalid errors cleanly (4xx with an error body), never a
+    crash/500."""
+    import urllib.error
+
+    try:
+        _req(server, "PUT", "/v1/procedures/broken2112", {
+            "type": "transform",
+            "params": {
+                "inputData": "SELECT x:BUG:1",
+                "outputDataset": "perruche",
+                "runOnCreation": True,
+            },
+        })
+        raise AssertionError("expected an error response")
+    except urllib.error.HTTPError as e:
+        assert 400 <= e.code < 500
+        body = json.loads(e.read())
+        assert "error" in body
