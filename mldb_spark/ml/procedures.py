@@ -73,6 +73,7 @@ def classifier_train(
     max_iter: int = 50,
     algorithm: str = "glz",
     mode: str = "boolean",
+    weight_col: "str | None" = None,
 ):
     """classifier.train with the reference's algorithm/mode matrix
     (ClassifierConf.md; classifiers.json ships glz, dt, bagging,
@@ -108,8 +109,14 @@ def classifier_train(
     if mode not in ("boolean", "regression", "categorical"):
         raise ValueError(f"unknown classifier mode {mode!r}")
     algo = {"bbdt": "boosting"}.get(algorithm, algorithm)
+    # per-example weights (the reference's trainingData `weight`
+    # output, MLDB-198) ride MLlib's weightCol on the estimators that
+    # support it
+    wkw = {"weightCol": weight_col} if weight_col else {}
     cls_est = {
-        "glz": lambda: LogisticRegression(maxIter=max_iter, regParam=0.01),
+        "glz": lambda: LogisticRegression(
+            maxIter=max_iter, regParam=0.01, **wkw
+        ),
         "dt": lambda: DecisionTreeClassifier(maxDepth=8, seed=1),
         "bagging": lambda: RandomForestClassifier(numTrees=20, seed=1),
         "boosting": lambda: GBTClassifier(maxIter=min(max_iter, 20), seed=1),
@@ -118,7 +125,9 @@ def classifier_train(
         "naive_bayes": lambda: NaiveBayes(modelType="gaussian"),
     }
     reg_est = {
-        "glz": lambda: LinearRegression(maxIter=max_iter, regParam=0.01),
+        "glz": lambda: LinearRegression(
+            maxIter=max_iter, regParam=0.01, **wkw
+        ),
         "dt": lambda: DecisionTreeRegressor(maxDepth=8, seed=1),
         "bagging": lambda: RandomForestRegressor(numTrees=20, seed=1),
         "boosting": lambda: GBTRegressor(maxIter=min(max_iter, 20), seed=1),

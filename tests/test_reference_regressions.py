@@ -5327,3 +5327,37 @@ def test_mldb_1353_em_iris_clusters(mldb):
     assert by_cluster[sc]["Iris-setosa"] == sum(by_cluster[sc].values()) == 50
     majority = sum(c.most_common(1)[0][1] for c in by_cluster.values())
     assert majority / 150 >= 2 / 3
+
+
+def test_mldb_198_classifier_weights(mldb):
+    """MLDB-198-classifier-weights.js: per-example weights steer the
+    separator — the contested corner (1,1) has one 0-labeled and one
+    1-labeled example; upweighting either flips the corner's score."""
+    from mldb_spark.ml.procedures import classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    base = [
+        (0.0, 0.0, 0.0, "none"), (1.0, 0.0, 1.0, "none"),
+        (0.0, 1.0, 1.0, "none"), (1.0, 1.0, 1.0, "isone"),
+        (1.0, 1.0, 0.0, "iszero"),
+    ]
+
+    def corner_score(weight_rule):
+        rows = [
+            (x, y, lab, weight_rule(tag)) for x, y, lab, tag in base
+        ]
+        df = mldb.spark.createDataFrame(
+            rows, "x double, y double, label double, w double"
+        )
+        reg = FunctionRegistry()
+        classifier_train(
+            df, ["x", "y"], "label", "w198", reg, weight_col="w"
+        )
+        probe = mldb.spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+        return reg.apply("w198", probe).collect()[0]["score"]
+
+    even = corner_score(lambda t: 1.0)
+    heavy_zero = corner_score(lambda t: 100.0 if t == "iszero" else 1.0)
+    heavy_one = corner_score(lambda t: 100.0 if t == "isone" else 1.0)
+    assert heavy_zero < even < heavy_one
+    assert heavy_zero < 0.5 and heavy_one > 0.5
