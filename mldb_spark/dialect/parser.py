@@ -602,6 +602,16 @@ class Parser:
                 raise SyntaxError(f"bad alias {alias_tok}")
             else:
                 alias = alias_tok.value
+                # dotted output names: `1 AS a.b` names the column
+                # a.b (column_name_test.py test_dotted_as)
+                while (
+                    self.peek().kind == "op"
+                    and self.peek().value == "."
+                    and self.peek(1).kind == "ident"
+                ):
+                    self.next()
+                    nt = self.next()
+                    alias += "." + self._render_el(nt.value, nt.quoted)
         return ast.ExprItem(e, alias, surface=surface or None)
 
     def _column_expr_item(self) -> ast.ColumnExprItem:

@@ -5361,3 +5361,22 @@ def test_mldb_198_classifier_weights(mldb):
     heavy_one = corner_score(lambda t: 100.0 if t == "isone" else 1.0)
     assert heavy_zero < even < heavy_one
     assert heavy_zero < 0.5 and heavy_one > 0.5
+
+
+def test_column_name_surface_conventions(mldb):
+    """column_name_test.py (satisfiable half): unnamed select items
+    take their surface text as the output column; `name: expr` and
+    AS (incl. dotted names) name explicitly; row literals spread with
+    AS *."""
+    def names(select):
+        return mldb.query(f"SELECT {select}").columns
+
+    assert names("1") == ["1"]
+    assert names("1 + 10") == ["1 + 10"]
+    assert names("a:1 + 10") == ["a"]
+    assert names("a + b FROM (SELECT a:1, b:2)") == ["a + b"]
+    assert names("x:1") == ["x"]
+    assert names("1 AS x") == ["x"]
+    assert names("1 as a.b") == ["a.b"]
+    assert names("{x:1} AS *") == ["x"]
+    assert sorted(names("* FROM (SELECT a:1, b:2)")) == ["a", "b"]
