@@ -321,3 +321,35 @@ def test_unstratified_exact_split_no_single_partition_stage(spark, sf_dir):
     assert ntr + nte == n
     assert ntr == max(1, min(round(0.8 * n), n - 1))
     release_cached()
+
+
+def test_bucketize_named_no_single_partition(spark, sf_dir):
+    """bucketize_named ranks through global_hash_index — no
+    one-reducer stage despite the global percentile semantics."""
+    from mldb_spark.caching import release_cached
+    from mldb_spark.operators.relational import bucketize_named
+
+    docs = load(spark, sf_dir, "documents")
+    out = bucketize_named(
+        docs, F.col("n_chars"), {"lo": (0.0, 50.0), "hi": (50.0, 100.0)}
+    )
+    plan = _plan(out)
+    assert "SinglePartition" not in plan, plan
+    release_cached()
+
+
+def test_tfidf_score_table_broadcasts_dfs(spark, sf_dir):
+    """The tfidf scoring matrix broadcasts the vocabulary-sized df
+    table; the corpus side never shuffles for the join."""
+    from mldb_spark.functions.text import tokenize
+    from mldb_spark.ml.procedures import tfidf_score_table
+
+    docs = load(spark, sf_dir, "documents").limit(500)
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokenize(F.col("text"))).alias("term")
+    )
+    bags = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("frequency"))
+    dfs = bags.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    out = tfidf_score_table(bags, dfs, 500)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
