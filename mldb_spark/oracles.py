@@ -1661,3 +1661,40 @@ FROM j
 WHERE term IN ('the', 'data', 'model', 'learning')
 ORDER BY doc_id, term
 """
+
+# qa24: SemDeDup — the q31 pair set resolved to components with a
+# recursive CTE; every id maps to its component minimum (itself when
+# unmatched).
+ORACLES["qa24_semantic_dedup"] = f"""
+WITH sig AS (
+  SELECT vec_id, embedding, {_Q31_SIG} AS s FROM embeddings
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM sig a JOIN sig b
+    ON a.vec_id < b.vec_id AND ({_Q31_BANDS})
+), pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE {_COS.format(a="va", b="vb")} >= 0.4
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), closure AS (
+  WITH RECURSIVE r(s, t) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.s, e.b FROM r JOIN edges e ON r.t = e.a
+  )
+  SELECT s, t FROM r
+), comp AS (
+  SELECT s AS node, LEAST(s, MIN(t)) AS component
+  FROM closure GROUP BY s
+)
+SELECT e.vec_id,
+       CAST(coalesce(c.component, e.vec_id) AS BIGINT) AS survivor,
+       CAST(e.vec_id != coalesce(c.component, e.vec_id) AS BIGINT)
+         AS is_duplicate
+FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+ORDER BY e.vec_id
+"""

@@ -2844,6 +2844,27 @@ def qa23_tfidf_matrix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa24_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (arXiv:2303.09540) over
+    the embeddings table: seeded-hyperplane banding (the q31
+    candidate set), cosine components, every member mapped to its
+    component's minimum id. The oracle replays the banding + cosine
+    pairs with a recursive-CTE closure. Scale shape: one banding
+    shuffle over the corpus; component resolution on the pair set."""
+    from mldb_spark.similarity import semantic_dedup, seeded_planes
+
+    emb = load(spark, sf, "embeddings")
+    return (
+        semantic_dedup(emb, threshold=0.4, planes=seeded_planes(64), bands=4)
+        .select(
+            F.col("vec_id").cast("long"),
+            F.col("survivor").cast("long"),
+            F.col("is_duplicate").cast("long"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -403,3 +403,45 @@ def embedding_neighbors(
         return [(r["neighbor"], r["distance"]) for r in out.collect()]
 
     return fn
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    planes: "list[list[float]] | None" = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — the published method clusters embeddings and
+    prunes within-cluster cosine near-duplicates; here the clustering
+    stage is the DETERMINISTIC seeded-hyperplane banding the near-dup
+    gate q31 already replays in SQL, so the whole pass stays
+    oracle-checkable): emit (id, survivor, is_duplicate) where every
+    member of a cosine-similarity component maps to the component's
+    minimum id, and only survivors (id == survivor) are kept when
+    deduping a corpus.
+
+    Composition: embedding_cosine_near_duplicates (one equi-self-join
+    over exploded (band, signature) keys) → pointer-jumping connected
+    components (O(log d) rounds) → left join back to the full id set
+    (never-matched rows survive as their own id). Scale shape: the
+    corpus embeddings shuffle once for the banding; component
+    resolution runs over the PAIRS (tiny next to the corpus)."""
+    from mldb_spark.dedup import connected_components
+
+    pairs = embedding_cosine_near_duplicates(
+        vectors, threshold=threshold, planes=planes, bands=bands,
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    comp = connected_components(pairs)
+    out = vectors.select(id_col).join(
+        comp, vectors[id_col] == comp["node"], "left"
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("survivor"),
+    ).withColumn(
+        "is_duplicate", (F.col(id_col) != F.col("survivor")).cast("int")
+    )
