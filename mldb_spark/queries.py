@@ -2496,7 +2496,10 @@ def qa13_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     ).join(docs.select(F.col("doc_id").alias("b")), "b", "left_semi")
     pairs = exact_pairs.union(chain_pairs.select("a", "b"))
     return (
-        connected_components(pairs)
+        # driver_cutoff=0 forces the DISTRIBUTED pointer-jump loop so
+        # the scale path (not the small-graph union-find shortcut)
+        # is what this oracle gate checks
+        connected_components(pairs, driver_cutoff=0)
         .orderBy("node")
         .select(F.col("node").cast("long"), F.col("component").cast("long"))
     )

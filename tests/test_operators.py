@@ -569,11 +569,19 @@ def test_asof_join_tolerance(spark):
     assert out[5] is None     # 5 h old: dropped
 
 
-def test_connected_components(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("cutoff", [0, 1_000_000], ids=["distributed", "driver"])
+def test_connected_components(spark, cutoff):
     """dedup.connected_components: min-label propagation resolves
     pairs into components — chains merge transitively, cycles close,
     disjoint pairs stay separate, and the component id is the
-    minimum member."""
+    minimum member. Parametrized over BOTH paths of the hybrid:
+    driver_cutoff=0 forces the distributed pointer-jump loop; the
+    default routes this metadata-sized graph to driver union-find.
+    Identical expected output pins the two paths to the same
+    contract."""
     from mldb_spark.dedup import connected_components
 
     pairs = spark.createDataFrame(
@@ -591,7 +599,7 @@ def test_connected_components(spark):
     )
     out = {
         r["node"]: r["component"]
-        for r in connected_components(pairs).collect()
+        for r in connected_components(pairs, driver_cutoff=cutoff).collect()
     }
     assert {n: out[n] for n in (1, 2, 3, 4, 5)} == {n: 1 for n in (1, 2, 3, 4, 5)}
     assert {n: out[n] for n in (10, 11, 12)} == {n: 10 for n in (10, 11, 12)}
@@ -604,30 +612,42 @@ def test_connected_components_long_chain_log_rounds(spark):
     25-round budget — only possible because each round pointer-jumps
     label(u) := label(label(u)), turning O(diameter) propagation into
     O(log d) (Rastogi et al. ICDE'13). Plain propagation would need
-    ~4000 rounds and previously returned silently-wrong labels."""
+    ~4000 rounds and previously returned silently-wrong labels.
+    driver_cutoff=0 forces the distributed loop (the thing under
+    test); the driver path replays the same graph for agreement."""
     from mldb_spark.dedup import connected_components
 
     n = 4096
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "a long, b long"
     )
-    out = connected_components(pairs)
+    out = connected_components(pairs, driver_cutoff=0)
     comps = out.select("component").distinct().collect()
     assert [r["component"] for r in comps] == [0]
     assert out.count() == n
+    driver_out = connected_components(pairs)
+    assert driver_out.count() == n
+    assert [
+        r["component"] for r in driver_out.select("component").distinct().collect()
+    ] == [0]
 
 
-def test_connected_components_string_ids(spark):
+@_pytest.mark.parametrize("cutoff", [0, 1_000_000], ids=["distributed", "driver"])
+def test_connected_components_string_ids(spark, cutoff):
     """String node ids (doc hashes, URLs) work: min-label over string
     ordering, no arithmetic on the label — the old decimal-sum
-    convergence check raised TypeError on non-numeric ids."""
+    convergence check raised TypeError on non-numeric ids. Both hybrid
+    paths must produce the same string-ordered minima with a string
+    output schema."""
     from mldb_spark.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [("apple", "banana"), ("banana", "cherry"), ("x", "y")],
         "a string, b string",
     )
-    out = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    res = connected_components(pairs, driver_cutoff=cutoff)
+    assert dict(res.dtypes) == {"node": "string", "component": "string"}
+    out = {r["node"]: r["component"] for r in res.collect()}
     assert out == {
         "apple": "apple", "banana": "apple", "cherry": "apple",
         "x": "x", "y": "x",
@@ -636,7 +656,8 @@ def test_connected_components_string_ids(spark):
 
 def test_connected_components_unconverged_raises(spark):
     """max_iter too small for the graph's diameter must raise, not
-    return silently-wrong components."""
+    return silently-wrong components (distributed path only — driver
+    union-find has no iteration budget)."""
     import pytest
 
     from mldb_spark.dedup import connected_components
@@ -645,7 +666,33 @@ def test_connected_components_unconverged_raises(spark):
         [(i, i + 1) for i in range(199)], "a long, b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=2).count()
+        connected_components(pairs, max_iter=2, driver_cutoff=0).count()
+
+
+def test_connected_components_hybrid_paths_agree_random(spark):
+    """Property: on a seeded random graph (200 nodes, 180 edges —
+    mixes chains, merges, and singletons), the driver union-find path
+    and the distributed pointer-jump path return byte-identical
+    (node, component) sets."""
+    import random
+
+    from mldb_spark.dedup import connected_components
+
+    rng = random.Random(77)
+    edges = [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(180)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    dist = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(pairs, driver_cutoff=0).collect()
+    )
+    drv = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    )
+    assert dist == drv
 
 
 def test_get_all_where_row_general_predicate(spark):
