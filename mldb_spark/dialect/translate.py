@@ -745,6 +745,12 @@ class Binder:
             return "map<string,bigint>"
         if isinstance(e, ast.FunctionCall) and e.name == "split_part" and len(e.args) == 2:
             return "array<string>"
+        if isinstance(e, ast.FunctionCall) and e.name in ("rowpath", "unflatten_path"):
+            # structured path values (MLDB-1678): element arrays,
+            # distinct from the rendered rowName() string
+            return "array<string>"
+        if isinstance(e, ast.FunctionCall) and e.name in ("rowname", "leftrowname", "rightrowname"):
+            return "string"
         if isinstance(e, ast.FunctionCall) and e.name in (
             "normalize", "vector_sum", "vector_diff", "vector_product",
             "vector_quotient",
@@ -821,6 +827,26 @@ class Binder:
         if isinstance(e, ast.Between):
             c = self.bind(e.operand)
             out = c.between(self.bind(e.low), self.bind(e.high))
+            return ~out if e.negated else out
+        if isinstance(e, ast.InList) and _is_path_valued(e.operand):
+            # rowPath() IN (...) — every list item coerces to a path
+            # per the single-element rule (MLDB-1678: 'msnbc.com'
+            # matches, '"msnbc.com"' does not; embeddings compare
+            # element-wise as rendered strings, NULL follows 3VL)
+            c = self.bind(e.operand)
+            out = None
+            for item in e.items:
+                if isinstance(item, ast.Literal) and item.value is None:
+                    eq = F.lit(None).cast("boolean")
+                elif isinstance(item, ast.EmbeddingLiteral):
+                    eq = c == F.transform(
+                        self.bind(item), lambda x: x.cast("string")
+                    )
+                else:
+                    eq = c == F.array(self.bind(item).cast("string"))
+                out = eq if out is None else (out | eq)
+            if out is None:
+                out = F.lit(False)
             return ~out if e.negated else out
         if isinstance(e, ast.InList):
             c = self.bind(e.operand)
@@ -1170,6 +1196,19 @@ class Binder:
             ).otherwise(safe)
         if op == "%":
             return l % r
+        if op in ("=", "!=") and (
+            _is_path_valued(e.left) != _is_path_valued(e.right)
+        ):
+            # Path vs atom (MLDB-1678): a string/number coerces to a
+            # ONE-element path — cell_value.cc:765 coerceToPath builds
+            # a single PathElement from the string, it does NOT parse —
+            # so rowPath() = 'msnbc.com' matches the row NAMED
+            # 'msnbc.com' while rowName() = 'msnbc.com' does not (the
+            # rendered name is '"msnbc.com"').
+            if _is_path_valued(e.left):
+                r = F.array(r.cast("string"))
+            else:
+                l = F.array(l.cast("string"))
         if op == "=":
             return l == r
         if op == "!=":
@@ -1323,10 +1362,17 @@ class Binder:
             return F.xxhash64(base)
         if name in ("rowpath", "rowpathelement", "rowpathlength"):
             # row path pseudo-functions (reference sql/sql_expression.cc
-            # rowPath family): paths are '.'-separated rowName segments
+            # rowPath family): the stored rowName is the RENDERED path
+            # (types/path.h quoting — dotted elements double-quoted,
+            # inner quotes doubled; MLDB-1678), so the structured form
+            # comes from the full parse, not a naive dot-split:
+            # NAMED 'msnbc.com' stores '"msnbc.com"' and rowPath()
+            # yields the single element 'msnbc.com'.
             if not self.row_name_col:
                 raise ValueError(f"{name}() needs a dataset with a rowName column")
-            parts = F.split(F.col(self.row_name_col).cast("string"), r"\.")
+            from mldb_spark.functions.paths import parse_path
+
+            parts = parse_path(F.col(self.row_name_col).cast("string"))
             if name == "rowpath":
                 return parts
             if name == "rowpathlength":
@@ -1883,6 +1929,30 @@ _RESERVED_BUILTIN_NAMES = frozenset({
 })
 
 
+def _render_named(col: Column, e: ast.Expr, dtype: str = "") -> Column:
+    """NAMED value → stored rowName string via the path rendering rule
+    (reference types/path.h; MLDB-1678): a STRING value coerces to a
+    SINGLE path element (cell_value.cc:765 — no parse), so
+    NAMED 'msnbc.com' stores '"msnbc.com"'; a structured path value
+    (rowPath() family) renders element-by-element through the same
+    quoting rule."""
+    from mldb_spark.functions.paths import stringify_path
+
+    if _is_path_valued(e) or dtype == "array<string>":
+        return stringify_path(col)
+    return stringify_path(F.array(col.cast("string")))
+
+
+def _is_path_valued(e: ast.Expr) -> bool:
+    """True when the expression statically produces a structured PATH
+    value (an element array) rather than a rendered string — the
+    rowPath()/flatten_path/unflatten_path family (MLDB-1678). Drives
+    the path-vs-atom comparison coercion."""
+    return isinstance(e, ast.FunctionCall) and e.name in (
+        "rowpath", "unflatten_path", "flatten_path"
+    )
+
+
 def _render_path_el(el: str) -> str:
     """One path element → its rendered form (reference types/path.h
     quoting: an element containing '.' or '"' renders double-quoted
@@ -2360,7 +2430,13 @@ class MldbContext:
             return self.spark.range(1).drop("id"), None, None, set(), {}
         if isinstance(src, ast.SelectStatement):
             aliases = {src.from_alias} if getattr(src, "from_alias", None) else set()
-            return self._statement(src, params), None, None, aliases, {}
+            sub = self._statement(src, params)
+            # a NAMED subquery carries its row names out — the outer
+            # scope's rowName()/rowPath() read them (MLDB-1678's
+            # `select * from (select 1 as x named 'msnbc.com') where
+            # rowName() = …`)
+            sub_rn = "rowName" if "rowName" in sub.columns else None
+            return sub, sub_rn, None, aliases, {}
         if isinstance(src, ast.TableRef):
             df, meta = self._table(src.name)
             return df, meta["rowName"], meta["ts"], {src.alias or src.name}, {}
@@ -3701,7 +3777,7 @@ class MldbContext:
             # a NULL row name is a runtime error in the reference
             # (MLDBFB-345), not a silently-null rowName
             cols.append(
-                F.when(named.isNotNull(), named.cast("string"))
+                F.when(named.isNotNull(), _render_named(named, stm.named))
                 .otherwise(
                     F.raise_error(
                         F.lit("Can't create a row with a null name")
@@ -3785,12 +3861,14 @@ class MldbContext:
             # from the keys like any select item
             if _contains_aggregate(stm.named):
                 agg_cols.append(
-                    binder.bind(stm.named).cast("string").alias("rowName")
+                    _render_named(binder.bind(stm.named), stm.named).alias(
+                        "rowName"
+                    )
                 )
                 items.append(("rowName", None))
             else:
                 items.append(
-                    ("rowName", ast.Cast(_substitute(stm.named, key_map), "string"))
+                    ("rowName", _substitute(stm.named, key_map))
                 )
         if not agg_cols:
             out = df.select(*group_cols).distinct()
@@ -3800,7 +3878,18 @@ class MldbContext:
         key_cols = [f"__g{k}" for k in range(len(stm.group_by))]
         final = out.select(
             *[
-                F.col(name) if expr is None else post.bind(expr).alias(name)
+                F.col(name)
+                if expr is None
+                else (
+                    # non-aggregate NAMED derives from the keys; the
+                    # value still renders through the path quoting
+                    # rule like every other row name (MLDB-1678)
+                    _render_named(
+                        post.bind(expr), expr, post._static_dtype(expr)
+                    )
+                    if name == "rowName" and stm.named is not None
+                    else post.bind(expr)
+                ).alias(name)
                 for name, expr in items
             ],
             # keep the group keys visible for HAVING, dropped below

@@ -5380,3 +5380,51 @@ def test_column_name_surface_conventions(mldb):
     assert names("1 as a.b") == ["a.b"]
     assert names("{x:1} AS *") == ["x"]
     assert sorted(names("* FROM (SELECT a:1, b:2)")) == ["a", "b"]
+
+
+def test_mldb_1678_rowname_quoting(mldb):
+    """MLDB-1678-rowname-optimizations.js: NAMED with a string makes a
+    SINGLE-element path (cell_value.cc:765 coerceToPath — no parse),
+    so rowName() renders 'msnbc.com' quoted ('"msnbc.com"') while
+    rowPath() yields the raw element; string comparisons against
+    rowPath() coerce to one-element paths; invalid/unbalanced rendered
+    names never match and never throw."""
+    base = "select * from (select 1 as x named 'msnbc.com')"
+    found = [
+        " where rowName() = '\"msnbc.com\"'",
+        " where rowName() in ('\"msnbc.com\"')",
+        " where rowName() in ('\"msnbc.com\"', 'msnbc.com', '\"')",
+        " where true and rowName() != 'msnbc.com'",
+        " where rowPath() = 'msnbc.com'",
+        " where rowPath() = 'msnbc.com' + ''",
+        " where rowPath() in ('msnbc.com')",
+        " where rowPath() in ('msnbc.com', null, [ 1.2, 3.4, 5.6])",
+        " where rowPath() != '\"msnbc.com\"'",
+    ]
+    empty = [
+        " where rowName() + '' = 'msnbc.com'",
+        " where rowName() = 'msnbc.com'",
+        " where rowName() = '\"msnbc.com'",
+        " where rowName() = ''",
+        " where rowName() in ('msnbc.com', '\"')",
+        " where rowName() != '\"msnbc.com\"' + ''",
+        " where true and rowName() != '\"msnbc.com\"'",
+        " where rowPath() = '\"msnbc.com\"'",
+        " where rowPath() = ''",
+        " where true and rowPath() != 'msnbc.com'",
+    ]
+    for w in found:
+        rows = mldb.query(base + w).collect()
+        assert len(rows) == 1 and rows[0]["x"] == 1, w
+        assert rows[0]["rowName"] == '"msnbc.com"', w
+    for w in empty:
+        assert mldb.query(base + w).collect() == [], w
+    # undotted names stay unquoted; rowPath of a rendered dotted
+    # multi-element name parses back to its elements
+    plain = mldb.query("select 1 as x named 'plain' ").collect()
+    assert plain[0]["rowName"] == "plain"
+    parts = mldb.query(
+        "select rowPathLength() as n, rowPathElement(0) as e0, "
+        "rowPathElement(1) as e1 from (select 1 as x named 'msnbc.com')"
+    ).collect()
+    assert [(r["n"], r["e0"], r["e1"]) for r in parts] == [(1, "msnbc.com", None)]
