@@ -1612,6 +1612,50 @@ SELECT label, CAST(count(*) AS BIGINT) AS n,
 FROM e GROUP BY label ORDER BY label
 """
 
+# q80/q85/q86 (graduated from ROWS_ONLY, VERDICT r6 #4): the Spark
+# query exports its engine-internal kernel output (Porter stem table,
+# xxhash64 simhash signatures, LSH bucket signatures) and these
+# oracles replay every relational step downstream of the kernel.
+ORACLES["q80_porter_stems"] = f"""
+WITH v AS (SELECT * FROM read_parquet('{_FIXDIR}/q80_stems.parquet')),
+t AS (SELECT unnest({_TOKS}) AS tok FROM documents)
+SELECT v.stem, count(*) AS freq
+FROM t JOIN v USING (tok)
+GROUP BY v.stem
+ORDER BY freq DESC, stem
+LIMIT 20
+"""
+
+ORACLES["q85_simhash_dedup"] = f"""
+WITH s AS (SELECT * FROM read_parquet('{_FIXDIR}/q85_simhash.parquet'))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+ORDER BY id_a, id_b
+"""
+
+ORACLES["q86_lsh_ann"] = f"""
+WITH bk AS (SELECT * FROM read_parquet('{_FIXDIR}/q86_buckets.parquet')),
+c AS (SELECT e.vec_id, bk.bucket, e.embedding
+      FROM embeddings e JOIN bk USING (vec_id)),
+q AS (SELECT vec_id AS query_id, bucket, embedding AS qvec
+      FROM embeddings JOIN bk USING (vec_id) WHERE vec_id % 100 = 3),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         {_COS.format(a="q.qvec", b="c.embedding")} AS cos_sim
+  FROM c JOIN q USING (bucket)
+  WHERE c.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
 # qa22: per-cell WHEN replay — drop each row's globally-latest cell,
 # then GET_LATEST over the survivors.
 ORACLES["qa22_cells_when_sql"] = """

@@ -15,8 +15,6 @@ from mldb_spark.testing import compare_spark_duck
 # internals) have no cross-engine SQL replay; their real verification
 # lives in tests/test_operators.py and tests/test_ml.py invariants
 ROWS_ONLY = {
-    "q85_simhash_dedup",
-    "q86_lsh_ann",
     "q87_kmeans",
     "q88_classifier_eval",
     "q89_pca",
@@ -29,9 +27,9 @@ ROWS_ONLY = {
     "q75_tsne",
     "q76_ivf_ann",
     "q79_word2vec_pooling",
-    "q80_porter_stems",  # Porter's measure loops aren't SQL-replayable
     "qa07_pack_sequences",  # FFD bin assignment is imperative; invariants in test_corpus.py
 }
+# q80/q85/q86 graduated r7 via exported-kernel fixtures (VERDICT r6 #4)
 
 
 def test_every_query_has_an_oracle_or_is_flagged():
