@@ -2691,6 +2691,47 @@ class MldbContext:
                     f" (have {df.columns})"
                 )
             return dedup_ops.connected_components(df, a_col=a_col, b_col=b_col)
+        if tf.name in (
+            "repetition_signals", "unigram_logprob_scores", "pack_sequences"
+        ):
+            # remaining corpus-tier passes as FROM-clause functions
+            # (VERDICT r6 #7) — with decontaminate/mixture_sample/
+            # minhash_pairs/dedup_groups this makes the whole
+            # LLM-pipeline tier SQL-composable:
+            #   repetition_signals(docs, {id: 'doc_id', text: 'text'})
+            #   unigram_logprob_scores(docs, {smoothing: 0.5, ...})
+            #   pack_sequences(docs, {maxTokens: 2048, nBuckets: 64,
+            #                         id: 'doc_id', tokens: 'n_tokens'})
+            from mldb_spark import corpus as corpus_ops
+
+            df = self._resolve_tf_arg(tf.args[0], params)
+            opts = {}
+            if len(tf.args) > 1 and isinstance(tf.args[1], ast.RowLiteral):
+                for k, v in tf.args[1].fields:
+                    if not isinstance(v, ast.Literal):
+                        raise ValueError(
+                            f"{tf.name}() options must be literals"
+                        )
+                    opts[k.lower()] = v.value
+            id_col = str(opts.get("id", "doc_id"))
+            if tf.name == "repetition_signals":
+                return corpus_ops.repetition_signals(
+                    df, id_col=id_col, text_col=str(opts.get("text", "text"))
+                )
+            if tf.name == "unigram_logprob_scores":
+                return corpus_ops.unigram_logprob_scores(
+                    df,
+                    id_col=id_col,
+                    text_col=str(opts.get("text", "text")),
+                    smoothing=float(opts.get("smoothing", 0.5)),  # type: ignore[arg-type]
+                )
+            return corpus_ops.pack_sequences(
+                df,
+                max_tokens=int(opts.get("maxtokens", 2048)),  # type: ignore[arg-type]
+                n_buckets=int(opts.get("nbuckets", 64)),  # type: ignore[arg-type]
+                id_col=id_col,
+                tokens_col=str(opts.get("tokens", "n_tokens")),
+            )
         if tf.name == "transpose":
             from mldb_spark.operators.relational import transpose_cells
 

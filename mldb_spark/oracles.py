@@ -1742,3 +1742,51 @@ SELECT e.vec_id,
 FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
 ORDER BY e.vec_id
 """
+
+# qa25: corpus-tier chain — unigram LM scores joined with Gopher
+# repetition signals, both replayed end-to-end (vocab/totals from the
+# FULL corpus; signals per doc), matching the dialect's
+# unigram_logprob_scores() JOIN repetition_signals() surfaces.
+ORACLES["qa25_corpus_chain_sql"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), totals AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab
+), scored AS (
+  SELECT t.doc_id,
+         ln((vocab.c + 0.5) / ((SELECT n FROM totals) + 0.5 * (SELECT v FROM totals))) AS lp
+  FROM toks t JOIN vocab USING (tok)
+), u AS (
+  SELECT doc_id, round(avg(lp), 4) AS avg_logprob
+  FROM scored GROUP BY doc_id
+), t AS (
+  SELECT doc_id, text, {_TOKS} AS dtoks FROM documents
+), base AS (
+  SELECT doc_id,
+    CAST(len(dtoks) AS BIGINT) AS n_words,
+    round(CASE WHEN len(dtoks) > 0 THEN
+      CAST(list_aggregate(list_transform(dtoks, tk -> len(tk)), 'sum') AS DOUBLE)
+        / len(dtoks) ELSE 0.0 END, 4) AS mean_word_len,
+    round(CASE WHEN len(string_split(text, chr(10))) > 0 THEN
+      1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+        / len(string_split(text, chr(10))) ELSE 0.0 END, 4) AS frac_dup_lines
+  FROM t
+), top AS (
+  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS frac_top_word
+  FROM (
+    SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_words,
+       coalesce(p.frac_top_word, 0.0) AS frac_top_word,
+       u.avg_logprob,
+       (b.n_words >= 50 AND b.n_words <= 100000
+        AND b.mean_word_len >= 2 AND b.mean_word_len <= 10
+        AND b.frac_dup_lines <= 0.30
+        AND coalesce(p.frac_top_word, 0.0) <= 0.20) AS passes
+FROM base b LEFT JOIN top p USING (doc_id) JOIN u USING (doc_id)
+WHERE b.doc_id < 150
+ORDER BY b.doc_id
+"""

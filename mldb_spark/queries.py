@@ -2922,6 +2922,36 @@ def qa24_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa25_corpus_chain_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """The remaining corpus-tier passes from SQL (VERDICT r6 #7):
+    unigram_logprob_scores() JOINed with repetition_signals() as
+    FROM-clause dataset functions through the dialect — quality
+    scoring the whole corpus two ways in one statement (the third new
+    surface, pack_sequences(), is covered by pytest since FFD bin
+    assignment is imperative). The DuckDB oracle replays both passes
+    (corpus-wide vocab + smoothed per-doc logprob means; the Gopher
+    repetition signals) and the join, so a tokenize, smoothing,
+    totals or signal bug on EITHER side breaks the hash. Scale shape:
+    the same single-shuffle plans as qa03/qa08 plus one equi-join on
+    doc id."""
+    ctx = _dialect_ctx(spark, sf)
+    ctx.register("documents", load(spark, sf, "documents"))
+    return ctx.query(
+        "SELECT u.doc_id AS doc_id, r.n_words AS n_words, "
+        "r.frac_top_word AS frac_top_word, u.avg_logprob AS avg_logprob, "
+        "r.passes AS passes "
+        "FROM unigram_logprob_scores(documents) AS u "
+        "JOIN repetition_signals(documents) AS r ON u.doc_id = r.doc_id "
+        "WHERE u.doc_id < 150 ORDER BY doc_id"
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_words").cast("long"),
+        "frac_top_word",
+        "avg_logprob",
+        "passes",
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

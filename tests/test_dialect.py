@@ -803,3 +803,31 @@ def test_function_output_shadowing_dataset_column(spark):
         "WHERE out = 100 AND fshadow({input: {a: a}})[out] = 10"
     ).collect()
     assert [r["a"] for r in rows] == [1.0]
+
+
+def test_pack_sequences_table_function(spark):
+    """pack_sequences() as a FROM-clause dataset function: every doc
+    appears exactly once, no sequence exceeds the budget, overflow
+    flags docs longer than the budget (FFD assignment itself is
+    imperative — invariants here, algorithm pinned in
+    test_corpus.py)."""
+    from mldb_spark.dialect import MldbContext
+
+    ctx = MldbContext(spark)
+    rows = [(i, 100 + (i * 37) % 900) for i in range(40)] + [(99, 5000)]
+    ctx.register(
+        "sized_docs",
+        spark.createDataFrame(rows, "doc_id long, n_tokens long"),
+    )
+    out = ctx.query(
+        "SELECT * FROM pack_sequences(sized_docs, "
+        "{maxTokens: 2048, nBuckets: 4})"
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(i for i, _ in rows)
+    per_seq: dict = {}
+    for r in out:
+        if not r["overflow"]:
+            per_seq.setdefault((r["bucket"], r["seq"]), 0)
+            per_seq[(r["bucket"], r["seq"])] += r["n_tokens"]
+    assert all(v <= 2048 for v in per_seq.values())
+    assert [r["overflow"] for r in out if r["doc_id"] == 99] == [True]
