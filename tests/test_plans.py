@@ -353,3 +353,35 @@ def test_tfidf_score_table_broadcasts_dfs(spark, sf_dir):
     out = tfidf_score_table(bags, dfs, 500)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_embedding_neighbors_batch_single_scan(spark, sf_dir):
+    """embedding_neighbors_batch over a 100-row query application
+    scans the embedding dataset ONCE (the scalar entity would fold
+    one plan per query point = 100 driver round-trips): exactly one
+    parquet scan of embeddings on the corpus side, the query points
+    broadcast, and results matching the scalar API on a probe row."""
+    from mldb_spark.catalog import load
+    from mldb_spark.similarity import embedding_neighbors, embedding_neighbors_batch
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", *[F.col("embedding")[i].alias(f"e{i}") for i in range(8)]
+    )
+    queries = emb.filter(F.col("vec_id") % 20 == 3).select(
+        F.col("vec_id").alias("query_id"), *[f"e{i}" for i in range(8)]
+    ).limit(100)
+    batched = embedding_neighbors_batch(
+        emb, queries, row_name_col="vec_id", num_neighbors=5
+    )
+    plan = _plan(batched)
+    # corpus side scanned once; query side is the broadcast (its own
+    # single scan) — so exactly 2 parquet scans total, 1 broadcast
+    assert plan.count("Scan parquet") == 2
+    assert "BroadcastExchange" in plan
+    rows = batched.filter(F.col("query_id") == 3).collect()
+    fn = embedding_neighbors(emb, row_name_col="vec_id")
+    scalar = fn([r for r in queries.filter(F.col("query_id") == 3).collect()[0][1:]],
+                num_neighbors=5)
+    got = sorted((r["neighbor"], round(r["distance"], 9)) for r in rows)
+    want = sorted((n, round(d, 9)) for n, d in scalar)
+    assert got == want
