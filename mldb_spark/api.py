@@ -538,6 +538,111 @@ class Mldb:
                 )
                 self.transform(params["inputData"], out_id)
                 status = {"outputDataset": out_id}
+            elif etype == "classifier.train":
+                # trainingData is a full input-data spec — WHEN/WHERE/
+                # structured {from, when} forms included (MLDB-945's
+                # train_classifier(when=...)): the spec routes through
+                # the same dialect query path as transform, so the
+                # temporal filter hits the cells before training.
+                if "trainingData" not in params:
+                    raise ValueError("You need to define trainingData")
+                from pyspark.sql import functions as F
+
+                tdf = self.query(self._input_spec_to_sql(params["trainingData"]))
+                if "features" not in tdf.columns or "label" not in tdf.columns:
+                    raise ValueError(
+                        "classifier.train trainingData must produce "
+                        "'features' and 'label' outputs "
+                        "(select {* EXCLUDING (x)} as features, x as label)"
+                    )
+                extra = [F.col("weight")] if "weight" in tdf.columns else []
+                # rows whose label cell fell outside the WHEN window
+                # (or was never present) are not training examples —
+                # the reference skips missing-label rows rather than
+                # erroring the whole run
+                flat = tdf.select(
+                    F.col("features.*"),
+                    F.col("label").cast("double").alias("label"),
+                    *extra,
+                ).filter(F.col("label").isNotNull())
+                # numeric feature columns only: the engine's rowName
+                # output column and other opaque strings never feed
+                # the estimator (the reference's row name is metadata,
+                # not a column)
+                feat_cols = [
+                    c
+                    for c, dt in flat.dtypes
+                    if c not in ("label", "weight", "rowName")
+                    and dt.startswith(
+                        ("int", "bigint", "smallint", "tinyint",
+                         "float", "double", "decimal")
+                    )
+                ]
+                if not feat_cols:
+                    raise ValueError(
+                        "classifier.train: no numeric feature columns"
+                    )
+                from mldb_spark.ml.procedures import classifier_train
+
+                fname = params.get("functionName", eid)
+                classifier_train(
+                    flat,
+                    feat_cols,
+                    "label",
+                    fname,
+                    algorithm=params.get("algorithm", "glz"),
+                    mode=params.get("mode", "boolean"),
+                    weight_col="weight" if "weight" in tdf.columns else None,
+                )
+                status = {"functionName": fname, "features": feat_cols}
+            elif etype == "tfidf.train":
+                # tfidf.train (plugins/nlp/tfidf.cc:145-257): count
+                # per-term document frequency from the trainingData
+                # query (WHEN included) and write an output dataset of
+                # rows named by term with a `count` column.
+                if "trainingData" not in params:
+                    raise ValueError("You need to define trainingData")
+                from pyspark.sql import functions as F
+
+                tdf = self.query(self._input_spec_to_sql(params["trainingData"]))
+                if {"row", "column"}.issubset(tdf.columns):
+                    counts = tdf.groupBy("column").agg(
+                        F.countDistinct("row").alias("count")
+                    )
+                    counts = counts.select(
+                        F.col("column").alias("rowName"), "count"
+                    )
+                else:
+                    # wide layout: each non-rowName column is a term;
+                    # df = rows where it has a value
+                    terms = [
+                        c
+                        for c in tdf.columns
+                        if c != "rowName" and not c.startswith("__")
+                    ]
+                    if not terms:
+                        raise ValueError(
+                            "tfidf.train trainingData produced no term columns"
+                        )
+                    stacked = tdf.selectExpr(
+                        "stack({n}, {args}) as (rowName, c)".format(
+                            n=len(terms),
+                            args=", ".join(
+                                f"'{t}', `{t}`" for t in terms
+                            ),
+                        )
+                    )
+                    counts = (
+                        stacked.filter(F.col("c").isNotNull())
+                        .groupBy("rowName")
+                        .agg(F.count(F.lit(1)).alias("count"))
+                    )
+                out_spec = params.get("outputDataset", f"{eid}_output")
+                out_id = (
+                    out_spec["id"] if isinstance(out_spec, dict) else out_spec
+                )
+                self.create_dataset(out_id, counts, row_name_col="rowName")
+                status = {"outputDataset": out_id}
             else:
                 raise ValueError(f"createEntity: unknown procedure type {etype!r}")
         else:

@@ -188,6 +188,17 @@ class ColumnExprRef(Expr):
 
 
 @dataclass
+class RowWildcard(Expr):
+    """A wildcard row-literal field WITH exclusions —
+    {* EXCLUDING (x)} / {p* EXCLUDING (p.q, r*)} (MLDB-945's
+    classifier trainingData `{* EXCLUDING (x)} as features`). The
+    plain {*}/{p*} forms keep their legacy ColumnRef encoding."""
+
+    prefix: str = ""
+    excluding: list[str] = field(default_factory=list)
+
+
+@dataclass
 class TableRef:
     name: str
     alias: str | None = None

@@ -389,10 +389,25 @@ class Parser:
             return self._maybe_call(t.value, t.quoted)
         raise SyntaxError(f"unexpected token {t}")
 
+    def _row_field_excluding(self) -> list[str]:
+        """Optional EXCLUDING (a, b*, c.d) tail after a wildcard row
+        field ({* EXCLUDING (x)} — MLDB-945 classifier features)."""
+        if not self.accept_kw("excluding"):
+            return []
+        self.expect_op("(")
+        out = [self._excluding_name()]
+        while self.accept_op(","):
+            out.append(self._excluding_name())
+        self.expect_op(")")
+        return out
+
     def _row_field(self) -> tuple[str, ast.Expr]:
         # {*} — aggregates-of-rows over every column in scope
         if self.peek().kind == "op" and self.peek().value == "*":
             self.next()
+            excl = self._row_field_excluding()
+            if excl:
+                return ("*", ast.RowWildcard("", excl))
             return ("*", ast.ColumnRef("*"))
         t, t1 = self.peek(), self.peek(1)
         # COLUMN EXPR field: {COLUMN EXPR (WHERE ...)} — the matched
@@ -416,11 +431,16 @@ class Parser:
             and t1.kind == "op"
             and t1.value == "*"
             and t1.glued
-            and self.peek(2).kind == "op"
-            and self.peek(2).value in (",", "}")
+            and (
+                (self.peek(2).kind == "op" and self.peek(2).value in (",", "}"))
+                or (self.peek(2).kind == "kw" and self.peek(2).value == "excluding")
+            )
         ):
             prefix = self.next().value
             self.next()  # '*'
+            excl = self._row_field_excluding()
+            if excl:
+                return (prefix + "*", ast.RowWildcard(prefix, excl))
             return (prefix + "*", ast.ColumnRef(prefix + "*"))
         # keywords are legal field names inside a row literal — option
         # rows like {offset: 1, limit: 2} use reserved words as keys

@@ -985,6 +985,20 @@ class Binder:
         column name."""
         out: list[tuple[str, Column]] = []
         for n, x in rl.fields:
+            if isinstance(x, ast.RowWildcard):
+                # {* EXCLUDING (a, b*)} — wildcard field minus the
+                # excluded names/prefixes (MLDB-945 features rows)
+                excl_exact = {e for e in x.excluding if not e.endswith("*")}
+                excl_pref = [e[:-1] for e in x.excluding if e.endswith("*")]
+                for c in self.columns:
+                    if c.startswith("__") or not c.startswith(x.prefix):
+                        continue
+                    if c in excl_exact or any(
+                        c.startswith(p) for p in excl_pref
+                    ):
+                        continue
+                    out.append((c, self._column(c)))
+                continue
             if n.endswith("*") and isinstance(x, ast.ColumnRef) and x.name == n:
                 pref = n[:-1]
                 for c in self.columns:

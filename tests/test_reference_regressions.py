@@ -5428,3 +5428,106 @@ def test_mldb_1678_rowname_quoting(mldb):
         "rowPathElement(1) as e1 from (select 1 as x named 'msnbc.com')"
     ).collect()
     assert [(r["n"], r["e0"], r["e1"]) for r in parts] == [(1, "msnbc.com", None)]
+
+
+def test_mldb_945_when_in_classifier_and_tfidf_train(spark):
+    """MLDB-945-WHEN-in-proc-and-func.py (train_classifier /
+    procedure half): WHEN inside trainingData reaches classifier.train
+    and tfidf.train through the same dialect path as transform — cells
+    outside the WHEN window never feed the estimator / the df counts.
+
+    Layout mirrors the reference's dataset1: rows 0..8 stamped 'now',
+    row 9 stamped tomorrow; a WHEN on the earlier stamp must keep 9
+    rows for training and drop row 9's tokens from the tfidf counts."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    now, tomorrow = 1000.0, 1000.0 + 86400.0
+    cells = []
+    for i in range(9):
+        cells += [(str(i), "x", float(i % 2), now), (str(i), "y", float(i), now)]
+    cells += [("9", "x", 1.0, tomorrow), ("9", "y", 9.0, tomorrow)]
+    df = spark.createDataFrame(
+        cells, "row string, column string, value double, tsr double"
+    ).select("row", "column", "value", F.col("tsr").cast("timestamp").alias("ts"))
+    # sparse.mutable semantics = the CELLS registration (per-cell
+    # timestamps; WHEN filters cells before the latest view)
+    mldb.ctx.register_cells("c945", df)
+
+    when = "ts < CAST('1970-01-02' AS timestamp)"
+    # classifier.train: trains without error on the 9-row slice and
+    # registers a scorer usable over the features
+    res = mldb.create_entity(
+        "procedure",
+        {
+            "type": "classifier.train",
+            "id": "cls945",
+            "params": {
+                "trainingData": {
+                    "select": "{* EXCLUDING (x)} as features, x as label",
+                    "from": {"id": "c945"},
+                    "when": when,
+                },
+                "algorithm": "glz",
+            },
+        },
+    )
+    assert res["status"]["functionName"] == "cls945"
+    assert "y" in res["status"]["features"]
+    assert "rowName" not in res["status"]["features"]
+
+    # tfidf.train over the SAME when: row 9's cells are outside the
+    # window, so every term's doc count is 9, never 10
+    res = mldb.create_entity(
+        "procedure",
+        {
+            "type": "tfidf.train",
+            "id": "tf945",
+            "params": {
+                "trainingData": {"from": {"id": "c945"}, "when": when},
+                "outputDataset": {"id": "tf945_out"},
+            },
+        },
+    )
+    counts = {
+        r["rowName"]: r["count"] for r in mldb.dataset("tf945_out").collect()
+    }
+    assert counts == {"x": 9, "y": 9}
+    # without WHEN the full dataset counts 10 docs per term
+    mldb.create_entity(
+        "procedure",
+        {
+            "type": "tfidf.train",
+            "id": "tf945b",
+            "params": {
+                "trainingData": {"from": {"id": "c945"}},
+                "outputDataset": "tf945b_out",
+            },
+        },
+    )
+    counts = {
+        r["rowName"]: r["count"] for r in mldb.dataset("tf945b_out").collect()
+    }
+    assert counts == {"x": 10, "y": 10}
+
+
+def test_row_wildcard_excluding_forms(mldb):
+    """{* EXCLUDING (...)} / {p* EXCLUDING (...)} row-literal fields
+    (the trainingData features idiom): exclusions apply by name and
+    by prefix, and nested dotted names are excludable."""
+    _ds(
+        mldb,
+        "rwx",
+        [("r1", 1.0, 2.0, 3.0, 4.0)],
+        "rn string, a double, ab double, b double, x double",
+    )
+    out = mldb.query(
+        "SELECT {* EXCLUDING (x, rn)} AS f FROM rwx"
+    ).collect()[0]
+    assert sorted(out["f"].asDict()) == ["a", "ab", "b"]
+    out = mldb.query("SELECT {a* EXCLUDING (ab)} AS f FROM rwx").collect()[0]
+    assert sorted(out["f"].asDict()) == ["a"]
+    out = mldb.query("SELECT {* EXCLUDING (a*, rn)} AS f FROM rwx").collect()[0]
+    assert sorted(out["f"].asDict()) == ["b", "x"]
