@@ -616,6 +616,108 @@ def _struct_field_names(dt: str) -> list[str]:
     return [n for n in names if n]
 
 
+def _struct_fields_typed(dt: str) -> list[tuple[str, str]]:
+    """Top-level (name, type) pairs of a struct dtype string."""
+    inner = dt[len("struct<"):-1]
+    out: list[tuple[str, str]] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(inner + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            fld = inner[start:i]
+            if ":" in fld:
+                n, t = fld.split(":", 1)
+                out.append((n.strip().strip("`"), t.strip()))
+            start = i + 1
+    return out
+
+
+_NUM_DTYPES = (
+    "int", "bigint", "smallint", "tinyint", "float", "double", "decimal",
+    "boolean",
+)
+_CELL_KEY_T = "array<struct<k:string,vr:int,vn:double,vs:string>>"
+
+
+def _cell_key(name: Column, val: Column, vtype: str) -> Column:
+    """One row/bag cell → its comparison struct (k, value-rank,
+    numeric key, string key) under the reference's CellValue ordering
+    (numbers before strings)."""
+    if vtype.startswith(_NUM_DTYPES):
+        return F.struct(
+            name.alias("k"), F.lit(1).alias("vr"),
+            val.cast("double").alias("vn"),
+            F.lit(None).cast("string").alias("vs"),
+        )
+    if vtype.startswith("string"):
+        return F.struct(
+            name.alias("k"), F.lit(2).alias("vr"),
+            F.lit(None).cast("double").alias("vn"), val.alias("vs"),
+        )
+    return F.struct(
+        name.alias("k"), F.lit(3).alias("vr"),
+        F.lit(None).cast("double").alias("vn"),
+        val.cast("string").alias("vs"),
+    )
+
+
+def _sortable_key(col: Column, dt: str) -> Column:
+    """Encode a value as the reference's cross-type ORDER BY /
+    comparison key (sql/expression_value.cc ordering; pinned by
+    MLDB-989): NULL < numbers < strings < rows < embeddings. Rows
+    (structs and tokenize-style maps) compare as their NAME-SORTED
+    present-cell sequences — a missing column is skipped, never a
+    null that sorts first (the A1 divergence this fixes) — and
+    embeddings compare element-wise. Pure JVM struct/array ordering;
+    no UDF."""
+    null_n = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    null_e = F.lit(None).cast("array<double>")
+    null_c = F.lit(None).cast(_CELL_KEY_T)
+
+    def mk(r: int, n=None, s=None, e=None, c=None) -> Column:
+        return F.struct(
+            F.lit(r).alias("r"),
+            (n if n is not None else null_n).alias("n"),
+            (s if s is not None else null_s).alias("s"),
+            (e if e is not None else null_e).alias("e"),
+            (c if c is not None else null_c).alias("c"),
+        )
+
+    if dt.startswith("struct<"):
+        cells = [
+            F.when(
+                col.getField(fname).isNotNull(),
+                _cell_key(F.lit(fname), col.getField(fname), ftype),
+            )
+            for fname, ftype in _struct_fields_typed(dt)
+        ]
+        arr = F.sort_array(F.filter(F.array(*cells), lambda x: x.isNotNull()))
+        key = mk(3, c=arr)
+    elif dt.startswith("map<"):
+        vtype = dt[len("map<"):-1].split(",", 1)[1].strip()
+        arr = F.sort_array(
+            F.transform(
+                F.map_entries(col),
+                lambda kv: _cell_key(
+                    kv["key"].cast("string"), kv["value"], vtype
+                ),
+            )
+        )
+        key = mk(3, c=arr)
+    elif dt.startswith("array"):
+        key = mk(4, e=F.transform(col, lambda x: x.cast("double")))
+    elif dt.startswith("string"):
+        key = mk(2, s=col)
+    else:
+        key = mk(1, n=col.cast("double"))
+    return F.when(col.isNull(), mk(0)).otherwise(key)
+
+
 def _is_const_expr(e: ast.Expr) -> bool:
     """Static constness: literal trees (and operators over them) are
     const; anything touching a column, parameter or function is not.
@@ -751,6 +853,12 @@ class Binder:
             return "array<string>"
         if isinstance(e, ast.FunctionCall) and e.name in ("rowname", "leftrowname", "rightrowname"):
             return "string"
+        if isinstance(e, ast.RowLiteral):
+            fields = []
+            for n, x in e.fields:
+                ft = self._static_dtype(x) or "double"
+                fields.append(f"{n}:{ft}")
+            return "struct<" + ",".join(fields) + ">"
         if isinstance(e, ast.FunctionCall) and e.name in (
             "normalize", "vector_sum", "vector_diff", "vector_product",
             "vector_quotient",
@@ -791,6 +899,58 @@ class Binder:
         if isinstance(e, ast.Case):
             return any(self._is_stringy(v) for _, v in e.branches)
         return False
+
+    def _sort_kind(self, e: ast.Expr) -> str:
+        """Coarse value-kind for the cross-type ordering decision:
+        'row' (struct/map), 'emb', 'num', 'str', 'null', or ''."""
+        if isinstance(e, ast.Literal) and e.value is None:
+            return "null"
+        dt = self._static_dtype(e)
+        if dt.startswith(("struct<", "map<")):
+            return "row"
+        if dt.startswith("array"):
+            return "emb"
+        if dt.startswith("string"):
+            return "str"
+        if dt in ("double", "boolean") or dt.startswith(_NUM_DTYPES):
+            return "num"
+        return ""
+
+    def _needs_sort_key(self, e: ast.Expr) -> bool:
+        """True when ORDER BY / comparison must use the reference's
+        cross-type key (MLDB-989): row/map values anywhere, or a CASE
+        whose branches mix value kinds (Spark's CASE requires one
+        type; the reference orders across types)."""
+        if isinstance(e, ast.Case):
+            results = [r for _, r in e.branches]
+            if e.otherwise is not None:
+                results.append(e.otherwise)
+            kinds = {self._sort_kind(r) for r in results}
+            kinds -= {"null", ""}
+            return "row" in kinds or len(kinds) > 1
+        return self._sort_kind(e) == "row"
+
+    def bind_sortable(self, e: ast.Expr) -> Column:
+        """Bind to the cross-type comparison key (see _sortable_key).
+        CASE rebuilds branch-by-branch so each arm encodes with ITS
+        static type before Spark ever tries to unify them."""
+        if isinstance(e, ast.Case) and e.operand is None:
+            out = None
+            for cond, res in e.branches:
+                c = self.bind(cond).cast("boolean")
+                v = self.bind_sortable(res)
+                out = F.when(c, v) if out is None else out.when(c, v)
+            if out is None:
+                return self.bind_sortable(e.otherwise)  # degenerate
+            if e.otherwise is not None:
+                return out.otherwise(self.bind_sortable(e.otherwise))
+            return out.otherwise(
+                _sortable_key(F.lit(None).cast("double"), "double")
+            )
+        if isinstance(e, ast.Literal) and e.value is None:
+            return _sortable_key(F.lit(None).cast("double"), "double")
+        dt = self._static_dtype(e) or "double"
+        return _sortable_key(self.bind(e), dt)
 
     def bind(self, e: ast.Expr) -> Column:
         if isinstance(e, ast.Literal):
@@ -1210,6 +1370,19 @@ class Binder:
             ).otherwise(safe)
         if op == "%":
             return l % r
+        if op in ("=", "!=", "<", "<=", ">", ">=") and (
+            self._needs_sort_key(e.left) or self._needs_sort_key(e.right)
+        ):
+            # row/bag-valued comparison (MLDB-989's tokenize-bag
+            # compares): both sides encode to the cross-type key so
+            # sparse rows compare as name-sorted present-cell
+            # sequences, never Spark's nulls-first struct ordering
+            l = self.bind_sortable(e.left)
+            r = self.bind_sortable(e.right)
+            return {
+                "=": l == r, "!=": l != r, "<": l < r,
+                "<=": l <= r, ">": l > r, ">=": l >= r,
+            }[op]
         if op in ("=", "!=") and (
             _is_path_valued(e.left) != _is_path_valued(e.right)
         ):
@@ -3566,8 +3739,15 @@ class MldbContext:
                 else:
                     # resolve-then-drop semantics: sort expressions may
                     # reference source columns the SELECT list dropped —
-                    # project them as hidden __ord columns, sort, drop
-                    hidden.append(binder.bind(o.expr).alias(f"__ord{i}"))
+                    # project them as hidden __ord columns, sort, drop.
+                    # Row-valued / mixed-type sort expressions encode
+                    # to the reference's cross-type key (MLDB-989).
+                    oc = (
+                        binder.bind_sortable(o.expr)
+                        if binder._needs_sort_key(o.expr)
+                        else binder.bind(o.expr)
+                    )
+                    hidden.append(oc.alias(f"__ord{i}"))
                     hidden_names.append(f"__ord{i}")
                     c = F.col(f"__ord{i}")
                 order_cols.append(c if o.ascending else F.desc(c))

@@ -5531,3 +5531,74 @@ def test_row_wildcard_excluding_forms(mldb):
     assert sorted(out["f"].asDict()) == ["a"]
     out = mldb.query("SELECT {* EXCLUDING (a*, rn)} AS f FROM rwx").collect()[0]
     assert sorted(out["f"].asDict()) == ["b", "x"]
+
+
+def test_mldb_989_complex_order_by(mldb):
+    """MLDB-989-complex-order-by.py: cross-type ORDER BY and
+    comparisons under the reference's value ordering
+    (sql/expression_value.cc): NULL < numbers < rows < embeddings;
+    rows compare as NAME-SORTED present-cell sequences (a missing
+    column is skipped — {a:0,b:3} < {a:0,c:4} because b < c); bags
+    (tokenize maps) compare the same way; embeddings element-wise."""
+    _ds(
+        mldb, "m989",
+        [(f"row{i}", i) for i in range(4)],
+        "rn string, index int",
+    )
+
+    def order(expr):
+        return [
+            r[0]
+            for r in _q(mldb, f"select index from m989 order by {expr}")
+        ]
+
+    assert order(
+        "case when index % 4 = 1 then {a:1, b:2} when index % 4 = 2 then "
+        "{a:0, b:3} when index % 4 = 3 then {a:0, c:4} else null end"
+    ) == [0, 2, 3, 1]
+    # unsorted literal columns normalize before comparing
+    assert order(
+        "case when index % 4 = 1 then {a:1, b:2} when index % 4 = 2 then "
+        "{b:3, a:0} when index % 4 = 3 then {c:4, a:0} else null end"
+    ) == [0, 2, 3, 1]
+    # mixed types: null < number < row < embedding
+    assert order(
+        "case when index % 4 = 1 then 3 when index % 4 = 2 then null "
+        "when index % 4 = 3 then {a:1, b:2} else [0,3] end"
+    ) == [2, 1, 3, 0]
+    # embeddings: element-wise
+    assert order(
+        "case when index % 4 = 1 then [3.3, 34.0] when index % 4 = 2 then "
+        "[64.2, 34.0] when index % 4 = 3 then [64.1999, 34.0] "
+        "else [3.3,3.0] end"
+    ) == [0, 1, 3, 2]
+
+    def compare(left, right, op="<"):
+        return _q(
+            mldb,
+            f"select tokenize('{left}', {{splitChars:' '}}) {op} "
+            f"tokenize('{right}', {{splitChars:' '}}) as comp",
+        )[0][0]
+
+    assert not compare("string string zoo", "string zoo")
+    assert not compare("string zoo", "string zoo")
+    assert not compare("zoo string string", "string zoo")
+    assert compare("zoo string string", "string zoo string", "=")
+    assert not compare("zoo string str", "zoo string string", "=")
+    assert not compare("zoo string string", "string zoo string", ">")
+    assert compare("zoo string string string", "zoo string string", ">")
+
+    # ORDER BY a tokenize bag: sorted-cell sequence ordering
+    _ds(
+        mldb, "m989s",
+        [
+            ("row1", "c++,python,c++,java,c++"),
+            ("row2", "scala,scala,java,java,scala,java,scala,c++"),
+            ("row3", "python,ada,ada"),
+        ],
+        "rn string, terms string",
+    )
+    out = mldb.query(
+        "select rowName() as rn from m989s order by tokenize(terms)"
+    ).collect()
+    assert [r["rn"] for r in out] == ["row3", "row2", "row1"]

@@ -141,7 +141,70 @@ def probe_ops(spark, docs):
                 F.col("id_a").alias("a"), F.col("id_b").alias("b")
             )
         ),
+        # same resolution forced onto the DISTRIBUTED loop (the 100 TB
+        # path; the default hybrid may route small pair sets to driver
+        # union-find) — this row is the scale evidence for the
+        # pointer-jumping rounds themselves
+        "cc_distributed": lambda: connected_components(
+            minhash_near_duplicates(
+                docs, num_hashes=16, bands=4, threshold=0.25, shingle_words=3
+            ).select(
+                F.col("id_a").alias("a"), F.col("id_b").alias("b")
+            ),
+            driver_cutoff=0,
+        ),
     }
+
+
+def replicate_embeddings(emb, k: int):
+    """k near-duplicate replicas per vector: unique ids, first
+    component perturbed per replica so hyperplane banding sees
+    realistic near-dup load rather than exact collisions."""
+    if k == 1:
+        return emb
+    dim_rest = F.slice(F.col("embedding"), 2, 10_000)
+    first = F.element_at(F.col("embedding"), 1) + F.col("__r") * 0.001
+    return (
+        emb.crossJoin(
+            F.broadcast(
+                emb.sparkSession.range(k).select(F.col("id").alias("__r"))
+            )
+        )
+        .select(
+            (F.col("vec_id") * k + F.col("__r")).alias("vec_id"),
+            F.concat(F.array(first), dim_rest).alias("embedding"),
+        )
+    )
+
+
+def probe_embedding_ops(spark, emb):
+    """semantic_dedup (qa24's shape, VERDICT r6 #5): banding shuffle
+    over the corpus + component resolution on the pair set."""
+    from mldb_spark.similarity import seeded_planes, semantic_dedup
+
+    planes = seeded_planes(64)
+    return {
+        "semantic_dedup": lambda: semantic_dedup(
+            emb, threshold=0.4, planes=planes, bands=4
+        ),
+    }
+
+
+def probe_sql_ops(spark, docs):
+    """qa21's SQL dedup chain (VERDICT r6 #5): the dialect surface
+    must add no shuffles over the direct API composition."""
+    from mldb_spark.dialect import MldbContext
+
+    def dedup_chain_sql():
+        ctx = MldbContext(spark)
+        ctx.register("documents", docs)
+        return ctx.query(
+            "SELECT node, component FROM dedup_groups(minhash_pairs("
+            "documents, {numHashes: 16, bands: 4, threshold: 0.25, "
+            "shingleWords: 3}))"
+        )
+
+    return {"dedup_chain_sql": dedup_chain_sql}
 
 
 def main() -> None:
@@ -151,6 +214,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     base = load(spark, sf_dir, "documents")
+    emb_base = load(spark, sf_dir, "embeddings")
     from mldb_spark.operators.temporal import events_to_cells
 
     cells_base = events_to_cells(load(spark, sf_dir, "events"))
@@ -162,6 +226,10 @@ def main() -> None:
     for mk in probe_cell_ops(spark, cells_base).values():
         mk().count()
         release_cached()
+    for mk in {**probe_embedding_ops(spark, emb_base),
+               **probe_sql_ops(spark, base)}.values():
+        mk().count()
+        release_cached()
 
     factors = [f for f in (1, 4, 16, 64, 256) if f <= max_factor]
     times: dict[str, dict[int, float]] = {}
@@ -170,6 +238,8 @@ def main() -> None:
         cells = replicate_cells(cells_base, k)
         ops = dict(probe_ops(spark, docs))
         ops.update(probe_cell_ops(spark, cells))
+        ops.update(probe_embedding_ops(spark, replicate_embeddings(emb_base, k)))
+        ops.update(probe_sql_ops(spark, docs))
         for name, mk in ops.items():
             release_cached()
             spark.catalog.clearCache()
