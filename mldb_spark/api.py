@@ -80,6 +80,21 @@ class Mldb:
                 sql += f" {kw.upper()} {int(spec[kw])}"  # type: ignore[arg-type]
         return sql
 
+    @staticmethod
+    def _require_from(spec: "str | dict") -> str:
+        """InputQuery params on procedures REQUIRE a FROM clause —
+        a config without one is a 4xx config error, never a crash
+        (MLDB-1258_nofrom_segfault.py: all 13 procedure types)."""
+        sql = Mldb._input_spec_to_sql(spec)
+        from mldb_spark.dialect.parser import parse_statement
+
+        if parse_statement(sql).from_ is None:
+            raise ValueError(
+                "the trainingData/inputData of this procedure type "
+                "must contain a FROM clause"
+            )
+        return sql
+
     def transform(
         self,
         input_sql: "str | dict",
@@ -548,7 +563,7 @@ class Mldb:
                     raise ValueError("You need to define trainingData")
                 from pyspark.sql import functions as F
 
-                tdf = self.query(self._input_spec_to_sql(params["trainingData"]))
+                tdf = self.query(self._require_from(params["trainingData"]))
                 if "features" not in tdf.columns or "label" not in tdf.columns:
                     raise ValueError(
                         "classifier.train trainingData must produce "
@@ -604,7 +619,7 @@ class Mldb:
                     raise ValueError("You need to define trainingData")
                 from pyspark.sql import functions as F
 
-                tdf = self.query(self._input_spec_to_sql(params["trainingData"]))
+                tdf = self.query(self._require_from(params["trainingData"]))
                 if {"row", "column"}.issubset(tdf.columns):
                     counts = tdf.groupBy("column").agg(
                         F.countDistinct("row").alias("count")

@@ -1144,6 +1144,11 @@ class Binder:
         MLDB-855 `{*} as y`); wildcard field names keep the full
         column name."""
         out: list[tuple[str, Column]] = []
+        # row/timestamp METADATA columns never match a row-literal
+        # wildcard — the reference's {*} spans real columns only, so
+        # sum({*}) must not try to sum the row name (MLDBFB-332) and
+        # feature rows must not carry the stamp
+        meta = {self.row_name_col, self.ts_col} - {None}
         for n, x in rl.fields:
             if isinstance(x, ast.RowWildcard):
                 # {* EXCLUDING (a, b*)} — wildcard field minus the
@@ -1151,7 +1156,7 @@ class Binder:
                 excl_exact = {e for e in x.excluding if not e.endswith("*")}
                 excl_pref = [e[:-1] for e in x.excluding if e.endswith("*")]
                 for c in self.columns:
-                    if c.startswith("__") or not c.startswith(x.prefix):
+                    if c.startswith("__") or c in meta or not c.startswith(x.prefix):
                         continue
                     if c in excl_exact or any(
                         c.startswith(p) for p in excl_pref
@@ -1162,7 +1167,7 @@ class Binder:
             if n.endswith("*") and isinstance(x, ast.ColumnRef) and x.name == n:
                 pref = n[:-1]
                 for c in self.columns:
-                    if c.startswith("__") or not c.startswith(pref):
+                    if c.startswith("__") or c in meta or not c.startswith(pref):
                         continue
                     out.append((c, self._column(c)))
                 continue
@@ -1864,10 +1869,30 @@ class Binder:
             and e.name in self._ROW_AGG
         ):
             agg = self._ROW_AGG[e.name]
+            # row/ts METADATA columns never match the {*} wildcard:
+            # sum({*}) sums the VALUE columns, not the row name
+            # (MLDBFB-332) — summing a string row name was a crash
+            meta = {self.row_name_col, self.ts_col} - {None}
             fields: list[Column] = []
             for fname, fexpr in e.args[0].fields:
                 if fname == "*":
-                    fields.extend(agg(F.col(c)).alias(c) for c in self.columns)
+                    fields.extend(
+                        agg(F.col(f"`{c}`" if "." in c else c)).alias(c)
+                        for c in self.columns
+                        if c not in meta and not c.startswith("__")
+                    )
+                elif isinstance(fexpr, ast.RowWildcard):
+                    excl_e = {x for x in fexpr.excluding if not x.endswith("*")}
+                    excl_p = [x[:-1] for x in fexpr.excluding if x.endswith("*")]
+                    fields.extend(
+                        agg(F.col(f"`{c}`" if "." in c else c)).alias(c)
+                        for c in self.columns
+                        if c not in meta
+                        and not c.startswith("__")
+                        and c.startswith(fexpr.prefix)
+                        and c not in excl_e
+                        and not any(c.startswith(p) for p in excl_p)
+                    )
                 else:
                     fields.append(agg(self.bind(fexpr)).alias(fname))
             return F.struct(*fields)

@@ -312,6 +312,109 @@ def classifier_test(
     )
 
 
+def categorical_statistics(
+    scored: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "predicted",
+) -> DataFrame:
+    """classifier.test mode=categorical labelStatistics
+    (plugins/jml/accuracy.cc; exact numbers pinned by MLDB-256):
+    per-label (support, precision, recall, f1Score, accuracy) from
+    the confusion matrix, where accuracy is the label's one-vs-rest
+    accuracy (tp + tn) / total. Scale shape: ONE groupBy shuffle to
+    the (label, predicted) confusion matrix (<= |labels|² rows);
+    everything downstream is label-sized joins."""
+    conf = (
+        scored.groupBy(
+            F.col(label_col).cast("string").alias("label"),
+            F.col(pred_col).cast("string").alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    labels = (
+        conf.select(F.col("label").alias("L"))
+        .union(conf.select(F.col("predicted").alias("L")))
+        .distinct()
+    )
+    support = conf.groupBy("label").agg(F.sum("n").alias("support"))
+    pred_n = conf.groupBy("predicted").agg(F.sum("n").alias("pred_n"))
+    tp = conf.filter(F.col("label") == F.col("predicted")).select(
+        F.col("label").alias("L"), F.col("n").alias("tp")
+    )
+    total = conf.agg(F.sum("n").alias("total"))
+    out = (
+        labels.join(support, labels["L"] == support["label"], "left")
+        .join(pred_n, labels["L"] == pred_n["predicted"], "left")
+        .join(tp, "L", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("L").alias("label"),
+            F.coalesce("support", F.lit(0.0)).alias("support"),
+            F.coalesce("tp", F.lit(0.0)).alias("__tp"),
+            F.coalesce("pred_n", F.lit(0.0)).alias("__pn"),
+            F.col("total").alias("__total"),
+        )
+    )
+    precision = F.when(
+        F.col("__pn") > 0, F.col("__tp") / F.col("__pn")
+    ).otherwise(F.lit(0.0))
+    recall = F.when(
+        F.col("support") > 0, F.col("__tp") / F.col("support")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        precision + recall > 0, 2 * precision * recall / (precision + recall)
+    ).otherwise(F.lit(0.0))
+    accuracy = (
+        F.col("__tp")
+        + (F.col("__total") - F.col("support") - F.col("__pn") + F.col("__tp"))
+    ) / F.col("__total")
+    return out.select(
+        "label",
+        F.col("support").cast("long").alias("support"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1Score"),
+        accuracy.alias("accuracy"),
+    ).orderBy("label")
+
+
+def weighted_statistics(label_stats: DataFrame) -> dict:
+    """Support-weighted roll-up of categorical_statistics — the
+    reference's weightedStatistics block (MLDB-256)."""
+    row = (
+        label_stats.agg(
+            F.sum("support").alias("support"),
+            (F.sum(F.col("f1Score") * F.col("support")) / F.sum("support")).alias("f1Score"),
+            (F.sum(F.col("recall") * F.col("support")) / F.sum("support")).alias("recall"),
+            (F.sum(F.col("precision") * F.col("support")) / F.sum("support")).alias("precision"),
+            (F.sum(F.col("accuracy") * F.col("support")) / F.sum("support")).alias("accuracy"),
+        )
+    ).collect()[0]
+    return {
+        "support": int(row["support"]),
+        "f1Score": row["f1Score"],
+        "recall": row["recall"],
+        "precision": row["precision"],
+        "accuracy": row["accuracy"],
+    }
+
+
+def argmax_prediction(scored: DataFrame, score_cols: list[str], out_col: str = "predicted") -> DataFrame:
+    """predicted = argmax over per-class score columns (the
+    `{* EXCLUDING(label)} as score` testingData idiom); ties resolve
+    to the lexically-largest class name (struct max)."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.col(f"`{c}`" if "." in c else c).cast("double").alias("s"),
+                F.lit(c).alias("k"),
+            )
+            for c in score_cols
+        ]
+    )
+    return scored.withColumn(out_col, F.array_max(arr)["k"])
+
+
 def probabilizer_train(
     scored: DataFrame,
     score_col: str = "score",

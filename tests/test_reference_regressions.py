@@ -5602,3 +5602,102 @@ def test_mldb_989_complex_order_by(mldb):
         "select rowName() as rn from m989s order by tokenize(terms)"
     ).collect()
     assert [r["rn"] for r in out] == ["row3", "row2", "row1"]
+
+
+def test_mldb_1258_nofrom_is_config_error(spark):
+    """MLDB-1258_nofrom_segfault.py: a procedure trainingData without
+    a FROM clause is a clean config error (the reference 400s all 13
+    procedure types; it used to segfault), never a crash or a
+    mystery binder error."""
+    import pytest
+
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    for etype in ("classifier.train", "tfidf.train"):
+        with pytest.raises(ValueError, match="must contain a FROM clause"):
+            mldb.create_entity(
+                "procedure",
+                {
+                    "type": etype,
+                    "id": "t1258",
+                    "params": {
+                        "trainingData": "select {* EXCLUDING(quality)} "
+                        "as features, quality as label"
+                    },
+                },
+            )
+
+
+def test_mldb_1713_wildcard_groupby_error(mldb):
+    """MLDB-1713-wildcard-groupby.py: SELECT * with GROUP BY is a
+    clean error, not silently-expanded columns."""
+    import pytest
+
+    with pytest.raises(Exception, match="[Ww]ildcard.*GROUP BY"):
+        mldb.query("select * from (select 1 as a) group by a").collect()
+
+
+def test_mldbfb_332_sum_star_row_aggregate(mldb):
+    """MLDBFB-332-transform_input_sum_doesnt_exist_test.py:
+    sum({*}) aggregates the VALUE columns only — the row-name
+    metadata column must not be summed (it used to throw
+    CAST_INVALID_INPUT on the row-name string); works bare, with
+    GROUP BY, and under an AS name."""
+    _ds(mldb, "fb332", [("row1", 1)], "rn string, colA int")
+    out = mldb.query("SELECT sum({*}) FROM fb332").collect()
+    assert out[0][0].asDict() == {"colA": 1}
+    out = mldb.query("SELECT sum({*}) FROM fb332 GROUP BY 1").collect()
+    assert out[0][0].asDict() == {"colA": 1}
+    out = mldb.query("SELECT sum({*}) AS res FROM fb332").collect()
+    assert out[0]["res"].asDict() == {"colA": 1}
+    # transform procedure end-to-end (the ticket's shape)
+    mldb.transform({"select": "sum({*})", "from": "fb332"}, "fb332_res")
+    assert mldb.dataset("fb332_res").collect()[0][0].asDict() == {"colA": 1}
+
+
+def test_mldb_256_categorical_label_statistics(spark):
+    """MLDB-256_accuracy_accepts_all_cls_modes.py
+    (test_toy_categorical_eval_works): classifier.test categorical
+    labelStatistics — exact per-label f1/recall/precision/support/
+    one-vs-rest accuracy on the toy confusion, plus the
+    support-weighted roll-up."""
+    from mldb_spark.ml.procedures import (
+        argmax_prediction,
+        categorical_statistics,
+        weighted_statistics,
+    )
+
+    toy = spark.createDataFrame(
+        [
+            ("a", 0, 1.0, 0.0, 0.0),
+            ("b", 1, 1.0, 0.0, 0.0),
+            ("c", 2, 0.0, 0.0, 1.0),
+            ("d", 2, 0.0, 0.0, 1.0),
+            ("e", 0, 1.0, 0.0, 0.0),
+        ],
+        "rn string, label int, `0` double, `1` double, `2` double",
+    )
+    scored = argmax_prediction(toy, ["0", "1", "2"])
+    stats = {
+        r["label"]: r.asDict()
+        for r in categorical_statistics(scored).collect()
+    }
+    want = {
+        "0": {"f1Score": 0.8, "recall": 1.0, "support": 2,
+              "precision": 2.0 / 3, "accuracy": 0.8},
+        "1": {"f1Score": 0.0, "recall": 0.0, "support": 1,
+              "precision": 0.0, "accuracy": 0.8},
+        "2": {"f1Score": 1.0, "recall": 1.0, "support": 2,
+              "precision": 1.0, "accuracy": 1.0},
+    }
+    for lbl, w in want.items():
+        got = stats[lbl]
+        for k, v in w.items():
+            assert abs(got[k] - v) < 1e-12, (lbl, k, got[k], v)
+    ws = weighted_statistics(categorical_statistics(scored))
+    tot = sum(v["support"] for v in want.values())
+    for k in ("f1Score", "recall", "precision", "accuracy"):
+        expect = sum(v[k] * v["support"] for v in want.values()) / tot
+        assert abs(ws[k] - expect) < 1e-12, (k, ws[k], expect)
+    assert ws["support"] == tot
