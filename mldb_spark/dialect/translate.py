@@ -855,7 +855,26 @@ class Binder:
             return "string"
         if isinstance(e, ast.RowLiteral):
             fields = []
+            meta = {self.row_name_col, self.ts_col} - {None}
             for n, x in e.fields:
+                if isinstance(x, ast.RowWildcard) or (
+                    n.endswith("*") and isinstance(x, ast.ColumnRef) and x.name == n
+                ):
+                    pref = x.prefix if isinstance(x, ast.RowWildcard) else n[:-1]
+                    excl = x.excluding if isinstance(x, ast.RowWildcard) else []
+                    excl_e = {v for v in excl if not v.endswith("*")}
+                    excl_p = [v[:-1] for v in excl if v.endswith("*")]
+                    for c in self.columns:
+                        if (
+                            c.startswith("__")
+                            or c in meta
+                            or not c.startswith(pref)
+                            or c in excl_e
+                            or any(c.startswith(p) for p in excl_p)
+                        ):
+                            continue
+                        fields.append(f"{c}:{self.dtypes.get(c, 'double')}")
+                    continue
                 ft = self._static_dtype(x) or "double"
                 fields.append(f"{n}:{ft}")
             return "struct<" + ",".join(fields) + ">"
@@ -2475,7 +2494,7 @@ class MldbContext:
                     isinstance(node, ast.Index)
                     and isinstance(node.operand, ast.FunctionCall)
                     and self._lookup_function(node.operand.name) is not None
-                    and isinstance(node.key, ast.Literal)
+                    and isinstance(node.key, (ast.Literal, ast.ColumnRef))
                 ):
                     fname = node.operand.name
                     if fname not in applied:
@@ -2491,6 +2510,26 @@ class MldbContext:
                                     # for parameterized entities
                                     # (MLDB-1319's poil3({n: 1}))
                                     call_params[field_name] = fexpr.value
+                                fdt = abinder._static_dtype(fexpr)
+                                if (
+                                    isinstance(fexpr, ast.RowLiteral)
+                                    and fdt.startswith("struct<")
+                                ):
+                                    # a ROW-valued input pin
+                                    # (cls({{*} as features}) —
+                                    # MLDB-647): functions bind
+                                    # against the row's OWN fields,
+                                    # so flatten them into columns
+                                    # ALONGSIDE the pin-named struct
+                                    # (sql.expression entities read
+                                    # the pin as input.a)
+                                    bound = abinder.bind(fexpr)
+                                    for sub, _t in _struct_fields_typed(fdt):
+                                        if sub not in df.columns:
+                                            df = df.withColumn(
+                                                sub, bound.getField(sub)
+                                            )
+                                            arg_cols.append(sub)
                                 if field_name not in df.columns:
                                     df = df.withColumn(
                                         field_name, abinder.bind(fexpr)
@@ -2512,7 +2551,11 @@ class MldbContext:
                         fn_intro.extend(
                             c for c in df.columns if c not in before
                         )
-                    key = str(node.key.value)
+                    key = (
+                        str(node.key.value)
+                        if isinstance(node.key, ast.Literal)
+                        else node.key.name
+                    )
                     # route through an __-prefixed internal copy so
                     # the output (and any materialized argument it
                     # shadows) stays out of SELECT * expansion
@@ -2532,7 +2575,26 @@ class MldbContext:
                             df = df.withColumn(internal, F.col(f"`{key}`"))
                         mapping.append((node, internal))
                     else:
-                        mapping.append((node, key))
+                        # dotted accessor into a structured output:
+                        # [scores."Iris-setosa"] reads key 'Iris-setosa'
+                        # of the function's `scores` map/struct output
+                        # (MLDB-647's per-class score extraction)
+                        els = _parse_path_str(key)
+                        if len(els) > 1 and els[0] in df.columns:
+                            internal = f"__fnout__{fname}__{key}"
+                            if internal not in df.columns:
+                                sub = F.col(f"`{els[0]}`")
+                                dtm = dict(df.dtypes).get(els[0], "")
+                                for el in els[1:]:
+                                    sub = (
+                                        sub[el]
+                                        if dtm.startswith("map")
+                                        else sub.getField(el)
+                                    )
+                                df = df.withColumn(internal, sub)
+                            mapping.append((node, internal))
+                        else:
+                            mapping.append((node, key))
                     accessed.add(id(node.operand))
             for node in _walk(expr):
                 if (

@@ -193,6 +193,11 @@ def classifier_train(
     model = table[algo]().fit(train)
 
     def score(d: DataFrame) -> DataFrame:
+        # a caller-supplied `features` ROW pin (SQL application,
+        # MLDB-647) would collide with the assembler's output column —
+        # stash it; its flattened fields are already columns
+        if "features" in d.columns:
+            d = d.withColumnRenamed("features", "__features_pin")
         # replay the train-time one-hot encoding on the scored input
         for out_name, expr in onehot_exprs:
             if out_name not in d.columns:
@@ -273,11 +278,22 @@ def classifier_test(
             )
             .select(
                 "mse",
-                (
+                # zero-variance targets (MLDB-174 test_r2_edge): a
+                # perfect constant prediction scores 1, an imperfect
+                # one 0 — never NaN from the 0/0
+                F.when(
+                    F.col("__syy") - F.col("__sy") * F.col("__sy") / F.col("__n")
+                    <= F.lit(0.0),
+                    F.when(F.col("__ssres") <= F.lit(0.0), F.lit(1.0)).otherwise(
+                        F.lit(0.0)
+                    ),
+                )
+                .otherwise(
                     1
                     - F.col("__ssres")
                     / (F.col("__syy") - F.col("__sy") * F.col("__sy") / F.col("__n"))
-                ).alias("r2"),
+                )
+                .alias("r2"),
                 "quantile_err_50",
                 "quantile_err_90",
             )

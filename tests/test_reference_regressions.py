@@ -5701,3 +5701,165 @@ def test_mldb_256_categorical_label_statistics(spark):
         expect = sum(v[k] * v["support"] for v in want.values()) / tot
         assert abs(ws[k] - expect) < 1e-12, (k, ws[k], expect)
     assert ws["support"] == tot
+
+
+def test_mldb_174_regression_modes(spark):
+    """MLDB-174-regression.py: (a) glz regression on x=y extrapolates
+    (score at x=10 ~ 10 through the classifier.train entity +
+    registered scorer); (b) classifier.test regression r2 matches the
+    reference's exact values incl. the ZERO-VARIANCE edge cases —
+    constant target perfectly predicted -> r2=1, imperfectly -> 0,
+    normal targets -> the standard 1 - SSres/SStot."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.ml.procedures import classifier_test
+    from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+    mldb = Mldb(spark)
+    mldb.create_dataset(
+        "m174",
+        spark.createDataFrame(
+            [(f"ex{i}", float(i), float(i)) for i in range(4)],
+            "rn string, x double, y double",
+        ),
+        row_name_col="rn",
+    )
+    mldb.create_entity(
+        "procedure",
+        {
+            "type": "classifier.train",
+            "id": "m174_reg",
+            "params": {
+                "trainingData": {
+                    "select": "{x} as features, y as label",
+                    "from": {"id": "m174"},
+                },
+                "algorithm": "glz",
+                "mode": "regression",
+                "functionName": "m174_regressor",
+            },
+        },
+    )
+    probe = spark.createDataFrame([(10.0,)], "x double")
+    score = GLOBAL_REGISTRY.apply("m174_regressor", probe).collect()[0]["score"]
+    assert abs(score - 10.0) < 0.2, score
+
+    # r2: the reference's exact values
+    r2_sample = spark.createDataFrame(
+        [(2.5, 25.0, 3.0), (0.0, -5.0, -0.5), (2.0, 22.0, 2.0), (8.0, 5.0, 7.0)],
+        "score double, score2 double, target double",
+    )
+    def r2_of(df, s, t):
+        return classifier_test(
+            df.selectExpr(f"{s} as score", f"{t} as label"),
+            mode="regression",
+        ).collect()[0]["r2"]
+
+    assert abs(r2_of(r2_sample, "score", "target") - 0.948) < 0.005
+    assert abs(r2_of(r2_sample, "score2", "target") - (-30.1177)) < 0.01
+    edge = spark.createDataFrame(
+        [(1.0, 2.0, 1.0, 1.0), (1.0, 1.0, 1.0, 2.0), (1.0, 1.0, 1.0, 1.0)],
+        "score double, score2 double, target double, target2 double",
+    )
+    assert r2_of(edge, "score", "target") == 1.0
+    assert r2_of(edge, "score2", "target") == 0.0
+    assert abs(r2_of(edge, "score", "target2") - (-0.5)) < 1e-9
+
+
+def test_mldb_1766_dt_categorical_generalization(mldb):
+    """MLDB-1766_dt_categorical.py: a depth-8 decision tree trained
+    categorical on a 1-in-5 iris split must NOT be perfect on the
+    held-out rows (Iris-virginica recall < 0.98 — the reference's
+    anti-overfit pin) while still being a real model (weighted
+    accuracy > 0.8)."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.ml.procedures import (
+        categorical_statistics,
+        classifier_train,
+        classifier_test,
+        weighted_statistics,
+    )
+    from mldb_spark.ml.registry import FunctionRegistry
+    from mldb_spark.sources.text_io import import_text
+
+    iris = import_text(
+        mldb.spark, "/root/reference/testing/dataset/iris.data",
+        headers=["sl", "sw", "pl", "pw", "cls"],
+    ).na.drop().select(
+        F.col("sl").cast("double"), F.col("sw").cast("double"),
+        F.col("pl").cast("double"), F.col("pw").cast("double"), "cls",
+        F.xxhash64("sl", "sw", "pl", "pw", "cls").alias("__h"),
+    )
+    train = iris.filter(F.col("__h") % 5 == 0)
+    test = iris.filter(F.col("__h") % 5 != 0)
+    reg = FunctionRegistry()
+    classifier_train(
+        train, ["sl", "sw", "pl", "pw"], "cls", "iris1766", reg,
+        algorithm="dt", mode="categorical",
+    )
+    scored = reg.apply("iris1766", test)
+    stats = {
+        r["label"]: r.asDict()
+        for r in categorical_statistics(
+            scored, label_col="cls", pred_col="predicted"
+        ).collect()
+    }
+    assert stats["Iris-virginica"]["recall"] < 0.98
+    ws = weighted_statistics(
+        categorical_statistics(scored, label_col="cls", pred_col="predicted")
+    )
+    assert ws["accuracy"] > 0.8
+    # the confusion-matrix mode of classifier.test agrees on totals
+    conf = classifier_test(
+        scored, label_col="cls", score_col="predicted", mode="categorical"
+    )
+    assert conf.agg(F.sum("count")).collect()[0][0] == test.count()
+
+
+def test_mldb_647_multiclass_apply_function_pins(mldb):
+    """MLDB-647_multiclass_apply_function_pins.py: a categorical
+    classifier applied from SQL with a row-valued `features` input
+    pin ({{* EXCLUDING(class)} as features}) and per-class score
+    extraction ([scores."Iris-setosa"]). (Bare un-accessed
+    applications remain a documented error in this engine —
+    every output consumed here is accessor-addressed.)"""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.ml.procedures import classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+    from mldb_spark.sources.text_io import import_text
+
+    iris = import_text(
+        mldb.spark, "/root/reference/testing/dataset/iris.data",
+        headers=["sl", "sw", "pl", "pw", "cls"],
+    ).na.drop().select(
+        F.col("sl").cast("double"), F.col("sw").cast("double"),
+        F.col("pl").cast("double"), F.col("pw").cast("double"),
+        F.col("cls").alias("class"),
+    )
+    mldb.create_dataset("iris647", iris)
+    reg = FunctionRegistry()
+    classifier_train(
+        iris, ["sl", "sw", "pl", "pw"], "class", "iris_cls_647", reg,
+        algorithm="glz", mode="categorical",
+    )
+    mldb.ctx.register_function(
+        "iris_cls_647", lambda d: reg.apply("iris_cls_647", d)
+    )
+    out = mldb.query(
+        'select iris_cls_647({{* EXCLUDING(class)} as features})'
+        '[scores."Iris-setosa"] AS setosa, class '
+        "from iris647"
+    ).collect()
+    assert len(out) == 150
+    # setosa is linearly separable: its per-class probability is
+    # higher on setosa rows than on every other row
+    setosa = [r["setosa"] for r in out if r["class"] == "Iris-setosa"]
+    rest = [r["setosa"] for r in out if r["class"] != "Iris-setosa"]
+    assert min(setosa) > max(rest)
+    # predicted class comes back decoded through the same surface
+    out2 = mldb.query(
+        "select iris_cls_647({{* EXCLUDING(class)} as features})"
+        "[predicted] AS p, class from iris647 where class = 'Iris-setosa'"
+    ).collect()
+    assert all(r["p"] == "Iris-setosa" for r in out2)
