@@ -316,6 +316,28 @@ class Mldb:
     def apply_function(self, name: str, *args, **kwargs):
         return self.functions.apply(name, *args, **kwargs)
 
+    def create_useragent_function(self, name: str) -> None:
+        """http.useragent function entity
+        (plugins/html/useragent_function.cc:95-106; MLDB-1753): input
+        pin `ua`, outputs the uap-core field set as dotted columns
+        (browser.family/version, os.family/version, device.brand/
+        model, isSpider as 0/1)."""
+        from mldb_spark.functions.web import parse_useragent
+
+        def apply(df: DataFrame) -> DataFrame:
+            p = parse_useragent(F.col("ua"))
+            return (
+                df.withColumn("browser.family", p["browser_family"])
+                .withColumn("browser.version", p["browser_version"])
+                .withColumn("device.brand", p["device_brand"])
+                .withColumn("device.model", p["device_model"])
+                .withColumn("isSpider", p["is_spider"].cast("int"))
+                .withColumn("os.family", p["os_family"])
+                .withColumn("os.version", p["os_version"])
+            )
+
+        self.ctx.register_function(name, apply)
+
     def create_stemmer_function(self, name: str, language: str = "english") -> None:
         """stemmer function entity (plugins/nlp/nlp.cc:193-240;
         MLDB-1126): input {words}, output {words} with stemmed keys —
@@ -526,6 +548,8 @@ class Mldb:
                 self.create_sql_query_function(
                     eid, params["query"], params.get("output", "FIRST_ROW")
                 )
+            elif etype == "http.useragent":
+                self.create_useragent_function(eid)
             elif etype == "stemmer":
                 self.create_stemmer_function(
                     eid, params.get("language", "english")

@@ -545,7 +545,19 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
             opts = {k.lower(): v for k, v in raw_args[1].fields}
             lit = opts.get("removesubdomain")
             remove_sub = bool(isinstance(lit, ast.Literal) and lit.value)
-        return extract_domain(args[0], remove_sub)
+        # a scheme-less input is a hard error, not a NULL
+        # (MLDB-1753/1772: "Attempt to create a URL without a scheme")
+        checked = F.when(
+            args[0].isNotNull()
+            & ~args[0].rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"),
+            F.raise_error(
+                F.concat(
+                    F.lit("Attempt to create a URL without a scheme: "),
+                    args[0],
+                )
+            ),
+        ).otherwise(args[0])
+        return extract_domain(checked, remove_sub)
     if name in simple:
         raise ValueError(
             f"Binding builtin function {name}: expected 1 argument, "

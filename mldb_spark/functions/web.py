@@ -23,11 +23,13 @@ from pyspark.sql import functions as F
 
 _BROWSERS = [
     # order matters: Edge/Opera embed Chrome's token, Chrome embeds
-    # Safari's — first match wins
+    # Safari's — first match wins. 'Mobile Safari' before 'Safari'
+    # (uap-core's family split, pinned by MLDB-1753's iPhone UA).
     ("Edge", r"(?:Edg|Edge)/(\d+[\.\d]*)"),
     ("Opera", r"(?:OPR|Opera)/(\d+[\.\d]*)"),
     ("Chrome", r"Chrome/(\d+[\.\d]*)"),
     ("Firefox", r"Firefox/(\d+[\.\d]*)"),
+    ("Mobile Safari", r"Version/(\d+[\.\d]*).*Mobile.*Safari"),
     ("Safari", r"Version/(\d+[\.\d]*).*Safari"),
     ("IE", r"MSIE (\d+[\.\d]*)"),
 ]
@@ -51,12 +53,25 @@ def parse_useragent(ua: Column) -> Column:
     # fold families in reverse so the FIRST listed family wins
     # (chained when() would re-embed prior conditions; this stays a
     # flat ladder of independent rlike tests)
+    def semver3(v: Column) -> Column:
+        # uap-core renders browser versions major.minor.patch,
+        # zero-filling missing parts ('5.1' -> '5.1.0'; MLDB-1753)
+        parts = F.split(v, r"\.")
+        return F.when(v == "", v).otherwise(
+            F.concat_ws(
+                ".",
+                F.try_element_at(parts, F.lit(1)),
+                F.coalesce(F.try_element_at(parts, F.lit(2)), F.lit("0")),
+                F.coalesce(F.try_element_at(parts, F.lit(3)), F.lit("0")),
+            )
+        )
+
     browser = F.lit("Other")
     bver = F.lit("")
     for fam, rx in reversed(_BROWSERS):
         hit = ua.rlike(rx)
         browser = F.when(hit, F.lit(fam)).otherwise(browser)
-        bver = F.when(hit, F.regexp_extract(ua, rx, 1)).otherwise(bver)
+        bver = F.when(hit, semver3(F.regexp_extract(ua, rx, 1))).otherwise(bver)
     osfam = F.lit("Other")
     osver = F.lit("")
     for fam, rx in reversed(_OSES):

@@ -5863,3 +5863,84 @@ def test_mldb_647_multiclass_apply_function_pins(mldb):
         "[predicted] AS p, class from iris647 where class = 'Iris-setosa'"
     ).collect()
     assert all(r["p"] == "Iris-setosa" for r in out2)
+
+
+def test_mldb_429_classifier_empty_label(spark):
+    """MLDB-429-classifier-empty-label.js: a training row whose label
+    is NULL is skipped, and the run SUCCEEDS (it used to abort the
+    whole training)."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    rows = [
+        ("ex00", 0.0, 0.0, 0.0), ("ex10", 1.0, 0.0, 1.0),
+        ("ex01", 0.0, 1.0, 1.0), ("ex111", 1.0, 1.0, 1.0),
+        ("ex110", 1.0, 1.0, 0.0), ("ex112", 1.0, 1.0, None),
+    ]
+    mldb.create_dataset(
+        "m429",
+        spark.createDataFrame(
+            rows, "rn string, x double, y double, label double"
+        ),
+        row_name_col="rn",
+    )
+    res = mldb.create_entity(
+        "procedure",
+        {
+            "type": "classifier.train",
+            "id": "m429_train",
+            "params": {
+                "trainingData": {
+                    "select": "{x,y} as features, label",
+                    "from": {"id": "m429"},
+                },
+                "algorithm": "glz",
+            },
+        },
+    )
+    assert res["status"]["functionName"] == "m429_train"
+
+
+def test_mldb_1753_useragent_and_domain(spark):
+    """MLDB-1753_useragent_function.py (+ MLDB-1772 half): the
+    http.useragent function entity parses the iPhone UA to the
+    uap-core field set (Mobile Safari family; semver-padded browser
+    version), and extract_domain handles subdomain stripping plus the
+    hard no-scheme error."""
+    import pytest
+
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity(
+        "function", {"type": "http.useragent", "id": "useragent", "params": {}}
+    )
+    out = mldb.query(
+        "select useragent({ua: 'Mozilla/5.0 (iPhone; CPU iPhone OS 5_1_1 "
+        "like Mac OS X) AppleWebKit/534.46 (KHTML, like Gecko) Version/5.1 "
+        "Mobile/9B206 Safari/7534.48.3'}) as *"
+    ).collect()[0]
+    got = out.asDict()
+    assert got["browser.family"] == "Mobile Safari"
+    assert got["browser.version"] == "5.1.0"
+    assert got["device.brand"] == "Apple"
+    assert got["device.model"] == "iPhone"
+    assert got["isSpider"] == 0
+    assert got["os.family"] == "iOS"
+    assert got["os.version"] == "5.1.1"
+
+    row = mldb.query(
+        "select "
+        "extract_domain('http://www.datacratic.com/pwetpwet/houa.html') as c1, "
+        "extract_domain('http://datacratic.com/pwetpwet/houa.html') as c2, "
+        "extract_domain('http://data.datacratic.com/pwetpwet/houa.html') as c3, "
+        "extract_domain('http://www.datacratic.com/pwetpwet/houa.html', {removeSubdomain:1}) as c1nosub, "
+        "extract_domain('http://datacratic.com/pwetpwet/houa.html', {removeSubdomain:1}) as c2nosub, "
+        "extract_domain('http://data.datacratic.com/pwetpwet/houa.html', {removeSubdomain:1}) as c3nosub"
+    ).collect()[0]
+    assert tuple(row) == (
+        "www.datacratic.com", "datacratic.com", "data.datacratic.com",
+        "datacratic.com", "datacratic.com", "datacratic.com",
+    )
+    with pytest.raises(Exception, match="without a scheme"):
+        mldb.query("SELECT extract_domain('pwet.com') as c4").collect()
