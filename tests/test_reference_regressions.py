@@ -5944,3 +5944,22 @@ def test_mldb_1753_useragent_and_domain(spark):
     )
     with pytest.raises(Exception, match="without a scheme"):
         mldb.query("SELECT extract_domain('pwet.com') as c4").collect()
+
+
+def test_mldb_2168_and_1649_csv_import_options(spark):
+    """MLDB-2168-csv-import-skip-lines.js + MLDB-1649-csv-import-
+    trailing-comma.js: skipLineRegex drops matching lines BEFORE
+    parsing (header exempt) under a custom quoteChar + latin1; a
+    trailing delimiter on the header line must NOT invent a column."""
+    from mldb_spark.sources.text_io import import_text
+
+    df = import_text(
+        spark, "/root/reference/testing/MLDB-1312-quotechar.csv",
+        quote="#", encoding="latin1", skip_line_regex=".*#b#.*",
+    )
+    assert df.columns == ["a", "b"]
+    assert sorted(tuple(r) for r in df.collect()) == [("a", "b"), ("a,b", "c")]
+
+    df = import_text(spark, "/root/reference/testing/dataset/MLDB-1649.csv")
+    assert df.columns == ["a", "b", "c"]
+    assert [tuple(r) for r in df.collect()] == [(1, 2, 3)]
