@@ -5963,3 +5963,42 @@ def test_mldb_2168_and_1649_csv_import_options(spark):
     df = import_text(spark, "/root/reference/testing/dataset/MLDB-1649.csv")
     assert df.columns == ["a", "b", "c"]
     assert [tuple(r) for r in df.collect()] == [(1, 2, 3)]
+
+
+def test_mldb_2170_excel_formulas(spark):
+    """MLDB-2170-csv-excel-formulas.js: processExcelFormulas unwraps
+    the ="x" Excel form; a BARE =x stays a literal string. (Cells are
+    per-column typed here, so the mixed column stays string — the
+    values match the reference's cell contents.)"""
+    from mldb_spark.sources.text_io import import_text
+
+    df = import_text(
+        spark, "/root/reference/testing/fixtures/MLDB-2170-csv-excel-formulas.csv",
+        encoding="latin1", process_excel_formulas=True,
+    )
+    assert df.columns == ["a", "b"]
+    assert [tuple(r) for r in df.collect()] == [
+        ("1", "2"), ("3", "4"), ("5", "6"), ("=7", "=8"), ("9", "10"),
+    ]
+
+
+def test_mldb_1638_structured_column_names(spark):
+    """MLDB-1638-import-text-structured-names.js:
+    structuredColumnNames=false (default) treats each header cell as
+    ONE literal path element ('c.a' -> the quoted rendering "c.a";
+    '"d.a"' -> \"\"\"d.a\"\"\"), while =true keeps the cell as an
+    already-rendered structured path."""
+    from mldb_spark.sources.text_io import import_text
+
+    df = import_text(spark, "/root/reference/testing/dataset/MLDB-1638.csv")
+    assert sorted(df.columns) == sorted(
+        ['a', 'b', '"c.a"', '"c.b"', '"""d.a"""']
+    )
+    df = import_text(
+        spark, "/root/reference/testing/dataset/MLDB-1638.csv",
+        structured_column_names=True,
+    )
+    assert sorted(df.columns) == sorted(['a', 'b', 'c.a', 'c.b', '"d.a"'])
+    assert [tuple(r) for r in df.select("a", "b", "`c.a`", "`c.b`").collect()] == [
+        (1, 2, 3, 4)
+    ]
