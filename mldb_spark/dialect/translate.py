@@ -410,6 +410,10 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
             raise ValueError("extract_column(name, row) needs a literal name")
         return args[1].getItem(str(raw_args[0].value))
     if name == "round":
+        if len(args) == 1:
+            # 1-arg form: nearest integer (MLDB-1666's
+            # round(geo_distance(...) / 1000))
+            return F.round(args[0])
         if len(args) != 2 or not isinstance(raw_args[1], ast.Literal):
             raise ValueError("round(x, d) needs a literal digit count")
         return F.round(args[0], int(raw_args[1].value))
@@ -423,6 +427,31 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         )
     if name == "geo_distance":
         return geo_distance(*args)
+    if name in ("impulse", "shifted_impulse", "fft", "amplitude", "phase"):
+        # signal family (sql/builtin_signal_functions.cc; MLDB-1972)
+        from mldb_spark.functions import signal as _sig
+
+        if name in ("impulse", "shifted_impulse"):
+            n = _literal_int(raw_args[0])
+            pos = _literal_int(raw_args[1]) if len(raw_args) > 1 else 0
+            if n is None or pos is None:
+                raise ValueError(f"{name}() needs literal integer arguments")
+            return _sig.impulse(n, pos)
+        if name == "fft":
+            direction = "forward"
+            if len(raw_args) > 1:
+                if not (
+                    isinstance(raw_args[1], ast.Literal)
+                    and isinstance(raw_args[1].value, str)
+                ):
+                    raise ValueError("fft() direction must be a literal string")
+                direction = raw_args[1].value
+            if direction == "forward":
+                return _sig.fft(args[0])
+            if direction == "backward":
+                return _sig.ifft_real(args[0]["re"], args[0]["im"])
+            raise ValueError(f"unknown fft direction {direction!r}")
+        return (_sig.amplitude if name == "amplitude" else _sig.phase)(args[0])
     if name == "coalesce":
         return F.coalesce(*args)
     if name == "concat":
@@ -892,9 +921,24 @@ class Binder:
             return "struct<" + ",".join(fields) + ">"
         if isinstance(e, ast.FunctionCall) and e.name in (
             "normalize", "vector_sum", "vector_diff", "vector_product",
-            "vector_quotient",
+            "vector_quotient", "amplitude", "phase", "impulse",
+            "shifted_impulse",
         ):
             return "array<double>"
+        if isinstance(e, ast.FunctionCall) and e.name == "quantize" and e.args:
+            # quantize is shape-preserving (scalar or element-wise)
+            return self._static_dtype(e.args[0])
+        if isinstance(e, ast.FunctionCall) and e.name == "fft":
+            backward = (
+                len(e.args) > 1
+                and isinstance(e.args[1], ast.Literal)
+                and e.args[1].value == "backward"
+            )
+            return (
+                "array<double>"
+                if backward
+                else "struct<re:array<double>,im:array<double>>"
+            )
         if isinstance(e, ast.EmbeddingLiteral):
             return "array<double>"
         if isinstance(e, ast.Binary) and e.op in ("+", "-", "*", "/"):
@@ -1782,6 +1826,16 @@ class Binder:
                     c = F.map_keys(c)
                 conv.append(c)
             return _ji(conv[0], conv[1])
+        if (
+            name == "quantize"
+            and len(args) == 2
+            and self._static_dtype(e.args[0]).startswith("array")
+        ):
+            # element-wise over embeddings (MLDB-1972's
+            # quantize(fft(..., 'backward'), 0.001))
+            from mldb_spark.functions.core import quantize as _q
+
+            return F.transform(args[0], lambda x: _q(x, args[1]))
         return _scalar_fn(name, args, e.args)
 
     def _expr_ndim(self, e: ast.Expr) -> int:

@@ -39,6 +39,23 @@ def fft(v: pd.Series) -> pd.DataFrame:
     )
 
 
+@pandas_udf(T.ArrayType(T.DoubleType()))
+def ifft_real(re: pd.Series, im: pd.Series) -> pd.Series:
+    """Inverse FFT of an (re, im) pair back to the REAL signal —
+    fft(x, 'backward') in the reference's round-trip idiom
+    (MLDB-1972's fft(fft(impulse(32), 'forward'), 'backward'))."""
+    out = []
+    for r, i in zip(re, im):
+        if r is None:
+            out.append(None)
+            continue
+        spec = np.asarray(r, dtype=np.float64) + 1j * np.asarray(
+            i, dtype=np.float64
+        )
+        out.append(np.fft.ifft(spec).real.tolist())
+    return pd.Series(out)
+
+
 def amplitude(fft_col: Column) -> Column:
     """|X_k| per bin — JVM-side zip_with over the struct arrays."""
     return F.zip_with(

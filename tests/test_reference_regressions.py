@@ -6002,3 +6002,58 @@ def test_mldb_1638_structured_column_names(spark):
     assert [tuple(r) for r in df.select("a", "b", "`c.a`", "`c.b`").collect()] == [
         (1, 2, 3, 4)
     ]
+
+
+def test_mldb_1972_fft_family(mldb):
+    """MLDB-1972-fft.js: impulse/shifted_impulse/fft/amplitude/phase
+    through the dialect — impulse amplitude is flat 1s regardless of
+    shift, phase of a shift-2 impulse steps linearly, and
+    forward+backward round-trips to the original signal after
+    quantize."""
+    import math
+
+    q = lambda sql: mldb.query(sql).collect()[0][0]
+    # amplitude of any shifted impulse is all-ones
+    for shift in (0, 1, 2, 16):
+        amp = q(
+            f"select amplitude(fft(shifted_impulse(32, {shift}), 'forward')) as f"
+        )
+        assert len(amp) == 32
+        assert all(abs(a - 1.0) < 1e-9 for a in amp)
+    # phase of shift-2: bin k has phase -2*pi*2*k/32 (mod 2pi)
+    ph = q("select phase(fft(shifted_impulse(32, 2), 'forward')) / pi() * 180 as ph")
+    assert abs(ph[0]) < 1e-9
+    want1 = -2 * math.pi * 2 * 1 / 32 / math.pi * 180
+    assert abs(ph[1] - want1) < 1e-6
+    # round trip: fft forward then backward reproduces the impulse
+    rt = q(
+        "select quantize(fft(fft(shifted_impulse(32, 31), 'forward'), "
+        "'backward'), 0.001) = shifted_impulse(32, 31) as r"
+    )
+    assert rt is True
+
+
+def test_mldb_1666_spherical_geometry(mldb):
+    """MLDB-1666-spherical-geometry.js: geo_distance over an airport
+    self-join — exact rounded-km values pinned, descending with the
+    reference's join row naming available through rowName()."""
+    _ds(
+        mldb, "airports",
+        [
+            ("lhr", 51.477500, -0.461388),
+            ("syd", -33.946110, 151.177222),
+            ("lax", 33.942495, -118.408067),
+            ("sfo", 37.619105, -122.375236),
+            ("oak", 37.721306, -122.220721),
+        ],
+        "rn string, lat double, lon double",
+    )
+    out = _q(
+        mldb,
+        "select round(geo_distance(x.lat, x.lon, y.lat, y.lon) / 1000) "
+        "as dst from airports as x join airports as y "
+        "where x.rowName() < y.rowName() order by dst desc, rowName()",
+    )
+    assert [int(r[0]) for r in out] == [
+        17020, 12061, 11967, 11950, 8759, 8615, 8599, 543, 543, 18
+    ]
