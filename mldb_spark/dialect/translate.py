@@ -2235,8 +2235,15 @@ def _render_named(col: Column, e: ast.Expr, dtype: str = "") -> Column:
     quoting rule."""
     from mldb_spark.functions.paths import stringify_path
 
-    if _is_path_valued(e) or dtype == "array<string>":
-        return stringify_path(col)
+    if (
+        _is_path_valued(e)
+        or isinstance(e, ast.EmbeddingLiteral)
+        or dtype.startswith("array")
+    ):
+        # a path VALUE (rowPath()) or an embedding literal names the
+        # row with one element per item — NAMED ['hello', 'world']
+        # renders 'hello.world' (MLDB-1810), never a single string
+        return stringify_path(F.transform(col, lambda x: x.cast("string")))
     return stringify_path(F.array(col.cast("string")))
 
 
@@ -4152,9 +4159,15 @@ class MldbContext:
 
     def _plain_select(self, df, stm, binder, row_name_col, extra_cols=()) -> DataFrame:
         cols: list[Column] = []
+        # NAMED REPLACES the row naming: the source's rowName column
+        # must not survive wildcard expansion next to the new one
+        # (MLDB-1810's `select * named [...] from row_dataset(...)`)
+        wc_columns = df.columns
+        if stm.named is not None and row_name_col:
+            wc_columns = [c for c in wc_columns if c != row_name_col]
         for i, it in enumerate(stm.select):
             if isinstance(it, ast.Wildcard):
-                cols.extend(self._expand_wildcard(it, df.columns, binder.table_aliases))
+                cols.extend(self._expand_wildcard(it, wc_columns, binder.table_aliases))
             elif isinstance(it, ast.ColumnExprItem):
                 cols.extend(self._expand_column_expr(df, it, binder.params))
             else:

@@ -6057,3 +6057,48 @@ def test_mldb_1666_spherical_geometry(mldb):
     assert [int(r[0]) for r in out] == [
         17020, 12061, 11967, 11950, 8759, 8615, 8599, 543, 543, 18
     ]
+
+
+def test_mldb_1810_structured_named_embedding(mldb):
+    """MLDB-1810-new-executor-rowpath.js: NAMED ['hello', 'world']
+    builds a STRUCTURED two-element row name rendering 'hello.world'
+    — never the stringified array."""
+    out = mldb.query(
+        "select * named ['hello', 'world'] from row_dataset({x:1})"
+    ).collect()
+    assert [r["rowName"] for r in out] == ["hello.world"]
+    # rowPath() of that name parses back to the two elements
+    parts = mldb.query(
+        "select rowPathLength() as n, rowPathElement(1) as e1 from "
+        "(select 1 as v named ['hello', 'world'])"
+    ).collect()
+    assert [(r["n"], r["e1"]) for r in parts] == [(2, "world")]
+
+
+def test_mldb_809_group_by_rowname_row_aggs(mldb):
+    """MLDB-809-group-by-rowname.js: min({*})/max({*}) row aggregates
+    under GROUP BY with NAMED label and NAMED group_key_element(0) —
+    per-group min/max of every value column incl. the string label."""
+    _ds(
+        mldb, "m809",
+        [("ex1", 0, 0, "cat"), ("ex2", 1, 1, "dog"), ("ex3", 1, 2, "cat")],
+        "rn string, x int, y int, label string",
+    )
+    for named in ("label", "group_key_element(0)"):
+        out = mldb.query(
+            f"SELECT min({{*}}) AS min, max({{*}}) AS max NAMED {named} "
+            "from m809 group by label"
+        ).collect()
+        got = {
+            r["rowName"]: (r["min"].asDict(), r["max"].asDict()) for r in out
+        }
+        assert got == {
+            "cat": (
+                {"x": 0, "y": 0, "label": "cat"},
+                {"x": 1, "y": 2, "label": "cat"},
+            ),
+            "dog": (
+                {"x": 1, "y": 1, "label": "dog"},
+                {"x": 1, "y": 1, "label": "dog"},
+            ),
+        }
