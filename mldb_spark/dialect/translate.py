@@ -1747,8 +1747,13 @@ class Binder:
             if isinstance(arg0, ast.EmbeddingLiteral) or dt.startswith("array"):
                 return F.transform(self.bind(arg0), scalar)
             if isinstance(arg0, ast.RowLiteral):
+                # _row_literal_fields expands {*}/{p*} wildcard fields
+                # (MLDB-1781's replace_nan({*}, -1))
                 return F.struct(
-                    *[scalar(self.bind(v)).alias(k) for k, v in arg0.fields]
+                    *[
+                        scalar(c).alias(k)
+                        for k, c in self._row_literal_fields(arg0)
+                    ]
                 )
             return scalar(self.bind(arg0))
         if name in ("flatten", "shape", "reshape", "slice"):

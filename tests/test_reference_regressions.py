@@ -6102,3 +6102,54 @@ def test_mldb_809_group_by_rowname_row_aggs(mldb):
                 {"x": 1, "y": 1, "label": "dog"},
             ),
         }
+
+
+def test_mldb_1781_replace_nan_row_wildcard(mldb):
+    """MLDB-1781-path-flattening.js: replace_nan({*}, -1) distributes
+    over the row's wildcard-expanded fields, dotted names included."""
+    out = mldb.query(
+        "SELECT replace_nan({*}, -1) AS res FROM (select 0/0 as x, 2 as y)"
+    ).collect()[0]
+    assert out["res"].asDict() == {"x": -1.0, "y": 2.0}
+    out = mldb.query(
+        'SELECT replace_nan({*}, -1) AS res FROM '
+        '(select 0/0 as "x.y", 0/0 as z)'
+    ).collect()[0]
+    assert out["res"].asDict() == {"x.y": -1.0, "z": -1.0}
+
+
+def test_mldbfb_646_column_expr_value_select(mldb):
+    """MLDBFB-646-column-expression-select.js: COLUMN EXPR with a
+    value-transforming SELECT — every matched column's value rides
+    through the expression, the row keeps its NAMED name."""
+    out = mldb.query(
+        "select column expr(select value() * 10) named 'res' "
+        "from (select 1 as x, 2 as y)"
+    ).collect()
+    assert [r.asDict() for r in out] == [{"x": 10, "y": 20, "rowName": "res"}]
+
+
+def test_mldb_1490_grouped_validation(mldb):
+    """MLDB-1490-grouped-validation.py: builtins compose around
+    aggregators both ways (ln(sum(x)+1), sum(ln(x+1))) with and
+    without GROUP BY; a bare non-aggregated column mixed with
+    aggregators is a clean validation error."""
+    import math
+
+    import pytest
+
+    _ds(mldb, "m1490", [("a", 1)], "rn string, x int")
+    for sql in (
+        "select count(*) as n, ln(sum(x)+1) as v from m1490 group by x",
+        "select count(*) as n, sum(ln(x+1)) as v from m1490 group by x",
+        "select count(*) as n, ln(sum(x)+1) as v from m1490",
+        "select count(*) as n, sum(ln(x+1)) as v from m1490",
+    ):
+        out = _q(mldb, sql)
+        assert out == [(1, math.log(2))]
+    for sql in (
+        "select count(*), ln(x+1) from m1490 group by rowName()",
+        "select count(*), horizontal_sum({*}) from m1490",
+    ):
+        with pytest.raises(Exception, match="aggregate|GROUP BY"):
+            mldb.query(sql).collect()
