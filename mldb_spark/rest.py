@@ -263,6 +263,21 @@ class MldbRestServer:
                         self._send(404, {"error": str(e)})
                     except Exception as e:
                         self._send(400, {"error": str(e)})
+                elif parts == ["v1", "redirect", "get"]:
+                    # POST /v1/redirect/get {target, body}: re-dispatch
+                    # a GET whose parameters ride in a body
+                    # (MLDB-1717's test_as_POST_body)
+                    try:
+                        b = self._body()
+                        if b.get("target") == "/v1/query":
+                            self._send(200, facade.run_query(b.get("body", {})))
+                        else:
+                            self._send(
+                                400,
+                                {"error": "redirect target must be /v1/query"},
+                            )
+                    except Exception as e:
+                        self._send(400, {"error": str(e)})
                 else:
                     self._send(404, {"error": "POST supports /v1/procedures and /v1/query"})
 

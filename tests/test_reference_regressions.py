@@ -6153,3 +6153,19 @@ def test_mldb_1490_grouped_validation(mldb):
     ):
         with pytest.raises(Exception, match="aggregate|GROUP BY"):
             mldb.query(sql).collect()
+
+
+def test_mldb_1705_function_application_path(mldb):
+    """MLDB-1705-function-application-path.py: an sql.expression
+    reading JOIN-QUALIFIED names (data1.x, data2.y) applies over the
+    join's prefixed output through {*}."""
+    _ds(mldb, "d1705a", [("a", 1)], "rn string, x int")
+    _ds(mldb, "d1705b", [("a", 2)], "rn string, y int")
+    mldb.create_sql_expression_function(
+        "func1705", "horizontal_string_agg({d1705a.x, d1705b.y}, '-') as agg"
+    )
+    out = mldb.query(
+        "select func1705({*}) as * from d1705a "
+        "join d1705b on d1705a.rowName() = d1705b.rowName()"
+    ).collect()
+    assert [r["agg"] for r in out] == ["1-2"]

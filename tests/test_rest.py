@@ -318,3 +318,23 @@ def test_mldb_2112_broken_procedure_is_400_not_500(server):
         assert 400 <= e.code < 500
         body = json.loads(e.read())
         assert "error" in body
+
+
+def test_mldb_1717_redirect_get(server):
+    """MLDB-1717_query_select_in_body.py (test_as_POST_body):
+    POST /v1/redirect/get {target: /v1/query, body: {q}} re-dispatches
+    the query; a non-query target is a clean 400."""
+    status, rows = _req(
+        server, "POST", "/v1/redirect/get",
+        {"target": "/v1/query",
+         "body": {"q": "SELECT r_name FROM region ORDER BY r_name LIMIT 1"}},
+    )
+    assert status == 200
+    assert rows[0]["columns"][0][1] == "AFRICA"
+    import urllib.error
+
+    import pytest
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(server, "POST", "/v1/redirect/get", {"target": "/v1/datasets"})
+    assert ei.value.code == 400
