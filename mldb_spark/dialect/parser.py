@@ -139,7 +139,17 @@ def tokenize(sql: str) -> list[Token]:
     while pos < len(sql):
         m = _TOKEN_RE.match(sql, pos)
         if not m:
-            raise SyntaxError(f"unexpected character {sql[pos]!r} at {pos}")
+            # line:col location in the error (MLDB-1601's unclosed-
+            # string message pins the position); an opening quote that
+            # never closes is the classic case
+            line = sql.count("\n", 0, pos) + 1
+            col = pos - (sql.rfind("\n", 0, pos) + 1) + 1
+            what = (
+                "unclosed string literal"
+                if sql[pos] in "'\""
+                else f"unexpected character {sql[pos]!r}"
+            )
+            raise SyntaxError(f"{what} at {line}:{col}")
         pos = m.end()
         kind = m.lastgroup
         if kind == "ws" or kind == "comment":

@@ -6169,3 +6169,21 @@ def test_mldb_1705_function_application_path(mldb):
         "join d1705b on d1705a.rowName() = d1705b.rowName()"
     ).collect()
     assert [r["agg"] for r in out] == ["1-2"]
+
+
+def test_mldb_1601_unclosed_string_error_location(mldb):
+    """MLDB-1601-unclosed-string-error-message.js: an unclosed string
+    literal is a clean syntax error carrying its line:col location
+    (the reference pins 1:9 for a quote at column 9 of line 1)."""
+    import pytest
+
+    query = (
+        "SELECT 'this is an unclosed string \n"
+        "        with lots of lines \n"
+        "        but no closing quote"
+    )
+    with pytest.raises(SyntaxError, match=r"unclosed string.*1:8"):
+        mldb.query(query)
+    # multi-line location: the error points at the later line
+    with pytest.raises(SyntaxError, match=r"unclosed string.*2:1"):
+        mldb.query("SELECT 1 AS x,\n'oops")
