@@ -604,6 +604,14 @@ class Mldb:
                     F.col("label").cast("double").alias("label"),
                     *extra,
                 ).filter(F.col("label").isNotNull())
+                if flat.isEmpty():
+                    # zero surviving training rows is a clean config
+                    # error, never an opaque MLlib crash (MLDB-587's
+                    # `WHERE false` training)
+                    raise ValueError(
+                        "classifier.train: all rows were filtered out "
+                        "by the trainingData query; nothing to train on"
+                    )
                 # numeric feature columns only: the engine's rowName
                 # output column and other opaque strings never feed
                 # the estimator (the reference's row name is metadata,
@@ -634,6 +642,81 @@ class Mldb:
                     weight_col="weight" if "weight" in tdf.columns else None,
                 )
                 status = {"functionName": fname, "features": feat_cols}
+            elif etype == "classifier.test":
+                # accuracy procedure (plugins/jml/accuracy.cc;
+                # MLDB-804/256): testingData must produce 'score' and
+                # 'label' outputs; a config without it is a 4xx
+                if "testingData" not in params:
+                    raise ValueError(
+                        "classifier.test expects a scalar named 'score' "
+                        "and a scalar named 'label' in testingData — "
+                        "you need to define testingData"
+                    )
+                tdf = self.query(self._require_from(params["testingData"]))
+                mode = params.get("mode", "boolean")
+                if mode != "categorical" and (
+                    "score" not in tdf.columns or "label" not in tdf.columns
+                ):
+                    raise ValueError(
+                        "classifier.test expects a scalar named 'score' "
+                        "and a scalar named 'label'"
+                    )
+                from mldb_spark.ml.procedures import (
+                    categorical_statistics,
+                    classifier_test,
+                    weighted_statistics,
+                )
+
+                if mode == "categorical":
+                    # `{...} as score` row pin: per-class scores —
+                    # predicted = argmax (MLDB-256's toy matrix)
+                    from mldb_spark.ml.procedures import argmax_prediction
+
+                    if "score" in tdf.columns and dict(tdf.dtypes)[
+                        "score"
+                    ].startswith("struct<"):
+                        from mldb_spark.dialect.translate import (
+                            _struct_fields_typed,
+                        )
+
+                        fields = [
+                            n
+                            for n, _t in _struct_fields_typed(
+                                dict(tdf.dtypes)["score"]
+                            )
+                        ]
+                        flat = tdf.select(
+                            F.col("label"),
+                            *[
+                                F.col("score").getField(n).alias(n)
+                                for n in fields
+                            ],
+                        )
+                        scored = argmax_prediction(flat, fields)
+                    elif "predicted" in tdf.columns:
+                        scored = tdf
+                    else:
+                        raise ValueError(
+                            "classifier.test categorical mode needs a "
+                            "'score' row of per-class scores"
+                        )
+                    stats = categorical_statistics(scored)
+                    status = {
+                        "labelStatistics": {
+                            r["label"]: {
+                                "f1Score": r["f1Score"],
+                                "recall": r["recall"],
+                                "support": r["support"],
+                                "precision": r["precision"],
+                                "accuracy": r["accuracy"],
+                            }
+                            for r in stats.collect()
+                        },
+                        "weightedStatistics": weighted_statistics(stats),
+                    }
+                else:
+                    row = classifier_test(tdf, mode=mode).collect()[0]
+                    status = row.asDict()
             elif etype == "tfidf.train":
                 # tfidf.train (plugins/nlp/tfidf.cc:145-257): count
                 # per-term document frequency from the trainingData

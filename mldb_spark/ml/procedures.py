@@ -171,6 +171,28 @@ def classifier_train(
             df = df.withColumn(out_name, expr)
         feature_cols = encoded_cols
 
+    # MISSING feature values: the reference's JML trees split natively
+    # on is-missing (MLDB-785); MLlib estimators reject NaN/null
+    # features outright. When (and only when) a feature column carries
+    # nulls, add a 0/1 missing-indicator column and zero-impute the
+    # value — the tree recovers the missingness split through the
+    # indicator, and null-free trainings keep their exact feature
+    # layout (q77/q78's exported coefficient order is unchanged).
+    null_row = df.select(
+        *[
+            F.sum(F.col(c).isNull().cast("int")).alias(f"__n{i}")
+            for i, c in enumerate(feature_cols)
+        ]
+    ).collect()[0]
+    missing_cols = [
+        c for i, c in enumerate(feature_cols) if (null_row[f"__n{i}"] or 0) > 0
+    ]
+    if missing_cols:
+        for c in missing_cols:
+            df = df.withColumn(f"{c}__isnull", F.col(c).isNull().cast("double"))
+            df = df.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+        feature_cols = feature_cols + [f"{c}__isnull" for c in missing_cols]
+
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
     labels: list[str] = []
     if mode == "categorical" and dict(df.dtypes)[label_col] == "string":
@@ -202,6 +224,13 @@ def classifier_train(
         for out_name, expr in onehot_exprs:
             if out_name not in d.columns:
                 d = d.withColumn(out_name, expr)
+        # replay the train-time missing-indicator encoding (MLDB-785)
+        for c in missing_cols:
+            if f"{c}__isnull" not in d.columns:
+                d = d.withColumn(
+                    f"{c}__isnull", F.col(c).isNull().cast("double")
+                )
+                d = d.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
         scored = model.transform(assembler.transform(d))
         if mode == "regression":
             out = scored.withColumn("score", F.col("prediction"))

@@ -6187,3 +6187,80 @@ def test_mldb_1601_unclosed_string_error_location(mldb):
     # multi-line location: the error points at the later line
     with pytest.raises(SyntaxError, match=r"unclosed string.*2:1"):
         mldb.query("SELECT 1 AS x,\n'oops")
+
+
+def test_mldb_804_and_587_classifier_config_errors(spark):
+    """MLDB-804-null-accuracy.js + MLDB-587-empty-classifier.js:
+    classifier.test without testingData is a clean config error
+    naming the required score/label outputs; classifier.train whose
+    WHERE filters every row errors with 'all rows were filtered',
+    never an opaque crash. classifier.test r2 runs end-to-end through
+    the entity for the valid case."""
+    import pytest
+
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    with pytest.raises(ValueError, match="scalar named 'score'.*'label'"):
+        mldb.create_entity(
+            "procedure",
+            {"type": "classifier.test", "id": "t804", "params": {}},
+        )
+    mldb.create_dataset(
+        "m587",
+        spark.createDataFrame(
+            [(f"ex{i}", float(i), float(i)) for i in range(4)],
+            "rn string, x double, y double",
+        ),
+        row_name_col="rn",
+    )
+    with pytest.raises(ValueError, match="all rows were filtered"):
+        mldb.create_entity(
+            "procedure",
+            {
+                "type": "classifier.train",
+                "id": "m587_train",
+                "params": {
+                    "trainingData": "select {x} as features, y as label "
+                    "from m587 where false",
+                    "algorithm": "glz",
+                    "mode": "regression",
+                },
+            },
+        )
+    res = mldb.create_entity(
+        "procedure",
+        {
+            "type": "classifier.test",
+            "id": "m587_test",
+            "params": {
+                "testingData": "select x as score, y as label from m587",
+                "mode": "regression",
+            },
+        },
+    )
+    assert res["status"]["r2"] == 1.0
+
+
+def test_mldb_785_decision_tree_missing_split(spark):
+    """MLDB-785-decision-tree-missing.js: a decision tree can split
+    PURELY on a feature being missing — y is absent exactly on the
+    label-0 rows and the tree separates the classes perfectly (the
+    engine encodes missingness as an indicator; MLlib rejects raw
+    nulls)."""
+    from mldb_spark.ml.procedures import classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    rows = (
+        [(f"exf{i}", 0.0, float(2 * i + 1), None) for i in range(5)]
+        + [(f"ext{i}", 1.0, float(2 * i + 2), 1.0) for i in range(5)]
+    )
+    df = spark.createDataFrame(
+        rows, "rn string, label double, x double, y double"
+    )
+    reg = FunctionRegistry()
+    classifier_train(df, ["x", "y"], "label", "m785", reg, algorithm="dt")
+    out = reg.apply("m785", df).select("rn", "score").collect()
+    for r in out:
+        want = 1.0 if r["rn"].startswith("ext") else 0.0
+        assert abs(r["score"] - want) < 1e-9, (r["rn"], r["score"])
