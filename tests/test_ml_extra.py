@@ -342,7 +342,8 @@ def test_tokensplit_and_web_fns(spark):
     parsed = uas.select(parse_useragent(F.col("ua")).alias("p")).select("p.*").collect()
     assert parsed[0]["browser_family"] == "Chrome" and parsed[0]["os_family"] == "Windows"
     assert parsed[0]["browser_version"].startswith("120")
-    assert parsed[1]["browser_family"] == "Safari" and parsed[1]["os_family"] == "iOS"
+    # uap-core splits the mobile family (MLDB-1753, round 7)
+    assert parsed[1]["browser_family"] == "Mobile Safari" and parsed[1]["os_family"] == "iOS"
     assert parsed[1]["device_model"] == "iPhone" and parsed[1]["os_version"] == "17.1"
     assert parsed[2]["is_spider"] is True and parsed[0]["is_spider"] is False
 
