@@ -853,6 +853,7 @@ def classifier_experiment(
     name: str = "experiment",
     registry: FunctionRegistry = GLOBAL_REGISTRY,
     max_iter: int = 50,
+    dataset_folds: "list[tuple[Column, Column]] | None" = None,
 ) -> DataFrame:
     """classifier.experiment (plugins/jml/experiment_procedure.cc:618):
     k-fold train/test harness. Fold assignment is a deterministic
@@ -869,6 +870,37 @@ def classifier_experiment(
     from concurrent.futures import ThreadPoolExecutor
 
     from mldb_spark.caching import persist_tracked
+
+    if dataset_folds is not None:
+        # EXPLICIT fold specs (MLDB-878's datasetFolds grammar): each
+        # fold names its own training/testing row conditions — the
+        # harness evaluates them against the SAME tagged input (one
+        # persist), so folds may overlap or leave rows out, exactly
+        # like the reference's trainingWhere/testingWhere.
+        tagged = persist_tracked(df)
+
+        def run_spec(arg):
+            k, (train_cond, test_cond) = arg
+            train = tagged.filter(train_cond)
+            test = tagged.filter(test_cond)
+            reg = FunctionRegistry()
+            classifier_train(
+                train, feature_cols, label_col, f"{name}_f{k}", reg,
+                max_iter=max_iter,
+            )
+            scored = reg.apply(f"{name}_f{k}", test)
+            m = classifier_test(scored, label_col, "score").collect()[0]
+            return (
+                k, train.count(), test.count(),
+                round(m["auc"], 6), round(m["accuracy"], 6),
+            )
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            results = list(pool.map(run_spec, enumerate(dataset_folds)))
+        return df.sparkSession.createDataFrame(
+            results,
+            "fold int, n_train long, n_test long, auc double, accuracy double",
+        )
 
     key = F.col(hash_col) if hash_col else F.crc32(F.concat_ws("|", *feature_cols))
     tagged = persist_tracked(

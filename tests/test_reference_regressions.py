@@ -6264,3 +6264,43 @@ def test_mldb_785_decision_tree_missing_split(spark):
     for r in out:
         want = 1.0 if r["rn"].startswith("ext") else 0.0
         assert abs(r["score"] - want) < 1e-9, (r["rn"], r["score"])
+
+
+def test_mldb_878_experiment_dataset_folds(spark):
+    """MLDB-878_experiment_proc.py: classifier.experiment with an
+    EXPLICIT datasetFolds spec — each fold names its own
+    trainingWhere/testingWhere (rowHash() % 5 != 3 vs = 3); per-fold
+    AUC on the planted-signal toy is near-perfect and the fold sizes
+    partition the input."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mldb_spark.ml.procedures import classifier_experiment
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(2000):
+        label = rng.random() < 0.2
+        rows.append(
+            (
+                f"u{i}",
+                rng.gauss(5 if label else 15, 3),
+                rng.gauss(-5 if label else 10, 10),
+                1.0 if label else 0.0,
+            )
+        )
+    toy = spark.createDataFrame(
+        rows, "rn string, feat1 double, feat2 double, label double"
+    )
+    h = F.pmod(F.xxhash64("rn"), F.lit(5))
+    out = classifier_experiment(
+        toy, ["feat1", "feat2"], "label",
+        dataset_folds=[(h != 3, h == 3), (h != 2, h == 2)],
+    ).orderBy("fold").collect()
+    assert len(out) == 2
+    total = toy.count()
+    for r in out:
+        assert r["n_train"] + r["n_test"] == total
+        assert r["n_test"] > 0
+        assert r["auc"] > 0.95, r
