@@ -529,6 +529,11 @@ class Mldb:
             raise ValueError("createEntity config needs an id")
         status: object = None
         if kind == "dataset":
+            # CREATE is not idempotent: a second create at the same id
+            # errors (MLDB-312); overwriting goes through PUT
+            # (MLDB-748's overwrite semantics)
+            if eid in self._datasets:
+                raise ValueError(f"dataset entry '{eid}' already exists")
             if etype == "tabular":
                 url = params["dataFileUrl"]
                 if url.endswith(".csv"):

@@ -6304,3 +6304,29 @@ def test_mldb_878_experiment_dataset_folds(spark):
         assert r["n_train"] + r["n_test"] == total
         assert r["n_test"] > 0
         assert r["auc"] > 0.95, r
+
+
+def test_mldb_312_cant_create_dataset_twice(spark, tmp_path):
+    """MLDB-312_cant_overwrite_dataset.py: CREATE at an existing
+    dataset id errors 'already exists'; create_dataset (the PUT
+    surface) keeps overwrite semantics (MLDB-748)."""
+    import pytest
+
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    p = tmp_path / "m312.csv"
+    p.write_text("a,b\n1,2\n")
+    cfg = {
+        "type": "tabular",
+        "id": "dontCreateTwice",
+        "params": {"dataFileUrl": str(p)},
+    }
+    mldb.create_entity("dataset", cfg)
+    with pytest.raises(ValueError, match="'dontCreateTwice' already exists"):
+        mldb.create_entity("dataset", cfg)
+    # the PUT-like surface overwrites silently
+    mldb.create_dataset(
+        "dontCreateTwice", spark.createDataFrame([(9,)], "z int")
+    )
+    assert mldb.dataset("dontCreateTwice").columns == ["z"]
