@@ -132,6 +132,10 @@ class MldbRestServer:
                 pass
 
             def _send(self, code: int, payload) -> None:
+                # every error response carries BOTH 'error' and
+                # 'httpCode' (MLDB-1260's uniform error format)
+                if code >= 400 and isinstance(payload, dict) and "httpCode" not in payload:
+                    payload = {**payload, "httpCode": code}
                 body = json.dumps(payload, default=str).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")

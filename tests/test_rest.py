@@ -338,3 +338,24 @@ def test_mldb_1717_redirect_get(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _req(server, "POST", "/v1/redirect/get", {"target": "/v1/datasets"})
     assert ei.value.code == 400
+
+
+def test_mldb_1260_uniform_error_format(server):
+    """MLDB-1260-json-errors.py: every error response is shaped the
+    same — an 'error' message AND an 'httpCode' field — for parse
+    errors, unknown functions, and unknown routes."""
+    import urllib.error
+    import urllib.parse
+
+    for path in (
+        "/v1/query?q=sele",
+        "/v1/query?q=" + urllib.parse.quote("select h()"),
+        "/v1/querry",
+    ):
+        try:
+            _get(server, path)
+            raise AssertionError(f"{path} should have errored")
+        except urllib.error.HTTPError as e:
+            body = json.loads(e.read())
+            assert "error" in body, (path, body)
+            assert body.get("httpCode") == e.code, (path, body)
