@@ -6330,3 +6330,37 @@ def test_mldb_312_cant_create_dataset_twice(spark, tmp_path):
         "dontCreateTwice", spark.createDataFrame([(9,)], "z int")
     )
     assert mldb.dataset("dontCreateTwice").columns == ["z"]
+
+
+def test_mldb_871_non_ascii_keys(mldb):
+    """MLDB-871-json-non-ascii-keys.js (+ MLDB-558/865 unicode
+    family): non-ASCII literals name their output column by source
+    text and round-trip as values; quoted UTF-8 aliases work."""
+    out = mldb.query("select 'ç'")
+    assert out.columns == ["'ç'"]
+    assert out.collect()[0][0] == "ç"
+    out = mldb.query('select \'été\' as "café"')
+    assert out.columns == ["café"] and out.collect()[0][0] == "été"
+
+
+def test_mldb_1718_invalid_utf8_long_string(spark):
+    """MLDB-1718-invalid-utf-8-string-long.py: importing a file with
+    very long (invalid-UTF-8-bearing) lines under a NUMERIC header
+    name works end-to-end — the first cell reads back and a GROUP BY
+    on the long-string column runs."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.sources.text_io import import_text
+
+    mldb = Mldb(spark)
+    df = import_text(
+        spark, "/root/reference/testing/dataset/MLDB-1718-long_string.txt",
+        delimiter="\t", headers=["0"],
+    )
+    mldb.create_dataset("testset1718", df)
+    assert df.columns == ["0"]
+    first = df.limit(1).collect()[0][0]
+    assert first == "x"
+    n = mldb.query(
+        'SELECT count(*) AS n FROM (SELECT "0" FROM testset1718) GROUP BY "0"'
+    ).count()
+    assert n == 299
