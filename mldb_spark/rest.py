@@ -190,6 +190,11 @@ class MldbRestServer:
 
             def _create(self, kind: str, eid: str | None):
                 cfg = self._body()
+                if not cfg:
+                    # PUT/POST with no body is a clean 400
+                    # (MLDB-1010's "empty payload")
+                    self._send(400, {"error": "empty payload"})
+                    return
                 if eid is not None:
                     cfg["id"] = eid
                 cfg.setdefault("id", cfg.get("type", kind) + "_anon")
@@ -207,8 +212,12 @@ class MldbRestServer:
                 elif parts[:2] == ["v1", "procedures"] and len(parts) == 3:
                     # store + optional runOnCreation (MLDB-951)
                     try:
+                        body = self._body()
+                        if not body:
+                            self._send(400, {"error": "empty payload"})
+                            return
                         self._send(
-                            201, facade.mldb.put_procedure(parts[2], self._body())
+                            201, facade.mldb.put_procedure(parts[2], body)
                         )
                     except Exception as e:
                         self._send(400, {"error": str(e)})

@@ -359,3 +359,27 @@ def test_mldb_1260_uniform_error_format(server):
             body = json.loads(e.read())
             assert "error" in body, (path, body)
             assert body.get("httpCode") == e.code, (path, body)
+
+
+def test_mldb_1010_empty_payload(server):
+    """MLDB-1010-put-no-payload-error.js: PUT/POST with an empty body
+    is a clean 400 saying 'empty payload'."""
+    import urllib.error
+
+    for method, path in (
+        ("PUT", "/v1/procedures/test1010"),
+        ("POST", "/v1/procedures"),
+        ("PUT", "/v1/datasets/test1010"),
+    ):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}{path}",
+            data=b"", method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError(f"{method} {path} should have errored")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            body = json.loads(e.read())
+            assert "empty payload" in body["error"]
