@@ -282,12 +282,29 @@ class MldbRestServer:
                     # (MLDB-1717's test_as_POST_body)
                     try:
                         b = self._body()
-                        if b.get("target") == "/v1/query":
+                        target = b.get("target", "")
+                        tparts = [p for p in target.split("/") if p]
+                        if target == "/v1/query":
                             self._send(200, facade.run_query(b.get("body", {})))
+                        elif (
+                            tparts[:2] == ["v1", "functions"]
+                            and len(tparts) == 4
+                            and tparts[3] == "application"
+                        ):
+                            # function application through the
+                            # redirect (MLDB-2163's test_as_POST_body)
+                            inp = b.get("body", {}).get("input", {})
+                            self._send(
+                                200,
+                                facade.apply_function_json(tparts[2], inp),
+                            )
                         else:
                             self._send(
                                 400,
-                                {"error": "redirect target must be /v1/query"},
+                                {
+                                    "error": "redirect target must be "
+                                    "/v1/query or a function application"
+                                },
                             )
                     except Exception as e:
                         self._send(400, {"error": str(e)})

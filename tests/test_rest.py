@@ -383,3 +383,27 @@ def test_mldb_1010_empty_payload(server):
             assert e.code == 400
             body = json.loads(e.read())
             assert "empty payload" in body["error"]
+
+
+def test_mldb_2163_redirect_function_application(spark):
+    """MLDB-2163-POST-function-application.py (test_as_POST_body):
+    /v1/redirect/get dispatches a function application whose input
+    rides in the body."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.rest import MldbRestServer
+
+    m = Mldb(spark)
+    m.create_sql_expression_function("addup2163", "a + b as rez")
+    srv = MldbRestServer(m).start()
+    try:
+        status, out = _req(
+            srv, "POST", "/v1/redirect/get",
+            {
+                "target": "/v1/functions/addup2163/application",
+                "body": {"input": {"a": 5, "b": 7}},
+            },
+        )
+        assert status == 200
+        assert out["output"]["rez"] == 12
+    finally:
+        srv.stop()
