@@ -41,6 +41,16 @@ from mldb_spark.api import Mldb
 DEFAULT_ROW_CAP = 10_000
 
 
+def _is_expression(src: str) -> bool:
+    """True when a script source is a single evaluable expression
+    (MLDB-255's `'hello, world'` one-liners)."""
+    try:
+        compile(src, "<script>", "eval")
+        return True
+    except SyntaxError:
+        return False
+
+
 def _jsonable(v):
     if isinstance(v, (datetime, date)):
         return v.isoformat()
@@ -276,6 +286,38 @@ class MldbRestServer:
                         self._send(404, {"error": str(e)})
                     except Exception as e:
                         self._send(400, {"error": str(e)})
+                elif parts == ["v1", "types", "plugins", "python", "routes", "run"]:
+                    # script-run route (MLDB-255's python flavor; the
+                    # reference's javascript flavor is declared out of
+                    # scope — pyeval/pyscript is the same-contract
+                    # replacement): exec the source with the mldb
+                    # facade in scope; request.set_return() carries
+                    # the result; any error is a clean 400
+                    try:
+                        body = self._body()
+                        src = body.get("source", "")
+
+                        class _Req:
+                            value = None
+
+                            def set_return(self, v):
+                                _Req.value = v
+
+                        ns = {"mldb": facade.mldb, "request": _Req()}
+                        if _is_expression(src):
+                            result = eval(  # noqa: S307 — local script route
+                                compile(src, "<script>", "eval"), ns
+                            )
+                        else:
+                            exec(compile(src, "<script>", "exec"), ns)  # noqa: S102
+                            result = None
+                        if result is None:
+                            result = _Req.value
+                        self._send(200, {"result": result})
+                    except Exception as e:
+                        self._send(
+                            400, {"error": f"{type(e).__name__}: {e}"}
+                        )
                 elif parts == ["v1", "redirect", "get"]:
                     # POST /v1/redirect/get {target, body}: re-dispatch
                     # a GET whose parameters ride in a body

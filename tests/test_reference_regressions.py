@@ -6364,3 +6364,35 @@ def test_mldb_1718_invalid_utf8_long_string(spark):
         'SELECT count(*) AS n FROM (SELECT "0" FROM testset1718) GROUP BY "0"'
     ).count()
     assert n == 299
+
+
+def test_mldb_2143_classifier_utf8_labels(mldb):
+    """MLDB-2143-classifier-utf8.py: categorical training with UTF-8
+    class labels ('Iris-setosa_éç') trains, and the scorer decodes
+    predictions back to the exact UTF-8 strings."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.ml.procedures import classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+    from mldb_spark.sources.text_io import import_text
+
+    iris = import_text(
+        mldb.spark, "/root/reference/testing/dataset/iris.data",
+        headers=["sl", "sw", "pl", "pw", "cls"],
+    ).na.drop().select(
+        F.col("sl").cast("double"), F.col("sw").cast("double"),
+        F.col("pl").cast("double"), F.col("pw").cast("double"),
+        F.concat(F.col("cls"), F.lit("_éç")).alias("label"),
+    )
+    reg = FunctionRegistry()
+    classifier_train(
+        iris, ["sl", "sw", "pl", "pw"], "label", "m2143", reg,
+        algorithm="glz", mode="categorical",
+    )
+    out = reg.apply("m2143", iris).select("label", "predicted").collect()
+    labels = {r["predicted"] for r in out}
+    assert labels <= {
+        "Iris-setosa_éç", "Iris-versicolor_éç", "Iris-virginica_éç"
+    }
+    acc = sum(1 for r in out if r["label"] == r["predicted"]) / len(out)
+    assert acc > 0.9

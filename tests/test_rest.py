@@ -407,3 +407,30 @@ def test_mldb_2163_redirect_function_application(spark):
         assert out["output"]["rez"] == 12
     finally:
         srv.stop()
+
+
+def test_mldb_255_python_script_route(server):
+    """MLDB-255-type-routes.js (python flavor; the javascript flavor
+    is the declared-out-of-scope JS engine): POST .../python/routes/
+    run executes a source — expression results return directly,
+    request.set_return() carries statement-script results, and syntax
+    or runtime errors are clean 400s."""
+    import urllib.error
+
+    status, out = _req(
+        server, "POST", "/v1/types/plugins/python/routes/run",
+        {"source": "'hello, world from python expr'"},
+    )
+    assert status == 200 and out["result"] == "hello, world from python expr"
+    status, out = _req(
+        server, "POST", "/v1/types/plugins/python/routes/run",
+        {"source": "request.set_return('hello, world from python')"},
+    )
+    assert status == 200 and out["result"] == "hello, world from python"
+    for bad in ("this has a syntax error", "this_has_a_runtime_error()"):
+        try:
+            _req(server, "POST", "/v1/types/plugins/python/routes/run",
+                 {"source": bad})
+            raise AssertionError("should have errored")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
