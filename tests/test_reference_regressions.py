@@ -6396,3 +6396,41 @@ def test_mldb_2143_classifier_utf8_labels(mldb):
     }
     acc = sum(1 for r in out if r["label"] == r["predicted"]) / len(out)
     assert acc > 0.9
+
+
+def test_mldb_1322_sum_stem_token(mldb):
+    """MLDB-1322-sum_stem_token.py: the tokenize → stem → sum chain —
+    stemming merges bag keys by ADDITION (potato+potatoes+potato = 3),
+    sum() of bags merges across rows, and GROUP BY sums per group.
+    (Bags are MAP columns in this engine; the reference's spread
+    column form carries the same numbers.)"""
+    _ds(
+        mldb, "veggies1322",
+        [
+            ("row_0", "potato,carrots", 0),
+            ("row_1", "potato,potatoes,potato", 0),
+            ("row_2", "carrot,carrots", 1),
+        ],
+        "rn string, txt string, label int",
+    )
+    mldb.create_stemmer_function("stem1322")
+    out = mldb.query(
+        "SELECT stem1322({words: tokenize(txt)})[words] AS bag, label "
+        "FROM veggies1322 ORDER BY rowName()"
+    ).collect()
+    assert [dict(r["bag"]) for r in out] == [
+        {"potato": 1, "carrot": 1}, {"potato": 3}, {"carrot": 2},
+    ]
+    total = mldb.query(
+        "SELECT sum(stem1322({words: tokenize(txt)})[words]) AS total "
+        "FROM veggies1322"
+    ).collect()[0]["total"]
+    assert dict(total) == {"potato": 4, "carrot": 3}
+    grouped = mldb.query(
+        "SELECT sum(stem1322({words: tokenize(txt)})[words]) AS total, label "
+        "FROM veggies1322 GROUP BY label ORDER BY label"
+    ).collect()
+    assert [(r["label"], dict(r["total"])) for r in grouped] == [
+        (0, {"potato": 4, "carrot": 1}),
+        (1, {"carrot": 2}),
+    ]
