@@ -6434,3 +6434,21 @@ def test_mldb_1322_sum_stem_token(mldb):
         (0, {"potato": 4, "carrot": 1}),
         (1, {"carrot": 2}),
     ]
+
+
+def test_mldb_1648_path_values(mldb):
+    """MLDB-1648-path-values.js: CAST(... AS path) — embeddings make
+    one element per item, STRINGS make ONE element (coerceToPath, no
+    parse; '\"hello.world\"' keeps its quotes); stringify_path renders
+    and parse_path inverts it."""
+    q = lambda sql: mldb.query(sql).collect()[0][0]
+    assert q("select cast ([''] as path) as p") == [""]
+    assert q("select cast (['1'] as path) as p") == ["1"]
+    assert q("select cast ([1] as path) as p") == ["1"]
+    assert q("select cast ([1,2,3] as path) as p") == ["1", "2", "3"]
+    assert q("select cast ('1.2.3' as path) as p") == ["1.2.3"]
+    assert q("select cast ('\"hello.world\"' as path) as p") == ['"hello.world"']
+    assert q("select stringify_path([1,2,3]) as s") == "1.2.3"
+    assert q("select parse_path(stringify_path([1,2,3])) as p") == ["1", "2", "3"]
+    # MLDB-1567's empty embedding literal is a NULL value
+    assert q("select [] as x") is None
