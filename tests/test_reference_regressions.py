@@ -6452,3 +6452,35 @@ def test_mldb_1648_path_values(mldb):
     assert q("select parse_path(stringify_path([1,2,3])) as p") == ["1", "2", "3"]
     # MLDB-1567's empty embedding literal is a NULL value
     assert q("select [] as x") is None
+
+
+def test_mldb_180_basic_cross_join(mldb):
+    """MLDB-180-basic-join.js: a bare JOIN (no ON) is the 3x3 cross
+    product; rowName() renders the reference's [left]-[right] form;
+    ON true keeps all pairs, ON (true AND false) folds to the empty
+    result."""
+    _ds(
+        mldb, "j180a",
+        [("ex1", 1, 2, None), ("ex2", 2, None, 4), ("ex3", None, None, 3)],
+        "rn string, x int, y int, z int",
+    )
+    _ds(
+        mldb, "j180b",
+        [("ex4", 1, 2), ("ex5", 2, 2), ("ex6", None, 3)],
+        "rn string, x int, z int",
+    )
+    out = mldb.query(
+        "select rowName() as r from j180a join j180b order by r"
+    ).collect()
+    assert len(out) == 9
+    assert [r["r"] for r in out[:3]] == [
+        "[ex1]-[ex4]", "[ex1]-[ex5]", "[ex1]-[ex6]",
+    ]
+    n = mldb.query(
+        "select rowName() as r from j180a join j180b on true"
+    ).count()
+    assert n == 9
+    n = mldb.query(
+        "select rowName() as r from j180a join j180b on true and false"
+    ).count()
+    assert n == 0
