@@ -1803,8 +1803,16 @@ class Binder:
             # horizontal_* take a ROW argument (doc ValueExpression.md
             # §Horizontal operations; MLDB-461/2111): expand the row's
             # cells — including {*}/{x*} wildcards — into the flat
-            # value list the scalar implementations operate on
-            vals = [c for _, c in self._row_literal_fields(e.args[0])]
+            # value list the scalar implementations operate on. Rows
+            # are ordered containers sorted by COLUMN NAME (MLDB-1554:
+            # horizontal_string_agg({who, what, how}) concatenates
+            # how, what, who), so the expansion name-sorts.
+            vals = [
+                c
+                for _, c in sorted(
+                    self._row_literal_fields(e.args[0]), key=lambda kv: kv[0]
+                )
+            ]
             if not vals:
                 # wildcard matched no columns (MLDB-461's
                 # {superPatate*}): count 0, sum 0, the rest NULL
@@ -1996,9 +2004,9 @@ class Binder:
             raise ValueError(
                 f"function {e.name} expected 1 argument, got {len(e.args)}"
             )
-        if e.name == "string_agg" and len(e.args) not in (1, 2):
+        if e.name == "string_agg" and len(e.args) not in (1, 2, 3):
             raise ValueError(
-                f"function string_agg expected 1 or 2 arguments, got {len(e.args)}"
+                f"function string_agg expected 1-3 arguments, got {len(e.args)}"
             )
         if e.name == "count":
             if len(e.args) == 1 and isinstance(e.args[0], ast.Literal) and e.args[0].value == "*":
@@ -2071,6 +2079,20 @@ class Binder:
             return F.median(self.bind(e.args[0]))
         if e.name == "string_agg":
             sep = e.args[1].value if len(e.args) > 1 else ","  # type: ignore[union-attr]
+            if len(e.args) > 2:
+                # 3-arg form: concatenation ordered by the third
+                # expression (MLDB-1554's
+                # string_agg(what, ', ', rowName()))
+                pair = F.struct(
+                    self.bind(e.args[2]).alias("o"),
+                    self.bind(e.args[0]).alias("v"),
+                )
+                return F.concat_ws(
+                    str(sep),
+                    F.transform(
+                        F.array_sort(F.collect_list(pair)), lambda s: s["v"]
+                    ),
+                )
             return F.concat_ws(str(sep), F.array_sort(F.collect_list(self.bind(e.args[0]))))
         if e.name in ("earliest", "temporal_earliest"):
             if not self.ts_col:

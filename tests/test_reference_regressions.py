@@ -6484,3 +6484,35 @@ def test_mldb_180_basic_cross_join(mldb):
         "select rowName() as r from j180a join j180b on true and false"
     ).count()
     assert n == 0
+
+
+def test_mldb_1554_ordered_string_agg(mldb):
+    """MLDB-1554-string-agg.js: the 3-argument string_agg orders the
+    concatenation by the third expression (here rowName()), and
+    horizontal_string_agg joins a row's values."""
+    _ds(
+        mldb, "m1554",
+        [
+            ("0", "mustard", "moved", "kitchen"),
+            ("1", "plum", "moved", "kitchen"),
+            ("2", "mustard", "stabbed", "plum"),
+            ("3", "mustard", "killed", "plum"),
+            ("4", "plum", "died", "stabbed"),
+        ],
+        "rn string, who string, what string, how string",
+    )
+    out = mldb.query(
+        "SELECT string_agg(what, ', ', rowName()) AS whats, "
+        "string_agg(how, '', rowName()) AS hows NAMED who "
+        "FROM m1554 GROUP BY who ORDER BY who"
+    ).collect()
+    got = {r["rowName"]: (r["whats"], r["hows"]) for r in out}
+    assert got == {
+        "mustard": ("moved, stabbed, killed", "kitchenplumplum"),
+        "plum": ("moved, died", "kitchenstabbed"),
+    }
+    out = mldb.query(
+        "SELECT horizontal_string_agg({who, what, how}, ', ') AS aggs "
+        "FROM m1554 ORDER BY rowName() LIMIT 1"
+    ).collect()
+    assert out[0]["aggs"] == "kitchen, moved, mustard"
