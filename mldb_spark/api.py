@@ -116,7 +116,10 @@ class Mldb:
                 non_null = cond if non_null is None else (non_null | cond)
             if non_null is not None:
                 out = out.filter(non_null)
-        self.create_dataset(output_dataset, out)
+        # a NAMED transform output keeps its row names queryable on
+        # the registered result (MLDB-409's rowName() over the output)
+        rn = "rowName" if "rowName" in out.columns else None
+        self.create_dataset(output_dataset, out, row_name_col=rn)
         return out
 
     def melt(self, dataset: str, id_vars: list[str], value_vars: list[str], output: str) -> DataFrame:
@@ -452,6 +455,62 @@ class Mldb:
             return main(self, args)
         return ns.get("result")
 
+    def record_rows(self, dataset_id: str, rows: "list[dict]") -> None:
+        """Record rows into a mutable dataset created with type
+        sparse.mutable (the reference's recordRow/record_rows path):
+        each row is {rowName, columns: [[col, value, ts], ...]}.
+        Empty row/column names are config errors (MLDB-460)."""
+        buf = getattr(self, "_mutable", {}).get(dataset_id)
+        if buf is None:
+            raise KeyError(
+                f"dataset {dataset_id!r} is not a mutable dataset "
+                "under construction"
+            )
+        for r in rows:
+            rn = r.get("rowName")
+            if rn is None or str(rn) == "":
+                raise ValueError("empty row names are not allowed")
+            for c in r.get("columns", []):
+                col, val = c[0], c[1]
+                ts = c[2] if len(c) > 2 else 0
+                if col is None or str(col) == "":
+                    raise ValueError("empty column names are not allowed")
+                buf.append((str(rn), str(col), val, ts))
+
+    def commit_dataset(self, dataset_id: str) -> None:
+        """Commit a mutable dataset: the accumulated cells register as
+        a CELLS dataset (per-cell timestamps — sparse.mutable
+        semantics; GET_LATEST view + temporal_* family apply)."""
+        import datetime as _dt
+
+        buf = getattr(self, "_mutable", {}).pop(dataset_id, None)
+        if buf is None:
+            raise KeyError(f"dataset {dataset_id!r} is not under construction")
+
+        def to_ts(t):
+            if isinstance(t, (int, float)):
+                return _dt.datetime.utcfromtimestamp(float(t))
+            if isinstance(t, str):
+                return _dt.datetime.fromisoformat(t.replace("Z", "+00:00")).replace(
+                    tzinfo=None
+                )
+            return t
+
+        numeric = all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for _, _, v, _ in buf
+        )
+        vtype = "double" if numeric else "string"
+        rows = [
+            (r, c, (float(v) if numeric else (None if v is None else str(v))), to_ts(t))
+            for r, c, v, t in buf
+        ]
+        df = self.spark.createDataFrame(
+            rows, f"row string, column string, value {vtype}, ts timestamp"
+        )
+        self._datasets[dataset_id] = df
+        self.ctx.register_cells(dataset_id, df)
+
     def put_procedure(self, proc_id: str, config: dict) -> dict:
         """PUT /v1/procedures/<id> semantics (MLDB-951): store the
         config; run immediately only when params.runOnCreation is
@@ -532,8 +591,20 @@ class Mldb:
             # CREATE is not idempotent: a second create at the same id
             # errors (MLDB-312); overwriting goes through PUT
             # (MLDB-748's overwrite semantics)
-            if eid in self._datasets:
+            if eid in self._datasets or eid in getattr(self, "_mutable", {}):
                 raise ValueError(f"dataset entry '{eid}' already exists")
+            if etype in ("sparse.mutable", "beh.mutable", "beh.binary.mutable"):
+                # an empty MUTABLE dataset: rows accumulate through
+                # record_rows() / POST /v1/datasets/<id>/rows and
+                # become queryable at commit (the reference's
+                # create/record/commit lifecycle)
+                self._mutable = getattr(self, "_mutable", {})
+                self._mutable[eid] = []
+                return {
+                    "kind": kind,
+                    "config": config,
+                    "status": {"rowCount": 0},
+                }
             if etype == "tabular":
                 url = params["dataFileUrl"]
                 if url.endswith(".csv"):
@@ -770,6 +841,9 @@ class Mldb:
                 )
                 self.create_dataset(out_id, counts, row_name_col="rowName")
                 status = {"outputDataset": out_id}
+            elif etype == "null":
+                # the no-op procedure (MLDB-326's run-lifecycle tests)
+                status = None
             else:
                 raise ValueError(f"createEntity: unknown procedure type {etype!r}")
         else:

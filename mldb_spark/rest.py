@@ -206,8 +206,24 @@ class MldbRestServer:
                     self._send(400, {"error": "empty payload"})
                     return
                 if eid is not None:
+                    # a body id that CONTRADICTS the path id is a 400
+                    # (MLDB-348's put-with-wrong-id)
+                    if cfg.get("id") not in (None, eid):
+                        self._send(
+                            400,
+                            {
+                                "error": f"config id {cfg['id']!r} does not "
+                                f"match the URI id {eid!r}"
+                            },
+                        )
+                        return
                     cfg["id"] = eid
-                cfg.setdefault("id", cfg.get("type", kind) + "_anon")
+                # POSTed configs without an id get a unique
+                # auto_-prefixed one (MLDB-983's create-dataset-ids)
+                if "id" not in cfg:
+                    import uuid
+
+                    cfg["id"] = "auto_" + uuid.uuid4().hex[:12]
                 try:
                     self._send(201, facade.mldb.create_entity(kind, cfg))
                 except Exception as e:
@@ -229,6 +245,38 @@ class MldbRestServer:
                         self._send(
                             201, facade.mldb.put_procedure(parts[2], body)
                         )
+                    except Exception as e:
+                        self._send(400, {"error": str(e)})
+                elif (
+                    parts[:2] == ["v1", "procedures"]
+                    and len(parts) == 4
+                    and parts[3] == "runs"
+                ):
+                    # PUT of a run needs a run NAME (MLDB-326)
+                    self._send(404, {"error": "PUT of a run needs a run name"})
+                elif (
+                    parts[:2] == ["v1", "procedures"]
+                    and len(parts) == 5
+                    and parts[3] == "runs"
+                ):
+                    # named-run PUT (MLDB-326's /runs/<id>); a body id
+                    # contradicting the URI id is a 400 (MLDB-348 rule)
+                    try:
+                        body = self._body()
+                        if body.get("id") not in (None, parts[4]):
+                            self._send(
+                                400,
+                                {"error": "run config id does not match URI"},
+                            )
+                            return
+                        self._send(
+                            201,
+                            facade.mldb.run_procedure(
+                                parts[2], body.get("params")
+                            ),
+                        )
+                    except KeyError as e:
+                        self._send(404, {"error": str(e)})
                     except Exception as e:
                         self._send(400, {"error": str(e)})
                 else:
@@ -261,6 +309,27 @@ class MldbRestServer:
                         self._send(400, {"error": str(e)})
                 elif parts[:2] == ["v1", "procedures"]:
                     self._create("procedure", None)
+                elif (
+                    parts[:2] == ["v1", "datasets"]
+                    and len(parts) == 4
+                    and parts[3] in ("rows", "commit")
+                ):
+                    # mutable-dataset record path (the reference's
+                    # recordRow/commit lifecycle; MLDB-1267 et al.)
+                    try:
+                        if parts[3] == "rows":
+                            facade.mldb.record_rows(parts[2], [self._body()])
+                            self._send(200, {})
+                        else:
+                            facade.mldb.commit_dataset(parts[2])
+                            self._send(200, {})
+                    except KeyError as e:
+                        self._send(404, {"error": str(e)})
+                    except Exception as e:
+                        self._send(400, {"error": str(e)})
+                elif parts == ["v1", "datasets"]:
+                    # POST create with an optional id (MLDB-348/983)
+                    self._create("dataset", None)
                 elif (
                     parts[:2] == ["v1", "functions"]
                     and len(parts) == 4

@@ -6516,3 +6516,74 @@ def test_mldb_1554_ordered_string_agg(mldb):
         "FROM m1554 ORDER BY rowName() LIMIT 1"
     ).collect()
     assert out[0]["aggs"] == "kitchen, moved, mustard"
+
+
+def test_mldb_462_double_transpose_identity(mldb):
+    """MLDB-462-transposed-dataset.js: transpose(transpose(x)) is the
+    identity over a wide dataset."""
+    _ds(
+        mldb, "m462",
+        [("ex00", 0, 0, 0), ("ex10", 1, 0, 1), ("ex01", 0, 1, 1),
+         ("ex111", 1, 1, 1), ("ex110", 1, 1, 0), ("ex22", 2, 2, 0),
+         ("ex31", 3, 1, 1)],
+        "rn string, x int, y int, label int",
+    )
+    orig = mldb.query(
+        "select rowName() as r, x, y, label from m462 order by r"
+    ).collect()
+    double = mldb.query(
+        "select rowName() as r, x, y, label from transpose(transpose(m462)) "
+        "order by r"
+    ).collect()
+    key = lambda rows: [
+        (r["r"], float(r["x"]), float(r["y"]), float(r["label"]))
+        for r in rows
+    ]
+    assert key(orig) == key(double)
+
+
+def test_mldb_415_order_by_rowpath(mldb):
+    """MLDB-415-rawquery.js: ORDER BY rowPath() sorts on the
+    STRUCTURED path (array ordering), returning the same row order
+    as the rendered names here."""
+    _ds(
+        mldb, "m415",
+        [("ex1", 0, 0, "cat"), ("ex2", 1, 1, "dog"), ("ex3", 1, 2, "cat")],
+        "rn string, x int, y int, label string",
+    )
+    out = mldb.query(
+        "SELECT y, label, x FROM m415 ORDER BY rowPath()"
+    ).collect()
+    assert [(r["label"], r["x"], r["y"]) for r in out] == [
+        ("cat", 0, 0), ("dog", 1, 1), ("cat", 1, 2),
+    ]
+
+
+def test_mldb_409_transform_named_orderby_limit(mldb):
+    """MLDB-409-transform-dataset.js (+ MLDB-799): the transform
+    procedure's structured spec honors NAMED (rowName() +
+    '_transformed'), ORDER BY, and LIMIT together — the limit applies
+    to the ORDERED rows."""
+    _ds(
+        mldb, "m409",
+        [("ex1", 0, 0), ("ex2", 1, 1), ("ex3", 1, 2), ("ex4", 6, 6)],
+        "rn string, x int, y int",
+    )
+    mldb.transform(
+        {
+            "select": "x, y, x * 10 AS z, y + 6 AS q",
+            "from": "m409",
+            "named": "rowName() + '_transformed'",
+            "orderBy": "rowName()",
+            "limit": 3,
+        },
+        "m409_out",
+    )
+    out = mldb.query(
+        "SELECT rowName() AS r, x, y, z, q FROM m409_out ORDER BY r"
+    ).collect()
+    assert [(r["r"], r["x"], r["y"], r["z"], r["q"]) for r in out] == [
+        ("ex1_transformed", 0, 0, 0, 6),
+        ("ex2_transformed", 1, 1, 10, 7),
+        ("ex3_transformed", 1, 2, 10, 8),
+    ]

@@ -434,3 +434,88 @@ def test_mldb_255_python_script_route(server):
             raise AssertionError("should have errored")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+def test_mldb_348_326_983_put_post_ids(spark):
+    """MLDB-348-put-post-id.js + MLDB-326-put-post-training-ids.js +
+    MLDB-983-create-dataset-ids.js: PUT with a contradicting body id
+    is 400; POST without an id auto-generates an auto_-prefixed one;
+    run PUTs need a run name; named-run PUT works; run-config id
+    mismatch is 400."""
+    import urllib.error
+
+    from mldb_spark.api import Mldb
+    from mldb_spark.rest import MldbRestServer
+
+    m = Mldb(spark)
+    srv = MldbRestServer(m).start()
+
+    def expect(code, method, path, body):
+        try:
+            return _req(srv, method, path, body)
+        except urllib.error.HTTPError as e:
+            assert e.code == code, (method, path, e.code)
+            return None
+
+    try:
+        # dataset PUT/POST id rules
+        status, _ = _req(srv, "PUT", "/v1/datasets/test5",
+                         {"type": "sparse.mutable"})
+        assert status == 201
+        expect(400, "PUT", "/v1/datasets/test2",
+               {"id": "test1", "type": "sparse.mutable"})
+        status, out = _req(srv, "POST", "/v1/datasets",
+                           {"type": "sparse.mutable"})
+        assert status == 201
+        assert out["config"]["id"].startswith("auto_")
+        status, _ = _req(srv, "POST", "/v1/datasets",
+                         {"id": "test3", "type": "sparse.mutable"})
+        assert status == 201
+        # run lifecycle (null procedure)
+        status, _ = _req(srv, "PUT", "/v1/procedures/nullproc",
+                         {"type": "null"})
+        assert status == 201
+        expect(404, "PUT", "/v1/procedures/nullproc/runs", {})
+        status, _ = _req(srv, "PUT", "/v1/procedures/nullproc/runs/test5", {})
+        assert status == 201
+        expect(400, "PUT", "/v1/procedures/nullproc/runs/test2",
+               {"id": "test1"})
+        status, _ = _req(srv, "POST", "/v1/procedures/nullproc/runs", {})
+        assert status == 201
+    finally:
+        srv.stop()
+
+
+def test_mutable_dataset_record_commit(spark):
+    """The reference's create/record/commit lifecycle over REST
+    (MLDB-1267's setup shape; MLDB-460's empty-name errors): rows
+    recorded cell-by-cell become a queryable CELLS dataset at commit,
+    with GET_LATEST semantics and per-cell timestamps."""
+    import urllib.error
+
+    from mldb_spark.api import Mldb
+    from mldb_spark.rest import MldbRestServer
+
+    m = Mldb(spark)
+    srv = MldbRestServer(m).start()
+    try:
+        _req(srv, "PUT", "/v1/datasets/input", {"type": "sparse.mutable"})
+        _req(srv, "POST", "/v1/datasets/input/rows",
+             {"rowName": "row1", "columns": [["score", 5, 6]]})
+        _req(srv, "POST", "/v1/datasets/input/rows",
+             {"rowName": "row2", "columns": [["score", 1, 5]]})
+        try:
+            _req(srv, "POST", "/v1/datasets/input/rows",
+                 {"rowName": "", "columns": [["score", 1, 5]]})
+            raise AssertionError("empty row name should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        _req(srv, "POST", "/v1/datasets/input/commit", {})
+        out = m.query(
+            "SELECT score, latest_timestamp({*}) AS ts FROM input "
+            "ORDER BY rowName()"
+        ).collect()
+        assert [r["score"] for r in out] == [5.0, 1.0]
+        assert out[0]["ts"].isoformat().startswith("1970-01-01T00:00:06")
+    finally:
+        srv.stop()
