@@ -718,6 +718,51 @@ class Mldb:
                     weight_col="weight" if "weight" in tdf.columns else None,
                 )
                 status = {"functionName": fname, "features": feat_cols}
+            elif etype == "kmeans.train":
+                # kmeans.train entity (MLDB-945's WHEN half; MLDB-119's
+                # empty-column-match error): trainingData is a full
+                # input-data spec; the numeric output columns become
+                # the embedding
+                if "trainingData" not in params:
+                    raise ValueError("You need to define trainingData")
+                from pyspark.sql import functions as F
+
+                tdf = self.query(self._require_from(params["trainingData"]))
+                feat_cols = [
+                    c
+                    for c, dt in tdf.dtypes
+                    if c not in ("rowName",)
+                    and not c.startswith("__")
+                    and dt.startswith(
+                        ("int", "bigint", "smallint", "tinyint",
+                         "float", "double", "decimal")
+                    )
+                ]
+                if not feat_cols:
+                    raise ValueError(
+                        "kmeans.train: trainingData matched no columns"
+                    )
+                from mldb_spark.ml.procedures import kmeans_train
+
+                emb = tdf.na.drop(subset=feat_cols).withColumn(
+                    "__emb",
+                    F.array(*[F.col(f"`{c}`").cast("double") for c in feat_cols]),
+                )
+                fname = params.get("functionName", eid)
+                _model, centroids = kmeans_train(
+                    emb, "__emb",
+                    k=int(params.get("numClusters", 8)),
+                    name=fname,
+                )
+                cds = params.get("centroidsDataset")
+                if cds:
+                    cid = cds["id"] if isinstance(cds, dict) else cds
+                    self.create_dataset(cid, centroids)
+                status = {
+                    "functionName": fname,
+                    "columns": feat_cols,
+                    "numClusters": int(params.get("numClusters", 8)),
+                }
             elif etype == "classifier.test":
                 # accuracy procedure (plugins/jml/accuracy.cc;
                 # MLDB-804/256): testingData must produce 'score' and

@@ -6587,3 +6587,72 @@ def test_mldb_409_transform_named_orderby_limit(mldb):
         ("ex2_transformed", 1, 1, 10, 7),
         ("ex3_transformed", 1, 2, 10, 8),
     ]
+
+
+def test_mldb_945_when_in_kmeans_and_119_no_columns(spark):
+    """MLDB-945 (train_kmeans half) + MLDB-119-select_no_columns.js:
+    kmeans.train takes a full input-data spec — a WHEN window selects
+    which time slice trains (the 'now' slice clusters along x; the
+    'tomorrow' slice along y), and a select matching NO columns is a
+    clean 'matched no columns' config error."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    now, tomorrow = 1000.0, 1000.0 + 86400.0
+    cells = []
+    import random
+
+    rng = random.Random(5)
+    for i in range(1, 3):
+        for j in range(100):
+            vx, vy = rng.randint(-5, 5), rng.randint(-5, 5)
+            rn = f"row_{i}_{j}"
+            cells += [
+                (rn, "x", float(vx + 10 ** i), now),
+                (rn, "x", float(vx), tomorrow),
+                (rn, "y", float(vy), now),
+                (rn, "y", float(vy + 10 ** i), tomorrow),
+            ]
+    df = spark.createDataFrame(
+        cells, "row string, column string, value double, tsr double"
+    ).select("row", "column", "value", F.col("tsr").cast("timestamp").alias("ts"))
+    mldb.ctx.register_cells("k945", df)
+
+    res = mldb.create_entity(
+        "procedure",
+        {
+            "type": "kmeans.train",
+            "id": "k945_train",
+            "params": {
+                "trainingData": {
+                    "from": {"id": "k945"},
+                    "when": "ts < CAST('1970-01-02' AS timestamp)",
+                },
+                "numClusters": 2,
+                "centroidsDataset": {"id": "k945_centroids"},
+            },
+        },
+    )
+    assert res["status"]["numClusters"] == 2
+    cents = [r["centroid"] for r in mldb.dataset("k945_centroids").collect()]
+    # 'now' slice: clusters separate along X (~10 vs ~100), y ~ 0
+    xs = sorted(abs(c[0]) for c in cents)
+    ys = [abs(c[1]) for c in cents]
+    assert xs[0] < 20 and xs[1] > 50, cents
+    assert all(y < 10 for y in ys), cents
+
+    with pytest.raises(ValueError, match="matched no columns"):
+        mldb.create_entity(
+            "procedure",
+            {
+                "type": "kmeans.train",
+                "id": "k119",
+                "params": {
+                    "trainingData": "select bonus* from k945",
+                },
+            },
+        )
