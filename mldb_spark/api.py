@@ -763,6 +763,92 @@ class Mldb:
                     "columns": feat_cols,
                     "numClusters": int(params.get("numClusters", 8)),
                 }
+            elif etype in ("svd.train", "tsne.train"):
+                # svd.train / tsne.train entities (MLDB-945's WHEN
+                # halves): trainingData is a full input-data spec; the
+                # wide numeric result melts to the long cell layout
+                # (svd) or stacks into an embedding (tsne)
+                if "trainingData" not in params:
+                    raise ValueError("You need to define trainingData")
+                from pyspark.sql import functions as F
+
+                tdf = self.query(self._require_from(params["trainingData"]))
+                feat_cols = [
+                    c
+                    for c, dt in tdf.dtypes
+                    if c not in ("rowName",)
+                    and not c.startswith("__")
+                    and dt.startswith(
+                        ("int", "bigint", "smallint", "tinyint",
+                         "float", "double", "decimal")
+                    )
+                ]
+                if not feat_cols:
+                    raise ValueError(
+                        f"{etype}: trainingData matched no columns"
+                    )
+                rn = (
+                    F.col("rowName")
+                    if "rowName" in tdf.columns
+                    else F.monotonically_increasing_id().cast("string")
+                )
+                if etype == "svd.train":
+                    from mldb_spark.ml.procedures import svd_train
+
+                    cells = tdf.select(
+                        rn.alias("row_id"),
+                        F.explode(
+                            F.array(
+                                *[
+                                    F.struct(
+                                        F.lit(c).alias("column"),
+                                        F.col(f"`{c}`")
+                                        .cast("double")
+                                        .alias("value"),
+                                    )
+                                    for c in feat_cols
+                                ]
+                            )
+                        ).alias("cell"),
+                    ).select(
+                        "row_id", "cell.column", "cell.value"
+                    ).filter(F.col("value").isNotNull())
+                    k = int(params.get("numSingularValues", 8))
+                    k = min(k, len(feat_cols))
+                    rows_emb, cols_emb, svals = svd_train(
+                        cells, k=k, name=params.get("functionName", eid)
+                    )
+                    for key, out_df in (
+                        ("rowOutputDataset", rows_emb),
+                        ("columnOutputDataset", cols_emb),
+                    ):
+                        spec = params.get(key)
+                        if spec:
+                            oid = spec["id"] if isinstance(spec, dict) else spec
+                            self.create_dataset(oid, out_df)
+                    status = {
+                        "singularValues": [float(s) for s in svals],
+                        "columns": feat_cols,
+                    }
+                else:
+                    from mldb_spark.ml.procedures import tsne_train
+
+                    emb = tdf.na.drop(subset=feat_cols).select(
+                        F.monotonically_increasing_id().alias("__id"),
+                        F.array(
+                            *[F.col(f"`{c}`").cast("double") for c in feat_cols]
+                        ).alias("__emb"),
+                    )
+                    coords = tsne_train(
+                        emb, "__emb", id_col="__id",
+                        n_components=int(params.get("numOutputDimensions", 2)),
+                        perplexity=float(params.get("perplexity", 15.0)),
+                    )
+                    spec = params.get("rowOutputDataset")
+                    if spec:
+                        oid = spec["id"] if isinstance(spec, dict) else spec
+                        self.create_dataset(oid, coords)
+                    status = {"columns": feat_cols, "rows": coords.count()}
             elif etype == "classifier.test":
                 # accuracy procedure (plugins/jml/accuracy.cc;
                 # MLDB-804/256): testingData must produce 'score' and

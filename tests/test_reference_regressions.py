@@ -6656,3 +6656,73 @@ def test_mldb_945_when_in_kmeans_and_119_no_columns(spark):
                 },
             },
         )
+
+
+def test_mldb_945_when_in_svd_and_tsne(spark):
+    """MLDB-945 (train_svd / train_tsne halves): WHEN inside
+    trainingData selects the time slice for svd.train and tsne.train.
+    The svd_example layout: 'now' slice has 3 independent columns;
+    the 'tomorrow' slice has y = 2x correlated — the WHEN'd tomorrow
+    slice must concentrate variance in fewer singular values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    now, tomorrow = 1000.0, 1000.0 + 86400.0
+    rng = random.Random(3)
+    cells = []
+    for i in range(100):
+        vx, vy, vz = (rng.randint(1, 1000) for _ in range(3))
+        rn = f"row_{i}"
+        cells += [
+            (rn, "x", float(vx), now), (rn, "x", float(vx), tomorrow),
+            (rn, "y", float(vy), now), (rn, "y", float(2 * vx), tomorrow),
+            (rn, "z", float(vz), now), (rn, "z", float(vz), tomorrow),
+        ]
+    df = spark.createDataFrame(
+        cells, "row string, column string, value double, tsr double"
+    ).select("row", "column", "value", F.col("tsr").cast("timestamp").alias("ts"))
+    mldb.ctx.register_cells("svd945", df)
+
+    def svals(when):
+        res = mldb.create_entity(
+            "procedure",
+            {
+                "type": "svd.train",
+                "id": f"svd945_{abs(hash(when)) % 1000}",
+                "params": {
+                    "trainingData": {"from": {"id": "svd945"}, "when": when},
+                    "numSingularValues": 3,
+                },
+            },
+        )
+        return res["status"]["singularValues"]
+
+    s_now = svals("ts < CAST('1970-01-02' AS timestamp)")
+    s_tmr = svals("ts >= CAST('1970-01-02' AS timestamp)")
+    # tomorrow's y=2x correlation: the 3rd singular value carries a
+    # much smaller share than in the independent 'now' slice
+    frac_now = s_now[2] / sum(s_now)
+    frac_tmr = s_tmr[2] / sum(s_tmr)
+    assert frac_tmr < frac_now, (s_now, s_tmr)
+
+    res = mldb.create_entity(
+        "procedure",
+        {
+            "type": "tsne.train",
+            "id": "tsne945",
+            "params": {
+                "trainingData": {
+                    "from": {"id": "svd945"},
+                    "when": "ts < CAST('1970-01-02' AS timestamp)",
+                },
+                "rowOutputDataset": {"id": "tsne945_out"},
+                "perplexity": 10.0,
+            },
+        },
+    )
+    out = mldb.dataset("tsne945_out")
+    assert out.count() == 100 and set(out.columns) == {"__id", "x", "y"}
