@@ -1790,3 +1790,29 @@ FROM base b LEFT JOIN top p USING (doc_id) JOIN u USING (doc_id)
 WHERE b.doc_id < 150
 ORDER BY b.doc_id
 """
+
+# qa26: ordered string_agg — DuckDB's native ORDER BY form replays
+# the dialect's 3-argument string_agg.
+ORACLES["qa26_ordered_string_agg"] = """
+SELECT o_orderpriority AS priority,
+       string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS statuses,
+       count(*) AS n
+FROM orders WHERE o_orderkey < 400
+GROUP BY o_orderpriority ORDER BY priority
+"""
+
+# qa27: cross-type ORDER BY (MLDB-989 semantics) — explicit rank +
+# per-rank keys replay the engine's sortable-key encoding: NULL(0) <
+# numbers(1) < rows(3) < embeddings(4); the row key is its name-sorted
+# cells (here cell 'a' decides, cell b is constant), the embedding
+# key element-wise.
+ORACLES["qa27_cross_type_order"] = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id < 120
+ORDER BY
+  CASE doc_id % 4 WHEN 0 THEN 0 WHEN 2 THEN 1 WHEN 1 THEN 3 ELSE 4 END,
+  CASE WHEN doc_id % 4 = 2 THEN n_chars % 5 END,
+  CASE WHEN doc_id % 4 = 1 THEN n_chars % 7 END,
+  CASE WHEN doc_id % 4 = 3 THEN n_chars % 3 END,
+  doc_id
+LIMIT 47
+"""

@@ -2952,6 +2952,41 @@ def qa25_corpus_chain_sql(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa26_ordered_string_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """3-argument string_agg through the dialect (MLDB-1554): the
+    concatenation is ordered by the third expression. DuckDB replays
+    with its native string_agg(... ORDER BY ...) — an ordering or
+    separator bug breaks the hash."""
+    ctx = _dialect_ctx(spark, sf)
+    return ctx.query(
+        "SELECT o_orderpriority AS priority, "
+        "string_agg(o_orderstatus, ',', o_orderkey) AS statuses, "
+        "count(*) AS n "
+        "FROM orders WHERE o_orderkey < 400 "
+        "GROUP BY o_orderpriority ORDER BY priority"
+    )
+
+
+def qa27_cross_type_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-type ORDER BY semantics (MLDB-989; reference
+    sql/expression_value.cc ordering NULL < numbers < rows <
+    embeddings, rows as name-sorted cell sequences) pinned through a
+    LIMIT boundary: the top-XX set under the mixed-type key is only
+    right if every rank and within-rank key compares the reference's
+    way. The DuckDB oracle replays the encoding with explicit rank +
+    per-rank key columns."""
+    ctx = _dialect_ctx(spark, sf)
+    ctx.register("documents", load(spark, sf, "documents"))
+    return ctx.query(
+        "SELECT doc_id FROM documents WHERE doc_id < 120 "
+        "ORDER BY CASE WHEN doc_id % 4 = 1 THEN {a: n_chars % 7, b: 2} "
+        "WHEN doc_id % 4 = 2 THEN n_chars % 5 "
+        "WHEN doc_id % 4 = 3 THEN [n_chars % 3, 1] "
+        "ELSE NULL END, doc_id "
+        "LIMIT 47"
+    ).select(F.col("doc_id").cast("long"))
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
