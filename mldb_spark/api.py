@@ -783,7 +783,11 @@ class Mldb:
                          "float", "double", "decimal")
                     )
                 ]
-                if not feat_cols:
+                has_strings = etype == "svd.train" and any(
+                    dt == "string" and c != "rowName" and not c.startswith("__")
+                    for c, dt in tdf.dtypes
+                )
+                if not feat_cols and not has_strings:
                     raise ValueError(
                         f"{etype}: trainingData matched no columns"
                     )
@@ -795,21 +799,37 @@ class Mldb:
                 if etype == "svd.train":
                     from mldb_spark.ml.procedures import svd_train
 
+                    # string columns expand to categorical indicator
+                    # cells named <col>.stringEquals.<value> — the
+                    # reference's sparse string handling (MLDB-1937)
+                    str_cols = [
+                        c
+                        for c, dt in tdf.dtypes
+                        if dt == "string"
+                        and c not in ("rowName",)
+                        and not c.startswith("__")
+                    ]
+                    cell_structs = [
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(f"`{c}`").cast("double").alias("value"),
+                        )
+                        for c in feat_cols
+                    ] + [
+                        F.struct(
+                            F.concat(
+                                F.lit(f"{c}.stringEquals."),
+                                F.col(f"`{c}`"),
+                            ).alias("column"),
+                            F.when(
+                                F.col(f"`{c}`").isNotNull(), F.lit(1.0)
+                            ).alias("value"),
+                        )
+                        for c in str_cols
+                    ]
                     cells = tdf.select(
                         rn.alias("row_id"),
-                        F.explode(
-                            F.array(
-                                *[
-                                    F.struct(
-                                        F.lit(c).alias("column"),
-                                        F.col(f"`{c}`")
-                                        .cast("double")
-                                        .alias("value"),
-                                    )
-                                    for c in feat_cols
-                                ]
-                            )
-                        ).alias("cell"),
+                        F.explode(F.array(*cell_structs)).alias("cell"),
                     ).select(
                         "row_id", "cell.column", "cell.value"
                     ).filter(F.col("value").isNotNull())

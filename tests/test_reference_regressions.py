@@ -6726,3 +6726,59 @@ def test_mldb_945_when_in_svd_and_tsne(spark):
     )
     out = mldb.dataset("tsne945_out")
     assert out.count() == 100 and set(out.columns) == {"__id", "x", "y"}
+
+
+def test_mldb_1937_svd_complex_select(spark):
+    """MLDB-1937-svd-with-complex-select.py: svd.train over a select
+    with function calls / arithmetic; STRING columns expand to sparse
+    <col>.stringEquals.<value> indicator columns (lower(b) collapses
+    test/TEST to one indicator)."""
+    import random
+
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    rng = random.Random(9)
+    rows = []
+    for r in range(100):
+        rand = rng.randint(0, 100)
+        b = "test" if rand % 3 == 0 else "TEST" if rand % 3 == 1 else "Lombric"
+        rows.append((f"r{r}", rand, b))
+    mldb.create_dataset(
+        "m1937",
+        spark.createDataFrame(rows, "rn string, a int, b string"),
+        row_name_col="rn",
+    )
+    res = mldb.create_entity(
+        "procedure",
+        {
+            "type": "svd.train",
+            "id": "m1937_svd",
+            "params": {
+                "trainingData": "select a, lower(b) AS lb from m1937",
+                "columnOutputDataset": "m1937_cols",
+                "numSingularValues": 3,
+            },
+        },
+    )
+    cols = {r[0] for r in mldb.dataset("m1937_cols").select(
+        mldb.dataset("m1937_cols").columns[0]).collect()}
+    assert cols == {"a", "lb.stringEquals.test", "lb.stringEquals.lombric"}
+    res2 = mldb.create_entity(
+        "procedure",
+        {
+            "type": "svd.train",
+            "id": "m1937_svd2",
+            "params": {
+                "trainingData": "select a + 2 AS a2, b from m1937",
+                "columnOutputDataset": "m1937_cols2",
+                "numSingularValues": 3,
+            },
+        },
+    )
+    cols2 = {r[0] for r in mldb.dataset("m1937_cols2").select(
+        mldb.dataset("m1937_cols2").columns[0]).collect()}
+    assert cols2 == {
+        "a2", "b.stringEquals.test", "b.stringEquals.TEST",
+        "b.stringEquals.Lombric",
+    }
