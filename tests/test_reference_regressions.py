@@ -6782,3 +6782,33 @@ def test_mldb_1937_svd_complex_select(spark):
         "a2", "b.stringEquals.test", "b.stringEquals.TEST",
         "b.stringEquals.Lombric",
     }
+
+
+def test_mldb_485_svd_embed_row_nonzero(spark):
+    """MLDB-485-svd_embedRow_returns_zeroes.py: embedding a bag row
+    through the trained svd's embedRow function returns NON-ZERO
+    features (it used to return all zeroes)."""
+    import random
+    from collections import Counter
+
+    from mldb_spark.ml.procedures import svd_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    rng = random.Random(4)
+    cells = [
+        (str(i + 1), str(j), float(rng.randint(0, 10)))
+        for i in range(10)
+        for j in range(1, 27)
+    ]
+    df = spark.createDataFrame(cells, "row_id string, column string, value double")
+    reg = FunctionRegistry()
+    svd_train(df, k=5, name="m485", registry=reg)
+    bag = Counter("1 5 8 1 5 7".split(" "))
+    probe = spark.createDataFrame(
+        [("q", c, float(n)) for c, n in bag.items()],
+        "row_id string, column string, value double",
+    )
+    out = reg.apply("m485.embedRow", probe).collect()
+    assert len(out) == 1
+    emb = out[0]["embedding"]
+    assert any(abs(x) > 0 for x in emb), emb
