@@ -3928,12 +3928,17 @@ class MldbContext:
                     # reference source columns the SELECT list dropped —
                     # project them as hidden __ord columns, sort, drop.
                     # Row-valued / mixed-type sort expressions encode
-                    # to the reference's cross-type key (MLDB-989).
-                    oc = (
-                        binder.bind_sortable(o.expr)
-                        if binder._needs_sort_key(o.expr)
-                        else binder.bind(o.expr)
-                    )
+                    # to the reference's cross-type key (MLDB-989);
+                    # PATH values order naturally ('9' < '10' —
+                    # path_test.cc element ordering).
+                    if _is_path_valued(o.expr):
+                        from mldb_spark.functions.paths import path_sort_key
+
+                        oc = path_sort_key(binder.bind(o.expr))
+                    elif binder._needs_sort_key(o.expr):
+                        oc = binder.bind_sortable(o.expr)
+                    else:
+                        oc = binder.bind(o.expr)
                     hidden.append(oc.alias(f"__ord{i}"))
                     hidden_names.append(f"__ord{i}")
                     c = F.col(f"__ord{i}")

@@ -54,6 +54,22 @@ def stringify_path(p: Column) -> Column:
     )
 
 
+def path_sort_key(p: Column) -> Column:
+    """The reference's PATH ordering key (types/path.h PathElement::
+    compare, pinned by sql/testing/path_test.cc): NUMERIC elements
+    order by VALUE before string elements ('9' < '10' < 'x'), with
+    the raw string as the tiebreak ('0' < '00'; '0010' < '010').
+    Encodes each element as an orderable struct — pure JVM."""
+    return F.transform(
+        p,
+        lambda el: F.struct(
+            F.when(el.rlike("^[0-9]+$"), F.lit(0)).otherwise(F.lit(1)).alias("r"),
+            F.when(el.rlike("^[0-9]+$"), el.cast("double")).alias("n"),
+            el.alias("s"),
+        ),
+    )
+
+
 def path_element(p: Column, n: Column | int) -> Column:
     """n-th element (0-based, reference path_element); out-of-range
     yields NULL (never an ANSI index error)."""

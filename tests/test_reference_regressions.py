@@ -6812,3 +6812,24 @@ def test_mldb_485_svd_embed_row_nonzero(spark):
     assert len(out) == 1
     emb = out[0]["embedding"]
     assert any(abs(x) > 0 for x in emb), emb
+
+
+def test_path_element_natural_ordering(mldb):
+    """sql/testing/path_test.cc PathElement ordering: numeric
+    elements order by VALUE before strings ('2' < '9' < '10' < 'a'),
+    with the raw string as the tiebreak ('0' < '00', '0010' < '010')
+    — ORDER BY rowPath() follows it, not plain string order."""
+    _ds(
+        mldb, "mpath",
+        [(n, 1) for n in ("10", "9", "2", "a", "x", "00", "0")],
+        "rn string, v int",
+    )
+    out = mldb.query(
+        "select rowName() as r from mpath order by rowPath()"
+    ).collect()
+    assert [r["r"] for r in out] == ["0", "00", "2", "9", "10", "a", "x"]
+    _ds(mldb, "mpath2", [(n, 1) for n in ("0010", "010")], "rn string, v int")
+    out = mldb.query(
+        "select rowName() as r from mpath2 order by rowPath()"
+    ).collect()
+    assert [r["r"] for r in out] == ["0010", "010"]
