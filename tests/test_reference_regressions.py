@@ -6833,3 +6833,22 @@ def test_path_element_natural_ordering(mldb):
         "select rowName() as r from mpath2 order by rowPath()"
     ).collect()
     assert [r["r"] for r in out] == ["0010", "010"]
+
+
+def test_mldb_1320_sql_query_whole_table(mldb):
+    """MLDB-1320-sql-query-whole-table.js: a zero-argument sql.query
+    function with NAMED_COLUMNS output pivots the whole table into
+    one row keyed by the `column` output."""
+    _ds(
+        mldb, "m1320",
+        [("all systems", "GO"), ("hello", "world")],
+        "rn string, value string",
+    )
+    mldb.create_sql_query_function(
+        "poil1320",
+        "select value, rowName() AS column from m1320 order by rowName()",
+        "NAMED_COLUMNS",
+    )
+    out = mldb.query("SELECT poil1320()[output] as *")
+    assert out.columns == ["all systems", "hello"]
+    assert [tuple(r) for r in out.collect()] == [("GO", "world")]
