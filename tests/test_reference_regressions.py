@@ -6852,3 +6852,45 @@ def test_mldb_1320_sql_query_whole_table(mldb):
     out = mldb.query("SELECT poil1320()[output] as *")
     assert out.columns == ["all systems", "hello"]
     assert [tuple(r) for r in out.collect()] == [("GO", "world")]
+
+
+def test_mldb_1840_empty_str_paths(mldb):
+    """MLDB-1840_empty_str_paths.py: an EMPTY-string column name
+    ('{"": 5}') survives parse_json AS *, rides through subselect
+    wildcards, and is addressable as "" — never dropped or renamed."""
+    cols, rows = (lambda df: (df.columns, [tuple(r) for r in df.collect()]))(
+        mldb.query("SELECT parse_json('{\"\": 5, \"pwet\":10}') AS *")
+    )
+    assert cols == ["", "pwet"] and rows == [("5", "10")]
+    out = mldb.query(
+        'SELECT pwet FROM (SELECT parse_json(\'{"": 5, "pwet":10}\') AS *)'
+    ).collect()
+    assert [r["pwet"] for r in out] == ["10"]
+    out = mldb.query(
+        'SELECT "" FROM (SELECT parse_json(\'{"": 5, "pwet":10}\') AS *)'
+    )
+    assert out.columns == [""] and out.collect()[0][0] == "5"
+
+
+def test_mldb_2043_big_int_record(spark):
+    """MLDB-2043_tabular_big_int.py: a value beyond int32
+    (9,936,626,511) records and reads back exactly through the
+    mutable record/commit lifecycle."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity(
+        "dataset", {"type": "sparse.mutable", "id": "big2043", "params": {}}
+    )
+    mldb.record_rows(
+        "big2043",
+        [
+            {"rowName": "first row", "columns": [["first column", 9936626511, 0]]},
+            {"rowName": "second row", "columns": [["first column", 0, 0]]},
+        ],
+    )
+    mldb.commit_dataset("big2043")
+    out = mldb.query(
+        'select "first column" AS v from big2043 order by rowName() ASC'
+    ).collect()
+    assert [r["v"] for r in out] == [9936626511.0, 0.0]
