@@ -757,7 +757,33 @@ class Mldb:
                 cds = params.get("centroidsDataset")
                 if cds:
                     cid = cds["id"] if isinstance(cds, dict) else cds
-                    self.create_dataset(cid, centroids)
+                    self.create_dataset(
+                        cid,
+                        centroids.select(
+                            F.col("cluster").cast("string").alias("rowName"),
+                            *[
+                                F.col("centroid")[i].alias(c)
+                                for i, c in enumerate(feat_cols)
+                            ],
+                        ),
+                        row_name_col="rowName",
+                    )
+                # SQL application surface (MLDB-665's
+                # kmeans({embedding: {...}})[cluster]): the embedding
+                # pin binds by COLUMN NAME, so field order in the call
+                # never matters
+                from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+                def sql_assign(d, _feats=tuple(feat_cols), _fn=fname):
+                    d2 = d.withColumn(
+                        "__emb",
+                        F.array(
+                            *[F.col(f"`{c}`").cast("double") for c in _feats]
+                        ),
+                    )
+                    return GLOBAL_REGISTRY.apply(_fn, d2).drop("__emb")
+
+                self.ctx.register_function(fname, sql_assign)
                 status = {
                     "functionName": fname,
                     "columns": feat_cols,

@@ -6894,3 +6894,54 @@ def test_mldb_2043_big_int_record(spark):
         'select "first column" AS v from big2043 order by rowName() ASC'
     ).collect()
     assert [r["v"] for r in out] == [9936626511.0, 0.0]
+
+
+def test_mldb_665_kmeans_function_from_sql(spark):
+    """MLDB-665_nearest_neighbours.py (kmeans function half): the
+    trained kmeans applies from SQL with an {embedding: {...}} row
+    pin — each CENTROID maps back to its own cluster, and the field
+    ORDER in the call never matters (binding is by name)."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.api import Mldb
+    from mldb_spark.sources.text_io import import_text
+
+    mldb = Mldb(spark)
+    iris = import_text(
+        mldb.spark, "/root/reference/testing/dataset/iris.data",
+        headers=["sl", "sw", "pl", "pw", "cls"],
+    ).na.drop().select(
+        F.col("sl").cast("double"), F.col("sw").cast("double"),
+        F.col("pl").cast("double"), F.col("pw").cast("double"), "cls",
+    )
+    mldb.create_dataset("iris665", iris)
+    mldb.create_entity(
+        "procedure",
+        {
+            "type": "kmeans.train",
+            "id": "k665",
+            "params": {
+                "trainingData": "select sl, sw, pl, pw from iris665",
+                "numClusters": 3,
+                "functionName": "kmeans665",
+                "centroidsDataset": {"id": "iris665_centroids"},
+            },
+        },
+    )
+    out = mldb.query(
+        "select rowName() AS r, kmeans665({embedding: {sl, sw, pl, pw}})"
+        "[cluster] AS cluster from iris665_centroids"
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert int(r["r"]) == r["cluster"], (r["r"], r["cluster"])
+    # order invariance: the same point in two different field orders
+    c1 = mldb.query(
+        "select kmeans665({embedding: {sl: 5.0, sw: 3.2, pl: 1.2, pw: 0.2}})"
+        "[cluster] AS c"
+    ).collect()[0]["c"]
+    c2 = mldb.query(
+        "select kmeans665({embedding: {pw: 0.2, pl: 1.2, sl: 5.0, sw: 3.2}})"
+        "[cluster] AS c"
+    ).collect()[0]["c"]
+    assert c1 == c2
