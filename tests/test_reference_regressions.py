@@ -6638,7 +6638,9 @@ def test_mldb_945_when_in_kmeans_and_119_no_columns(spark):
         },
     )
     assert res["status"]["numClusters"] == 2
-    cents = [r["centroid"] for r in mldb.dataset("k945_centroids").collect()]
+    cents = [
+        (r["x"], r["y"]) for r in mldb.dataset("k945_centroids").collect()
+    ]
     # 'now' slice: clusters separate along X (~10 vs ~100), y ~ 0
     xs = sorted(abs(c[0]) for c in cents)
     ys = [abs(c[1]) for c in cents]
