@@ -6947,3 +6947,37 @@ def test_mldb_665_kmeans_function_from_sql(spark):
         "[cluster] AS c"
     ).collect()[0]["c"]
     assert c1 == c2
+
+
+def test_mldb_665_embedding_neighbors_entity(spark):
+    """MLDB-665 (nn halves): the embedding.neighbors function entity
+    applied from SQL over every centroid — each centroid's nearest
+    neighbor at numNeighbors:1 is ITSELF at distance 0; application
+    over N rows rides the batched one-scan path."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    cents = spark.createDataFrame(
+        [("0", 0.0, 0.0), ("1", 10.0, 0.0), ("2", 0.0, 10.0)],
+        "rowName string, x double, y double",
+    )
+    mldb.create_dataset("cent665", cents, row_name_col="rowName")
+    mldb.create_entity(
+        "function",
+        {
+            "type": "embedding.neighbors",
+            "id": "nn665",
+            "params": {"dataset": "cent665"},
+        },
+    )
+    out = mldb.query(
+        "select rowName() AS r, nn665({coords: {x, y}, numNeighbors: 1})"
+        "[distances] AS d from cent665"
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        d = dict(r["d"])
+        assert set(d) == {r["r"]}, (r["r"], d)
+        assert abs(d[r["r"]]) < 1e-12
