@@ -560,13 +560,17 @@ def connected_components(
     ~15.
 
     Works for ANY orderable node id type (longs, strings, dates):
-    convergence is an exact changed-count on the label table, and it
-    rides the SAME action that materializes the round (a CollectMetrics
-    observation on the checkpoint job) — so each round costs exactly
-    ONE blocking driver round-trip, not a checkpoint + a separate
-    .count(). Raises RuntimeError if the fixpoint is not reached
-    within max_iter — an unconverged result would silently merge/miss
-    groups.
+    convergence is an exact changed-count on the label table. The
+    round-start label rides THROUGH the pointer-jump join as __old,
+    so the check is a filter over the round's ALREADY-CHECKPOINTED
+    (in-memory) output — a near-free probe, never a recompute of the
+    round's shuffles. (An Observation/CollectMetrics variant was
+    tried and REVERTED: Spark's ObservationManager is not
+    serializable and lingering observation registrations poison later
+    jobs' closures with 'Task not serializable' — found by the full
+    suite, pinned by the regression below.) Raises RuntimeError if
+    the fixpoint is not reached within max_iter — an unconverged
+    result would silently merge/miss groups.
 
     100 TB shape: labels and edges stay partitioned by node across
     rounds (the join keys never change), intermediates are
@@ -586,8 +590,6 @@ def connected_components(
     corpus with billions of candidate pairs the count exceeds any
     sane cutoff and the distributed loop runs as before.
     """
-    from pyspark.sql import Observation
-
     edges = persist_tracked(
         pairs.select(F.col(a_col).alias("node"), F.col(b_col).alias("nbr"))
         .union(pairs.select(F.col(b_col).alias("node"), F.col(a_col).alias("nbr")))
@@ -662,10 +664,9 @@ def connected_components(
             F.col("node").alias("label"), F.col("label").alias("__pl")
         )
         # Labels are monotone non-increasing (label(x) <= x holds
-        # inductively), so "changed" = count of strict decreases vs
-        # __old. The Observation collects that count DURING the
-        # localCheckpoint job — one action per round total.
-        obs = Observation()
+        # inductively), so "changed" = any strict decrease vs __old.
+        # __old is kept IN the checkpointed output, making the probe
+        # a limit-1 filter over in-memory data (no shuffle replay).
         new_labels = (
             propagated.join(parents, "label", "left")
             .select(
@@ -673,17 +674,14 @@ def connected_components(
                 F.coalesce("__pl", "label").alias("label"),
                 "__old",
             )
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("label") != F.col("__old")).cast("long")
-                ).alias("changed"),
-            )
-            .select("node", "label")
             .localCheckpoint()
         )
-        changed = obs.get["changed"] or 0
-        labels = new_labels
+        changed = (
+            new_labels.filter(F.col("label") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break

@@ -805,3 +805,29 @@ def test_unstratified_split_deterministic_and_disjoint(spark):
     assert sa1 == {r["id"] for r in a2.collect()}
     assert sb1 == {r["id"] for r in b2.collect()}
     release_cached()
+
+
+def test_connected_components_leaves_session_clean_for_mllib(spark):
+    """Regression: the CC loop must leave NO session-level observation
+    state behind — a lingering ObservationManager registration (from
+    a CollectMetrics-based convergence check) made every later MLlib
+    evaluate() fail with 'Task not serializable'. Runs the distributed
+    loop (incl. the raising path) then an MLlib evaluator in the same
+    session."""
+    import pytest as _pt
+
+    from mldb_spark.dedup import connected_components
+    from mldb_spark.ml.procedures import classifier_test
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a long, b long"
+    )
+    assert connected_components(pairs, driver_cutoff=0).count() == 64
+    with _pt.raises(RuntimeError):
+        connected_components(pairs, max_iter=1, driver_cutoff=0).count()
+    scored = spark.createDataFrame(
+        [(0.9, 1.0), (0.2, 0.0), (0.8, 1.0), (0.1, 0.0)],
+        "score double, label double",
+    )
+    row = classifier_test(scored).collect()[0]
+    assert row["auc"] == 1.0
