@@ -1816,3 +1816,9 @@ ORDER BY
   doc_id
 LIMIT 47
 """
+
+# qa28: natural path-element ordering — numeric names by VALUE.
+ORACLES["qa28_natural_path_order"] = """
+SELECT CAST(doc_id AS VARCHAR) AS r FROM documents
+ORDER BY doc_id LIMIT 31
+"""

@@ -2987,6 +2987,22 @@ def qa27_cross_type_order(spark: SparkSession, sf: str) -> DataFrame:
     ).select(F.col("doc_id").cast("long"))
 
 
+def qa28_natural_path_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Natural path-element ordering (types/path.h PathElement
+    comparison, sql/testing/path_test.cc): numeric row names order by
+    VALUE, so ORDER BY rowPath() gives 0,1,2,...,30 — plain string
+    order would give 0,1,10,100,... The LIMIT boundary makes the
+    difference hash-visible; DuckDB replays with a numeric sort."""
+    ctx = _dialect_ctx(spark, sf)
+    docs = load(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("rowName"), "n_chars"
+    )
+    ctx.register("docs_named", docs, row_name_col="rowName")
+    return ctx.query(
+        "select rowName() as r from docs_named order by rowPath() limit 31"
+    )
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
