@@ -6981,3 +6981,39 @@ def test_mldb_665_embedding_neighbors_entity(spark):
         d = dict(r["d"])
         assert set(d) == {r["r"]}, (r["r"], d)
         assert abs(d[r["r"]]) < 1e-12
+
+
+def test_mldb_775_feature_hasher_modes(spark):
+    """MLDB-775_hashbucket_feat_gen.py: feature_hasher with
+    numBits=2 gives exactly 2^2 hash buckets per row, and the
+    'columns' vs 'columnsAndValues' modes produce DIFFERENT vectors
+    (the value participates in the hash only in the second)."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.functions.feature_gen import (
+        feature_hash_rows,
+        hashed_feature_vector,
+    )
+
+    rows = [
+        (f"example-{i}", c, float(v))
+        for i in range(5)
+        for c, v in (("fwin", i), ("fwine", i * 2), ("fwinette", i ** 4))
+    ]
+    feats = spark.createDataFrame(rows, "doc_id string, feature string, value double")
+    vec_a = hashed_feature_vector(
+        feature_hash_rows(feats, num_bits=2, value_col="value", mode="columns"),
+        num_bits=2,
+    )
+    vec_b = hashed_feature_vector(
+        feature_hash_rows(
+            feats, num_bits=2, value_col="value", mode="columnsAndValues"
+        ),
+        num_bits=2,
+    )
+    a = {r["doc_id"]: r[1] for r in vec_a.collect()}
+    b = {r["doc_id"]: r[1] for r in vec_b.collect()}
+    assert all(len(v) == 4 for v in a.values())
+    assert all(len(v) == 4 for v in b.values())
+    # at least one row's vectors differ between modes
+    assert any(a[k] != b[k] for k in a), (a, b)
