@@ -7017,3 +7017,37 @@ def test_mldb_775_feature_hasher_modes(spark):
     assert all(len(v) == 4 for v in b.values())
     # at least one row's vectors differ between modes
     assert any(a[k] != b[k] for k in a), (a, b)
+
+
+def test_mldb_284_tsne_limit(spark):
+    """MLDB-284-tsne-apply-function.py (+ MLDB-1081's limit half):
+    tsne.train honors a LIMIT inside trainingData — the embedded
+    output has exactly that many rows."""
+    import random
+
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    rng = random.Random(8)
+    rows = []
+    for i in range(400):
+        label = rng.random() < 0.2
+        rows.append(
+            tuple([f"u{i}"] + [rng.gauss(5 if label else 15, 3) for _ in range(8)])
+        )
+    schema = "rn string, " + ", ".join(f"f{j} double" for j in range(8))
+    mldb.create_dataset("toy284", spark.createDataFrame(rows, schema),
+                        row_name_col="rn")
+    mldb.create_entity(
+        "procedure",
+        {
+            "type": "tsne.train",
+            "id": "t284",
+            "params": {
+                "trainingData": "select * from toy284 limit 200",
+                "rowOutputDataset": {"id": "toy284_tsne"},
+                "perplexity": 10.0,
+            },
+        },
+    )
+    assert mldb.dataset("toy284_tsne").count() == 200
