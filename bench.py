@@ -28,6 +28,11 @@ from mldb_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    # Oracle-fixture exports are correctness-harness IO (collect +
+    # parquet write inside gate bodies); suppress them so the bench
+    # times pure queries. The driver's correctness run never imports
+    # bench.py, so its fixtures stay fresh.
+    os.environ["MLDB_SPARK_SKIP_FIXTURE_EXPORT"] = "1"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("mldb_spark_bench")

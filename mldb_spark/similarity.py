@@ -185,6 +185,8 @@ def embedding_cosine_near_duplicates(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine >= threshold, blocked by
     random-hyperplane LSH bands.
@@ -197,9 +199,24 @@ def embedding_cosine_near_duplicates(
     rescored exactly with the Arrow-batched numpy cosine. Recall is
     approximate and rises with fewer planes per band or more bands;
     with fixed seeded planes the whole pipeline is engine-replayable.
+
+    max_candidate_pairs (opt-in) is the same hard guard simhash_pairs
+    carries (dedup.py; reference cap builtin/joined_dataset.cc:
+    516-521): count the deduped candidate table and raise BEFORE the
+    exact-rescore join if the banding collapsed (template-heavy
+    corpora hash whole regions into one bucket and the rescore join
+    silently goes quadratic otherwise). Costs one extra action on the
+    persisted candidate table.
+
+    When planes is None the plane dimension comes from `dim`, or — if
+    dim is also None — from ONE driver-side `.first()` row (arrays
+    carry no length in the Spark schema). That fallback is a hidden
+    Spark action at plan-build time; pass dim (or planes) in
+    latency-sensitive plan construction.
     """
     if planes is None:
-        dim = len(vectors.select(vec_col).first()[0])
+        if dim is None:
+            dim = len(vectors.select(vec_col).first()[0])
         planes = seeded_planes(dim)
     sig = random_hyperplane_signature(F.col(vec_col), planes)
     base = vectors.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
@@ -221,6 +238,20 @@ def embedding_cosine_near_duplicates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if max_candidate_pairs is not None:
+        from mldb_spark.caching import persist_tracked
+
+        cand = persist_tracked(cand)
+        n_cand = cand.count()
+        if n_cand > max_candidate_pairs:
+            cand.unpersist()
+            raise ValueError(
+                f"embedding banding produced {n_cand} candidate pairs "
+                f"(> max_candidate_pairs={max_candidate_pairs}); the corpus "
+                "is too self-similar for this plane/band config — use more "
+                "planes per band, raise the threshold upstream, or "
+                "pre-shard the corpus"
+            )
     va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -472,6 +503,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     bands: int = 4,
     planes: "list[list[float]] | None" = None,
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — the published method clusters embeddings and
@@ -494,6 +526,7 @@ def semantic_dedup(
     pairs = embedding_cosine_near_duplicates(
         vectors, threshold=threshold, planes=planes, bands=bands,
         id_col=id_col, vec_col=vec_col,
+        max_candidate_pairs=max_candidate_pairs,
     ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     comp = connected_components(pairs)
     out = vectors.select(id_col).join(
