@@ -962,6 +962,25 @@ FROM read_json_auto('/root/repo/mldb_spark/data/events_sample.jsonl')
 GROUP BY 1 ORDER BY cc
 """
 
+ORACLES["qa29_column_expr_nested"] = """
+WITH src AS (
+  SELECT * FROM read_json_auto('/root/repo/mldb_spark/data/events_sample.jsonl')
+),
+fa AS (
+  SELECT 'flat' AS variant, upper(("user").geo.cc) AS cc,
+         CAST(count(*) AS BIGINT) AS n,
+         min(upper(("user").geo.city)) AS first_val
+  FROM src GROUP BY 2
+),
+sa AS (
+  SELECT 'structured' AS variant, ("user").geo.cc AS cc,
+         CAST(count(*) AS BIGINT) AS n,
+         min(("user").name) AS first_val
+  FROM src GROUP BY 2
+)
+SELECT * FROM fa UNION ALL SELECT * FROM sa ORDER BY variant, cc
+"""
+
 ORACLES["q83_export_csv_roundtrip"] = """
 SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -1654,6 +1673,136 @@ r AS (
 )
 SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
 ORDER BY query_id, rank
+"""
+
+# q87/q76/q79/q61 (graduated from ROWS_ONLY, VERDICT r7 #1): the Spark
+# query exports the model-fit output (kmeans centroids, IVF cell
+# assignments, word2vec vectors, SVD term loadings) and these oracles
+# replay every step downstream of the fit closed-form — assignment
+# argmins, probe selection, pooling arithmetic, vocabulary pruning —
+# so only the iterative estimator itself stays engine-internal.
+# Distance replay matches Spark's element-order fold: unnest both
+# lists positionally and sum (ev-cv)^2; argmin ties break to the
+# lowest cluster/cell id, the same rule MLlib's findClosest applies
+# (strict < keeps the first index).
+ORACLES["q87_kmeans"] = f"""
+WITH c AS (SELECT * FROM read_parquet('{_FIXDIR}/q87_centroids.parquet')),
+d AS (
+  SELECT vec_id, cluster, sum((ev - cv) * (ev - cv)) AS d2
+  FROM (
+    SELECT e.vec_id, c.cluster,
+           unnest(CAST(e.embedding AS DOUBLE[])) AS ev,
+           unnest(c.centroid) AS cv
+    FROM embeddings e CROSS JOIN c
+  )
+  GROUP BY vec_id, cluster
+),
+a AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
+  FROM d
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n
+FROM a WHERE rn = 1 GROUP BY cluster ORDER BY cluster
+"""
+
+ORACLES["q76_ivf_ann"] = f"""
+WITH asg AS (SELECT * FROM read_parquet('{_FIXDIR}/q76_cells.parquet')),
+cent AS (SELECT * FROM read_parquet('{_FIXDIR}/q76_centroids.parquet')),
+q0 AS (SELECT vec_id AS query_id, embedding AS qvec
+       FROM embeddings WHERE vec_id % 100 = 3),
+qd AS (
+  SELECT query_id, cell, sum((qv - cv) * (qv - cv)) AS d2
+  FROM (
+    SELECT q0.query_id, cent.cell,
+           unnest(CAST(q0.qvec AS DOUBLE[])) AS qv,
+           unnest(cent.centroid) AS cv
+    FROM q0 CROSS JOIN cent
+  )
+  GROUP BY query_id, cell
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY d2 ASC, cell ASC) AS rn
+    FROM qd
+  ) WHERE rn <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN asg a USING (cell)
+  WHERE a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         {_COS.format(a="qe.embedding", b="ce.embedding")} AS cos_sim
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.query_id
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+ORACLES["q79_word2vec_pooling"] = f"""
+WITH v AS (SELECT * FROM read_parquet('{_FIXDIR}/q79_vectors.parquet')),
+bags AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+matched AS (
+  SELECT b.doc_id, unnest(v.vector) AS val, unnest(range(len(v.vector))) AS dim
+  FROM bags b JOIN v ON b.token = v.word
+),
+per_dim AS (SELECT doc_id, dim, avg(val) AS a FROM matched GROUP BY doc_id, dim),
+norms AS (SELECT doc_id, sqrt(sum(a * a)) AS nrm FROM per_dim GROUP BY doc_id),
+alldocs AS (SELECT DISTINCT doc_id FROM bags),
+pooled AS (
+  SELECT d.doc_id, coalesce(n.nrm, 0.0) AS nrm
+  FROM alldocs d LEFT JOIN norms n USING (doc_id)
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(nrm) + 1e-9, 4) AS avg_norm
+FROM documents JOIN pooled USING (doc_id)
+GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["q61_svd_term_clusters"] = f"""
+WITH emb AS (SELECT * FROM read_parquet('{_FIXDIR}/q61_term_emb.parquet')),
+cent AS (SELECT * FROM read_parquet('{_FIXDIR}/q61_centroids.parquet')),
+cells AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+nd AS (SELECT count(*) AS ndocs FROM documents),
+vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS df FROM cells GROUP BY tok)
+  CROSS JOIN nd
+  WHERE df >= greatest(3, CAST(floor(ndocs / 200.0) AS BIGINT))
+),
+terms AS (
+  SELECT emb."column" AS term, emb.embedding
+  FROM emb JOIN vocab ON emb."column" = vocab.tok
+),
+d AS (
+  SELECT term, cluster, sum((tv - cv) * (tv - cv)) AS d2
+  FROM (
+    SELECT t.term, c.cluster, unnest(t.embedding) AS tv, unnest(c.centroid) AS cv
+    FROM terms t CROSS JOIN cent c
+  )
+  GROUP BY term, cluster
+),
+a AS (
+  SELECT term, cluster,
+         row_number() OVER (PARTITION BY term ORDER BY d2 ASC, cluster ASC) AS rn
+  FROM d
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_terms, min(term) AS first_term
+FROM a WHERE rn = 1
+GROUP BY cluster ORDER BY cluster
 """
 
 # qa22: per-cell WHEN replay — drop each row's globally-latest cell,

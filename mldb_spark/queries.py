@@ -977,15 +977,22 @@ def q46_tfidf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q87_kmeans(spark: SparkSession, sf: str) -> DataFrame:
-    """kmeans.train (plugins/jml/kmeans_interface.cc:389): cluster the
-    embeddings (k=8, fixed seed), return per-cluster sizes. Rows-only
-    check: MLlib's kmeans|| init is engine-internal."""
+    """kmeans.train (plugins/jml/kmeans_interface.cc:389-394): cluster
+    the embeddings (k=8, fixed seed), return per-cluster sizes.
+    Oracle-backed (graduated from rows-only, VERDICT r7 #1): the
+    fitted centroids export to a fixture parquet and the DuckDB
+    oracle replays the nearest-centroid assignment closed-form
+    (argmin squared-Euclidean, ties to the lowest cluster id — the
+    same tie rule MLlib's findClosest applies), so the assignment
+    join, grouping, and counts are all cross-checked; only the
+    kmeans|| fit itself stays engine-internal."""
     from mldb_spark.ml.procedures import kmeans_train
     from mldb_spark.ml.registry import FunctionRegistry
 
     reg = FunctionRegistry()
     emb = load(spark, sf, "embeddings")
-    _, _centroids = kmeans_train(emb, "embedding", k=8, seed=42, name="km", registry=reg)
+    _, centroids = kmeans_train(emb, "embedding", k=8, seed=42, name="km", registry=reg)
+    export_oracle_fixture_df("q87_centroids", centroids.orderBy("cluster"))
     assigned = reg.apply("km", emb)
     return (
         assigned.groupBy("cluster")
@@ -1254,9 +1261,16 @@ def q61_svd_term_clusters(spark: SparkSession, sf: str) -> DataFrame:
     1023,1028) driving the reference's reddit chain
     (testing/reddit_benchmark.py:23-103): tokenize → doc-term counts
     → truncated distributed SVD → k-means over the COLUMN (term)
-    embeddings. Rows-only gate: MLlib's SVD/Lloyd internals are not
-    SQL-replayable; the algebraic invariants (reconstruction,
-    embedRow == rowOutput) are pinned in tests/test_ml.py."""
+    embeddings. Oracle-backed (graduated from rows-only, VERDICT r7
+    #1): the fitted term embeddings (V loadings) and k-means
+    centroids export as fixtures; the DuckDB oracle independently
+    re-derives the vocabulary (tokenize → doc-frequency → min_df
+    prune), inner-joins it against the exported embeddings (so a
+    tokenizer or prune bug shows up as a count mismatch), and replays
+    the nearest-centroid assignment + per-cluster rollup closed-form.
+    Only the eigensolver and the kmeans|| fit stay engine-internal;
+    the algebraic invariants (reconstruction, embedRow == rowOutput)
+    are pinned in tests/test_ml.py."""
     from mldb_spark.ml.procedures import kmeans_train, svd_train
 
     docs = load(spark, sf, "documents")
@@ -1283,7 +1297,9 @@ def q61_svd_term_clusters(spark: SparkSession, sf: str) -> DataFrame:
     _row_emb, col_emb, _sigma = svd_train(
         cells, row_col="doc_id", k=8, name="q61_svd"
     )
-    model, _centroids = kmeans_train(col_emb, "embedding", k=5, seed=7, name="q61_kmeans")
+    export_oracle_fixture_df("q61_term_emb", col_emb.orderBy("column"))
+    model, centroids61 = kmeans_train(col_emb, "embedding", k=5, seed=7, name="q61_kmeans")
+    export_oracle_fixture_df("q61_centroids", centroids61.orderBy("cluster"))
     from mldb_spark.ml.registry import GLOBAL_REGISTRY
 
     assigned = GLOBAL_REGISTRY.apply("q61_kmeans", col_emb)
@@ -1638,15 +1654,33 @@ def q75_tsne(spark: SparkSession, sf: str) -> DataFrame:
 def q76_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
     """IVF coarse-quantization ANN (the scale path between brute-force
     q30 and hyperplane-LSH q36): k-means cells + n_probe cell probes +
-    exact rescoring. Rows-only: kmeans|| init is engine-internal; the
-    subset/ordering invariants are pinned in tests."""
-    from mldb_spark.similarity import ivf_topk
+    exact rescoring. Oracle-backed (graduated from rows-only, VERDICT
+    r7 #1): the built index exports as fixtures — the (vec_id, cell)
+    assignment table and the fitted centroids — and the DuckDB oracle
+    replays the WHOLE search path closed-form: per-query n_probe
+    nearest-centroid probe selection (argmin squared-Euclidean, ties
+    to the lowest cell id, matching Spark's array_sort on (d, cell)
+    structs), the cell equi-join, self-exclusion, exact cosine
+    rescoring, and the top-k ranking. Only the kmeans|| index FIT
+    stays engine-internal."""
+    from mldb_spark.similarity import ivf_index, ivf_search
 
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=10, n_cells=8, n_probe=2).orderBy(
+    assigned, centroids = ivf_index(emb, n_cells=8)
+    export_oracle_fixture_df(
+        "q76_cells", assigned.select("vec_id", "cell").orderBy("vec_id")
+    )
+    export_oracle_fixture_df(
+        "q76_centroids",
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ),
+    )
+    return ivf_search(assigned, centroids, queries, k=10, n_probe=2).orderBy(
         "query_id", "rank"
     )
 
@@ -1777,15 +1811,21 @@ def q79_word2vec_pooling(spark: SparkSession, sf: str) -> DataFrame:
     """The reference's word2vec → pooling NLP pipeline
     (plugins/nlp/word2vec.cc + builtin/pooling_function.cc): train
     embeddings on the corpus, avg-pool each document's word vectors,
-    summarize pooled-embedding norms per language. Rows-only: Word2Vec
-    negative sampling is engine-internal."""
+    summarize pooled-embedding norms per language. Oracle-backed
+    (graduated from rows-only, VERDICT r7 #1): the trained word
+    vectors export to a fixture parquet and the DuckDB oracle
+    re-tokenizes the corpus independently and replays the pooling
+    arithmetic closed-form — vocabulary join (duplicates pool
+    per-instance), per-(doc, dim) avg, zero vectors for all-OOV docs,
+    L2 norms, per-language summary. Only the Word2Vec negative-
+    sampling fit stays engine-internal."""
     from mldb_spark.functions.feature_gen import pooling
     from mldb_spark.functions.vector import l2_norm
     from mldb_spark.ml.procedures import word2vec_train
 
     docs = load(spark, sf, "documents")
     _model, vectors = word2vec_train(docs, vector_size=16, min_count=5, seed=7)
-    vectors = vectors.withColumnRenamed("vector", "vector")
+    export_oracle_fixture_df("q79_vectors", vectors.orderBy("word"))
     bags = docs.select(F.col("doc_id"), F.explode(tokenize(F.col("text"))).alias("token"))
     pooled = pooling(bags, vectors, aggregators=("avg",), id_col="doc_id")
     joined = docs.select("doc_id", "lang").join(pooled, "doc_id")
@@ -1793,7 +1833,7 @@ def q79_word2vec_pooling(spark: SparkSession, sf: str) -> DataFrame:
         joined.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(F.avg(l2_norm(F.col("embedding"))), 4).alias("avg_norm"),
+            F.round(F.avg(l2_norm(F.col("embedding"))) + 1e-9, 4).alias("avg_norm"),
         )
         .orderBy("lang")
     )
@@ -3014,6 +3054,58 @@ def qa28_natural_path_order(spark: SparkSession, sf: str) -> DataFrame:
     ctx.register("docs_named", docs, row_name_col="rowName")
     return ctx.query(
         "select rowName() as r from docs_named order by rowPath() limit 31"
+    )
+
+
+def qa29_column_expr_nested(spark: SparkSession, sf: str) -> DataFrame:
+    """COLUMN EXPR default-flatten vs STRUCTURED over an IMPORTED
+    nested-JSON dataset (SelectExpression.md:44-128, MLDB-1933;
+    VERDICT r7 #5 asked for exactly this battery as a gate). The
+    default variant processes atomic leaves of the flattened
+    representation — the per-column transform binds value() to the
+    geo leaves three path elements deep and upper-cases them; the
+    STRUCTURED variant keeps top-level columns whole, so the LIMIT 3
+    alphabetical cut picks (id, type, user) with `user` intact as a
+    struct, proving the column was NOT flattened (a flattening bug
+    would make the later struct field access fail or shift the
+    picked columns). Both variants aggregate per country and union,
+    each replayed closed-form by DuckDB read_json_auto."""
+    from mldb_spark.dialect import MldbContext
+    from mldb_spark.sources.text_io import import_json
+
+    ctx = MldbContext(spark)
+    ev = import_json(spark, f"{_FIXTURE_DIR}/events_sample.jsonl")
+    ctx.register("ev", ev)
+    flat = ctx.query(
+        "SELECT COLUMN EXPR (SELECT upper(value()) WHERE columnPathLength() = 3 "
+        "ORDER BY columnName()) FROM ev"
+    )
+    flat_agg = (
+        flat.groupBy(F.col("`user.geo.cc`").alias("cc"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(F.col("`user.geo.city`")).alias("first_val"),
+        )
+        .withColumn("variant", F.lit("flat"))
+    )
+    structured = ctx.query(
+        "SELECT COLUMN EXPR STRUCTURED (ORDER BY columnName() LIMIT 3) FROM ev"
+    )
+    s_agg = (
+        structured.select(
+            F.col("user.geo.cc").alias("cc"), F.col("user.name").alias("nm")
+        )
+        .groupBy("cc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("nm").alias("first_val"),
+        )
+        .withColumn("variant", F.lit("structured"))
+    )
+    return (
+        flat_agg.unionByName(s_agg)
+        .select("variant", "cc", "n", "first_val")
+        .orderBy("variant", "cc")
     )
 
 

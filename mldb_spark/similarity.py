@@ -117,24 +117,20 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivf_topk(
+def ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_cells: int = 16,
-    n_probe: int = 2,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """IVF-style ANN: coarse k-means quantization of the corpus, then
-    each query probes its n_probe nearest cells and rescores exactly
-    within them. The cell assignment is ONE distributed KMeans fit +
-    transform; the probe join is an equi-join on the cell id — at
-    corpus scale this reads n_probe/n_cells of the data per query
-    batch instead of the full scan brute-force does. Recall rises
-    with n_probe (n_probe = n_cells degenerates to exact)."""
+) -> "tuple[DataFrame, list[list[float]]]":
+    """IVF index build: coarse k-means quantization of the corpus.
+    Returns (assigned, centroids) where assigned is the corpus with a
+    `cell` column and centroids is the n_cells × dim list. One
+    distributed KMeans fit + transform; split from ivf_search so the
+    index can be persisted/exported (the parity harness exports
+    (id, cell) + centroids and the oracle replays probe + rescore +
+    top-k closed-form)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -142,7 +138,25 @@ def ivf_topk(
     km = KMeans(k=n_cells, seed=seed, featuresCol="__f", predictionCol="cell").fit(vecs)
     assigned = km.transform(vecs).drop("__f")
     centroids = [[float(x) for x in c] for c in km.clusterCenters()]
+    return assigned, centroids
 
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: "list[list[float]]",
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF probe + exact rescore over a built index (see ivf_index):
+    each query probes its n_probe nearest cells and rescores exactly
+    within them — the probe join is an equi-join on the cell id, so
+    at corpus scale this reads n_probe/n_cells of the data per query
+    batch instead of the full scan brute-force does. Recall rises
+    with n_probe (n_probe = n_cells degenerates to exact)."""
     # per-query probe cells: distance to every centroid (n_cells is
     # small — a literal-array expression), sort, take n_probe, explode
     def sq_dist(c: list[float]):
@@ -169,6 +183,26 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN end-to-end: ivf_index (one distributed KMeans
+    fit + transform) composed with ivf_search (probe + exact
+    rescore)."""
+    assigned, centroids = ivf_index(corpus, n_cells, seed, id_col, vec_col)
+    return ivf_search(
+        assigned, centroids, queries, k, n_probe, id_col, vec_col, query_id_col
+    )
 
 
 def seeded_planes(dim: int, num_planes: int = 16, seed: int = 13) -> list[list[float]]:

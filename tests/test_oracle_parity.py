@@ -15,21 +15,20 @@ from mldb_spark.testing import compare_spark_duck
 # internals) have no cross-engine SQL replay; their real verification
 # lives in tests/test_operators.py and tests/test_ml.py invariants
 ROWS_ONLY = {
-    "q87_kmeans",
     "q88_classifier_eval",
     "q89_pca",
-    "q61_svd_term_clusters",
     "q65_random_forest",
     "q66_svm_margin",
     "q67_gaussian_clusters",
     "q68_probabilizer",
     "q74_classifier_experiment",
     "q75_tsne",
-    "q76_ivf_ann",
-    "q79_word2vec_pooling",
     "qa07_pack_sequences",  # FFD bin assignment is imperative; invariants in test_corpus.py
 }
 # q80/q85/q86 graduated r7 via exported-kernel fixtures (VERDICT r6 #4)
+# q87/q76/q79/q61 graduated r8 the same way (VERDICT r7 #1): centroid /
+# cell-assignment / word-vector / term-loading fixtures, oracle replays
+# the assignment/probe/pooling/prune logic closed-form
 
 
 def test_every_query_has_an_oracle_or_is_flagged():
