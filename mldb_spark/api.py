@@ -528,7 +528,15 @@ class Mldb:
             rn = r.get("rowName")
             if rn is None or str(rn) == "":
                 raise ValueError("empty row names are not allowed")
-            for c in r.get("columns", []):
+            columns = r.get("columns", [])
+            if not columns:
+                # a row recorded with NO columns still exists
+                # (MLDB-618 record_row(0, []); MLDBFB-440 queries it):
+                # keep a null-column marker cell so the row survives
+                # the pivot
+                buf.append((str(rn), None, None, 0))
+                continue
+            for c in columns:
                 col, val = c[0], c[1]
                 ts = c[2] if len(c) > 2 else 0
                 if col is None or str(col) == "":
@@ -556,11 +564,14 @@ class Mldb:
 
         numeric = all(
             isinstance(v, (int, float)) and not isinstance(v, bool)
-            for _, _, v, _ in buf
+            for _, c, v, _ in buf
+            if c is not None  # row-existence markers carry no value
         )
         vtype = "double" if numeric else "string"
         rows = [
-            (r, c, (float(v) if numeric else (None if v is None else str(v))), to_ts(t))
+            (r, c,
+             (None if v is None else (float(v) if numeric else str(v))),
+             to_ts(t))
             for r, c, v, t in buf
         ]
         df = self.spark.createDataFrame(

@@ -2477,6 +2477,7 @@ class MldbContext:
             .distinct()
             .limit(self._SPREAD_KEY_CAP + 1)
             .collect()
+            if r[0] is not None  # null = row-existence marker (MLDB-618)
         ]
         if len(cols) > self._SPREAD_KEY_CAP:
             raise ValueError(
@@ -2486,14 +2487,19 @@ class MldbContext:
             )
         cols = sorted(cols)
         latest = latest_cells(cells, row_col, column_col, value_col, ts_col)
-        wide = latest.groupBy(F.col(row_col).alias("__cellsRow")).agg(
-            *[
-                F.max(
-                    F.when(F.col(column_col) == c, F.col(value_col))
-                ).alias(c)
-                for c in cols
-            ]
-        )
+        if cols:
+            wide = latest.groupBy(F.col(row_col).alias("__cellsRow")).agg(
+                *[
+                    F.max(
+                        F.when(F.col(column_col) == c, F.col(value_col))
+                    ).alias(c)
+                    for c in cols
+                ]
+            )
+        else:
+            # every recorded row was column-less (MLDBFB-440): the
+            # dataset still has rows — just no value columns
+            wide = latest.select(F.col(row_col).alias("__cellsRow")).distinct()
         self._datasets[name] = wide
         self._meta[name] = {"rowName": "__cellsRow", "ts": None}
         self._cells[name] = {
@@ -2808,8 +2814,14 @@ class MldbContext:
             # a NAMED subquery carries its row names out — the outer
             # scope's rowName()/rowPath() read them (MLDB-1678's
             # `select * from (select 1 as x named 'msnbc.com') where
-            # rowName() = …`)
+            # rowName() = …`); a plain wildcard passthrough keeps the
+            # source's row identity (MLDB-995-sub-query-sparse.js:
+            # `SELECT * FROM (SELECT * FROM ds) ORDER BY rowName()`)
             sub_rn = "rowName" if "rowName" in sub.columns else None
+            if sub_rn is None:
+                inh = self._inherited_row_name(src)
+                if inh and inh in sub.columns:
+                    sub_rn = inh
             return sub, sub_rn, None, aliases, {}
         if isinstance(src, ast.TableRef):
             df, meta = self._table(src.name)
@@ -2825,6 +2837,23 @@ class MldbContext:
             df, aliases, rn_col, side_rns = self._build_join(src, params)
             return df, rn_col, None, aliases, side_rns
         raise ValueError(f"unsupported FROM {src!r}")
+
+    def _inherited_row_name(self, stm) -> "str | None":
+        """Row-name column a plain wildcard passthrough subquery
+        inherits from its source (no GROUP BY / NAMED, select list
+        contains *): the reference keeps row identity through
+        subselects (MLDB-995)."""
+        if stm.group_by or stm.named is not None:
+            return None
+        if not any(isinstance(it, ast.Wildcard) for it in stm.select):
+            return None
+        src = stm.from_
+        if isinstance(src, ast.TableRef):
+            meta = self._meta.get(src.name)
+            return meta["rowName"] if meta else None
+        if isinstance(src, ast.SelectStatement):
+            return self._inherited_row_name(src)
+        return None
 
     def _resolve_tf_arg(self, a, params) -> DataFrame:
         """A dataset-valued table-function argument: a dataset name,
@@ -4079,6 +4108,41 @@ class MldbContext:
             ],
         )
 
+    @staticmethod
+    def _is_empty_row_agg(binder, expr) -> bool:
+        """True for agg({*}) / agg({x*}) whose wildcard expansion
+        matches ZERO value columns (MLDBFB-440: a dataset whose rows
+        have no columns) — the item then contributes no output."""
+        if not (
+            isinstance(expr, ast.FunctionCall)
+            and expr.name.removeprefix("vertical_") in Binder._ROW_AGG
+            and len(expr.args) == 1
+            and isinstance(expr.args[0], ast.RowLiteral)
+        ):
+            return False
+        meta = {binder.row_name_col, binder.ts_col} - {None}
+        value_cols = [
+            c for c in binder.columns
+            if c not in meta and not c.startswith("__")
+        ]
+        n = 0
+        for fname, fexpr in expr.args[0].fields:
+            if fname == "*":
+                n += len(value_cols)
+            elif isinstance(fexpr, ast.RowWildcard):
+                excl_e = {x for x in fexpr.excluding if not x.endswith("*")}
+                excl_p = [x[:-1] for x in fexpr.excluding if x.endswith("*")]
+                n += sum(
+                    1
+                    for c in value_cols
+                    if c.startswith(fexpr.prefix)
+                    and c not in excl_e
+                    and not any(c.startswith(p) for p in excl_p)
+                )
+            else:
+                n += 1
+        return n == 0
+
     def _expand_column_expr(
         self, df: DataFrame, item: ast.ColumnExprItem, params: dict,
         names_only: bool = False,
@@ -4267,6 +4331,12 @@ class MldbContext:
                 raise ValueError("wildcard select not allowed with GROUP BY")
             name = f"__spread{i}" if it.alias == "*" else _item_name(it, i)
             if _contains_aggregate(it.expr):
+                if self._is_empty_row_agg(binder, it.expr):
+                    # agg({*}) over a dataset with no value columns
+                    # contributes NO output columns (MLDBFB-440: one
+                    # row, no columns — not an error, not an empty
+                    # struct column)
+                    continue
                 agg_cols.append(binder.bind(it.expr).alias(name))
                 items.append((name, None))
             else:

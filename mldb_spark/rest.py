@@ -58,18 +58,59 @@ def _jsonable(v):
         import base64
 
         return base64.b64encode(v).decode()
+    if hasattr(v, "asDict"):  # Row — a tuple subclass, so check FIRST
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
     if isinstance(v, (list, tuple)):
         return [_jsonable(x) for x in v]
     if isinstance(v, dict):
         return {k: _jsonable(x) for k, x in v.items()}
-    if hasattr(v, "asDict"):  # Row
-        return {k: _jsonable(x) for k, x in v.asDict().items()}
     return v
 
 
+def _flatten_cell(prefix: str, v, out: dict) -> None:
+    if isinstance(v, dict):
+        for k, x in v.items():
+            _flatten_cell(f"{prefix}.{k}", x, out)
+    else:
+        out[prefix] = v
+
+
 def render_rows(rows, columns, fmt="full", row_names=False, headers=True):
-    """Render collected rows per dataset_collection.cc formats."""
-    data = [{c: _jsonable(r[c]) for c in columns} for r in rows]
+    """Render collected rows per dataset_collection.cc formats.
+
+    Structured (struct/map) cells flatten to dotted-path columns on
+    the wire (MLDB-668-object-column-name.py: `SELECT {1 AS x} AS y`
+    surfaces as column `y.x`): the reference's rowsets are always
+    flat — row values exist only inside expressions — while this
+    engine keeps Spark structs internally, so the flattening happens
+    at the REST render boundary. Leaves of an expanded column slot in
+    at its position, name-sorted; rows where the struct is NULL just
+    lack the leaves (sparse rows render as NULL cells in dense
+    formats)."""
+    raw = [{c: _jsonable(r[c]) for c in columns} for r in rows]
+    data = []
+    expanded: dict[str, set] = {}
+    for row in raw:
+        fr = {}
+        for c in columns:
+            v = row[c]
+            if isinstance(v, dict) and c not in ("rowName", "ts"):
+                leaves: dict = {}
+                _flatten_cell(c, v, leaves)
+                fr.update(leaves)
+                expanded.setdefault(c, set()).update(leaves)
+            else:
+                fr[c] = v
+        data.append(fr)
+    if expanded:
+        new_cols = []
+        for c in columns:
+            if c in expanded:
+                new_cols.extend(sorted(expanded[c]))
+            else:
+                new_cols.append(c)
+        columns = new_cols
+        data = [{c: row.get(c) for c in columns} for row in data]
     if fmt in ("full", ""):
         out = []
         for i, row in enumerate(data):

@@ -7051,3 +7051,207 @@ def test_mldb_284_tsne_limit(spark):
         },
     )
     assert mldb.dataset("toy284_tsne").count() == 200
+
+
+# ---------------------------------------------------------------------------
+# round 8 ports (VERDICT r7 #2): sparse-mutable value semantics, row
+# naming, wire-format flattening, REST formats
+# ---------------------------------------------------------------------------
+
+
+def test_mldb_618_numeric_row_and_column_names(spark):
+    """MLDB-618_rowcol_named_0.py: sparse.mutable accepts the integer
+    0 as a row name (and as column names), a row recorded with NO
+    columns is not an error, and int/str row names mix freely in one
+    dataset."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m618"})
+    mldb.record_rows("m618", [{"rowName": 0, "columns": []}])
+    rows = [
+        {"rowName": r, "columns": [[c, float(r * 10 + c), 0] for c in range(5)]}
+        for r in range(10)
+    ] + [
+        {"rowName": str(r), "columns": [[c, float(r), 0] for c in range(5)]}
+        for r in range(10, 20)
+    ]
+    mldb.record_rows("m618", rows)
+    mldb.commit_dataset("m618")
+    out = mldb.query("SELECT * FROM m618").collect()
+    assert len(out) == 20  # row 0 re-recorded with cells; 10..19 string-named
+
+
+def test_mldb_460_empty_names_rejected(spark):
+    """MLDB-460-disallow-empty-name.py: empty row and column names are
+    config errors with the reference's exact messages; the two-quote
+    string '\"\"' is a legal (non-empty) name."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m460"})
+    mldb.record_rows(
+        "m460", [{"rowName": "row_name", "columns": [['""', 4, 0]]}]
+    )
+    mldb.record_rows(
+        "m460", [{"rowName": '""', "columns": [["column_name", 5, 0]]}]
+    )
+    with pytest.raises(ValueError, match="empty column names are not allowed"):
+        mldb.record_rows(
+            "m460", [{"rowName": "row_name", "columns": [["", 4, 0]]}]
+        )
+    with pytest.raises(ValueError, match="empty row names are not allowed"):
+        mldb.record_rows(
+            "m460", [{"rowName": "", "columns": [["column_name", 5, 0]]}]
+        )
+    mldb.commit_dataset("m460")
+    out = mldb.query("SELECT * FROM m460 ORDER BY rowName()")
+    assert out.count() == 2
+
+
+def test_mldbfb_440_sum_star_row_without_columns(spark):
+    """MLDBFB-440_error_on_ds_wo_cols.py: SELECT sum({*}) over a
+    dataset whose only row has NO columns returns one row and no
+    value columns instead of erroring."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "fb440"})
+    mldb.record_rows("fb440", [{"rowName": "row1", "columns": []}])
+    mldb.commit_dataset("fb440")
+    out = mldb.query("SELECT sum({*}) FROM fb440")
+    assert out.count() == 1
+    assert [c for c in out.columns if c != "rowName"] == []
+
+
+def test_mldb_995_subquery_transparency_sparse(mldb):
+    """MLDB-995-sub-query-sparse.js: SELECT * over a subquery returns
+    exactly what the inner query returns (sparse data, limit)."""
+    _ds(
+        mldb,
+        "m995",
+        [("r1", 1.0, None), ("r2", None, 2.0), ("r3", 3.0, 4.0)],
+        "rn string, a double, b double",
+    )
+    direct = mldb.query("SELECT * FROM m995 ORDER BY rowName() LIMIT 2")
+    nested = mldb.query(
+        "SELECT * FROM (SELECT * FROM m995) AS s ORDER BY rowName() LIMIT 2"
+    )
+    assert direct.columns == nested.columns
+    assert [tuple(r) for r in direct.collect()] == [
+        tuple(r) for r in nested.collect()
+    ]
+
+
+def test_mldb_815_order_by_rowname_desc_strings(mldb):
+    """MLDB-815-sparse-mutable-record-strings.js: string and numeric
+    cells round-trip and ORDER BY rowName() DESC gives the reverse
+    row order with name-sorted columns."""
+    _ds(
+        mldb,
+        "m815",
+        [("ex1", "cat", 0, 0), ("ex2", "dog", 1, 1), ("ex3", "cat", 1, 2)],
+        "rn string, label string, x int, y int",
+    )
+    out = mldb.query("SELECT * FROM m815 ORDER BY rowName() DESC")
+    rows = out.collect()
+    assert [r["rn"] for r in rows] == ["ex3", "ex2", "ex1"]
+    assert [(r["label"], r["x"], r["y"]) for r in rows] == [
+        ("cat", 1, 2), ("dog", 1, 1), ("cat", 0, 0)
+    ]
+
+
+def test_mldb_1120_all_string_lengths_roundtrip(spark):
+    """MLDB-1120-sparse-mutable-values.js: cell values and COLUMN
+    NAMES of every small string length — ASCII and UTF-8 — round-trip
+    through record/commit/query, as do 0/1/-1 integers."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m1120"})
+    names_ascii = ["a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg"]
+    names_utf8 = ["é", "éb", "ébc", "ébcd", "ébcde", "ébcdef", "ébcdefg"]
+    rows = []
+    for i, n in enumerate(names_ascii + names_utf8):
+        rows.append({"rowName": f"row{i:02d}", "columns": [[n, n, 0]]})
+    mldb.record_rows("m1120", rows)
+    mldb.commit_dataset("m1120")
+    out = mldb.query("SELECT * FROM m1120 ORDER BY rowName()")
+    for n in names_ascii + names_utf8:
+        assert n in out.columns
+    rows = out.collect()
+    for i, n in enumerate(names_ascii + names_utf8):
+        assert rows[i][n] == n
+
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m1120i"})
+    mldb.record_rows(
+        "m1120i",
+        [{"rowName": f"rowc{i}", "columns": [["x", v, 0]]}
+         for i, v in enumerate([0, 1, -1])],
+    )
+    mldb.commit_dataset("m1120i")
+    got = [r["x"] for r in
+           mldb.query("SELECT x FROM m1120i ORDER BY rowName()").collect()]
+    assert got == [0.0, 1.0, -1.0]
+
+
+def test_mldb_668_row_literal_flattens_on_the_wire(spark):
+    """MLDB-668-object-column-name.py: `SELECT {1 AS x} AS y` surfaces
+    as column `y.x` in the REST full format (rowsets are always flat
+    on the wire); with and without a FROM clause."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.rest import render_rows
+
+    mldb = Mldb(spark)
+    _ds(mldb, "m668", [("row_0", 1)], "rn string, x int")
+    for sql in ("SELECT { 1 as x } as y FROM m668", "SELECT { 1 as x } as y"):
+        df = mldb.query(sql)
+        rendered = render_rows(df.collect(), df.columns)
+        assert rendered[0]["columns"][0][0] == "y.x"
+        assert rendered[0]["columns"][0][1] == 1
+    # nested rows flatten through every level
+    df = mldb.query("SELECT { {2 as z} as inner, 1 as x } as y FROM m668")
+    rendered = render_rows(df.collect(), df.columns)
+    assert [c[0] for c in rendered[0]["columns"]] == ["y.inner.z", "y.x"]
+
+
+def test_mldb_2107_atom_format(spark):
+    """MLDB-2107-scalar-format.py: format=atom returns the bare scalar
+    for a 1x1 result (int/float/string/bool) and errors with the
+    reference's messages on multiple columns, multiple rows, no rows,
+    and no columns."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.rest import render_rows
+
+    mldb = Mldb(spark)
+    _ds(mldb, "m2107", [("row0", "A"), ("row1", "B")], "rn string, x string")
+
+    def atom(sql):
+        df = mldb.query(sql)
+        cols = [c for c in df.columns if c not in ("rowName", "ts")]
+        return render_rows(df.collect(), cols, fmt="atom")
+
+    assert atom("select x from (select 17 as x)") == 17
+    assert atom("select x from (select 2.3 as x)") == 2.3
+    assert atom("select x from (select 'blah' as x)") == "blah"
+    assert atom("select x from (select false as x)") is False
+    with pytest.raises(ValueError, match="multiple columns"):
+        atom("select x, y from (select false as x, 1 as y)")
+    with pytest.raises(ValueError, match="multiple rows"):
+        atom("select x from m2107")
+    with pytest.raises(ValueError, match="no rows"):
+        atom("select x from m2107 where x = 'patate'")
+    assert atom("select x from m2107 order by rowName() desc limit 1") == "B"
+
+
+def test_mldbfb_320_at_timestamp_in_transform(spark):
+    """MLDBFB-320-bits_tbits_assert_fail.py: `1 @ 0 AS weight` (value
+    at explicit timestamp 0) works inside a transform procedure's
+    inputData."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    _ds(mldb, "fb320", [("row1", "user1", 0)], "rn string, uid string, ts int")
+    mldb.transform("SELECT uid, ts, 1 @ 0 AS weight FROM fb320", "fb320_res")
+    out = mldb.dataset("fb320_res").collect()
+    assert len(out) == 1 and out[0]["weight"] == 1
