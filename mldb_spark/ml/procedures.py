@@ -275,8 +275,10 @@ def classifier_test(
     mode: str = "boolean",
 ) -> DataFrame:
     """classifier.test: AUC + accuracy dataset (accuracy.cc:1006).
-    AUC via MLlib's BinaryClassificationEvaluator (distributed
-    threshold sweep).
+    AUC computed EXACTLY via the rank-sum identity over distinct
+    scores (see the boolean branch) — the reference sweeps every
+    threshold, so the binned MLlib evaluator would diverge on large
+    score sets.
 
     Modes (MLDB-256 — the accuracy procedure accepts all classifier
     modes): 'regression' returns (mse, r2, quantile_err_50,
@@ -339,21 +341,53 @@ def classifier_test(
         )
     if mode != "boolean":
         raise ValueError(f"unknown classifier.test mode {mode!r}")
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.sql import Window
 
-    # the evaluator accepts a plain double rawPrediction column — no
-    # need to wrap the score in a length-2 vector
-    prepped = scored.withColumn("label", F.col(label_col).cast("double")).withColumn(
-        "rawPrediction", F.col(score_col).cast("double")
+    # EXACT AUC via the rank-sum identity (trapezoid ROC over every
+    # distinct threshold with tied groups averaged == Mann-Whitney U),
+    # the reference's full-threshold sweep (accuracy.cc:1006). MLlib's
+    # BinaryClassificationEvaluator bins at numBins=1000 distinct
+    # scores — approximate above that, and not replayable by a SQL
+    # oracle. Shape: one partial-aggregable groupBy(score) over the
+    # corpus, then a single-partition window over the DISTINCT-score
+    # table only (threshold-set-sized, not corpus-sized), then one
+    # 1-row aggregate. Accuracy (threshold 0.5) rides the same pass.
+    g = (
+        scored.select(
+            F.col(score_col).cast("double").alias("p"),
+            F.col(label_col).cast("double").alias("y"),
+        )
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
     )
-    auc = BinaryClassificationEvaluator(rawPredictionCol="rawPrediction").evaluate(prepped)
-    acc = (
-        scored.withColumn("correct", ((F.col(score_col) > 0.5) == (F.col(label_col) == 1)).cast("long"))
-        .agg((F.sum("correct") / F.count(F.lit(1))).alias("acc"))
-        .collect()[0]["acc"]
-    )
-    return scored.sparkSession.createDataFrame(
-        [(float(auc), float(acc))], "auc double, accuracy double"
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    return (
+        g.agg(
+            # average ascending rank of each tied-score group times
+            # its positive count
+            F.sum(
+                F.col("pos") * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+            ).alias("rsum"),
+            F.sum("pos").alias("npos"),
+            F.sum(F.col("cnt") - F.col("pos")).alias("nneg"),
+            F.sum(
+                F.when(F.col("p") > 0.5, F.col("pos")).otherwise(
+                    F.col("cnt") - F.col("pos")
+                )
+            ).alias("ncorrect"),
+            F.sum("cnt").alias("n"),
+        )
+        .select(
+            F.when(
+                (F.col("npos") > 0) & (F.col("nneg") > 0),
+                (F.col("rsum") - F.col("npos") * (F.col("npos") + 1) / 2.0)
+                / (F.col("npos") * F.col("nneg")),
+            )
+            .otherwise(F.lit(0.5))  # degenerate single-class split
+            .alias("auc"),
+            (F.col("ncorrect") / F.col("n")).alias("accuracy"),
+        )
     )
 
 

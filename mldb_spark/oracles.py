@@ -1805,6 +1805,111 @@ FROM a WHERE rn = 1
 GROUP BY cluster ORDER BY cluster
 """
 
+# q66/q68/q88/q89 (graduated from ROWS_ONLY, VERDICT r7 #1 pattern,
+# round 8): the Spark query exports its fitted model parameters
+# (SVM hyperplane, classifier+Platt coefficient pair, logistic
+# coefficients, PCA component vectors) and these oracles replay the
+# entire application/evaluation pipeline downstream of the optimizer
+# closed-form.
+ORACLES["q66_svm_margin"] = f"""
+WITH c AS (SELECT * FROM read_parquet('{_FIXDIR}/q66_coefs.parquet')),
+f AS ({_ORDER_FEATS}),
+m AS (
+  SELECT label,
+         c.b + c.w_year * f_year + c.w_month * f_month
+             + c.w_prio * f_priority + c.w_cust * f_cust AS margin
+  FROM f CROSS JOIN c
+  WHERE o_orderkey % 5 = 0
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(margin) + 1e-9, 4) AS avg_margin
+FROM m GROUP BY label ORDER BY label
+"""
+
+ORACLES["q68_probabilizer"] = f"""
+WITH c AS (SELECT * FROM read_parquet('{_FIXDIR}/q68_coefs.parquet')),
+s AS (
+  SELECT 1.0 / (1.0 + exp(-(c.b + c.w_year * f_year + c.w_month * f_month
+                            + c.w_prio * f_priority + c.w_cust * f_cust)))
+           AS score
+  FROM ({_ORDER_FEATS}) f CROSS JOIN c
+  WHERE o_orderkey % 5 = 0
+),
+p AS (
+  SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS decile,
+         1.0 / (1.0 + exp(-(c.pa * score + c.pb))) AS prob
+  FROM s CROSS JOIN c
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       round(min(prob) + 1e-9, 4) AS min_prob,
+       round(max(prob) + 1e-9, 4) AS max_prob
+FROM p GROUP BY decile ORDER BY decile
+"""
+
+# exact rank-sum AUC: avg ascending rank of each tied-score group =
+# rows strictly below + (group size + 1)/2; AUC = (Σ pos-ranks −
+# npos(npos+1)/2) / (npos·nneg) — identical arithmetic to the Spark
+# side's classifier_test, so the replay is deterministic.
+ORACLES["q88_classifier_eval"] = f"""
+WITH c AS (SELECT * FROM read_parquet('{_FIXDIR}/q88_coefs.parquet')),
+s AS (
+  SELECT label,
+         1.0 / (1.0 + exp(-(c.b + c.w_year * f_year + c.w_month * f_month
+                            + c.w_prio * f_priority + c.w_cust * f_cust)))
+           AS p
+  FROM ({_ORDER_FEATS}) f CROSS JOIN c
+  WHERE o_orderkey % 5 = 0
+),
+g AS (SELECT p, count(*) AS cnt, sum(label) AS pos FROM s GROUP BY p),
+g2 AS (
+  SELECT *,
+         coalesce(sum(cnt) OVER (
+           ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM g
+),
+a AS (
+  SELECT sum(pos * (cum_before + (cnt + 1) / 2.0)) AS rsum,
+         sum(pos) AS npos, sum(cnt - pos) AS nneg,
+         sum(CASE WHEN p > 0.5 THEN pos ELSE cnt - pos END) AS ncorrect,
+         sum(cnt) AS n
+  FROM g2
+)
+SELECT round((rsum - npos * (npos + 1) / 2.0) / (npos * nneg) + 1e-9, 4) AS auc,
+       round(ncorrect * 1.0 / n + 1e-9, 4) AS accuracy
+FROM a
+"""
+
+# explained variance replay: var(X·vᵢ) / Σⱼ var(xⱼ) — the
+# eigenvalue/trace ratio when vᵢ is a true covariance eigenvector;
+# the sample/population variance convention cancels in the ratio.
+ORACLES["q89_pca"] = f"""
+WITH pc AS (SELECT * FROM read_parquet('{_FIXDIR}/q89_components.parquet')),
+proj AS (
+  SELECT component, vec_id, sum(ev * cv) AS p
+  FROM (
+    SELECT pc.component, e.vec_id,
+           unnest(CAST(e.embedding AS DOUBLE[])) AS ev,
+           unnest(pc.vector) AS cv
+    FROM embeddings e CROSS JOIN pc
+  )
+  GROUP BY component, vec_id
+),
+comp_var AS (SELECT component, var_samp(p) AS v FROM proj GROUP BY component),
+dims AS (
+  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings
+),
+total AS (
+  SELECT sum(v) AS tot
+  FROM (SELECT var_samp(x) AS v FROM dims GROUP BY dim)
+)
+SELECT CAST(component AS INTEGER) AS component,
+       round(v / tot + 1e-9, 4) AS explained_variance
+FROM comp_var CROSS JOIN total ORDER BY component
+"""
+
 # qa22: per-cell WHEN replay — drop each row's globally-latest cell,
 # then GET_LATEST over the survivors.
 ORACLES["qa22_cells_when_sql"] = """

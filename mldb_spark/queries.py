@@ -1005,8 +1005,13 @@ def q88_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
     """classifier.train + classifier.test (plugins/jml/classifier.cc:1491,
     accuracy.cc:1006): logistic regression on the shared learnable
     order features (see _order_features), evaluated with AUC/accuracy
-    over a held-out split. Rows-only: the optimizer trajectory is
-    engine-internal; the AUC floor lives in tests/test_ml_extra.py."""
+    over a held-out split. Oracle-backed (graduated from rows-only,
+    VERDICT r7 #1 pattern): the fitted coefficients export to a
+    fixture and the oracle replays sigmoid scoring + the EXACT
+    rank-sum AUC + threshold-0.5 accuracy closed-form — the whole
+    evaluation pipeline downstream of the optimizer is checked; only
+    the LBFGS trajectory itself stays engine-internal (AUC floor in
+    tests/test_ml_extra.py)."""
     from mldb_spark.ml.procedures import classifier_test, classifier_train
     from mldb_spark.ml.registry import FunctionRegistry
 
@@ -1014,21 +1019,48 @@ def q88_classifier_eval(spark: SparkSession, sf: str) -> DataFrame:
     feats = _order_features(spark, sf)
     train = feats.filter(F.col("o_orderkey") % 5 != 0)
     test = feats.filter(F.col("o_orderkey") % 5 == 0)
-    classifier_train(train, ["f_year", "f_month", "f_priority", "f_cust"], "label", "clf", reg)
+    model = classifier_train(
+        train, ["f_year", "f_month", "f_priority", "f_cust"], "label", "clf", reg
+    )
+    w = [float(c) for c in model.coefficients]
+    export_oracle_fixture(
+        "q88_coefs",
+        {"w_year": w[0], "w_month": w[1], "w_prio": w[2], "w_cust": w[3],
+         "b": float(model.intercept)},
+    )
     scored = reg.apply("clf", test)
-    return classifier_test(scored, "label", "score")
+    res = classifier_test(scored, "label", "score")
+    return res.select(
+        F.round(F.col("auc") + 1e-9, 4).alias("auc"),
+        F.round(F.col("accuracy") + 1e-9, 4).alias("accuracy"),
+    )
 
 
 def q89_pca(spark: SparkSession, sf: str) -> DataFrame:
     """svd.train equivalent (plugins/embedding/svd.cc:1023): PCA over
     embeddings, one row per component with explained variance.
-    Rows-only: eigensolver internals are engine-specific."""
+    Oracle-backed (graduated from rows-only): the principal-component
+    vectors export to a fixture and the oracle recomputes each
+    component's explained variance CLOSED-FORM as
+    var(X·vᵢ) / Σⱼ var(xⱼ) — exactly MLlib's eigenvalue/trace ratio
+    when vᵢ is a true eigenvector of the covariance (the n−1
+    convention cancels in the ratio), so a wrong eigenvector, a
+    dropped centering step, or a bad variance normalization all break
+    the hash; only the eigensolver's internal iteration is unchecked."""
     from mldb_spark.ml.procedures import pca_train
 
     emb = load(spark, sf, "embeddings")
-    _, variances = pca_train(emb, "embedding", k=8)
+    model, variances = pca_train(emb, "embedding", k=8)
+    pc = model.pc.toArray()  # (dim, k) — columns are components
+    export_oracle_fixture_df(
+        "q89_components",
+        spark.createDataFrame(
+            [(i, [float(x) for x in pc[:, i]]) for i in range(pc.shape[1])],
+            "component int, vector array<double>",
+        ),
+    )
     return spark.createDataFrame(
-        [(i, round(v, 6)) for i, v in enumerate(variances)],
+        [(i, round(v + 1e-9, 4)) for i, v in enumerate(variances)],
         "component int, explained_variance double",
     )
 
@@ -1427,7 +1459,10 @@ def q65_random_forest(spark: SparkSession, sf: str) -> DataFrame:
 
 def q66_svm_margin(spark: SparkSession, sf: str) -> DataFrame:
     """svm.train (plugins/jml/svm.cc:464) → LinearSVC; margin-score
-    summary per true label over a held-out split. Rows-only."""
+    summary per true label over a held-out split. Oracle-backed
+    (graduated from rows-only): the fitted hyperplane exports to a
+    fixture and the oracle replays margin = b + w·x closed-form —
+    everything downstream of the hinge-loss optimizer is checked."""
     from mldb_spark.ml.procedures import svm_train
     from mldb_spark.ml.registry import FunctionRegistry
 
@@ -1435,13 +1470,22 @@ def q66_svm_margin(spark: SparkSession, sf: str) -> DataFrame:
     feats = _order_features(spark, sf)
     train = feats.filter(F.col("o_orderkey") % 5 != 0)
     test = feats.filter(F.col("o_orderkey") % 5 == 0)
-    svm_train(train, ["f_year", "f_month", "f_priority", "f_cust"], "label", name="svm_q66", registry=reg)
+    model = svm_train(
+        train, ["f_year", "f_month", "f_priority", "f_cust"], "label",
+        name="svm_q66", registry=reg,
+    )
+    w = [float(c) for c in model.coefficients]
+    export_oracle_fixture(
+        "q66_coefs",
+        {"w_year": w[0], "w_month": w[1], "w_prio": w[2], "w_cust": w[3],
+         "b": float(model.intercept)},
+    )
     scored = reg.apply("svm_q66", test)
     return (
         scored.groupBy("label")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.avg("margin"), 4).alias("avg_margin"),
+            F.round(F.avg("margin") + 1e-9, 4).alias("avg_margin"),
         )
         .orderBy("label")
     )
@@ -1473,7 +1517,12 @@ def q67_gaussian_clusters(spark: SparkSession, sf: str) -> DataFrame:
 def q68_probabilizer(spark: SparkSession, sf: str) -> DataFrame:
     """probabilizer.train (plugins/jml/probabilizer.cc:292): Platt
     calibration of classifier scores; per-score-decile calibrated
-    probability bounds (must be monotone in the score). Rows-only."""
+    probability bounds (must be monotone in the score). Oracle-backed
+    (graduated from rows-only): both fitted stages export to one
+    fixture and the oracle replays score = sigmoid(b + w·x) then
+    prob = sigmoid(pa·score + pb) then the decile rollup closed-form
+    — the whole two-model application chain is checked; only the two
+    LBFGS trajectories stay engine-internal."""
     from mldb_spark.ml.procedures import classifier_train, probabilizer_train
     from mldb_spark.ml.registry import FunctionRegistry
 
@@ -1481,9 +1530,19 @@ def q68_probabilizer(spark: SparkSession, sf: str) -> DataFrame:
     feats = _order_features(spark, sf)
     train = feats.filter(F.col("o_orderkey") % 5 != 0)
     test = feats.filter(F.col("o_orderkey") % 5 == 0)
-    classifier_train(train, ["f_year", "f_month", "f_priority", "f_cust"], "label", "clf_q68", reg)
+    clf = classifier_train(
+        train, ["f_year", "f_month", "f_priority", "f_cust"], "label", "clf_q68", reg
+    )
     scored = reg.apply("clf_q68", train)
-    probabilizer_train(scored, "score", "label", "prob_q68", reg)
+    prob_model = probabilizer_train(scored, "score", "label", "prob_q68", reg)
+    w = [float(c) for c in clf.coefficients]
+    export_oracle_fixture(
+        "q68_coefs",
+        {"w_year": w[0], "w_month": w[1], "w_prio": w[2], "w_cust": w[3],
+         "b": float(clf.intercept),
+         "pa": float(prob_model.coefficients[0]),
+         "pb": float(prob_model.intercept)},
+    )
     calibrated = reg.apply("prob_q68", reg.apply("clf_q68", test))
     decile = F.least(F.lit(9), F.floor(F.col("score") * 10)).cast("long")
     return (
@@ -1491,8 +1550,8 @@ def q68_probabilizer(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.min("prob"), 4).alias("min_prob"),
-            F.round(F.max("prob"), 4).alias("max_prob"),
+            F.round(F.min("prob") + 1e-9, 4).alias("min_prob"),
+            F.round(F.max("prob") + 1e-9, 4).alias("max_prob"),
         )
         .orderBy("decile")
     )
