@@ -106,7 +106,39 @@ class Mldb:
         query, register (and return) the result as a new dataset.
         Writing to a real table is the caller's `.write` away — the
         registered result stays a lazy plan until acted on."""
-        out = self.query(self._input_spec_to_sql(input_sql), params)
+        sql = self._input_spec_to_sql(input_sql)
+        out = self.query(sql, params)
+        rn = "rowName" if "rowName" in out.columns else None
+        if rn is None:
+            # the reference's transform writes output rows under the
+            # INPUT row names by default (transform_dataset defaults
+            # the name to rowName()) — MLDB-801's `select * from a
+            # join b` transform carries the [left]-[right] names.
+            # Attach them NON-destructively as a hidden __rowName
+            # column (wildcards over the output never see it; the
+            # output's rowName() reads it). Sources without row-name
+            # metadata fall back to the anonymous path.
+            try:
+                from mldb_spark.dialect import ast as _ast
+                from mldb_spark.dialect.parser import parse_statement
+
+                stm = parse_statement(sql)
+                if (
+                    stm.named is None
+                    and stm.from_ is not None
+                    and not stm.group_by
+                ):
+                    stm.select.append(
+                        _ast.ExprItem(
+                            _ast.FunctionCall("rowname", [], raw="rowName"),
+                            "__rowName",
+                        )
+                    )
+                    named = self.ctx._statement(stm, params or {})
+                    if "__rowName" in named.columns:
+                        out, rn = named, "__rowName"
+            except Exception:
+                pass
         if skip_empty_rows:
             from pyspark.sql import functions as F
 
@@ -117,8 +149,8 @@ class Mldb:
             if non_null is not None:
                 out = out.filter(non_null)
         # a NAMED transform output keeps its row names queryable on
-        # the registered result (MLDB-409's rowName() over the output)
-        rn = "rowName" if "rowName" in out.columns else None
+        # the registered result (MLDB-409's rowName() over the
+        # output); otherwise the hidden __rowName carries them
         self.create_dataset(output_dataset, out, row_name_col=rn)
         return out
 
@@ -543,6 +575,31 @@ class Mldb:
                     raise ValueError("empty column names are not allowed")
                 buf.append((str(rn), str(col), val, ts))
 
+    def record_column(
+        self, dataset_id: str, column_name, rows: "list"
+    ) -> None:
+        """Column-wise record (the reference's recordColumn /
+        POST .../columns surface, MLDB-541-record-column.js): one
+        column, rows = [[rowName, value, ts], ...]. Cells land in the
+        SAME buffer as row-wise recording, so row- and column-recorded
+        datasets are indistinguishable after commit."""
+        if column_name is None or str(column_name) == "":
+            raise ValueError("empty column names are not allowed")
+        self.record_rows(
+            dataset_id,
+            [
+                {"rowName": r[0],
+                 "columns": [[column_name, r[1], r[2] if len(r) > 2 else 0]]}
+                for r in rows
+            ],
+        )
+
+    def record_columns(self, dataset_id: str, columns: "list") -> None:
+        """recordColumns / POST .../multicolumns (MLDB-541):
+        columns = [[columnName, [[rowName, value, ts], ...]], ...]."""
+        for c in columns:
+            self.record_column(dataset_id, c[0], c[1])
+
     def commit_dataset(self, dataset_id: str) -> None:
         """Commit a mutable dataset: the accumulated cells register as
         a CELLS dataset (per-cell timestamps — sparse.mutable
@@ -564,8 +621,10 @@ class Mldb:
 
         numeric = all(
             isinstance(v, (int, float)) and not isinstance(v, bool)
+            # row-existence markers and explicit NULL cells (MLDB-434's
+            # recordExample(..., label=null)) don't decide the type
             for _, c, v, _ in buf
-            if c is not None  # row-existence markers carry no value
+            if c is not None and v is not None
         )
         vtype = "double" if numeric else "string"
         rows = [
@@ -579,6 +638,96 @@ class Mldb:
         )
         self._datasets[dataset_id] = df
         self.ctx.register_cells(dataset_id, df)
+
+    @staticmethod
+    def _check_label_not_in_features(sql: str, tdf: DataFrame) -> None:
+        """A dataset column used as the label must not also be a
+        feature (MLDB-2188-label_feature_validation.py:
+        `SELECT {Theme} as features, Theme as label` is a config
+        error, not silent leakage). Detected statically: the select
+        item aliased `label` names a column that also appears among
+        the features-struct fields."""
+        try:
+            from mldb_spark.dialect import ast as _ast
+            from mldb_spark.dialect.parser import parse_statement
+
+            stm = parse_statement(sql)
+        except Exception:
+            return
+        feat_fields = set()
+        for f in tdf.schema:
+            if f.name == "features" and hasattr(f.dataType, "fieldNames"):
+                feat_fields = set(f.dataType.fieldNames())
+        for it in stm.select:
+            if (
+                getattr(it, "alias", None) == "label"
+                and isinstance(getattr(it, "expr", None), _ast.ColumnRef)
+                and it.expr.name in feat_fields
+            ):
+                raise ValueError(
+                    f"Dataset column '{it.expr.name}' cannot be used in "
+                    "both label and feature"
+                )
+
+    def _run_bucketize(self, params: dict) -> dict:
+        """bucketize procedure
+        (plugins/feature_gen/bucketize_procedure.cc:255, MLDB-1267):
+        assign ordered input rows to named percentile buckets. Output
+        rows keep the input row names with ONE column `bucket` whose
+        timestamp is the global max order-by timestamp (the
+        reference's globalMaxOrderByTimestamp — why MLDB-1267's
+        latest_timestamp check passes). Bucket `b: [lo, hi]` covers
+        ordered indexes [lo/100*n, hi/100*n) (hi==100 closes at n);
+        rows in no bucket are dropped. The ordered ROW-NAME list is
+        driver-side — exactly the reference's own in-memory
+        orderedRowNames vector, so the collect is name-sized and
+        bounded by the same contract; the scale path for numeric
+        bucketing without named ranges is
+        operators.relational.bucketize_approx (cut points, no global
+        sort)."""
+        if "inputData" not in params:
+            raise ValueError("You need to define inputData")
+        if "outputDataset" not in params:
+            raise ValueError("You need to define outputDataset")
+        out_spec = params["outputDataset"]
+        out_id = out_spec["id"] if isinstance(out_spec, dict) else out_spec
+        import re as _re
+
+        # SELECT * over a cells dataset does not surface row names —
+        # inject rowName() into the select list so the ordered
+        # row-name list is queryable
+        sql = _re.sub(
+            r"^\s*select\s", "SELECT rowName() AS __bk_rn, ",
+            params["inputData"], count=1, flags=_re.I,
+        )
+        ordered = self.query(sql)
+        names = [str(r["__bk_rn"]) for r in ordered.select("__bk_rn").collect()]
+        n = len(names)
+        # global max input-cell timestamp: the source cells table if
+        # the input is a committed mutable dataset
+        import datetime as _dt
+
+        max_ts = _dt.datetime(1970, 1, 1)
+        m = _re.search(r"\bfrom\s+([A-Za-z_][\w]*)", params["inputData"], _re.I)
+        if m and m.group(1) in self._datasets:
+            src = self._datasets[m.group(1)]
+            if "ts" in src.columns and "row" in src.columns:
+                got = src.agg(F.max("ts")).collect()[0][0]
+                if got is not None:
+                    max_ts = got
+        cells = []
+        for bname, rng in sorted(params.get("percentileBuckets", {}).items()):
+            lo, hi = float(rng[0]), float(rng[1])
+            lo_i = 0 if hi == 0 else int(lo / 100 * n)
+            hi_i = n if hi == 100 else int(hi / 100 * n)
+            for i in range(lo_i, hi_i):
+                cells.append((names[i], "bucket", bname, max_ts))
+        df = self.spark.createDataFrame(
+            cells, "row string, column string, value string, ts timestamp"
+        )
+        self._datasets[out_id] = df
+        self.ctx.register_cells(out_id, df)
+        return {"outputDataset": out_id, "rowCount": len(cells)}
 
     def put_procedure(self, proc_id: str, config: dict) -> dict:
         """PUT /v1/procedures/<id> semantics (MLDB-951): store the
@@ -674,6 +823,30 @@ class Mldb:
                     "config": config,
                     "status": {"rowCount": 0},
                 }
+            if etype == "merged":
+                # merged dataset entity (builtin/merged_dataset.cc;
+                # MLDB-1364): every member must already exist — the
+                # check fires BEFORE the id registers, so a failed
+                # creation never squats the id (the caller may create
+                # it later through a procedure's output)
+                member_ids = [
+                    d["id"] if isinstance(d, dict) else d
+                    for d in params.get("datasets", [])
+                ]
+                missing = [d for d in member_ids if d not in self._datasets]
+                if missing:
+                    raise ValueError(
+                        f"merged dataset: member dataset '{missing[0]}' "
+                        "does not exist"
+                    )
+                self.transform(
+                    "SELECT * FROM merge(" + ", ".join(member_ids) + ")", eid
+                )
+                return {
+                    "kind": kind,
+                    "config": config,
+                    "status": {"columns": self.dataset(eid).columns},
+                }
             if etype == "tabular":
                 url = params["dataFileUrl"]
                 if url.endswith(".csv"):
@@ -728,6 +901,8 @@ class Mldb:
                 )
                 self.transform(params["inputData"], out_id)
                 status = {"outputDataset": out_id}
+            elif etype == "bucketize":
+                status = self._run_bucketize(params)
             elif etype == "classifier.train":
                 # trainingData is a full input-data spec — WHEN/WHERE/
                 # structured {from, when} forms included (MLDB-945's
@@ -745,14 +920,25 @@ class Mldb:
                         "'features' and 'label' outputs "
                         "(select {* EXCLUDING (x)} as features, x as label)"
                     )
+                self._check_label_not_in_features(
+                    self._require_from(params["trainingData"]), tdf
+                )
                 extra = [F.col("weight")] if "weight" in tdf.columns else []
                 # rows whose label cell fell outside the WHEN window
                 # (or was never present) are not training examples —
                 # the reference skips missing-label rows rather than
-                # erroring the whole run
+                # erroring the whole run. Categorical mode keeps
+                # STRING labels (classifier_train indexes them and
+                # maps predictions back — MLDB-173's cat/dog labels);
+                # boolean/regression coerce numeric.
+                label = (
+                    F.col("label")
+                    if params.get("mode") == "categorical"
+                    else F.col("label").cast("double")
+                )
                 flat = tdf.select(
                     F.col("features.*"),
-                    F.col("label").cast("double").alias("label"),
+                    label.alias("label"),
                     *extra,
                 ).filter(F.col("label").isNotNull())
                 if flat.isEmpty():
@@ -892,11 +1078,30 @@ class Mldb:
                     raise ValueError(
                         f"{etype}: trainingData matched no columns"
                     )
-                rn = (
-                    F.col("rowName")
-                    if "rowName" in tdf.columns
-                    else F.monotonically_increasing_id().cast("string")
-                )
+                if "rowName" in tdf.columns:
+                    rn = F.col("rowName")
+                else:
+                    # synthesized row ids must be STABLE under the
+                    # cells explode below — monotonically_increasing_id
+                    # is re-evaluated per GENERATED row when Catalyst
+                    # collapses the projections, splitting one source
+                    # row into several (MLDB-1364 exposed 4 row
+                    # embeddings for 3 rows). A window row_number is
+                    # computed once per source row and carried through
+                    # the generate; single-partition, acceptable at
+                    # entity training scale.
+                    from pyspark.sql import Window as _W
+
+                    # materialized as a COLUMN on tdf so the window
+                    # runs over source rows — inlining it next to the
+                    # explode would rank the GENERATED rows instead
+                    tdf = tdf.withColumn(
+                        "__rid",
+                        F.row_number()
+                        .over(_W.orderBy(*[F.col(f"`{c}`") for c in tdf.columns]))
+                        .cast("string"),
+                    )
+                    rn = F.col("__rid")
                 if etype == "svd.train":
                     from mldb_spark.ml.procedures import svd_train
 

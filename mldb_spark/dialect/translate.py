@@ -1231,7 +1231,7 @@ class Binder:
                 excl_exact = {e for e in x.excluding if not e.endswith("*")}
                 excl_pref = [e[:-1] for e in x.excluding if e.endswith("*")]
                 for c in self.columns:
-                    if c.startswith("__") or c in meta or not c.startswith(x.prefix):
+                    if _hidden_col(c) or c in meta or not c.startswith(x.prefix):
                         continue
                     if c in excl_exact or any(
                         c.startswith(p) for p in excl_pref
@@ -1242,7 +1242,7 @@ class Binder:
             if n.endswith("*") and isinstance(x, ast.ColumnRef) and x.name == n:
                 pref = n[:-1]
                 for c in self.columns:
-                    if c.startswith("__") or c in meta or not c.startswith(pref):
+                    if _hidden_col(c) or c in meta or not c.startswith(pref):
                         continue
                     out.append((c, self._column(c)))
                 continue
@@ -1343,6 +1343,21 @@ class Binder:
             for part in name.split(".")[1:]:
                 col = col.getField(part)
             return col
+        # a bare name that PREFIXES dotted columns reads the sub-row
+        # (MLDB-2126's `select x` over columns x.a/x.b → row {a, b};
+        # flattened-path columns ARE the structure, Datasets.md):
+        # name-sorted fields, deeper nesting kept as dotted field
+        # names for the wire flattening to expand
+        kids = sorted(c for c in self.columns if c.startswith(name + "."))
+        if kids:
+            return F.struct(
+                *[
+                    (F.col(f"`{c}`") if "." in c else F.col(c)).alias(
+                        c[len(name) + 1:]
+                    )
+                    for c in kids
+                ]
+            )
         # open schema: unknown columns are NULL (ValueExpression.md:24)
         return F.lit(None)
 
@@ -1977,7 +1992,7 @@ class Binder:
                     fields.extend(
                         agg(F.col(f"`{c}`" if "." in c else c)).alias(c)
                         for c in self.columns
-                        if c not in meta and not c.startswith("__")
+                        if c not in meta and not _hidden_col(c)
                     )
                 elif isinstance(fexpr, ast.RowWildcard):
                     excl_e = {x for x in fexpr.excluding if not x.endswith("*")}
@@ -1986,7 +2001,7 @@ class Binder:
                         agg(F.col(f"`{c}`" if "." in c else c)).alias(c)
                         for c in self.columns
                         if c not in meta
-                        and not c.startswith("__")
+                        and not _hidden_col(c)
                         and c.startswith(fexpr.prefix)
                         and c not in excl_e
                         and not any(c.startswith(p) for p in excl_p)
@@ -2294,6 +2309,15 @@ def _render_path_el(el: str) -> str:
     if "." in el or '"' in el:
         return '"' + el.replace('"', '""') + '"'
     return el
+
+
+def _hidden_col(c: str) -> bool:
+    """Engine-internal pseudo columns never match wildcards: bare
+    __-prefixed names (join row names, hidden sort projections) AND
+    join-side-prefixed internals like `t1.__cellsRow` (a cells
+    dataset's row-name column carried through a join for rowName()
+    synthesis — MLDB-801's `select *` must not surface it)."""
+    return c.startswith("__") or c.rsplit(".", 1)[-1].startswith("__")
 
 
 def _pjoin(*els: str) -> str:
@@ -2718,9 +2742,14 @@ class MldbContext:
             if not isinstance(it, ast.ExprItem):
                 continue
             # fn({…}) AS * — spread ALL of a registered function's
-            # outputs into the row (MLDB-1440's `noIgnore({a,b}) as *`)
+            # outputs into the row (MLDB-1440's `noIgnore({a,b}) as *`).
+            # A BARE call (no alias, no [output] accessor) also
+            # spreads, with each output column prefixed by the call's
+            # surface text — the reference's `select bop()` yields
+            # columns `bop().rowName()`, `bop().width` (MLDB-1500),
+            # and `select pwel({x: …})` must bind (MLDB-800).
             if (
-                it.alias == "*"
+                it.alias in ("*", None)
                 and isinstance(it.expr, ast.FunctionCall)
                 and self._lookup_function(it.expr.name) is not None
             ):
@@ -2734,6 +2763,14 @@ class MldbContext:
                             continue  # {*} wildcard: row passes through
                         if isinstance(fexpr, ast.Literal):
                             call_params[field_name] = fexpr.value
+                        elif (
+                            isinstance(fexpr, ast.Param)
+                            and fexpr.name in params
+                        ):
+                            # chained $params (MLDB-800's
+                            # pwel({x:…,y:…}) forwarding $y into
+                            # fwin's $varrr)
+                            call_params[field_name] = params[fexpr.name]
                         if field_name not in df.columns:
                             df = df.withColumn(field_name, abinder.bind(fexpr))
                             arg_cols.append(field_name)
@@ -2741,10 +2778,34 @@ class MldbContext:
                 df = _call_fn(self._lookup_function(fname), df, call_params)
                 applied.add(fname)
                 outs = [c for c in df.columns if c not in before]
+                if outs == ["output"] and dict(df.dtypes)["output"].startswith(
+                    "struct"
+                ):
+                    # a function whose single output is the struct
+                    # column `output` (sql.query entities) spreads its
+                    # FIELDS (MLDB-800: `select patate1({param:'hi'})
+                    # as *` -> column `param`, not a struct column)
+                    fields = list(df.schema["output"].dataType.fieldNames())
+                    for fld in fields:
+                        df = df.withColumn(fld, F.col("output").getField(fld))
+                    df = df.drop("output")
+                    outs = fields
                 if not outs:
                     # identity-shaped function (MLDB-797's
                     # `expression: '*'` chain): output = input row
                     outs = [c for c in df.columns if not c.startswith("__")]
+                if it.alias is None:
+                    # bare call: prefix outputs with the surface text
+                    pfx = (
+                        getattr(it, "surface", None)
+                        or f"{it.expr.raw or fname}({{…}})"
+                    )
+                    renamed = []
+                    for c in outs:
+                        nc = f"{pfx}.{c}"
+                        df = df.withColumnRenamed(c, nc)
+                        renamed.append(nc)
+                    outs = renamed
                 spread_outputs[id(it)] = outs
                 accessed.add(id(it.expr))
                 continue
@@ -3995,8 +4056,8 @@ class MldbContext:
         excl_pref = [x[:-1] for x in wc.excluding if x.endswith("*")]
         picked = []
         # engine-internal pseudo columns (join row names, hidden sort
-        # projections) never match wildcards
-        columns = [c for c in columns if not c.startswith("__")]
+        # projections, side-prefixed cells row names) never match
+        columns = [c for c in columns if not _hidden_col(c)]
         if wc.qualifier:
             # `q.*`: columns living under the join prefix `q.` if any
             # exist, else the qualifier names the relation itself
@@ -4123,7 +4184,7 @@ class MldbContext:
         meta = {binder.row_name_col, binder.ts_col} - {None}
         value_cols = [
             c for c in binder.columns
-            if c not in meta and not c.startswith("__")
+            if c not in meta and not _hidden_col(c)
         ]
         n = 0
         for fname, fexpr in expr.args[0].fields:
@@ -4302,6 +4363,11 @@ class MldbContext:
             (ast.FunctionCall("group_key_element", [ast.Literal(k)]), f"__g{k}")
             for k in range(len(stm.group_by))
         )
+        # grouped rowName() is the JSON-encoded key LIST — '["cat"]',
+        # '[1,2]' — not the bare key (bound_queries.cc:1341-1355's
+        # getGroupRowName; MLDB-1500 pins '["AskReddit"]'). Prepended
+        # so it wins over a GROUP BY rowName() key's own rewrite.
+        key_map.insert(0, (ast.FunctionCall("rowname", []), "__grn"))
         # a ColumnRef key matches select items under ANY qualification
         # spelling — bare, alias-qualified, dotted alias (MLDB-835's
         # `SELECT "a.b" … GROUP BY "q.r"."a.b"`): map every
@@ -4377,6 +4443,22 @@ class MldbContext:
             out = df.select(*group_cols).distinct()
         else:
             out = df.groupBy(*group_cols).agg(*agg_cols)
+        # materialize the grouped row name (JSON key list) for the
+        # rowName() rewrite above; each key renders as a JSON scalar
+        # (strings quoted+escaped, numbers bare, nulls literal)
+        scalars = [
+            F.expr(
+                f"substring(to_json(named_struct('v', `__g{k}`), "
+                f"map('ignoreNullFields', 'false')), 6, "
+                f"length(to_json(named_struct('v', `__g{k}`), "
+                f"map('ignoreNullFields', 'false'))) - 6)"
+            )
+            for k in range(len(stm.group_by))
+        ]
+        out = out.withColumn(
+            "__grn",
+            F.concat(F.lit("["), F.concat_ws(",", *scalars), F.lit("]")),
+        )
         post = Binder(out.columns, binder.params, dtypes=dict(out.dtypes))
         key_cols = [f"__g{k}" for k in range(len(stm.group_by))]
         final = out.select(

@@ -66,7 +66,10 @@ def tokenize_opts(
     import re as _re
 
     base = F.lower(text) if lowercase else text.cast("string")
-    if quote_char is not None:
+    # quoteChar '' means NO quoting (the reference's common
+    # `{quoteChar: ''}` import idiom, MLDB-1873/2188) — an empty q
+    # would render the invalid regex `[^]*`
+    if quote_char:
         # quoted spans survive whole: extract quoted|unquoted runs,
         # then strip the quotes
         q = _re.escape(quote_char)

@@ -353,13 +353,32 @@ class MldbRestServer:
                 elif (
                     parts[:2] == ["v1", "datasets"]
                     and len(parts) == 4
-                    and parts[3] in ("rows", "commit")
+                    and parts[3] in ("rows", "multirows", "columns",
+                                     "multicolumns", "commit")
                 ):
                     # mutable-dataset record path (the reference's
-                    # recordRow/commit lifecycle; MLDB-1267 et al.)
+                    # recordRow/commit lifecycle; MLDB-1267 et al.;
+                    # column-wise + batched variants per MLDB-541)
                     try:
                         if parts[3] == "rows":
                             facade.mldb.record_rows(parts[2], [self._body()])
+                            self._send(200, {})
+                        elif parts[3] == "multirows":
+                            # [[rowName, [[col, v, ts], ...]], ...]
+                            facade.mldb.record_rows(
+                                parts[2],
+                                [{"rowName": r[0], "columns": r[1]}
+                                 for r in self._body()],
+                            )
+                            self._send(200, {})
+                        elif parts[3] == "columns":
+                            body = self._body()
+                            facade.mldb.record_column(
+                                parts[2], body["columnName"], body["rows"]
+                            )
+                            self._send(200, {})
+                        elif parts[3] == "multicolumns":
+                            facade.mldb.record_columns(parts[2], self._body())
                             self._send(200, {})
                         else:
                             facade.mldb.commit_dataset(parts[2])

@@ -544,8 +544,11 @@ def test_registered_function_in_sql(ctx, spark):
     lo = c2.query("SELECT my_clf({x})[score] AS s FROM d ORDER BY x ASC LIMIT 1").collect()[0]["s"]
     assert hi > lo
 
-    with pytest.raises(ValueError, match="output"):
-        c2.query("SELECT my_clf({x}) FROM d LIMIT 1")
+    # a BARE call (no accessor, no alias) spreads the function's
+    # outputs prefixed by the call's surface text — the reference's
+    # `select bop()` -> `bop().width` naming (MLDB-1500, MLDB-800)
+    bare = c2.query("SELECT my_clf({x}) FROM d LIMIT 1")
+    assert [c for c in bare.columns if c.endswith(".score")], bare.columns
 
 
 def test_global_registry_model_auto_visible_in_sql(spark):

@@ -7255,3 +7255,640 @@ def test_mldbfb_320_at_timestamp_in_transform(spark):
     mldb.transform("SELECT uid, ts, 1 @ 0 AS weight FROM fb320", "fb320_res")
     out = mldb.dataset("fb320_res").collect()
     assert len(out) == 1 and out[0]["weight"] == 1
+
+
+def test_mldb_541_record_columns_match_rows(spark):
+    """MLDB-541-record-column.js: the same data recorded row-wise,
+    column-wise (recordColumn), and batched column-wise
+    (recordColumns) commits to indistinguishable datasets."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m541r"})
+    mldb.record_rows(
+        "m541r",
+        [
+            {"rowName": "r1", "columns": [["a", 1.0, 0], ["b", 2.0, 0]]},
+            {"rowName": "r2", "columns": [["a", 3.0, 0]]},
+        ],
+    )
+    mldb.commit_dataset("m541r")
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m541c"})
+    mldb.record_column("m541c", "a", [["r1", 1.0, 0], ["r2", 3.0, 0]])
+    mldb.record_column("m541c", "b", [["r1", 2.0, 0]])
+    mldb.commit_dataset("m541c")
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m541m"})
+    mldb.record_columns(
+        "m541m",
+        [["a", [["r1", 1.0, 0], ["r2", 3.0, 0]]], ["b", [["r1", 2.0, 0]]]],
+    )
+    mldb.commit_dataset("m541m")
+    ref = sorted(
+        tuple(r) for r in mldb.query("SELECT * FROM m541r").collect()
+    )
+    for name in ("m541c", "m541m"):
+        got = sorted(
+            tuple(r) for r in mldb.query(f"SELECT * FROM {name}").collect()
+        )
+        assert got == ref
+    with pytest.raises(ValueError, match="empty column names"):
+        mldb.create_entity(
+            "dataset", {"type": "sparse.mutable", "id": "m541e"}
+        )
+        mldb.record_column("m541e", "", [["r1", 1.0, 0]])
+
+
+def test_mldb_1267_bucketize_percentiles_and_timestamp(spark):
+    """MLDB-1267-bucketize-ts-test.py: the bucketize procedure
+    assigns ordered rows to named percentile buckets and stamps every
+    output cell with the global max order-by timestamp —
+    latest_timestamp({*}) over the output equals the newest input
+    cell's timestamp (1970-01-01T00:00:06Z)."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "binput"})
+    mldb.record_rows("binput", [{"rowName": "row1", "columns": [["score", 5, 6]]}])
+    mldb.record_rows("binput", [{"rowName": "row2", "columns": [["score", 1, 5]]}])
+    mldb.commit_dataset("binput")
+    mldb.put_procedure(
+        "buck",
+        {
+            "type": "bucketize",
+            "params": {
+                "inputData": "SELECT * FROM binput ORDER BY score",
+                "outputDataset": {"id": "boutput", "type": "sparse.mutable"},
+                "percentileBuckets": {"b1": [0, 50], "b2": [50, 100]},
+                "runOnCreation": True,
+            },
+        },
+    )
+    out = mldb.query(
+        "SELECT bucket, latest_timestamp({*}) AS lts FROM boutput "
+        "ORDER BY rowName()"
+    ).collect()
+    assert [(r["bucket"],) for r in out] == [("b2",), ("b1",)]
+    for r in out:
+        assert r["lts"].isoformat().startswith("1970-01-01T00:00:06")
+
+
+def test_mldb_801_theta_join_through_transform(spark):
+    """MLDB-801-from-table-expression.js: a join with a theta
+    condition (`t1.x = t2.x AND t1.y IS NOT NULL`) over sparse
+    datasets keeps exactly the surviving pair, with subtable-prefixed
+    column names and the [left]-[right] row name, through a transform
+    procedure."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    for did, rows in (
+        ("t801a", [("ex1", [["x", 1, 0], ["y", 2, 0]]),
+                   ("ex2", [["x", 2, 0], ["z", 4, 0]]),
+                   ("ex3", [["z", 3, 0]])]),
+        ("t801b", [("ex4", [["x", 1, 0], ["z", 2, 0]]),
+                   ("ex5", [["x", 2, 0], ["z", 2, 0]]),
+                   ("ex6", [["z", 3, 0]])]),
+    ):
+        mldb.create_entity("dataset", {"type": "sparse.mutable", "id": did})
+        mldb.record_rows(
+            did, [{"rowName": rn, "columns": cols} for rn, cols in rows]
+        )
+        mldb.commit_dataset(did)
+    mldb.transform(
+        "select * from t801a join t801b "
+        "on t801a.x = t801b.x and t801a.y is not null",
+        "t801out",
+    )
+    out = mldb.query(
+        "SELECT *, rowName() AS __rn FROM t801out"
+    ).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    non_null = {k: v for k, v in row.items()
+                if v is not None and k != "__rn"}
+    assert non_null == {"t801a.x": 1.0, "t801a.y": 2.0,
+                        "t801b.x": 1.0, "t801b.z": 2.0}
+    assert row["__rn"] == "[ex1]-[ex4]"
+
+
+def test_mldb_434_null_cell_keeps_numeric_columns(spark):
+    """MLDB-434-beh-dataset-nulls.js: recording a NULL cell next to
+    numeric cells round-trips — the row shows label NULL while x/y
+    stay numeric (a null must not flip the dataset to strings)."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m434"})
+    rows = [("ex00", 0, 0, 0), ("ex10", 1, 0, 1), ("ex01", 0, 1, 1),
+            ("ex111", 1, 1, 1), ("ex110", 1, 1, 0), ("ex112", 1, 1, None)]
+    mldb.record_rows(
+        "m434",
+        [{"rowName": rn,
+          "columns": [["x", x, 0], ["y", y, 0], ["label", lb, 0]]}
+         for rn, x, y, lb in rows],
+    )
+    mldb.commit_dataset("m434")
+    out = mldb.query(
+        "SELECT x, y, label FROM m434 WHERE rowName() = 'ex112'"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["x"] == 1.0 and out[0]["y"] == 1.0
+    assert out[0]["label"] is None
+
+
+def test_mldb_800_sql_query_params_and_nesting(mldb):
+    """MLDB-800-nested_sql_query.py (+MLDBFB-480/MLDB-1573/1574):
+    sql.query FIRST_ROW functions with $params, over subqueries, over
+    row_dataset, with aggregates, and nested two-deep."""
+    _ds(
+        mldb,
+        "ds800",
+        [(f"row_{i}", "row_0", i * 2) for i in range(5)],
+        "rn string, x string, y int",
+    )
+    # MLDBFB-480: $param through FIRST_ROW, direct and via subquery
+    mldb.create_sql_query_function(
+        "patate1", "select $param as param from ds800", output="FIRST_ROW"
+    )
+    out = mldb.query("select patate1({param: 'hi'}) as *")
+    assert [tuple(r) for r in out.select("param").collect()] == [("hi",)]
+    mldb.create_sql_query_function(
+        "patate2",
+        "select * from ( select $param as param from ds800 )",
+        output="FIRST_ROW",
+    )
+    out = mldb.query("select patate2({param: 'hi'}) as *")
+    assert [tuple(r) for r in out.select("param").collect()] == [("hi",)]
+    # MLDB-1573: FIRST_ROW over row_dataset through a subquery
+    mldb.create_sql_query_function(
+        "patate73",
+        "select * from (select * from row_dataset({x: 1, y:2, z: 'three'}))",
+        output="FIRST_ROW",
+    )
+    out = mldb.query("select patate73() as *")
+    row = out.collect()[0].asDict()
+    # mixed-type row literals keep a STRING value column (documented
+    # variant-cell fallback, see row_dataset in translate.py — the
+    # reference's JSON shows the numeric 1; CAST(value AS NUMBER)
+    # recovers it)
+    assert row.get("column") == "x" and row.get("value") == "1"
+    # MLDB-1574: FIRST_ROW with an aggregate over row_dataset
+    mldb.create_sql_query_function(
+        "patate74",
+        "select avg(value) as a from (select * from row_dataset({x: 1, y:2, z: 3}))",
+        output="FIRST_ROW",
+    )
+    out = mldb.query("select patate74() as *")
+    assert out.collect()[0]["a"] == 2.0
+    # nested two-deep with chained params (the binding-crash repro)
+    mldb.create_sql_query_function(
+        "fwin800", "select $varrr as hoho from ds800 limit 1"
+    )
+    mldb.create_sql_query_function(
+        "pwel800",
+        "select fwin800({varrr: $y}) from ds800 where rowName() = $x",
+    )
+    out = mldb.query("select pwel800({x:'row_2', y:'prout'}) from ds800")
+    assert out.count() == 5
+
+
+def test_mldb_1500_transpose_groupby_rowname(spark):
+    """MLDB-1500-transpose-query.js: sum(horizontal_count({*})) over
+    transpose(ds) GROUP BY rowName() with desc/asc ordering; the
+    grouped rowName() renders the JSON key list ('["AskReddit"]' —
+    bound_queries.cc getGroupRowName); the same query as an sql.query
+    function surfaces `bop().rowName()` / `bop().width` columns; a
+    non-aggregator ORDER BY with GROUP BY is an error."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "r1500"})
+    docs = {"d1": ["AskReddit", "funny"], "d2": ["AskReddit"],
+            "d3": ["AskReddit", "funny", "rare"], "d4": ["AskReddit", "funny"]}
+    mldb.record_rows(
+        "r1500",
+        [{"rowName": rn, "columns": [[t, 1, 0] for t in toks]}
+         for rn, toks in docs.items()],
+    )
+    mldb.commit_dataset("r1500")
+    def base(d):
+        return (
+            "select rowName() as rn, sum(horizontal_count({*})) as width "
+            "from transpose(r1500) group by rowName() "
+            "order by sum(horizontal_count({*})) " + d + ", rowName() limit 2"
+        )
+    out = mldb.query(base("desc")).collect()
+    assert [(r["rn"], r["width"]) for r in out] == [
+        ('["AskReddit"]', 4), ('["funny"]', 3)]
+    out = mldb.query(base("asc")).collect()
+    assert [(r["rn"], r["width"]) for r in out] == [
+        ('["rare"]', 1), ('["funny"]', 3)]
+    mldb.create_sql_query_function(
+        "bop1500",
+        "select rowName(), sum(horizontal_count({*})) as width "
+        "from transpose(r1500) group by rowName() "
+        "order by sum(horizontal_count({*})) desc, rowName() limit 2",
+    )
+    out = mldb.query("select bop1500()")
+    assert out.columns == ["bop1500().rowName()", "bop1500().width"]
+    row = out.collect()[0]
+    assert row["bop1500().rowName()"] == '["AskReddit"]'
+    assert row["bop1500().width"] == 4
+    with pytest.raises(ValueError, match="neither an aggregate"):
+        mldb.query(
+            "select sum(horizontal_count({*})) as width from "
+            "transpose(r1500) group by rowName() "
+            "order by horizontal_count({*}) asc limit 2"
+        ).collect()
+
+
+def test_mldb_581_sparse_format_determinism(spark):
+    """MLDB-581-multiple-select.js: the same query rendered twice in
+    the REST sparse format is byte-identical (row and column
+    iteration order is stable)."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.rest import render_rows
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m581"})
+    mldb.record_rows(
+        "m581",
+        [{"rowName": f"r{i}",
+          "columns": [[f"c{j}", 1, 0] for j in range(i % 4 + 1)]}
+         for i in range(20)],
+    )
+    mldb.commit_dataset("m581")
+    def run():
+        df = mldb.query("SELECT * FROM m581 ORDER BY rowName() LIMIT 10")
+        return render_rows(df.collect(), df.columns, fmt="sparse")
+    assert run() == run()
+
+
+def test_mldbfb_509_nonprintable_chars(spark):
+    """MLDBFB-509_pushed_non_printable_char_cant_query.py: control
+    characters in row names, column names, and cell values round-trip
+    through record/commit/query and through the REST JSON render."""
+    import json
+
+    from mldb_spark.api import Mldb
+    from mldb_spark.rest import render_rows
+
+    mldb = Mldb(spark)
+    bad = "coco" + chr(17)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "fb509a"})
+    mldb.record_rows("fb509a", [{"rowName": bad, "columns": [["colA", 1, 0]]}])
+    mldb.commit_dataset("fb509a")
+    out = mldb.query("SELECT colA, rowName() AS rn FROM fb509a").collect()
+    assert [(r["colA"], r["rn"]) for r in out] == [(1.0, bad)]
+
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "fb509b"})
+    mldb.record_rows("fb509b", [{"rowName": "row1", "columns": [[bad, 1, 0]]}])
+    mldb.commit_dataset("fb509b")
+    df = mldb.query("SELECT * FROM fb509b")
+    assert df.columns == [bad]
+    assert df.collect()[0][bad] == 1.0
+
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "fb509c"})
+    mldb.record_rows(
+        "fb509c", [{"rowName": "row1", "columns": [["colA", bad, 0]]}]
+    )
+    mldb.commit_dataset("fb509c")
+    df = mldb.query("SELECT * FROM fb509c")
+    rendered = render_rows(df.collect(), df.columns)
+    # the control char must survive JSON encoding
+    assert json.loads(json.dumps(rendered))[0]["columns"][0][1] == bad
+
+
+def test_mldbfb_336_select_star_without_from_errors(mldb):
+    """MLDBFB-336-sample_test.py: `SELECT *` with no FROM is a query
+    error (the reference 400s with 'must override getAllColumns');
+    plain column selects answer fine."""
+    _ds(mldb, "m336", [("a", 1)], "rn string, x int")
+    assert _q(mldb, "select x from m336") == [(1,)]
+    with pytest.raises(ValueError, match="FROM"):
+        mldb.query("SELECT *").collect()
+
+
+def test_mldb_1873_bow_accessor_spread(mldb):
+    """MLDB-1873_encoding_unknown_column.py: the
+    `bow({msg})[bow] as *` pattern — an sql.expression producing a
+    tokenize bag, applied with an output accessor and spread into
+    open-schema columns (+ the quoteChar:'' no-quoting idiom, which
+    used to render the invalid regex [^]*)."""
+    _ds(
+        mldb,
+        "m1873",
+        [("r1", "hello world hello"), ("r2", "spam spam eggs")],
+        "rn string, msg string",
+    )
+    mldb.create_sql_expression_function(
+        "bow1873",
+        "tokenize(msg, {splitChars: ' ,#', quoteChar: ''}) as bow",
+    )
+    out = mldb.query(
+        "select bow1873({msg})[bow] as * from m1873 order by rowName()"
+    )
+    assert sorted(out.columns) == ["eggs", "hello", "spam", "world"]
+    rows = out.collect()
+    assert (rows[0]["hello"], rows[0]["world"]) == (2, 1)
+    assert (rows[1]["spam"], rows[1]["eggs"]) == (2, 1)
+
+
+def test_mldb_2188_label_in_features_is_an_error(spark):
+    """MLDB-2188-label_feature_validation.py: a dataset column used
+    as the label cannot also be a feature -- config error with the
+    reference's message."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    _ds(
+        mldb,
+        "m2188",
+        [("r%d" % i, float(i), float(i % 3), float(i >= 5)) for i in range(10)],
+        "rn string, f1 double, theme double, label double",
+    )
+    with pytest.raises(ValueError, match="both label and feature"):
+        mldb.create_entity(
+            "procedure",
+            {
+                "type": "classifier.train",
+                "id": "t2188",
+                "params": {
+                    "trainingData":
+                        "SELECT {theme} as features, theme as label FROM m2188",
+                    "mode": "boolean",
+                },
+            },
+        )
+    # the legitimate shape still trains
+    mldb.create_entity(
+        "procedure",
+        {
+            "type": "classifier.train",
+            "id": "t2188b",
+            "params": {
+                "trainingData":
+                    "SELECT {f1, theme} as features, label FROM m2188",
+                "functionName": "clf2188",
+            },
+        },
+    )
+
+
+def test_mldb_565_regression_glz_linear(spark):
+    """MLDB-565-classifier-details.js: classifier.train in regression
+    mode (glz, linear link) on y = x recovers the line; the trained
+    function applied from SQL predicts unseen x."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    _ds(
+        mldb,
+        "m565",
+        [("ex%d" % i, float(i), float(i)) for i in range(4)],
+        "rn string, x double, y double",
+    )
+    mldb.create_entity(
+        "procedure",
+        {
+            "type": "classifier.train",
+            "id": "t565",
+            "params": {
+                "trainingData": "select {x} as features, y as label from m565",
+                "algorithm": "glz",
+                "mode": "regression",
+                "functionName": "cls565",
+            },
+        },
+    )
+    out = mldb.query(
+        "SELECT cls565({x})[score] AS s FROM (SELECT 2.5 AS x)"
+    ).collect()
+    assert abs(out[0]["s"] - 2.5) < 0.05
+
+
+def test_mldb_173_categorical_glz_predictions(spark):
+    """MLDB-173-multiclass.js (+MLDB-885): classifier.train in
+    categorical mode on a separable 2-feature rule; the trained
+    function's [predicted] matches the label and the per-class
+    [scores.<label>] accessor extracts that class's score."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    _ds(
+        mldb,
+        "m173",
+        [("ex1", 0.0, 0.0, "cat"), ("ex2", 1.0, 1.0, "dog"),
+         ("ex3", 0.1, 0.1, "cat"), ("ex4", 0.9, 0.9, "dog")],
+        "rn string, x double, y double, label string",
+    )
+    mldb.create_entity(
+        "procedure",
+        {
+            "type": "classifier.train",
+            "id": "t173",
+            "params": {
+                "trainingData":
+                    "select {x, y} as features, label from m173",
+                "algorithm": "glz",
+                "mode": "categorical",
+                "functionName": "cls173",
+            },
+        },
+    )
+    out = mldb.query(
+        "SELECT label, cls173({x, y})[predicted] AS p, "
+        "cls173({x, y})[scores.cat] AS sc FROM m173 ORDER BY rowName()"
+    ).collect()
+    assert [r["p"] for r in out] == [r["label"] for r in out]
+    # the 'cat' class score is higher for cat rows than dog rows
+    assert min(r["sc"] for r in out if r["label"] == "cat") > max(
+        r["sc"] for r in out if r["label"] == "dog"
+    )
+
+
+def test_mldb_297_300_script_environment(mldb):
+    """MLDB-297-can-use-datetime.py + MLDB-300_function_scope.py:
+    script.run scripts can import stdlib modules and call nested
+    user-defined functions (scope chain)."""
+    out = mldb.run_script(source=(
+        "from datetime import datetime\n"
+        "def test1():\n"
+        "    return datetime(2015, 1, 1).year\n"
+        "def test2():\n"
+        "    return test1()\n"
+        "result = test2()\n"
+    ))
+    assert out == 2015
+
+
+def test_mldb_285_kmeans_function(spark):
+    """MLDB-285-kmeans-function.js: kmeans.train on two diagonal
+    gaussian blobs — 2 centroids near (-1,-1)/(1,1) (each on the
+    diagonal), the trained function separates opposite points, and
+    the SQL application assigns each blob's rows to one cluster."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    rows = []
+    for i in range(200):
+        off = ((i % 9) - 4) * 0.05  # deterministic +-0.2 jitter
+        off2 = ((i % 7) - 3) * 0.05
+        rows.append(("row0_%d" % i, -1.0 + off, -1.0 + off2))
+        rows.append(("row1_%d" % i, 1.0 + off, 1.0 + off2))
+    _ds(mldb, "gauss285", rows, "rn string, x double, y double")
+    mldb.create_entity(
+        "procedure",
+        {
+            "type": "kmeans.train",
+            "id": "kmeans285",
+            "params": {
+                "trainingData": "select x, y from gauss285",
+                "numClusters": 2,
+                "centroidsDataset": {"id": "kmeans285_centroids"},
+                "functionName": "kmeans285",
+            },
+        },
+    )
+    cent = mldb.query("select x, y from kmeans285_centroids").collect()
+    assert len(cent) == 2
+    for r in cent:
+        assert abs(r["x"] - r["y"]) < 0.1  # centroids on the diagonal
+    assert {round(r["x"]) for r in cent} == {-1, 1}
+    out = mldb.query(
+        "select rowName() as rn, kmeans285({{x, y} as embedding})[cluster] "
+        "as cluster from gauss285"
+    ).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["rn"].split("_")[0], set()).add(r["cluster"])
+    assert len(by_blob["row0"]) == 1 and len(by_blob["row1"]) == 1
+    assert by_blob["row0"] != by_blob["row1"]
+
+
+def test_mldb_687_svd_embed_row_single_column(spark):
+    """MLDB-687-svd-embed-row-single-column.js: svd.embedRow applied
+    to a row carrying only ONE of the trained columns (x, no y) must
+    answer — missing columns contribute zero, never error."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+    mldb = Mldb(spark)
+    _ds(
+        mldb,
+        "m687",
+        [("row1", 1.0, 1.0), ("row2", 1.0, 2.0)],
+        "rn string, x double, y double",
+    )
+    mldb.create_entity(
+        "procedure",
+        {
+            "type": "svd.train",
+            "id": "svd687",
+            "params": {
+                "trainingData": "select x, y from m687",
+                "numSingularValues": 2,
+                "functionName": "svd687",
+            },
+        },
+    )
+    single = spark.createDataFrame(
+        [("r", "x", 2.0)], "row_id string, column string, value double"
+    )
+    out = GLOBAL_REGISTRY.apply("svd687.embedRow", single).collect()
+    assert len(out) == 1
+    emb = out[0]["embedding"]
+    assert len(emb) >= 1 and all(e == e for e in emb)  # finite, no NaN
+
+
+def test_mldb_2126_export_structured(mldb, tmp_path):
+    """MLDB-2126-export-structured.py: `select x as x` over dotted
+    columns x.a/x.b reads the SUB-ROW, and export.csv flattens it
+    back to dotted-path headers x.a,x.b."""
+    from mldb_spark.sources.text_io import export_csv
+
+    df = mldb.spark.createDataFrame([("0", 1, 2)], ["rn", "x.a", "x.b"])
+    mldb.create_dataset("m2126", df, row_name_col="rn")
+    out = mldb.query("select x as x from m2126")
+    path = str(tmp_path / "m2126csv")
+    export_csv(out, path, single_file=True)
+    import glob
+
+    files = glob.glob(path + "/*.csv") or glob.glob(path + "/part-*")
+    with open(files[0]) as f:
+        lines = [ln.rstrip("\n") for ln in f]
+    assert lines == ["x.a,x.b", "1,2"]
+
+
+def test_mldb_2166_mime_type(mldb):
+    """MLDB-2166_mime_type.py: mime_type() sniffs a JPEG blob
+    (fetcher()[content] shape); a non-blob argument is an error."""
+    df = mldb.spark.createDataFrame(
+        [(bytearray(b"\xff\xd8\xff\xe0JFIF-ish payload"),)], "content binary"
+    )
+    mldb.create_dataset("m2166", df)
+    out = mldb.query(
+        "select regex_search(mime_type(content), 'jpeg') as mime from m2166"
+    ).collect()
+    assert out[0]["mime"] == 1
+    with pytest.raises(Exception):
+        mldb.query("select mime_type(123) as mime from m2166").collect()
+
+
+def test_mldb_620_classifier_test_config_error(spark):
+    """MLDB-620-nonexistant-dataset-messages.js: classifier.test with
+    an empty/invalid testingData is a 400-style config error naming
+    the required score/label outputs, not a crash."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    with pytest.raises((ValueError, KeyError)):
+        mldb.create_entity(
+            "procedure",
+            {"type": "classifier.test", "id": "t620", "params": {
+                "testingData": {}}},
+        )
+
+
+def test_mldb_1364_failed_create_does_not_squat_id(spark):
+    """MLDB-1364_dataset_cant_be_overwritten.py: creating a merged
+    dataset over a nonexistent member FAILS without registering the
+    target id — a later procedure can still write its output there."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m1364"})
+    mldb.record_rows(
+        "m1364",
+        [{"rowName": "a", "columns": [["x", 1, 0]]},
+         {"rowName": "b", "columns": [["x", 2, 0], ["y", 25, 0]]},
+         {"rowName": "c", "columns": [["y", 3, 0]]}],
+    )
+    mldb.commit_dataset("m1364")
+    with pytest.raises(ValueError, match="does not exist"):
+        mldb.create_entity(
+            "dataset",
+            {"type": "merged", "id": "not_yet_created_1364",
+             "params": {"datasets": [{"id": "m1364"},
+                                     {"id": "no_such_ds_1364"}]}},
+        )
+    # the id is still free: a procedure output can claim it
+    mldb.create_entity(
+        "procedure",
+        {"type": "svd.train", "id": "svd1364", "params": {
+            "trainingData": "select * from m1364",
+            "numSingularValues": 1,
+            "rowOutputDataset": "not_yet_created_1364"}},
+    )
+    assert mldb.dataset("not_yet_created_1364").count() == 3
+    # and a VALID merged creation works
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m1364b"})
+    mldb.record_rows("m1364b", [{"rowName": "a", "columns": [["z", 9, 0]]}])
+    mldb.commit_dataset("m1364b")
+    mldb.create_entity(
+        "dataset",
+        {"type": "merged", "id": "merged1364",
+         "params": {"datasets": ["m1364", "m1364b"]}},
+    )
+    out = mldb.query("select * from merged1364 order by rowName()")
+    assert out.count() == 3 and "z" in out.columns

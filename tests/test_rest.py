@@ -519,3 +519,32 @@ def test_mutable_dataset_record_commit(spark):
         assert out[0]["ts"].isoformat().startswith("1970-01-01T00:00:06")
     finally:
         srv.stop()
+
+
+def test_mldb_1869_payloads_with_trailing_newlines(spark):
+    """MLDB-1869_json_payload_test.py: JSON bodies terminated with
+    \\n or \\r\\n (and multi-line bodies) parse fine on PUT."""
+    import urllib.request
+
+    from mldb_spark.api import Mldb
+    from mldb_spark.rest import MldbRestServer
+
+    m = Mldb(spark)
+    srv = MldbRestServer(m).start()
+    try:
+        for did, raw in (
+            ("ds1869a", b'{"type" : "sparse.mutable"}'),
+            ("ds1869b", b'{"type" : "sparse.mutable"}\n'),
+            ("ds1869c", b'{\n"type" : "sparse.mutable"\n}\n'),
+            ("ds1869d", b'{"type" : "sparse.mutable"}\r\n'),
+            ("ds1869e", b'{\r\n"type" : "sparse.mutable"\r\n}\r\n'),
+        ):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/v1/datasets/{did}",
+                data=raw, method="PUT",
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                assert 200 <= r.status < 400
+    finally:
+        srv.stop()

@@ -180,13 +180,39 @@ def replicate_embeddings(emb, k: int):
 def probe_embedding_ops(spark, emb):
     """semantic_dedup (qa24's shape, VERDICT r6 #5): banding shuffle
     over the corpus + component resolution on the pair set."""
-    from mldb_spark.similarity import seeded_planes, semantic_dedup
+    from mldb_spark.similarity import (
+        embedding_neighbors_batch,
+        seeded_planes,
+        semantic_dedup,
+    )
 
     planes = seeded_planes(64)
+
+    def neighbors_batch():
+        # 64 query points broadcast over ONE corpus scan (VERDICT r7
+        # #6): wall time should track the CORPUS size (the scan),
+        # not queries x corpus. Scalar coordinate columns — the
+        # operator's per-dimension contract (tests/test_plans.py:358).
+        dims = 16
+        ds = emb.select(
+            "vec_id",
+            *[F.col("embedding")[i].alias(f"e{i}") for i in range(dims)],
+        )
+        qs = (
+            ds.filter(F.col("vec_id") % 157 == 3)
+            .limit(64)
+            .select(F.col("vec_id").alias("query_id"),
+                    *[f"e{i}" for i in range(dims)])
+        )
+        return embedding_neighbors_batch(
+            ds, qs, row_name_col="vec_id", num_neighbors=10
+        )
+
     return {
         "semantic_dedup": lambda: semantic_dedup(
             emb, threshold=0.4, planes=planes, bands=4
         ),
+        "neighbors_batch": neighbors_batch,
     }
 
 
@@ -204,7 +230,22 @@ def probe_sql_ops(spark, docs):
             "shingleWords: 3}))"
         )
 
-    return {"dedup_chain_sql": dedup_chain_sql}
+    def corpus_chain_sql():
+        # qa25's chained corpus SQL (VERDICT r7 #6): two
+        # single-shuffle FROM-clause passes + one equi-join on doc id
+        ctx = MldbContext(spark)
+        ctx.register("documents", docs)
+        return ctx.query(
+            "SELECT u.doc_id AS doc_id, r.n_words AS n_words, "
+            "u.avg_logprob AS avg_logprob, r.passes AS passes "
+            "FROM unigram_logprob_scores(documents) AS u "
+            "JOIN repetition_signals(documents) AS r ON u.doc_id = r.doc_id"
+        )
+
+    return {
+        "dedup_chain_sql": dedup_chain_sql,
+        "corpus_chain_sql": corpus_chain_sql,
+    }
 
 
 def main() -> None:
