@@ -95,6 +95,41 @@ class Mldb:
             )
         return sql
 
+    def _query_with_row_name(
+        self, sql: str, params: dict[str, object] | None = None
+    ) -> "tuple[DataFrame, str | None]":
+        """Run a query and carry its row identity out: the reference's
+        procedures write output rows under the INPUT row names by
+        default (transform_dataset defaults the name to rowName() —
+        MLDB-801's `select * from a join b` transform keeps the
+        [left]-[right] names; classifier.test's output dataset keeps
+        the test example names). When the result has no rowName
+        column, attach one NON-destructively as a hidden __rowName
+        (wildcards over the registered output never see it; the
+        output's rowName() reads it). Sources without row-name
+        metadata fall back to (df, None)."""
+        out = self.query(sql, params)
+        if "rowName" in out.columns:
+            return out, "rowName"
+        try:
+            from mldb_spark.dialect import ast as _ast
+            from mldb_spark.dialect.parser import parse_statement
+
+            stm = parse_statement(sql)
+            if stm.named is None and stm.from_ is not None and not stm.group_by:
+                stm.select.append(
+                    _ast.ExprItem(
+                        _ast.FunctionCall("rowname", [], raw="rowName"),
+                        "__rowName",
+                    )
+                )
+                named = self.ctx._statement(stm, params or {})
+                if "__rowName" in named.columns:
+                    return named, "__rowName"
+        except Exception:
+            pass
+        return out, None
+
     def transform(
         self,
         input_sql: "str | dict",
@@ -107,40 +142,8 @@ class Mldb:
         Writing to a real table is the caller's `.write` away — the
         registered result stays a lazy plan until acted on."""
         sql = self._input_spec_to_sql(input_sql)
-        out = self.query(sql, params)
-        rn = "rowName" if "rowName" in out.columns else None
-        if rn is None:
-            # the reference's transform writes output rows under the
-            # INPUT row names by default (transform_dataset defaults
-            # the name to rowName()) — MLDB-801's `select * from a
-            # join b` transform carries the [left]-[right] names.
-            # Attach them NON-destructively as a hidden __rowName
-            # column (wildcards over the output never see it; the
-            # output's rowName() reads it). Sources without row-name
-            # metadata fall back to the anonymous path.
-            try:
-                from mldb_spark.dialect import ast as _ast
-                from mldb_spark.dialect.parser import parse_statement
-
-                stm = parse_statement(sql)
-                if (
-                    stm.named is None
-                    and stm.from_ is not None
-                    and not stm.group_by
-                ):
-                    stm.select.append(
-                        _ast.ExprItem(
-                            _ast.FunctionCall("rowname", [], raw="rowName"),
-                            "__rowName",
-                        )
-                    )
-                    named = self.ctx._statement(stm, params or {})
-                    if "__rowName" in named.columns:
-                        out, rn = named, "__rowName"
-            except Exception:
-                pass
+        out, rn = self._query_with_row_name(sql, params)
         if skip_empty_rows:
-            from pyspark.sql import functions as F
 
             non_null = None
             for c in out.columns:
@@ -911,7 +914,6 @@ class Mldb:
                 # temporal filter hits the cells before training.
                 if "trainingData" not in params:
                     raise ValueError("You need to define trainingData")
-                from pyspark.sql import functions as F
 
                 tdf = self.query(self._require_from(params["trainingData"]))
                 if "features" not in tdf.columns or "label" not in tdf.columns:
@@ -986,7 +988,6 @@ class Mldb:
                 # the embedding
                 if "trainingData" not in params:
                     raise ValueError("You need to define trainingData")
-                from pyspark.sql import functions as F
 
                 tdf = self.query(self._require_from(params["trainingData"]))
                 feat_cols = [
@@ -1057,7 +1058,6 @@ class Mldb:
                 # (svd) or stacks into an embedding (tsne)
                 if "trainingData" not in params:
                     raise ValueError("You need to define trainingData")
-                from pyspark.sql import functions as F
 
                 tdf = self.query(self._require_from(params["trainingData"]))
                 feat_cols = [
@@ -1220,6 +1220,11 @@ class Mldb:
                         ]
                         flat = tdf.select(
                             F.col("label"),
+                            *(
+                                [F.col("weight")]
+                                if "weight" in tdf.columns
+                                else []
+                            ),
                             *[
                                 F.col("score").getField(n).alias(n)
                                 for n in fields
@@ -1233,7 +1238,12 @@ class Mldb:
                             "classifier.test categorical mode needs a "
                             "'score' row of per-class scores"
                         )
-                    stats = categorical_statistics(scored)
+                    stats = categorical_statistics(
+                        scored,
+                        weight_col=(
+                            "weight" if "weight" in scored.columns else None
+                        ),
+                    )
                     status = {
                         "labelStatistics": {
                             r["label"]: {
@@ -1248,8 +1258,46 @@ class Mldb:
                         "weightedStatistics": weighted_statistics(stats),
                     }
                 else:
-                    row = classifier_test(tdf, mode=mode).collect()[0]
-                    status = row.asDict()
+                    wcol = "weight" if "weight" in tdf.columns else None
+                    if mode == "boolean" and params.get("outputDataset"):
+                        # the boolean test's threshold-sweep table
+                        # (test_classifier_test_proc.py truth rows),
+                        # rows named like the test examples
+                        from mldb_spark.ml.procedures import (
+                            classifier_test_roc,
+                        )
+
+                        named, nrn = self._query_with_row_name(
+                            self._require_from(params["testingData"])
+                        )
+                        spec = params["outputDataset"]
+                        oid = (
+                            spec["id"] if isinstance(spec, dict) else spec
+                        )
+                        self.create_dataset(
+                            oid,
+                            classifier_test_roc(
+                                named, weight_col=wcol, row_name_col=nrn
+                            ),
+                            row_name_col="__rowName" if nrn else None,
+                        )
+                    row = classifier_test(
+                        tdf, mode=mode, weight_col=wcol
+                    ).collect()[0]
+                    if mode == "regression":
+                        d = row.asDict()
+                        status = {
+                            "quantileErrors": {
+                                "0.25": d["quantile_err_25"],
+                                "0.5": d["quantile_err_50"],
+                                "0.75": d["quantile_err_75"],
+                                "0.9": d["quantile_err_90"],
+                            },
+                            "mse": d["mse"],
+                            "r2": d["r2"],
+                        }
+                    else:
+                        status = row.asDict()
             elif etype == "tfidf.train":
                 # tfidf.train (plugins/nlp/tfidf.cc:145-257): count
                 # per-term document frequency from the trainingData
@@ -1257,7 +1305,6 @@ class Mldb:
                 # rows named by term with a `count` column.
                 if "trainingData" not in params:
                     raise ValueError("You need to define trainingData")
-                from pyspark.sql import functions as F
 
                 tdf = self.query(self._require_from(params["trainingData"]))
                 if {"row", "column"}.issubset(tdf.columns):

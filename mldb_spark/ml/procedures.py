@@ -273,6 +273,7 @@ def classifier_test(
     label_col: str = "label",
     score_col: str = "score",
     mode: str = "boolean",
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """classifier.test: AUC + accuracy dataset (accuracy.cc:1006).
     AUC computed EXACTLY via the rank-sum identity over distinct
@@ -287,47 +288,54 @@ def classifier_test(
     returns the confusion matrix (label, predicted, count) — one
     groupBy shuffle."""
     if mode == "regression":
-        # single partial-aggregable pass: r2 from the sufficient
-        # statistics (SStot = sum(y^2) - (sum y)^2 / n)
-        return (
-            scored.select(
-                F.col(label_col).cast("double").alias("y"),
-                F.col(score_col).cast("double").alias("p"),
-            )
-            .agg(
-                F.avg((F.col("p") - F.col("y")) ** 2).alias("mse"),
-                F.sum((F.col("p") - F.col("y")) ** 2).alias("__ssres"),
-                F.sum(F.col("y") * F.col("y")).alias("__syy"),
-                F.sum("y").alias("__sy"),
-                F.count(F.lit(1)).alias("__n"),
-                F.percentile(F.abs(F.col("p") - F.col("y")), F.lit(0.5)).alias(
-                    "quantile_err_50"
-                ),
-                F.percentile(F.abs(F.col("p") - F.col("y")), F.lit(0.9)).alias(
-                    "quantile_err_90"
-                ),
-            )
-            .select(
-                "mse",
-                # zero-variance targets (MLDB-174 test_r2_edge): a
-                # perfect constant prediction scores 1, an imperfect
-                # one 0 — never NaN from the 0/0
-                F.when(
-                    F.col("__syy") - F.col("__sy") * F.col("__sy") / F.col("__n")
-                    <= F.lit(0.0),
-                    F.when(F.col("__ssres") <= F.lit(0.0), F.lit(1.0)).otherwise(
-                        F.lit(0.0)
-                    ),
-                )
-                .otherwise(
-                    1
-                    - F.col("__ssres")
-                    / (F.col("__syy") - F.col("__sy") * F.col("__sy") / F.col("__n"))
-                )
-                .alias("r2"),
-                "quantile_err_50",
-                "quantile_err_90",
-            )
+        # weighted sufficient statistics in one partial-aggregable
+        # pass (r2: SStot = Σw·y² − (Σw·y)²/Σw); quantile errors are
+        # the reference's exact contract (accuracy.cc:785,945):
+        # RELATIVE errors |(p−y)/y|, UNWEIGHTED, picked at sorted
+        # index int((n−1)·q) — no interpolation, so computed by a
+        # row_number selection (one sort of the error column; at
+        # corpus scale swap in approx_percentile).
+        w = (
+            F.col(weight_col).cast("double")
+            if weight_col
+            else F.lit(1.0)
+        )
+        base = scored.select(
+            F.col(label_col).cast("double").alias("y"),
+            F.col(score_col).cast("double").alias("p"),
+            w.alias("w"),
+        )
+        st = base.agg(
+            F.sum(F.col("w") * (F.col("p") - F.col("y")) ** 2).alias("ssres"),
+            F.sum(F.col("w") * F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("w") * F.col("y")).alias("sy"),
+            F.sum("w").alias("tw"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        mse = float(st["ssres"]) / float(st["tw"])
+        sstot = float(st["syy"]) - float(st["sy"]) ** 2 / float(st["tw"])
+        if sstot <= 0.0:
+            # zero-variance targets (MLDB-174 test_r2_edge): a
+            # perfect constant prediction scores 1, an imperfect
+            # one 0 — never NaN from the 0/0
+            r2 = 1.0 if float(st["ssres"]) <= 0.0 else 0.0
+        else:
+            r2 = 1.0 - float(st["ssres"]) / sstot
+        n = int(st["n"])
+        idxs = {q: int((n - 1) * q) for q in (0.25, 0.5, 0.75, 0.9)}
+        rel = base.select(
+            F.abs((F.col("p") - F.col("y")) / F.col("y")).alias("rel")
+        )
+        ranked = rel.withColumn(
+            "__rk", F.row_number().over(Window.orderBy("rel")) - 1
+        ).filter(F.col("__rk").isin(list(set(idxs.values()))))
+        picked = {r["__rk"]: r["rel"] for r in ranked.collect()}
+        qs = {q: float(picked[i]) for q, i in idxs.items()}
+        return scored.sparkSession.createDataFrame(
+            [(mse, r2, qs[0.25], qs[0.5], qs[0.75], qs[0.9])],
+            "mse double, r2 double, quantile_err_25 double, "
+            "quantile_err_50 double, quantile_err_75 double, "
+            "quantile_err_90 double",
         )
     if mode == "categorical":
         pred_col = "predicted" if "predicted" in scored.columns else score_col
@@ -341,7 +349,6 @@ def classifier_test(
         )
     if mode != "boolean":
         raise ValueError(f"unknown classifier.test mode {mode!r}")
-    from pyspark.sql import Window
 
     # EXACT AUC via the rank-sum identity (trapezoid ROC over every
     # distinct threshold with tied groups averaged == Mann-Whitney U),
@@ -352,13 +359,20 @@ def classifier_test(
     # corpus, then a single-partition window over the DISTINCT-score
     # table only (threshold-set-sized, not corpus-sized), then one
     # 1-row aggregate. Accuracy (threshold 0.5) rides the same pass.
+    wb = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     g = (
         scored.select(
             F.col(score_col).cast("double").alias("p"),
             F.col(label_col).cast("double").alias("y"),
+            wb.alias("w"),
         )
         .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos"))
+        # weighted counts: an example of weight w counts as w
+        # duplicates (integer weights keep the tie-rank identity)
+        .agg(
+            F.sum("w").alias("cnt"),
+            F.sum(F.col("y") * F.col("w")).alias("pos"),
+        )
     )
     w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
     g = g.withColumn("cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
@@ -391,10 +405,79 @@ def classifier_test(
     )
 
 
+def classifier_test_roc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    weight_col: "str | None" = None,
+    row_name_col: "str | None" = None,
+) -> DataFrame:
+    """classifier.test boolean mode's OUTPUT DATASET
+    (plugins/jml/accuracy.cc; exact rows pinned by
+    testing/test_classifier_test_proc.py): one row per test example
+    with the threshold-sweep statistics at that example's score —
+    index (rank, ties share), weight, label, score, weighted
+    truePositives/falseNegatives/trueNegatives/falsePositives,
+    true/falsePositiveRate, accuracy, recall, precision. Cumulative
+    sums use a RANGE frame on the score so tied scores share one
+    threshold (the reference includes the whole tie group). One sort
+    + window pass; partial-agg for the totals."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    rn_cols = (
+        [F.col(row_name_col).cast("string").alias("__rowName")]
+        if row_name_col and row_name_col in scored.columns
+        else []
+    )
+    base = scored.select(
+        F.col(score_col).cast("double").alias("score"),
+        F.col(label_col).cast("double").alias("label"),
+        w.alias("weight"),
+        *rn_cols,
+    )
+    tot = base.agg(
+        F.sum(F.col("weight") * F.col("label")).alias("tp_all"),
+        F.sum(F.col("weight") * (1 - F.col("label"))).alias("tn_all"),
+    )
+    wd = Window.orderBy(F.desc("score")).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        base.crossJoin(F.broadcast(tot))
+        .withColumn("index", F.rank().over(Window.orderBy(F.desc("score"))))
+        .withColumn(
+            "truePositives", F.sum(F.col("weight") * F.col("label")).over(wd)
+        )
+        .withColumn(
+            "falsePositives",
+            F.sum(F.col("weight") * (1 - F.col("label"))).over(wd),
+        )
+    )
+    tp, fp = F.col("truePositives"), F.col("falsePositives")
+    return out.select(
+        *(["__rowName"] if rn_cols else []),
+        "index",
+        "weight",
+        F.col("label").cast("long").alias("label"),
+        "score",
+        tp,
+        (F.col("tp_all") - tp).alias("falseNegatives"),
+        (tp / F.col("tp_all")).alias("truePositiveRate"),
+        (F.col("tn_all") - fp).alias("trueNegatives"),
+        fp,
+        (fp / F.col("tn_all")).alias("falsePositiveRate"),
+        ((tp + F.col("tn_all") - fp) / (F.col("tp_all") + F.col("tn_all"))).alias(
+            "accuracy"
+        ),
+        (tp / F.col("tp_all")).alias("recall"),
+        (tp / (tp + fp)).alias("precision"),
+    )
+
+
 def categorical_statistics(
     scored: DataFrame,
     label_col: str = "label",
     pred_col: str = "predicted",
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """classifier.test mode=categorical labelStatistics
     (plugins/jml/accuracy.cc; exact numbers pinned by MLDB-256):
@@ -403,12 +486,13 @@ def categorical_statistics(
     accuracy (tp + tn) / total. Scale shape: ONE groupBy shuffle to
     the (label, predicted) confusion matrix (<= |labels|² rows);
     everything downstream is label-sized joins."""
+    cw = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     conf = (
         scored.groupBy(
             F.col(label_col).cast("string").alias("label"),
             F.col(pred_col).cast("string").alias("predicted"),
         )
-        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .agg(F.sum(cw).alias("n"))  # weighted confusion counts
     )
     labels = (
         conf.select(F.col("label").alias("L"))
@@ -449,7 +533,11 @@ def categorical_statistics(
     ) / F.col("__total")
     return out.select(
         "label",
-        F.col("support").cast("long").alias("support"),
+        # weighted support stays fractional when weights are
+        F.when(
+            F.col("support") == F.floor("support"),
+            F.col("support").cast("long").cast("double"),
+        ).otherwise(F.col("support")).alias("support"),
         precision.alias("precision"),
         recall.alias("recall"),
         f1.alias("f1Score"),

@@ -609,8 +609,10 @@ def test_classifier_test_modes(spark):
     row = classifier_test(toy_reg, mode="regression").collect()[0]
     assert row["mse"] == pytest.approx(0.375)
     assert 0 < row["r2"] <= 1
-    # abs errors [0.5, 0.5, 0, 1] -> p50 = 0.5
-    assert row["quantile_err_50"] == pytest.approx(0.5)
+    # the reference's quantileErrors are RELATIVE |(p-y)/y| picked at
+    # sorted index int((n-1)*q) (accuracy.cc:785,945): errors
+    # [1/6, 1, 0, 1/7] sorted -> q50 at index 1 = 1/7
+    assert row["quantile_err_50"] == pytest.approx(1 / 7)
     toy_cat = spark.createDataFrame(
         [(0, 0), (1, 0), (2, 2), (2, 2), (0, 0)],
         "label int, score int",

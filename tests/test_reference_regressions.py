@@ -7892,3 +7892,130 @@ def test_mldb_1364_failed_create_does_not_squat_id(spark):
     )
     out = mldb.query("select * from merged1364 order by rowName()")
     assert out.count() == 3 and "z" in out.columns
+
+
+def test_classifier_test_proc_battery(spark):
+    """testing/test_classifier_test_proc.py: the classifier.test
+    procedure's exact contract — boolean mode's per-threshold OUTPUT
+    DATASET (unweighted + weighted), regression mode's
+    {quantileErrors (relative, index-picked), mse, r2} status
+    (unweighted + weighted), categorical labelStatistics +
+    weightedStatistics with per-example weights."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    _ds(
+        mldb,
+        "ctp_ds",
+        [("0", 1.0, 0.0, 10.0, 1.0), ("1", 1.0, 0.0, 10.0, 3.0),
+         ("2", 2.0, 1.0, 20.0, 3.0), ("3", 3.0, 1.0, 40.0, 1.0)],
+        "rn string, score double, bool_label double, reg_label double, "
+        "weight double",
+    )
+    _ds(
+        mldb,
+        "ctp_cat",
+        [("0", 0, 1.0, 0.0, 0.0, 1.0), ("1", 1, 0.0, 1.0, 0.0, 3.0),
+         ("2", 2, 1.0, 0.0, 0.0, 3.0), ("3", 2, 0.0, 0.0, 1.0, 1.0)],
+        'rn string, label int, `score.0` double, `score.1` double, '
+        "`score.2` double, weight double",
+    )
+
+    def run(mode, label, weight):
+        return mldb.create_entity("procedure", {
+            "type": "classifier.test", "id": f"ctp_{mode}_{weight}",
+            "params": {
+                "testingData":
+                    f"SELECT score, label:{label}, weight:{weight} "
+                    "FROM ctp_ds",
+                "outputDataset": "ctp_out",
+                "mode": mode,
+            },
+        })["status"]
+
+    # boolean, unweighted: the truth table from the reference test
+    run("boolean", "bool_label", "1")
+    rows = mldb.query(
+        "SELECT * FROM ctp_out ORDER BY score DESC, rowName() DESC"
+    ).collect()
+    got = {
+        k: [r[k] for r in rows]
+        for k in ("index", "weight", "label", "score", "truePositives",
+                  "falseNegatives", "truePositiveRate", "trueNegatives",
+                  "falsePositives", "falsePositiveRate", "accuracy",
+                  "recall", "precision")
+    }
+    assert got == {
+        "index": [1, 2, 3, 3], "weight": [1, 1, 1, 1],
+        "label": [1, 1, 0, 0], "score": [3, 2, 1, 1],
+        "truePositives": [1, 2, 2, 2], "falseNegatives": [1, 0, 0, 0],
+        "truePositiveRate": [0.5, 1, 1, 1],
+        "trueNegatives": [2, 2, 0, 0], "falsePositives": [0, 0, 2, 2],
+        "falsePositiveRate": [0, 0, 1, 1],
+        "accuracy": [0.75, 1, 0.5, 0.5], "recall": [0.5, 1, 1, 1],
+        "precision": [1, 1, 0.5, 0.5],
+    }
+
+    # boolean, weighted
+    run("boolean", "bool_label", "weight")
+    rows = mldb.query(
+        "SELECT * FROM ctp_out ORDER BY score DESC, rowName() DESC"
+    ).collect()
+    got = {k: [r[k] for r in rows]
+           for k in ("weight", "truePositives", "falseNegatives",
+                     "truePositiveRate", "trueNegatives", "falsePositives",
+                     "accuracy", "recall", "precision")}
+    assert got == {
+        "weight": [1, 3, 3, 1],
+        "truePositives": [1, 4, 4, 4], "falseNegatives": [3, 0, 0, 0],
+        "truePositiveRate": [0.25, 1, 1, 1],
+        "trueNegatives": [4, 4, 0, 0], "falsePositives": [0, 0, 4, 4],
+        "accuracy": [5 / 8, 1, 0.5, 0.5], "recall": [0.25, 1, 1, 1],
+        "precision": [1, 1, 0.5, 0.5],
+    }
+
+    # regression, unweighted: relative index-picked quantile errors
+    st = run("regression", "reg_label", "1")
+    rel = sorted([9 / 10, 9 / 10, 18 / 20, 37 / 40])
+    assert st["quantileErrors"] == {
+        "0.25": rel[0], "0.5": rel[1], "0.75": rel[2], "0.9": rel[2]}
+    assert st["mse"] == (81 * 2 + 324 + 1369) / 4
+    y_mean = 80 / 4
+    ss_tot = (10 - y_mean) ** 2 * 2 + (20 - y_mean) ** 2 + (40 - y_mean) ** 2
+    ss_res = 81.0 * 2 + 324 + 1369
+    assert st["r2"] == pytest.approx(1 - ss_res / ss_tot)
+
+    # regression, weighted: weighted mse/r2, quantiles stay unweighted
+    st = run("regression", "reg_label", "weight")
+    assert st["mse"] == pytest.approx((81 * 4 + 324 * 3 + 1369) / 8)
+    y_mean = (10 * 4 + 20 * 3 + 40) / 8
+    ss_tot = ((10 - y_mean) ** 2 * 4 + (20 - y_mean) ** 2 * 3
+              + (40 - y_mean) ** 2)
+    ss_res = 81.0 * 4 + 324 * 3 + 1369
+    assert st["r2"] == pytest.approx(1 - ss_res / ss_tot)
+
+    # categorical, weighted: weighted confusion -> weighted stats
+    st = mldb.create_entity("procedure", {
+        "type": "classifier.test", "id": "ctp_catw",
+        "params": {
+            "testingData": "SELECT label, score, weight FROM ctp_cat",
+            "outputDataset": "ctp_out",
+            "mode": "categorical",
+        },
+    })["status"]
+    ls = st["labelStatistics"]
+    assert ls["0"] == {
+        "f1Score": pytest.approx(2 / 5), "recall": 1.0, "support": 1.0,
+        "precision": 0.25, "accuracy": 5 / 8}
+    assert ls["1"] == {
+        "f1Score": 1.0, "recall": 1.0, "support": 3.0, "precision": 1.0,
+        "accuracy": 1.0}
+    assert ls["2"] == {
+        "f1Score": pytest.approx(2 / 5), "recall": 0.25, "support": 4.0,
+        "precision": 1.0, "accuracy": 5 / 8}
+    ws = st["weightedStatistics"]
+    assert ws["f1Score"] == pytest.approx((2 / 5 + 3 + 2 / 5 * 4) / 8)
+    assert ws["recall"] == pytest.approx((1 + 3 + 0.25 * 4) / 8)
+    assert ws["support"] == 8
+    assert ws["precision"] == pytest.approx((0.25 + 3 + 4) / 8)
+    assert ws["accuracy"] == pytest.approx((5 / 8 + 3 + 5 / 8 * 4) / 8)
