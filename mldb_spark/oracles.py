@@ -2076,3 +2076,41 @@ ORACLES["qa28_natural_path_order"] = """
 SELECT CAST(doc_id AS VARCHAR) AS r FROM documents
 ORDER BY doc_id LIMIT 31
 """
+
+# qa30 (round 8): classifier.test's threshold-sweep output table —
+# sigmoid scoring from the exported coefficients, then the full
+# window replay (rank index, RANGE-frame cumulative TP/FP so tied
+# scores share a threshold, derived rates).
+ORACLES["qa30_roc_table"] = f"""
+WITH c AS (SELECT * FROM read_parquet('{_FIXDIR}/qa30_coefs.parquet')),
+s AS (
+  SELECT label,
+         1.0 / (1.0 + exp(-(c.b + c.w_year * f_year + c.w_month * f_month
+                            + c.w_prio * f_priority + c.w_cust * f_cust)))
+           AS score
+  FROM ({_ORDER_FEATS}) f CROSS JOIN c
+  WHERE o_orderkey % 5 = 0
+),
+tot AS (SELECT sum(label) AS tp_all, sum(1 - label) AS tn_all FROM s),
+r AS (
+  SELECT s.label, s.score, tot.tp_all, tot.tn_all,
+         rank() OVER (ORDER BY s.score DESC) AS idx,
+         sum(s.label) OVER (
+           ORDER BY s.score DESC
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         sum(1 - s.label) OVER (
+           ORDER BY s.score DESC
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+  FROM s CROSS JOIN tot
+)
+SELECT CAST(idx AS BIGINT) AS idx,
+       CAST(label AS BIGINT) AS label,
+       round(score + 1e-9, 4) AS score_r,
+       tp, (tp_all - tp) AS fn,
+       round(tp / tp_all + 1e-9, 4) AS tpr,
+       (tn_all - fp) AS tn, fp,
+       round(fp / tn_all + 1e-9, 4) AS fpr,
+       round((tp + tn_all - fp) / (tp_all + tn_all) + 1e-9, 4) AS acc,
+       round(tp / (tp + fp) + 1e-9, 4) AS prec
+FROM r ORDER BY idx, label
+"""

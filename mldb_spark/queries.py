@@ -3168,6 +3168,54 @@ def qa29_column_expr_nested(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def qa30_roc_table(spark: SparkSession, sf: str) -> DataFrame:
+    """classifier.test's per-threshold OUTPUT DATASET as an
+    oracle-backed gate (plugins/jml/accuracy.cc; exact rows pinned by
+    testing/test_classifier_test_proc.py, ported round 8): one row
+    per held-out example with rank index, cumulative weighted
+    TP/FN/TN/FP and derived rates at that example's score threshold
+    — tied scores share one threshold (range frame). The fitted
+    coefficients export to a fixture; the oracle replays the sigmoid
+    scoring AND the full window sweep closed-form, so a frame bug
+    (rows-vs-range), a tie-handling bug, or a rate denominator bug
+    all break the hash. Scale shape: one partial agg for the totals +
+    one sort-based window over the scored set."""
+    from mldb_spark.ml.procedures import (
+        classifier_test_roc,
+        classifier_train,
+    )
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    reg = FunctionRegistry()
+    feats = _order_features(spark, sf)
+    train = feats.filter(F.col("o_orderkey") % 5 != 0)
+    test = feats.filter(F.col("o_orderkey") % 5 == 0)
+    model = classifier_train(
+        train, ["f_year", "f_month", "f_priority", "f_cust"], "label",
+        "clf_qa30", reg,
+    )
+    w = [float(c) for c in model.coefficients]
+    export_oracle_fixture(
+        "qa30_coefs",
+        {"w_year": w[0], "w_month": w[1], "w_prio": w[2], "w_cust": w[3],
+         "b": float(model.intercept)},
+    )
+    roc = classifier_test_roc(reg.apply("clf_qa30", test))
+    return roc.select(
+        F.col("index").cast("long").alias("idx"),
+        F.col("label"),
+        F.round(F.col("score") + 1e-9, 4).alias("score_r"),
+        F.col("truePositives").alias("tp"),
+        F.col("falseNegatives").alias("fn"),
+        F.round(F.col("truePositiveRate") + 1e-9, 4).alias("tpr"),
+        F.col("trueNegatives").alias("tn"),
+        F.col("falsePositives").alias("fp"),
+        F.round(F.col("falsePositiveRate") + 1e-9, 4).alias("fpr"),
+        F.round(F.col("accuracy") + 1e-9, 4).alias("acc"),
+        F.round(F.col("precision") + 1e-9, 4).alias("prec"),
+    ).orderBy("idx", "label")
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
