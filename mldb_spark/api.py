@@ -925,6 +925,64 @@ class Mldb:
                 self._check_label_not_in_features(
                     self._require_from(params["trainingData"]), tdf
                 )
+                if params.get("mode") == "multilabel":
+                    # the label is a ROW — each non-null field a
+                    # present label (multilabel-classifier-test.py)
+                    from mldb_spark.ml.procedures import multilabel_train
+
+                    ldt = dict(tdf.dtypes)["label"]
+                    if not ldt.startswith("struct<"):
+                        raise ValueError(
+                            "multilabel mode needs a row-valued label "
+                            "({label0, label1} as label)"
+                        )
+                    label_fields = [
+                        f.name for f in tdf.schema["label"].dataType
+                    ]
+                    flat_ml = tdf.select(
+                        F.col("features.*"),
+                        *[
+                            F.col("label").getField(n).alias(f"__lab_{n}")
+                            for n in label_fields
+                        ],
+                    )
+                    ml_feats = [
+                        c
+                        for c, dt in flat_ml.dtypes
+                        if not c.startswith("__")
+                        and c not in ("rowName",)
+                        and dt.startswith(
+                            ("int", "bigint", "smallint", "tinyint",
+                             "float", "double", "decimal")
+                        )
+                    ]
+                    fname = params.get("functionName", eid)
+                    multilabel_train(
+                        flat_ml.select(
+                            *ml_feats,
+                            *[
+                                F.col(f"__lab_{n}").alias(n)
+                                for n in label_fields
+                            ],
+                        ),
+                        ml_feats,
+                        label_fields,
+                        strategy=params.get(
+                            "multilabelStrategy", "one-vs-all"
+                        ),
+                        name=fname,
+                    )
+                    # GLOBAL_REGISTRY models are auto-visible in SQL
+                    # by training name (the reference's functionName
+                    # auto-creation)
+                    return {
+                        "kind": kind,
+                        "config": config,
+                        "status": {
+                            "functionName": fname,
+                            "labels": label_fields,
+                        },
+                    }
                 extra = [F.col("weight")] if "weight" in tdf.columns else []
                 # rows whose label cell fell outside the WHEN window
                 # (or was never present) are not training examples —
@@ -1187,6 +1245,31 @@ class Mldb:
                     )
                 tdf = self.query(self._require_from(params["testingData"]))
                 mode = params.get("mode", "boolean")
+                if mode == "multilabel":
+                    # score and label are ROWS (multilabel-classifier-
+                    # test.py's accuracy case): rank every label by
+                    # its score with the reference's tie handling
+                    from mldb_spark.ml.procedures import multilabel_test
+
+                    dts = dict(tdf.dtypes)
+                    if not (
+                        dts.get("score", "").startswith("struct<")
+                        and dts.get("label", "").startswith("struct<")
+                    ):
+                        raise ValueError(
+                            "multilabel mode needs row-valued score "
+                            "and label outputs"
+                        )
+                    status = multilabel_test(
+                        tdf,
+                        [f.name for f in tdf.schema["score"].dataType],
+                        [f.name for f in tdf.schema["label"].dataType],
+                        recall_over_n=params.get("recallOverN", [1]),
+                        weight_col=(
+                            "weight" if "weight" in tdf.columns else None
+                        ),
+                    )
+                    return {"kind": kind, "config": config, "status": status}
                 if mode != "categorical" and (
                     "score" not in tdf.columns or "label" not in tdf.columns
                 ):

@@ -2635,6 +2635,12 @@ class MldbContext:
                                 df.columns, params, dtypes=dict(df.dtypes)
                             )
                             for field_name, fexpr in args[0].fields:
+                                if field_name.endswith("*"):
+                                    # {*} wildcard: the row passes
+                                    # through — materializing a column
+                                    # literally named '*' would poison
+                                    # downstream name resolution
+                                    continue
                                 if isinstance(fexpr, ast.Literal):
                                     # literal fields double as $params
                                     # for parameterized entities

@@ -405,6 +405,258 @@ def classifier_test(
     )
 
 
+def multilabel_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_cols: list[str],
+    strategy: str = "one-vs-all",
+    name: str = "multilabel",
+    registry: FunctionRegistry = GLOBAL_REGISTRY,
+    max_iter: int = 50,
+):
+    """classifier.train mode=multilabel
+    (plugins/jml/classifier.cc:63,85-100 and
+    testing/multilabel-classifier-test.py): the label is a ROW — each
+    non-null column is a present label. Strategies prepare the
+    training examples exactly like the reference:
+
+    - one-vs-all: one independent binary fit per label (P(label_i));
+      each fit is a distributed MLlib estimator, the loop is
+      label-count-sized;
+    - decompose: every example decomposes into one single-label
+      example per present label, then ONE multinomial fit over the
+      exploded set (P(category) sums to 1);
+    - random: ONE deterministic (hash-seeded) label is kept per
+      example, then the multinomial fit — the reference's sampling
+      strategy made reproducible.
+
+    Registers `name` as a scorer adding a `scores` STRUCT column
+    keyed by label name (`fn({features:…})[scores.label0]` reads one
+    class's score, `… as *` spreads them)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    if strategy not in ("one-vs-all", "decompose", "random"):
+        raise ValueError(f"unknown multilabelStrategy {strategy!r}")
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    present = {
+        c: F.col(c).isNotNull() & (F.col(c).cast("string") != F.lit("false"))
+        for c in label_cols
+    }
+
+    if strategy == "one-vs-all":
+        models = {}
+        for c in label_cols:
+            models[c] = LogisticRegression(maxIter=max_iter, regParam=0.01).fit(
+                assembler.transform(
+                    df.withColumn("label", present[c].cast("double"))
+                )
+            )
+
+        def score(d: DataFrame) -> DataFrame:
+            out = assembler.transform(d)
+            for c, m in models.items():
+                out = m.transform(out)
+                out = out.select(
+                    *[x for x in out.columns
+                      if x not in ("rawPrediction", "probability",
+                                   "prediction")],
+                    vector_to_array(F.col("probability")).getItem(1)
+                    .alias(f"__p_{c}"),
+                )
+            return out.withColumn(
+                "scores",
+                F.struct(*[F.col(f"__p_{c}").alias(c) for c in label_cols]),
+            ).drop("features", *[f"__p_{c}" for c in label_cols])
+
+        registry.register(name, score)
+        return models
+
+    # decompose / random: explode (or pick) a single label per
+    # example, then one multinomial fit
+    lab_arr = F.array_compact(
+        F.array(*[F.when(present[c], F.lit(c)) for c in label_cols])
+    )
+    if strategy == "decompose":
+        flat = df.withColumn("label", F.explode(lab_arr))
+    else:  # random: deterministic hash pick, the reference's sampling
+        pick = F.pmod(
+            F.xxhash64(*[F.col(c) for c in feature_cols]),
+            F.greatest(F.size(lab_arr), F.lit(1)),
+        )
+        flat = df.withColumn(
+            "label", F.element_at(lab_arr, (pick + 1).cast("int"))
+        ).filter(F.col("label").isNotNull())
+    from pyspark.ml.feature import StringIndexer
+
+    idx = StringIndexer(inputCol="label", outputCol="__li").fit(flat)
+    classes = list(idx.labels)
+    model = LogisticRegression(
+        maxIter=max_iter, regParam=0.01, labelCol="__li"
+    ).fit(assembler.transform(idx.transform(flat)))
+
+    def score_multi(d: DataFrame) -> DataFrame:
+        out = model.transform(assembler.transform(d))
+        probs = vector_to_array(F.col("probability"))
+        fields = [
+            probs.getItem(classes.index(c)).alias(c)
+            if c in classes
+            else F.lit(0.0).alias(c)
+            for c in label_cols
+        ]
+        return out.withColumn("scores", F.struct(*fields)).drop(
+            "features", "rawPrediction", "probability", "prediction"
+        )
+
+    registry.register(name, score_multi)
+    return model
+
+
+def multilabel_test(
+    scored: DataFrame,
+    score_fields: list[str],
+    label_fields: list[str],
+    recall_over_n: "list[int]" = (1,),
+    score_col: str = "score",
+    label_col: str = "label",
+    weight_col: "str | None" = None,
+) -> dict:
+    """classifier.test mode=multilabel (accuracy.cc:640-764): per
+    example, every label is ranked by its score with the reference's
+    tie handling — averageRank = (2·earliestRank + ties − 1)/2 — and
+
+    - coverageError = Σ (1 + max averageRank over TRUE labels)·w·|L|
+      / Σ w·|L|  (each true label contributes the example's weight);
+    - recallOverTopN[n] per label and weighted: a true label counts
+      fully when its whole tie group fits in the top n, fractionally
+      (numPositions/ties) when the group straddles the cut.
+
+    Shape: one explode over true labels + one groupBy label; the
+    rank arithmetic runs as array higher-order functions (no Python
+    in the row path)."""
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    sc = F.col(score_col)
+    lb = F.col(label_col)
+    scores_arr = F.array(
+        *[sc.getField(f).cast("double").alias("s") for f in score_fields]
+    )
+    true_arr = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    lb.getField(f).isNotNull()
+                    & (lb.getField(f).cast("string") != F.lit("false")),
+                    F.lit(f),
+                )
+                for f in label_fields
+            ]
+        )
+    )
+    base = scored.select(
+        w.alias("w"), scores_arr.alias("ss"), true_arr.alias("tl")
+    ).filter(F.size("tl") > 0)
+    name_arr = F.array(*[F.lit(f) for f in score_fields])
+    per_label = base.select(
+        "w", "ss",
+        F.explode("tl").alias("lab"),
+        F.size("tl").alias("nl"),
+    ).withColumn(
+        "sl",
+        F.element_at(
+            F.map_from_arrays(name_arr, F.col("ss")), F.col("lab")
+        ),
+    ).withColumn(
+        "er",
+        F.size(F.filter("ss", lambda x: x > F.col("sl"))),
+    ).withColumn(
+        "ties",
+        F.size(F.filter("ss", lambda x: x == F.col("sl"))),
+    ).withColumn(
+        "avg_rank",
+        (2 * F.col("er") + F.col("ties") - 1) / 2.0,
+    )
+    # per-(label, n) recall credit with the straddling-tie fraction
+    recs = {}
+    for i, n in enumerate(recall_over_n):
+        credit = (
+            F.when(F.col("er") >= n, F.lit(0.0))
+            .when(
+                (F.col("ties") > 1) & (F.col("er") + F.col("ties") - 1 >= n),
+                F.col("w") * (n - F.col("er")) / F.col("ties"),
+            )
+            .otherwise(F.col("w"))
+        )
+        per_label = per_label.withColumn(f"__credit{i}", credit)
+    lab_stats = per_label.groupBy("lab").agg(
+        F.sum("w").alias("labw"),
+        *[
+            F.sum(f"__credit{i}").alias(f"__c{i}")
+            for i in range(len(recall_over_n))
+        ],
+    )
+    label_statistics = {
+        r["lab"]: {
+            "recallOverTopN": [
+                float(r[f"__c{i}"]) / float(r["labw"])
+                for i in range(len(recall_over_n))
+            ]
+        }
+        for r in lab_stats.collect()
+    }
+    tot = per_label.agg(
+        F.sum("w").alias("tw"),
+        *[
+            F.sum(f"__credit{i}").alias(f"__c{i}")
+            for i in range(len(recall_over_n))
+        ],
+    ).collect()[0]
+    covtot = (
+        base.select(
+            "w", "ss", F.size("tl").alias("nl"),
+            F.array_max(
+                F.transform(
+                    "tl",
+                    lambda lab: (
+                        2 * F.size(
+                            F.filter(
+                                "ss",
+                                lambda x: x > F.element_at(
+                                    F.map_from_arrays(name_arr, F.col("ss")),
+                                    lab,
+                                ),
+                            )
+                        )
+                        + F.size(
+                            F.filter(
+                                "ss",
+                                lambda x: x == F.element_at(
+                                    F.map_from_arrays(name_arr, F.col("ss")),
+                                    lab,
+                                ),
+                            )
+                        )
+                        - 1
+                    ) / 2.0,
+                )
+            ).alias("mr"),
+        )
+        .agg(F.sum((1 + F.col("mr")) * F.col("w") * F.col("nl")).alias("ce"))
+        .collect()[0]["ce"]
+    )
+    return {
+        "labelStatistics": label_statistics,
+        "recallOverN": list(recall_over_n),
+        "weightedStatistics": {
+            "coverageError": float(covtot) / float(tot["tw"]),
+            "recallOverTopN": [
+                float(tot[f"__c{i}"]) / float(tot["tw"])
+                for i in range(len(recall_over_n))
+            ],
+        },
+    }
+
+
 def classifier_test_roc(
     scored: DataFrame,
     label_col: str = "label",

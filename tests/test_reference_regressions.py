@@ -8019,3 +8019,187 @@ def test_classifier_test_proc_battery(spark):
     assert ws["support"] == 8
     assert ws["precision"] == pytest.approx((0.25 + 3 + 4) / 8)
     assert ws["accuracy"] == pytest.approx((5 / 8 + 3 + 5 / 8 * 4) / 8)
+
+
+def test_mldb_198_classifier_weights(spark):
+    """MLDB-198-classifier-weights.js: a `weight` output in
+    trainingData steers the fit — at the conflicting point (1,1),
+    up-weighting its label-1 example raises the score and
+    up-weighting its label-0 example lowers it, relative to equal
+    weights."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    _ds(
+        mldb,
+        "m198",
+        [("ex00", 0.0, 0.0, 0.0, "none"), ("ex10", 1.0, 0.0, 1.0, "none"),
+         ("ex01", 0.0, 1.0, 1.0, "none"), ("ex111", 1.0, 1.0, 1.0, "isone"),
+         ("ex110", 1.0, 1.0, 0.0, "iszero")],
+        "rn string, x double, y double, label double, test string",
+    )
+
+    def train_and_score(name, weight_expr):
+        mldb.create_entity("procedure", {
+            "type": "classifier.train", "id": f"t198_{name}",
+            "params": {
+                "trainingData":
+                    "select {x, y} as features, label, "
+                    f"{weight_expr} as weight from m198",
+                "functionName": f"cls198_{name}",
+            },
+        })
+        out = mldb.query(
+            f"SELECT cls198_{name}({{x, y}})[score] AS s "
+            "FROM (SELECT 1.0 AS x, 1.0 AS y)"
+        ).collect()
+        return out[0]["s"]
+
+    score = train_and_score("unweighted", "1.0")
+    score1 = train_and_score("isone", "1 + 1000 * (test = 'isone')")
+    score0 = train_and_score("iszero", "1 + 1000 * (test = 'iszero')")
+    assert score0 <= score <= score1
+    assert score1 > 0.9 and score0 < 0.1
+
+
+def test_mldb_429_null_label_rows_skipped(spark):
+    """MLDB-429-classifier-empty-label.js: a training row whose label
+    is NULL is skipped, not a crash (the reference trains through)."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m429"})
+    rows = [("ex00", 0, 0, 0), ("ex10", 1, 0, 1), ("ex01", 0, 1, 1),
+            ("ex111", 1, 1, 1), ("ex110", 1, 1, 0), ("ex112", 1, 1, None)]
+    mldb.record_rows(
+        "m429",
+        [{"rowName": rn,
+          "columns": [["x", x, 0], ["y", y, 0], ["label", lb, 0]]}
+         for rn, x, y, lb in rows],
+    )
+    mldb.commit_dataset("m429")
+    st = mldb.create_entity("procedure", {
+        "type": "classifier.train", "id": "t429",
+        "params": {
+            "trainingData": "select {x, y} as features, label from m429",
+            "functionName": "cls429",
+        },
+    })
+    assert st["status"]["functionName"] == "cls429"
+
+
+def test_mldb_2143_utf8_labels(spark):
+    """MLDB-2143-classifier-utf8.py: categorical training with UTF-8
+    labels behaves exactly like the ASCII equivalent (predictions map
+    back to the right UTF-8 strings)."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.sources.text_io import import_text
+
+    mldb = Mldb(spark)
+    iris = import_text(
+        mldb.spark, "/root/reference/testing/dataset/iris.data",
+        headers=["sl", "sw", "pl", "pw", "cls"],
+    ).na.drop().select(
+        F.col("sl").cast("double"), F.col("sw").cast("double"),
+        F.col("pl").cast("double"), F.col("pw").cast("double"), "cls",
+    )
+    mldb.create_dataset("iris2143", iris)
+    mldb.transform(
+        "SELECT sl, sw, pl, pw, cls + '_éç' AS label FROM iris2143",
+        "iris2143_utf8",
+    )
+    mldb.create_entity("procedure", {
+        "type": "classifier.train", "id": "t2143",
+        "params": {
+            "trainingData":
+                "select {sl, sw, pl, pw} as features, label "
+                "from iris2143_utf8",
+            "algorithm": "dt",
+            "mode": "categorical",
+            "functionName": "cls2143",
+        },
+    })
+    out = mldb.query(
+        "SELECT label, cls2143({sl, sw, pl, pw})[predicted] AS p "
+        "FROM iris2143_utf8"
+    ).collect()
+    correct = sum(1 for r in out if r["p"] == r["label"])
+    assert correct / len(out) > 0.9
+    assert all(r["p"].endswith("_éç") for r in out)
+
+
+def test_multilabel_classifier(spark):
+    """testing/multilabel-classifier-test.py: classifier.train
+    mode=multilabel with the three strategies (one-vs-all, decompose,
+    random) — the label is a ROW of present labels; the scorer emits
+    a per-label `scores` row; classifier.test mode=multilabel
+    computes coverageError and recallOverTopN with the reference's
+    tie-averaged ranks (exact values replayed on hand-built scores)."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    rows = []
+    for i in range(20):
+        rows.append((f"u{1 + i * 6}", 5.0, 0.0, 0.0, 1.0, None, None))
+        rows.append((f"u{2 + i * 6}", 0.0, 5.0, 0.0, None, 1.0, None))
+        rows.append((f"u{3 + i * 6}", 0.0, 0.0, 5.0, None, None, 1.0))
+        rows.append((f"u{4 + i * 6}", 5.0, 5.0, 0.0, 1.0, 1.0, None))
+        rows.append((f"u{5 + i * 6}", 5.0, 0.0, 5.0, 1.0, None, 1.0))
+        rows.append((f"u{6 + i * 6}", 0.0, 5.0, 5.0, None, 1.0, 1.0))
+    _ds(
+        mldb, "triv2", rows,
+        "rn string, feat1 double, feat2 double, feat3 double, "
+        "label0 double, label1 double, label2 double",
+    )
+    for strategy in ("one-vs-all", "decompose", "random"):
+        fname = "clsml_" + strategy.replace("-", "_")
+        mldb.create_entity("procedure", {
+            "type": "classifier.train", "id": f"t_{fname}",
+            "params": {
+                "trainingData":
+                    "select {feat1, feat2, feat3} as features, "
+                    "{label0, label1, label2} as label from triv2",
+                "mode": "multilabel",
+                "multilabelStrategy": strategy,
+                "functionName": fname,
+            },
+        })
+        out = mldb.query(
+            f"SELECT {fname}({{*}})[scores] AS s FROM "
+            "(SELECT 5.0 AS feat1, 0.0 AS feat2, 0.0 AS feat3)"
+        ).collect()[0]["s"].asDict()
+        # the pure-label0 point scores label0 on top for every strategy
+        assert out["label0"] == max(out.values())
+        assert out["label0"] > out["label1"]
+
+    # metric math on hand-built scores (ties exact by construction):
+    # 3 single-label rows with a perfect unique top score, 3 two-label
+    # rows whose two true labels TIE at the top
+    _ds(
+        mldb, "mlt_scores",
+        [("s1", 1.0, 0.0, 0.0, 1.0, None, None),
+         ("s2", 0.0, 1.0, 0.0, None, 1.0, None),
+         ("s3", 0.0, 0.0, 1.0, None, None, 1.0),
+         ("d1", 1.0, 1.0, 0.0, 1.0, 1.0, None),
+         ("d2", 1.0, 0.0, 1.0, 1.0, None, 1.0),
+         ("d3", 0.0, 1.0, 1.0, None, 1.0, 1.0)],
+        "rn string, s0 double, s1 double, s2 double, "
+        "l0 double, l1 double, l2 double",
+    )
+    st = mldb.create_entity("procedure", {
+        "type": "classifier.test", "id": "t_mlacc",
+        "params": {
+            "testingData":
+                "select {s0 as label0, s1 as label1, s2 as label2} as score, "
+                "{l0 as label0, l1 as label1, l2 as label2} as label "
+                "from mlt_scores",
+            "mode": "multilabel",
+            "recallOverN": [1, 2],
+        },
+    })["status"]
+    ws = st["weightedStatistics"]
+    assert ws["coverageError"] == pytest.approx(4 / 3)
+    assert ws["recallOverTopN"][0] == pytest.approx(2 / 3)
+    assert ws["recallOverTopN"][1] == pytest.approx(1.0)
+    for lab in ("label0", "label1", "label2"):
+        assert st["labelStatistics"][lab]["recallOverTopN"][1] == 1.0
