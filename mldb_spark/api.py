@@ -576,7 +576,28 @@ class Mldb:
                 ts = c[2] if len(c) > 2 else 0
                 if col is None or str(col) == "":
                     raise ValueError("empty column names are not allowed")
-                buf.append((str(rn), str(col), val, ts))
+                buf.append((str(rn), str(col), self._decode_cell(val), ts))
+
+    @staticmethod
+    def _decode_cell(val):
+        """Wire-format cell values (MLDB-986-recording.py; the
+        reference's JSON encoding for non-JSON-representable cells):
+        {"num": "NaN"/"Inf"/"-Inf"} → float, {"ts": iso} → datetime.
+        Interval cells ({"interval": …}) stay as their wire dict —
+        the engine has no interval storage type."""
+        if isinstance(val, dict):
+            if "num" in val and len(val) == 1:
+                s = str(val["num"])
+                return float(
+                    {"NaN": "nan", "Inf": "inf", "-Inf": "-inf"}.get(s, s)
+                )
+            if "ts" in val and len(val) == 1:
+                import datetime as _dt
+
+                return _dt.datetime.fromisoformat(
+                    str(val["ts"]).replace("Z", "+00:00")
+                ).replace(tzinfo=None)
+        return val
 
     def record_column(
         self, dataset_id: str, column_name, rows: "list"
@@ -622,17 +643,31 @@ class Mldb:
                 )
             return t
 
-        numeric = all(
-            isinstance(v, (int, float)) and not isinstance(v, bool)
+        vals = [
+            v
             # row-existence markers and explicit NULL cells (MLDB-434's
             # recordExample(..., label=null)) don't decide the type
             for _, c, v, _ in buf
             if c is not None and v is not None
+        ]
+        numeric = all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in vals
         )
-        vtype = "double" if numeric else "string"
+        # all-timestamp cells keep the timestamp type so temporal
+        # arithmetic works over the values (MLDB-986's
+        # `y + INTERVAL '2D'` on a {"ts": …} wire cell)
+        all_ts = bool(vals) and all(
+            isinstance(v, _dt.datetime) for v in vals
+        )
+        vtype = (
+            "timestamp" if all_ts else "double" if numeric else "string"
+        )
         rows = [
             (r, c,
-             (None if v is None else (float(v) if numeric else str(v))),
+             (None if v is None
+              else (v if all_ts
+                    else (float(v) if numeric else str(v)))),
              to_ts(t))
             for r, c, v, t in buf
         ]
@@ -640,7 +675,22 @@ class Mldb:
             rows, f"row string, column string, value {vtype}, ts timestamp"
         )
         self._datasets[dataset_id] = df
-        self.ctx.register_cells(dataset_id, df)
+        numeric_cols = None
+        if vtype == "string":
+            # MIXED datasets: columns whose cells are ALL numeric keep
+            # a numeric wide view (MLDB-102 — one string cell must not
+            # flip the other columns); the buffer is already
+            # driver-side by design, so this pass is free
+            per_col: dict[str, bool] = {}
+            for _, c, v, _t in buf:
+                if c is None or v is None:
+                    continue
+                ok = isinstance(v, (int, float)) and not isinstance(v, bool)
+                per_col[c] = per_col.get(c, True) and ok
+            numeric_cols = {c for c, ok in per_col.items() if ok}
+        self.ctx.register_cells(
+            dataset_id, df, numeric_columns=numeric_cols
+        )
 
     @staticmethod
     def _check_label_not_in_features(sql: str, tdf: DataFrame) -> None:
@@ -906,6 +956,87 @@ class Mldb:
                 status = {"outputDataset": out_id}
             elif etype == "bucketize":
                 status = self._run_bucketize(params)
+            elif etype == "createEntity":
+                # createEntity procedure (builtin/basic_procedures.cc:
+                # 194-230; MLDB-985): the params ARE another entity's
+                # config {kind, type, params…}; the run's status is
+                # the created entity's full descriptor
+                sub = {
+                    "type": params.get("type"),
+                    "id": params.get("entityId", f"{eid}_entity"),
+                    "params": params.get("params", {}),
+                }
+                status = self.create_entity(params["kind"], sub)
+            elif etype == "svm.train":
+                # svm.train entity (plugins/jml/svm.cc:464;
+                # MLDB-991-svm.py): trainingData is a whole-row spec —
+                # the `label` column is the target, every other
+                # numeric column a feature. Binary targets fit one
+                # LinearSVC; multiclass fits MLlib's OneVsRest over
+                # it (libsvm's own C_SVC decomposition). Registers
+                # `functionName` adding an `output` column with the
+                # predicted ORIGINAL label value.
+                if "trainingData" not in params:
+                    raise ValueError("You need to define trainingData")
+                tdf = self.query(self._require_from(params["trainingData"]))
+                if "label" not in tdf.columns:
+                    raise ValueError("svm.train needs a 'label' column")
+                feat_cols = [
+                    c
+                    for c, dt in tdf.dtypes
+                    if c not in ("label", "rowName")
+                    and not c.startswith("__")
+                    and dt.startswith(
+                        ("int", "bigint", "smallint", "tinyint",
+                         "float", "double", "decimal")
+                    )
+                ]
+                if not feat_cols:
+                    raise ValueError("svm.train: no numeric feature columns")
+                from pyspark.ml.classification import LinearSVC, OneVsRest
+                from pyspark.ml.feature import VectorAssembler
+
+                assembler = VectorAssembler(
+                    inputCols=feat_cols, outputCol="features"
+                )
+                classes = sorted(
+                    r[0]
+                    for r in tdf.select("label").distinct().collect()
+                    if r[0] is not None
+                )
+                idx = {v: float(i) for i, v in enumerate(classes)}
+                mapping = F.create_map(
+                    *[x for v, i in idx.items() for x in (F.lit(v), F.lit(i))]
+                )
+                fit_df = assembler.transform(
+                    tdf.withColumn(
+                        "__li", mapping[F.col("label")].cast("double")
+                    )
+                )
+                svc = LinearSVC(maxIter=50, regParam=0.01, labelCol="__li")
+                est = (
+                    svc
+                    if len(classes) <= 2
+                    else OneVsRest(classifier=svc, labelCol="__li")
+                )
+                model = est.fit(fit_df)
+                back = F.array(*[F.lit(v) for v in classes])
+                fname = params.get("functionName", eid)
+
+                def apply_svm(d: DataFrame, __m=model, __b=back) -> DataFrame:
+                    out = __m.transform(assembler.transform(d))
+                    return out.withColumn(
+                        "output", __b[F.col("prediction").cast("int")]
+                    ).drop(
+                        *[c for c in ("features", "rawPrediction",
+                                      "prediction")
+                          if c in out.columns]
+                    )
+
+                from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+                GLOBAL_REGISTRY.register(fname, apply_svm)
+                status = {"functionName": fname, "classes": classes}
             elif etype == "classifier.train":
                 # trainingData is a full input-data spec — WHEN/WHERE/
                 # structured {from, when} forms included (MLDB-945's
@@ -1276,6 +1407,13 @@ class Mldb:
                     raise ValueError(
                         "classifier.test expects a scalar named 'score' "
                         "and a scalar named 'label'"
+                    )
+                if tdf.isEmpty():
+                    # the reference's exact message
+                    # (classifier_test_err_on_empty_sets.py)
+                    raise ValueError(
+                        "Cannot run classifier.test procedure on empty "
+                        "test set"
                     )
                 from mldb_spark.ml.procedures import (
                     categorical_statistics,

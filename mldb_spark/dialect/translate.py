@@ -2475,6 +2475,7 @@ class MldbContext:
         column_col: str = "column",
         value_col: str = "value",
         ts_col: str = "ts",
+        numeric_columns: "set[str] | None" = None,
     ) -> None:
         """Register a TEMPORAL dataset from the cell layout (row,
         column, value, ts) — the sparse.mutable / beh shape where a
@@ -2512,10 +2513,22 @@ class MldbContext:
         cols = sorted(cols)
         latest = latest_cells(cells, row_col, column_col, value_col, ts_col)
         if cols:
+            # numeric_columns: per-COLUMN typing for MIXED datasets
+            # (MLDB-102: one string cell must not flip every other
+            # column to strings) — the recording buffer knows which
+            # columns are all-numeric, so those cast back to double
+            # in the wide view while the value column stays string
+            nset = numeric_columns or set()
             wide = latest.groupBy(F.col(row_col).alias("__cellsRow")).agg(
                 *[
-                    F.max(
-                        F.when(F.col(column_col) == c, F.col(value_col))
+                    (
+                        F.max(
+                            F.when(F.col(column_col) == c, F.col(value_col))
+                        ).cast("double")
+                        if c in nset
+                        else F.max(
+                            F.when(F.col(column_col) == c, F.col(value_col))
+                        )
                     ).alias(c)
                     for c in cols
                 ]

@@ -323,8 +323,18 @@ def classifier_test(
             r2 = 1.0 - float(st["ssres"]) / sstot
         n = int(st["n"])
         idxs = {q: int((n - 1) * q) for q in (0.25, 0.5, 0.75, 0.9)}
+        # |(p−y)/y| with the reference's IEEE edge behavior on y=0
+        # (C++ gives ±inf / nan; Spark's ANSI `/` would throw)
         rel = base.select(
-            F.abs((F.col("p") - F.col("y")) / F.col("y")).alias("rel")
+            F.abs(
+                F.when(
+                    F.col("y") != 0, (F.col("p") - F.col("y")) / F.col("y")
+                ).otherwise(
+                    F.when(
+                        F.col("p") == F.col("y"), F.lit(float("nan"))
+                    ).otherwise(F.lit(float("inf")))
+                )
+            ).alias("rel")
         )
         ranked = rel.withColumn(
             "__rk", F.row_number().over(Window.orderBy("rel")) - 1

@@ -8203,3 +8203,171 @@ def test_multilabel_classifier(spark):
     assert ws["recallOverTopN"][1] == pytest.approx(1.0)
     for lab in ("label0", "label1", "label2"):
         assert st["labelStatistics"][lab]["recallOverTopN"][1] == 1.0
+
+
+def test_classifier_test_empty_set_error(spark):
+    """classifier_test_err_on_empty_sets.py: a LIMIT 0 testingData is
+    a config error with the reference's exact message."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    _ds(mldb, "cte", [("r1", 1.0, 1.0)], "rn string, score double, label double")
+    with pytest.raises(ValueError, match="empty test set"):
+        mldb.create_entity("procedure", {
+            "type": "classifier.test", "id": "t_cte",
+            "params": {"testingData":
+                       "SELECT score, label FROM cte LIMIT 0"},
+        })
+
+
+def test_mldb_986_wire_format_cells(spark):
+    """MLDB-986-recording.py: {"num": "NaN"/"Inf"} and {"ts": …} wire
+    cells decode on record; NaN survives arithmetic, Inf compares,
+    and a ts cell supports + INTERVAL."""
+    import math
+
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m986"})
+    mldb.record_rows("m986", [
+        {"rowName": "first row", "columns": [["x", {"num": "NaN"}, 0]]},
+        {"rowName": "third row", "columns": [["z", {"num": "Inf"}, 0]]},
+    ])
+    mldb.commit_dataset("m986")
+    out = mldb.query(
+        "select x + 1 as output from m986 where x IS NOT null"
+    ).collect()
+    assert len(out) == 1 and math.isnan(out[0]["output"])
+    out = mldb.query(
+        "select z from m986 where z IS NOT null"
+    ).collect()
+    assert math.isinf(out[0]["z"])
+
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m986t"})
+    mldb.record_rows("m986t", [
+        {"rowName": "second row",
+         "columns": [["y", {"ts": "1969-07-20T01:02:03.000Z"}, 0]]},
+    ])
+    mldb.commit_dataset("m986t")
+    out = mldb.query(
+        "select y + INTERVAL '2D' as output from m986t where y IS NOT null"
+    ).collect()
+    assert out[0]["output"].isoformat().startswith("1969-07-22T01:02:03")
+
+
+def test_mldb_991_svm_multiclass(spark):
+    """MLDB-991-svm.py: svm.train over a whole-row spec with a
+    MULTICLASS label (39/72); the registered function's `output` is
+    the predicted original label value on both sides of the
+    separator."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    _ds(
+        mldb, "m991",
+        [("1", 39.0, 0.75, -0.5), ("2", 39.0, 0.6, -0.7),
+         ("3", 39.0, 0.9, -0.4), ("4", 72.0, -0.2, 0.9),
+         ("5", 72.0, -0.45, 0.5), ("6", 72.0, -0.56, 0.2)],
+        "rn string, label double, x double, y double",
+    )
+    mldb.create_entity("procedure", {
+        "type": "svm.train", "id": "svm991",
+        "params": {"trainingData": {"from": {"id": "m991"}},
+                   "functionName": "svm991"},
+    })
+    out = mldb.query(
+        "SELECT svm991({*})[output] AS o FROM (SELECT 1.0 AS x, -1.0 AS y)"
+    ).collect()
+    assert out[0]["o"] == 39.0
+    out = mldb.query(
+        "SELECT svm991({*})[output] AS o FROM (SELECT -1.0 AS x, 1.0 AS y)"
+    ).collect()
+    assert out[0]["o"] == 72.0
+
+
+def test_mldb_973_1502_import_line_number_row_names(spark, tmp_path):
+    """MLDB-973-csv-linenumber.js + MLDB-1502-import-text-column-name-
+    confusion.js: imported rows are named by 1-based FILE line number
+    — with a header line, data rows start at 2, unique and complete;
+    with CUSTOM headers (no header line consumed, empty delimiter =
+    whole line in one column) they start at 1."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.sources.text_io import import_text
+
+    mldb = Mldb(spark)
+    p = tmp_path / "m973.csv"
+    p.write_text("a,b\n" + "".join(f"{i},x{i}\n" for i in range(100)))
+    df = import_text(spark, str(p), line_number_row_names=True)
+    mldb.create_dataset("m973", df, row_name_col="rowName")
+    nums = [
+        int(r["n"])
+        for r in mldb.query(
+            "select cast(rowName() as integer) as n from m973"
+        ).collect()
+    ]
+    assert sorted(nums) == list(range(2, 102))
+
+    p2 = tmp_path / "m1502.txt"
+    p2.write_text("603,politics,trees\n612,funny,pics\n")
+    df2 = import_text(
+        spark, str(p2), delimiter="\x01", quote="\x02",
+        headers=["customLine"], line_number_row_names=True,
+    )
+    mldb.create_dataset("m1502", df2, row_name_col="rowName")
+    out = mldb.query(
+        "select rowName() as rn, customLine from m1502 order by rowName()"
+    ).collect()
+    assert [(r["rn"], r["customLine"]) for r in out] == [
+        ("1", "603,politics,trees"), ("2", "612,funny,pics")]
+
+
+def test_mldb_102_rerecorded_rows_merge(spark):
+    """MLDB-102-select-formats.js: recording the SAME row name twice
+    merges the cells into one row; the aos render carries explicit
+    nulls for absent columns."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.rest import render_rows
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m102"})
+    for rn, x, y, z in [("ex1", 0, 3, None), ("ex2", 1, 2, "yes"),
+                        ("ex3", 2, 1, None), ("ex4", 3, 0, "no")]:
+        mldb.record_rows(
+            "m102", [{"rowName": rn, "columns": [["x", x, 0], ["y", y, 0]]}]
+        )
+        if z:
+            mldb.record_rows(
+                "m102", [{"rowName": rn, "columns": [["z", z, 0]]}]
+            )
+    mldb.commit_dataset("m102")
+    df = mldb.query(
+        "SELECT x, y, z, rowName() AS _rowName FROM m102 ORDER BY rowName()"
+    )
+    rows = render_rows(df.collect(), df.columns, fmt="aos")
+    # per-COLUMN typing: x/y stay numeric even though z is a string
+    assert rows == [
+        {"_rowName": "ex1", "x": 0.0, "y": 3.0, "z": None},
+        {"_rowName": "ex2", "x": 1.0, "y": 2.0, "z": "yes"},
+        {"_rowName": "ex3", "x": 2.0, "y": 1.0, "z": None},
+        {"_rowName": "ex4", "x": 3.0, "y": 0.0, "z": "no"},
+    ]
+
+
+def test_mldb_985_create_entity_procedure(spark):
+    """MLDB-985-create-entity-return-details.js: the createEntity
+    PROCEDURE type — its params are another entity's config; the run
+    status carries the created entity's full descriptor (kind,
+    config.type, status.rowCount 0 for a fresh mutable dataset)."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.put_procedure(
+        "t985",
+        {"type": "createEntity",
+         "params": {"kind": "dataset", "type": "sparse.mutable"}},
+    )
+    st = mldb.run_procedure("t985")["status"]
+    assert st["kind"] == "dataset"
+    assert st["config"]["type"] == "sparse.mutable"
+    assert st["status"]["rowCount"] == 0
