@@ -921,6 +921,18 @@ class Mldb:
                 )
             elif etype == "http.useragent":
                 self.create_useragent_function(eid)
+            elif etype == "script.apply":
+                # script.apply function entity
+                # (builtin/script_function.cc; MLDB-643): a stored
+                # script applied per call with `args` in scope (the
+                # reference's mldb.script.args); the script's
+                # set_return/result is the function output
+                src = params["scriptConfig"]["source"]
+
+                def run_stored(args=None, __src=src):
+                    return {"return": self.run_script(source=__src, args=args)}
+
+                self.functions.register(eid, run_stored)
             elif etype == "embedding.neighbors":
                 self.create_neighbors_function(
                     eid,
@@ -956,6 +968,67 @@ class Mldb:
                 status = {"outputDataset": out_id}
             elif etype == "bucketize":
                 status = self._run_bucketize(params)
+            elif etype == "import.text":
+                # import.text procedure entity
+                # (plugins/textual/importtext_procedure.cc; MLDB-1891):
+                # per-line select/where/named run through the dialect
+                # over the raw import; a row-valued select item is the
+                # reference's config error — imported cells are atoms
+                from mldb_spark.sources.text_io import import_text
+
+                out_spec = params.get("outputDataset") or eid
+                out_id = (
+                    out_spec["id"] if isinstance(out_spec, dict) else out_spec
+                )
+                sel = params.get("select")
+                if sel and sel != "*":
+                    from mldb_spark.dialect import ast as _ast
+                    from mldb_spark.dialect.parser import parse_statement
+                    from mldb_spark.dialect.translate import _walk
+
+                    stm = parse_statement(f"SELECT {sel} FROM __imp")
+                    for it in stm.select:
+                        if isinstance(it, _ast.ExprItem) and any(
+                            isinstance(n, _ast.RowLiteral)
+                            for n in _walk(it.expr)
+                        ):
+                            raise ValueError(
+                                "Import select expression cannot have "
+                                "row-valued columns"
+                            )
+                q = params.get("quoteChar", '"')
+                raw = import_text(
+                    self.spark,
+                    str(params["dataFileUrl"]).removeprefix("file://"),
+                    delimiter=params.get("delimiter", ",") or "\x01",
+                    quote=q if q else "\x00",  # '' disables quoting
+                    headers=params.get("headers"),
+                    limit=params.get("limit"),
+                    offset=params.get("offset", 0),
+                    ignore_bad_lines=params.get("ignoreBadLines", False),
+                    multi_line=params.get("allowMultiLines", False),
+                    structured_column_names=params.get(
+                        "structuredColumnNames", False
+                    ),
+                    line_number_row_names=True,
+                )
+                self.create_dataset(
+                    "__import_raw", raw, row_name_col="rowName"
+                )
+                sql = f"SELECT {sel or '*'} FROM __import_raw"
+                if params.get("named"):
+                    sql += ""  # NAMED goes after select list
+                    sql = (
+                        f"SELECT {sel or '*'} NAMED {params['named']} "
+                        "FROM __import_raw"
+                    )
+                if params.get("where"):
+                    sql += f" WHERE {params['where']}"
+                self.transform(sql, out_id)
+                status = {
+                    "outputDataset": out_id,
+                    "rowCount": self.dataset(out_id).count(),
+                }
             elif etype == "createEntity":
                 # createEntity procedure (builtin/basic_procedures.cc:
                 # 194-230; MLDB-985): the params ARE another entity's
@@ -1037,7 +1110,16 @@ class Mldb:
 
                 GLOBAL_REGISTRY.register(fname, apply_svm)
                 status = {"functionName": fname, "classes": classes}
-            elif etype == "classifier.train":
+            elif etype in ("classifier.train", "randomforest.binary.train"):
+                if etype == "randomforest.binary.train":
+                    # randomforest.binary.train
+                    # (plugins/jml/randomforest_procedure.cc:411;
+                    # MLDB-1433): the dedicated RF procedure routes
+                    # through the classifier path with the bagged-tree
+                    # estimator and boolean mode
+                    params = dict(params)
+                    params["algorithm"] = "bagging"
+                    params["mode"] = "boolean"
                 # trainingData is a full input-data spec — WHEN/WHERE/
                 # structured {from, when} forms included (MLDB-945's
                 # train_classifier(when=...)): the spec routes through

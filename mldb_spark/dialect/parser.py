@@ -133,6 +133,11 @@ class Token:
 
 
 def tokenize(sql: str) -> list[Token]:
+    if "\x00" in sql:
+        # a NUL byte anywhere in the query text is a parse error
+        # (MLDB-1603-nonprintable-chars-json.js — other control
+        # characters are legal inside string literals)
+        raise SyntaxError("query text contains a null character")
     out: list[Token] = []
     pos = 0
     glued = False

@@ -8371,3 +8371,125 @@ def test_mldb_985_create_entity_procedure(spark):
     assert st["kind"] == "dataset"
     assert st["config"]["type"] == "sparse.mutable"
     assert st["status"]["rowCount"] == 0
+
+
+def test_mldb_1891_case_in_import(spark, tmp_path):
+    """MLDB-1891-case-in-import.py: a CASE select expression inside
+    import.text works (scalar branches, multiple WHENs, no ELSE);
+    a ROW-valued branch ({0}) is the reference's config error."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    p = tmp_path / "m1891.csv"
+    p.write_text("a,b\npatate,1\nbanane,2\ncarotte,3\n")
+
+    def imp(select, oid):
+        return mldb.create_entity("procedure", {
+            "type": "import.text", "id": f"imp_{oid}",
+            "params": {
+                "dataFileUrl": f"file://{p}",
+                "outputDataset": oid,
+                "select": select,
+                "runOnCreation": True,
+            },
+        })
+
+    imp("CASE a WHEN 'patate' THEN 0 ELSE 1 END AS c", "m1891a")
+    vals = sorted(
+        r["c"] for r in mldb.query("select c from m1891a").collect()
+    )
+    assert vals == [0, 1, 1]
+    imp("CASE a WHEN 'patate' THEN 0 WHEN 'banane' THEN 1 ELSE 2 END AS c",
+        "m1891b")
+    assert sorted(
+        r["c"] for r in mldb.query("select c from m1891b").collect()
+    ) == [0, 1, 2]
+    imp("CASE a WHEN 'patate' THEN 0 WHEN 'banane' THEN 1 END AS c",
+        "m1891c")
+    assert sorted(
+        (r["c"] is None, r["c"]) for r in
+        mldb.query("select c from m1891c").collect()
+    )[0][1] in (0, 1)
+    for bad in (
+        "CASE a WHEN 'patate' THEN {0} ELSE 1 END",
+        "CASE a WHEN 'patate' THEN 0 ELSE {0} END",
+        "CASE a WHEN 'patate' THEN 0 WHEN 'banane' THEN {1} ELSE 2 END",
+    ):
+        with pytest.raises(ValueError, match="row-valued columns"):
+            imp(bad, "m1891bad")
+
+
+def test_mldb_643_script_apply_function(spark):
+    """MLDB-643_script_function.py: a script.apply function entity
+    stores a script and applies it per call with the passed args in
+    scope; the script's result is the function output."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("function", {
+        "type": "script.apply", "id": "scriptApplier643",
+        "params": {"scriptConfig": {"source": (
+            "result = [[k, v * 2] for k, v in sorted(args.items())]\n"
+        )}},
+    })
+    out = mldb.apply_function("scriptApplier643", args={"Warp": 9})
+    assert out["return"] == [["Warp", 18]]
+
+
+def test_mldb_525_run_timestamps_ordered(spark):
+    """MLDB-525-procedure-training-timestamp.js: a run's runStarted
+    precedes (or equals) its runFinished in the run record."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.put_procedure(
+        "t525",
+        {"type": "createEntity",
+         "params": {"kind": "dataset", "type": "sparse.mutable"}},
+    )
+    mldb.run_procedure("t525")
+    run = mldb.latest_run("t525")
+    assert run["runStarted"] <= run["runFinished"]
+    assert run["state"] == "finished"
+
+
+def test_mldb_1603_nonprintable_chars_in_sql(mldb):
+    """MLDB-1603-nonprintable-chars-json.js: a chr(17) inside a
+    string literal round-trips; a NUL character anywhere in the query
+    text is a parse error."""
+    s17 = "string with embedded chars " + chr(17)
+    assert mldb.query(f"select '{s17}' as res").collect()[0]["res"] == s17
+    with pytest.raises(SyntaxError, match="null character"):
+        mldb.query("select 'bad \x00 char' as res")
+
+
+def test_mldb_1433_randomforest_binary_train_entity(spark):
+    """MLDB-1433-random-forest.py: the randomforest.binary.train
+    procedure type — boolean RF training through createEntity, scored
+    by the registered function and evaluated via classifier.test."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    _ds(
+        mldb, "m1433",
+        [(f"r{i}", float(i % 10), float((i * 7) % 5),
+          1.0 if (i % 10) >= 5 else 0.0) for i in range(200)],
+        "rn string, f1 double, f2 double, label double",
+    )
+    mldb.create_entity("procedure", {
+        "type": "randomforest.binary.train", "id": "rf1433",
+        "params": {
+            "trainingData":
+                "select {f1, f2} as features, label from m1433",
+            "functionName": "rf1433",
+        },
+    })
+    mldb.transform(
+        "select rf1433({f1, f2})[score] as score, label from m1433",
+        "m1433_scored",
+    )
+    st = mldb.create_entity("procedure", {
+        "type": "classifier.test", "id": "rf1433_test",
+        "params": {"testingData": "select score, label from m1433_scored"},
+    })["status"]
+    assert st["auc"] > 0.95 and st["accuracy"] > 0.95

@@ -548,3 +548,26 @@ def test_mldb_1869_payloads_with_trailing_newlines(spark):
                 assert 200 <= r.status < 400
     finally:
         srv.stop()
+
+
+def test_mldb_153_script_runs_are_isolated(server):
+    """MLDB-153_pyscript_state_pollution.py: state set by one script
+    run does not leak into the next — `a=1` then `print(a)` is a
+    NameError 400 mentioning name 'a'."""
+    import urllib.error
+
+    status, _ = _req(
+        server, "POST", "/v1/types/plugins/python/routes/run",
+        {"source": "a=1"},
+    )
+    assert status == 200
+    try:
+        _req(server, "POST", "/v1/types/plugins/python/routes/run",
+             {"source": "print(a)"})
+        raise AssertionError("state leaked between script runs")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        import json as _json
+
+        body = _json.loads(e.read())
+        assert "'a'" in str(body)
