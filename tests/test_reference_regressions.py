@@ -8493,3 +8493,155 @@ def test_mldb_1433_randomforest_binary_train_entity(spark):
         "params": {"testingData": "select score, label from m1433_scored"},
     })["status"]
     assert st["auc"] > 0.95 and st["accuracy"] > 0.95
+
+
+def test_mldb_301_commit_empty_dataset(spark):
+    """MLDB-301-commit-empty-dataset.js: committing a mutable dataset
+    with NO recorded rows is not an error; the dataset exists with
+    zero rows."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("dataset", {"type": "sparse.mutable", "id": "m301"})
+    mldb.commit_dataset("m301")
+    assert mldb.dataset("m301").count() == 0
+
+
+def test_mldb_2161_utf8_in_script_apply(spark):
+    """MLDB-2161-utf8-in-script-apply.py: UTF-8 keys survive the
+    round trip through a script.apply function's args."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    mldb.create_entity("function", {
+        "type": "script.apply", "id": "filter_top_themes",
+        "params": {"scriptConfig": {"source": (
+            "result = sorted(args.items(), key=lambda kv: kv[1])[0][0]\n"
+        )}},
+    })
+    out = mldb.apply_function(
+        "filter_top_themes",
+        args={"Politique Provinciale": 2, "Élections": 1,
+              "Thèmes et sous-thàmes": 0},
+    )
+    assert out["return"] == "Thèmes et sous-thàmes"
+
+
+def test_mldb_426_svd_tsne_smoke_on_random(spark):
+    """MLDB-426_tsne_crash.py: svd.train then tsne.train over a dense
+    random 200x20 matrix complete without crashing (the historical
+    eigen/tsne crash repro)."""
+    import math
+
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    rows = [
+        tuple([f"r{r}"] + [math.sin(r * 31 + c * 7) * 0.5 + 0.5
+                           for c in range(20)])
+        for r in range(200)
+    ]
+    cols = ", ".join(f"c{c} double" for c in range(20))
+    _ds(mldb, "m426", rows, f"rn string, {cols}")
+    mldb.create_entity("procedure", {
+        "type": "svd.train", "id": "svd426",
+        "params": {"trainingData": "select * from m426",
+                   "numSingularValues": 5,
+                   "rowOutputDataset": "m426_svd"}})
+    assert mldb.dataset("m426_svd").count() == 200
+    mldb.create_entity("procedure", {
+        "type": "tsne.train", "id": "tsne426",
+        "params": {"trainingData": "select * from m426",
+                   "rowOutputDataset": "m426_tsne"}})
+    assert mldb.dataset("m426_tsne").count() == 200
+
+
+def test_mldb_1395_import_missing_file_error(spark):
+    """MLDB-1395-error-message-file-doesnt-exist.js: importing a file
+    that does not exist is a clean error naming the path, never a
+    crash."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    with pytest.raises(Exception, match="no_such_file_1395|PATH_NOT_FOUND"):
+        mldb.create_entity("procedure", {
+            "type": "import.text", "id": "imp1395",
+            "params": {"dataFileUrl": "file:///tmp/no_such_file_1395.csv",
+                       "outputDataset": "m1395"},
+        })
+
+
+def test_mldb_2100_fetcher_timeout(spark):
+    """MLDB-2100_fetcher_timeout_test.py: a hanging HTTP server trips
+    the fetcher timeout — the error lands in the error COLUMN (one
+    dead host must not stall the partition), content stays NULL."""
+    import socket
+    import threading
+
+    from mldb_spark.sources.fetcher import fetcher
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def accept_and_hang():
+        try:
+            srv.settimeout(15)
+            c, _ = srv.accept()
+            stop.wait(12)
+            c.close()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=accept_and_hang, daemon=True)
+    t.start()
+    try:
+        df = spark.createDataFrame(
+            [(f"http://127.0.0.1:{port}/toto",)], "url string"
+        )
+        out = df.select(
+            fetcher(F.col("url"), timeout_s=2).alias("f")
+        ).collect()[0]["f"]
+        assert out["content"] is None
+        assert out["error"] is not None and "time" in out["error"].lower()
+    finally:
+        stop.set()
+        srv.close()
+
+
+def test_mldb_2181_null_feature_then_typed_values(spark):
+    """MLDB-2181_null_feature_model_test.py: a feature that is always
+    NULL at training time must not break scoring when the test set
+    carries STRING or NUMERIC values in that column."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    _ds(
+        mldb, "pre2181",
+        [(f"r{i}", float(i), (i % 7) / 7.0 + (0.6 if i < 10 else 0.0),
+          1.0 if i < 10 else 0.0) for i in range(20)],
+        "rn string, line double, feature double, label double",
+    )
+    mldb.transform("SELECT *, NULL as issue FROM pre2181", "train2181")
+    mldb.create_entity("procedure", {
+        "type": "classifier.train", "id": "t2181",
+        "params": {
+            "trainingData":
+                "SELECT {feature, issue} AS features, label FROM train2181",
+            "functionName": "score2181",
+        },
+    })
+    for vals, schema in (
+        ([("r0", 0.9, "STRING", 0.0)],
+         "rn string, feature double, issue string, label double"),
+        ([("r0", 0.9, 3.14, 0.0)],
+         "rn string, feature double, issue double, label double"),
+    ):
+        name = f"t2181_{schema.split(',')[2].strip().split()[1]}"
+        _ds(mldb, name, vals, schema)
+        out = mldb.query(
+            f"SELECT score2181({{feature, issue}})[score] AS s FROM {name}"
+        ).collect()
+        assert 0.0 <= out[0]["s"] <= 1.0
