@@ -1238,6 +1238,7 @@ def classifier_experiment(
     registry: FunctionRegistry = GLOBAL_REGISTRY,
     max_iter: int = 50,
     dataset_folds: "list[tuple[Column, Column]] | None" = None,
+    on_fold_model=None,
 ) -> DataFrame:
     """classifier.experiment (plugins/jml/experiment_procedure.cc:618):
     k-fold train/test harness. Fold assignment is a deterministic
@@ -1300,7 +1301,14 @@ def classifier_experiment(
         train = tagged.filter(F.col("__fold") != k)
         test = tagged.filter(F.col("__fold") == k)
         reg = FunctionRegistry()
-        classifier_train(train, feature_cols, label_col, f"{name}_f{k}", reg, max_iter=max_iter)
+        model = classifier_train(
+            train, feature_cols, label_col, f"{name}_f{k}", reg,
+            max_iter=max_iter,
+        )
+        if on_fold_model is not None:
+            # fixture-export hook (q74's oracle graduation): the
+            # caller collects the fitted per-fold parameters
+            on_fold_model(k, model)
         scored = reg.apply(f"{name}_f{k}", test)
         m = classifier_test(scored, label_col, "score").collect()[0]
         n_test = sizes.get(k, 0)

@@ -2114,3 +2114,73 @@ SELECT CAST(idx AS BIGINT) AS idx,
        round(tp / (tp + fp) + 1e-9, 4) AS prec
 FROM r ORDER BY idx, label
 """
+
+# q74 (graduated round 8): the k-fold experiment harness replayed
+# closed-form from per-fold coefficient fixtures — hash-mod fold
+# assignment, per-fold sigmoid scoring of the HELD-OUT fold, exact
+# rank-sum AUC + threshold-0.5 accuracy, train/test counts.
+ORACLES["q74_classifier_experiment"] = f"""
+WITH c AS (SELECT * FROM read_parquet('{_FIXDIR}/q74_coefs.parquet')),
+f AS ({_ORDER_FEATS}),
+tot AS (SELECT count(*) AS total FROM f),
+s AS (
+  SELECT c.fold, f.label,
+         1.0 / (1.0 + exp(-(c.b + c.w_year * f_year + c.w_month * f_month
+                            + c.w_prio * f_priority + c.w_cust * f_cust)))
+           AS p
+  FROM f JOIN c ON (f.o_orderkey % 3) = c.fold
+),
+g AS (SELECT fold, p, count(*) AS cnt, sum(label) AS pos
+      FROM s GROUP BY fold, p),
+g2 AS (
+  SELECT *,
+         coalesce(sum(cnt) OVER (
+           PARTITION BY fold ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM g
+),
+a AS (
+  SELECT fold,
+         sum(pos * (cum_before + (cnt + 1) / 2.0)) AS rsum,
+         sum(pos) AS npos, sum(cnt - pos) AS nneg,
+         sum(CASE WHEN p > 0.5 THEN pos ELSE cnt - pos END) AS ncorrect,
+         sum(cnt) AS n
+  FROM g2 GROUP BY fold
+)
+SELECT CAST(fold AS INTEGER) AS fold,
+       CAST(tot.total - n AS BIGINT) AS n_train,
+       CAST(n AS BIGINT) AS n_test,
+       round((rsum - npos * (npos + 1) / 2.0) / (npos * nneg) + 1e-9, 4)
+         AS auc,
+       round(ncorrect * 1.0 / n + 1e-9, 4) AS accuracy
+FROM a CROSS JOIN tot ORDER BY fold
+"""
+
+# q65 (graduated round 8, the q85 exported-OUTPUT pattern): the
+# forest's per-example scores export once; the oracle replays every
+# evaluation step downstream of tree induction — grouped-score
+# rank-sum AUC with tie averaging, threshold accuracy.
+ORACLES["q65_random_forest"] = f"""
+WITH s AS (SELECT score AS p, label
+           FROM read_parquet('{_FIXDIR}/q65_scores.parquet')),
+g AS (SELECT p, count(*) AS cnt, sum(label) AS pos FROM s GROUP BY p),
+g2 AS (
+  SELECT *,
+         coalesce(sum(cnt) OVER (
+           ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM g
+),
+a AS (
+  SELECT sum(pos * (cum_before + (cnt + 1) / 2.0)) AS rsum,
+         sum(pos) AS npos, sum(cnt - pos) AS nneg,
+         sum(CASE WHEN p > 0.5 THEN pos ELSE cnt - pos END) AS ncorrect,
+         sum(cnt) AS n
+  FROM g2
+)
+SELECT round((rsum - npos * (npos + 1) / 2.0) / (npos * nneg) + 1e-9, 4)
+         AS auc,
+       round(ncorrect * 1.0 / n + 1e-9, 4) AS accuracy
+FROM a
+"""

@@ -1442,7 +1442,12 @@ def _order_features(spark: SparkSession, sf: str):
 def q65_random_forest(spark: SparkSession, sf: str) -> DataFrame:
     """randomforest.binary.train (plugins/jml/randomforest_procedure.cc:411)
     → RandomForestClassifier with fixed seed; AUC/accuracy over a held-out
-    split. Rows-only: tree induction internals are engine-specific."""
+    split. Oracle-backed (graduated round 8, the q85 exported-OUTPUT
+    pattern): the forest's per-example scores export as a fixture and
+    the oracle replays the ENTIRE evaluation — exact rank-sum AUC
+    with tie-averaged ranks and threshold-0.5 accuracy — closed-form;
+    only tree induction itself stays engine-internal (AUC floor in
+    tests/test_ml_extra.py)."""
     from mldb_spark.ml.procedures import classifier_test, random_forest_train
     from mldb_spark.ml.registry import FunctionRegistry
 
@@ -1454,7 +1459,19 @@ def q65_random_forest(spark: SparkSession, sf: str) -> DataFrame:
         train, ["f_year", "f_month", "f_priority", "f_cust"], "label",
         num_trees=20, seed=7, name="rf_q65", registry=reg,
     )
-    return classifier_test(reg.apply("rf_q65", test), "label", "score")
+    scored = reg.apply("rf_q65", test)
+    export_oracle_fixture_df(
+        "q65_scores",
+        scored.select(
+            "o_orderkey", F.col("score").cast("double").alias("score"),
+            F.col("label").cast("double").alias("label"),
+        ).orderBy("o_orderkey"),
+    )
+    res = classifier_test(scored, "label", "score")
+    return res.select(
+        F.round(F.col("auc") + 1e-9, 4).alias("auc"),
+        F.round(F.col("accuracy") + 1e-9, 4).alias("accuracy"),
+    )
 
 
 def q66_svm_margin(spark: SparkSession, sf: str) -> DataFrame:
@@ -1686,14 +1703,39 @@ def q73_sentiwordnet(spark: SparkSession, sf: str) -> DataFrame:
 def q74_classifier_experiment(spark: SparkSession, sf: str) -> DataFrame:
     """classifier.experiment (plugins/jml/experiment_procedure.cc:618):
     3-fold deterministic-hash split harness over the order features.
-    Rows-only: per-fold optimizer trajectories are engine-internal."""
+    Oracle-backed (graduated from rows-only, round 8): each fold's
+    fitted coefficients export to ONE fixture table and the oracle
+    replays the WHOLE harness closed-form — hash-mod fold assignment
+    (o_orderkey % 3), per-fold sigmoid scoring of the held-out fold,
+    exact rank-sum AUC + accuracy, and the train/test counts — so a
+    fold-assignment, leakage, or evaluation bug breaks the hash; only
+    the per-fold LBFGS trajectories stay engine-internal."""
     from mldb_spark.ml.procedures import classifier_experiment
 
     feats = _order_features(spark, sf)
-    return classifier_experiment(
+    coefs: list[tuple] = []
+
+    def keep(k, model):
+        w = [float(c) for c in model.coefficients]
+        coefs.append((k, w[0], w[1], w[2], w[3], float(model.intercept)))
+
+    out = classifier_experiment(
         feats, ["f_year", "f_month", "f_priority", "f_cust"], "label",
-        folds=3, hash_col="o_orderkey", max_iter=20,
+        folds=3, hash_col="o_orderkey", max_iter=20, on_fold_model=keep,
     )
+    export_oracle_fixture_df(
+        "q74_coefs",
+        spark.createDataFrame(
+            sorted(coefs),
+            "fold int, w_year double, w_month double, w_prio double, "
+            "w_cust double, b double",
+        ),
+    )
+    return out.select(
+        "fold", "n_train", "n_test",
+        F.round(F.col("auc") + 1e-9, 4).alias("auc"),
+        F.round(F.col("accuracy") + 1e-9, 4).alias("accuracy"),
+    ).orderBy("fold")
 
 
 def q75_tsne(spark: SparkSession, sf: str) -> DataFrame:

@@ -15,9 +15,7 @@ from mldb_spark.testing import compare_spark_duck
 # internals) have no cross-engine SQL replay; their real verification
 # lives in tests/test_operators.py and tests/test_ml.py invariants
 ROWS_ONLY = {
-    "q65_random_forest",   # tree ensemble has no compact exportable kernel
     "q67_gaussian_clusters",  # EM responsibilities need full covariances
-    "q74_classifier_experiment",  # fold orchestration wraps q88's checked kernel
     "q75_tsne",            # iterative embedding, no closed-form replay
     "qa07_pack_sequences",  # FFD bin assignment is imperative; invariants in test_corpus.py
 }
@@ -25,6 +23,10 @@ ROWS_ONLY = {
 # q87/q76/q79/q61 graduated r8 the same way (VERDICT r7 #1): centroid /
 # cell-assignment / word-vector / term-loading fixtures, oracle replays
 # the assignment/probe/pooling/prune logic closed-form
+# q65 graduated r8 via the exported-OUTPUT pattern (per-example
+# scores fixture; oracle replays the full AUC/accuracy evaluation)
+# q74 graduated r8: per-fold coefficient fixtures, oracle replays the
+# whole fold harness (assignment, held-out scoring, AUC, counts)
 # q66/q68/q88/q89 graduated r8: hyperplane / classifier+Platt /
 # logistic / PCA-component fixtures; oracles replay margin scoring,
 # the two-sigmoid calibration chain, exact rank-sum AUC + accuracy,
