@@ -352,6 +352,21 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
             if not isinstance(raw_args[1], ast.Literal):
                 raise ValueError(f"{name}(v, p) needs a literal power")
             p = float(raw_args[1].value)
+        if isinstance(raw_args[0], ast.EmbeddingLiteral) and any(
+            isinstance(it, ast.EmbeddingLiteral) for it in raw_args[0].items
+        ):
+            # 2-D embedding (tensor) literal (MLDB-1317): the norm
+            # reduces over ALL elements; normalize keeps the shape
+            flat = F.flatten(args[0])
+            n = p_norm(flat, p)
+            if name == "norm":
+                return n
+            return F.transform(
+                args[0],
+                lambda row: F.transform(
+                    row, lambda x: x.cast("double") / n
+                ),
+            )
         return p_norm(args[0], p) if name == "norm" else normalize_p(args[0], p)
     if name == "sign":
         # sign: NaN for non-numeric strings and NaN inputs, NULL for
@@ -4329,6 +4344,44 @@ class MldbContext:
                 df = df.select(
                     *others, *[F.col(s)[k].alias(k) for k in sorted(keys)]
                 )
+            elif dt.startswith("array"):
+                # embedding spread (MLDB-1317 tensors): element i →
+                # column 'i'; a nested embedding spreads to dotted
+                # 'i.j'. Lengths come from one 1-row aggregate —
+                # bounded by the same spread cap as maps.
+                inner = dt[len("array<"):-1]
+                n = df.agg(F.max(F.size(F.col(s)))).collect()[0][0] or 0
+                if inner.startswith("array"):
+                    m = (
+                        df.agg(
+                            F.max(
+                                F.array_max(
+                                    F.transform(
+                                        F.col(s), lambda x: F.size(x)
+                                    )
+                                )
+                            )
+                        ).collect()[0][0]
+                        or 0
+                    )
+                    if n * m > self._SPREAD_KEY_CAP:
+                        raise ValueError(
+                            f"AS * would spread more than "
+                            f"{self._SPREAD_KEY_CAP} columns"
+                        )
+                    cols = [
+                        F.col(s)[i][j].alias(f"{i}.{j}")
+                        for i in range(n)
+                        for j in range(m)
+                    ]
+                else:
+                    if n > self._SPREAD_KEY_CAP:
+                        raise ValueError(
+                            f"AS * would spread more than "
+                            f"{self._SPREAD_KEY_CAP} columns"
+                        )
+                    cols = [F.col(s)[i].alias(str(i)) for i in range(n)]
+                df = df.select(*others, *cols)
             else:
                 raise ValueError("AS * needs a row-valued expression")
         return df

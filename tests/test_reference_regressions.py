@@ -8645,3 +8645,37 @@ def test_mldb_2181_null_feature_then_typed_values(spark):
             f"SELECT score2181({{feature, issue}})[score] AS s FROM {name}"
         ).collect()
         assert 0.0 <= out[0]["s"] <= 1.0
+
+
+def test_mldb_1317_tensor_datatype(mldb):
+    """MLDB-1317-tensor-datatype.js: a 2-D embedding literal spreads
+    AS * into dotted columns 0.0..1.1; norm/normalize reduce over ALL
+    elements while normalize keeps the shape."""
+    out = mldb.query("select [ [ 1, 2 ], [ 3, 4 ] ] as *")
+    assert out.columns == ["0.0", "0.1", "1.0", "1.1"]
+    assert [tuple(r) for r in out.collect()] == [(1, 2, 3, 4)]
+    out = mldb.query(
+        "select normalize([ [ 10, 20 ], [ 30, 40 ] ], 1) as *"
+    )
+    assert out.columns == ["0.0", "0.1", "1.0", "1.1"]
+    vals = out.collect()[0]
+    assert [round(v, 6) for v in vals] == [0.1, 0.2, 0.3, 0.4]
+    n = mldb.query(
+        "select norm([ [ 10, 20 ], [ 30, 40 ] ], 1) as n"
+    ).collect()[0]["n"]
+    assert n == 100.0
+
+
+def test_mldb_390_sql_expression_function(mldb):
+    """MLDB-390-sql-expression-function.js: an sql.expression entity
+    `x + y AS z` applies over the rowset from SQL."""
+    _ds(
+        mldb, "m390",
+        [("ex%d" % i, float(i), float(i)) for i in range(4)],
+        "rn string, x double, y double",
+    )
+    mldb.create_sql_expression_function("expr390", "x + y AS z")
+    out = mldb.query(
+        "select expr390({x, y})[z] as z from m390 order by rowName()"
+    ).collect()
+    assert [r["z"] for r in out] == [0.0, 2.0, 4.0, 6.0]
