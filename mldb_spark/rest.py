@@ -521,10 +521,99 @@ class MldbRestServer:
         fmt = params.get("format", "full")
         row_names = str(params.get("rowNames", "0")).lower() in ("1", "true")
         headers = str(params.get("headers", "1")).lower() not in ("0", "false")
+        if fmt in ("full", ""):
+            full = self._try_cells_full(sql, limit)
+            if full is not None:
+                return full
         df = self.mldb.query(sql).limit(limit)
         return render_rows(
             df.collect(), df.columns, fmt=fmt, row_names=row_names, headers=headers
         )
+
+    def _try_cells_full(self, sql: str, limit: int):
+        """The reference's FULL format over a cells dataset returns
+        ALL timestamped tuples of each selected cell, not just the
+        GET_LATEST value (MLDB-605/679: recording x at 3 timestamps →
+        a 3-tuple columns list; 'we return all tuples of a column for
+        consistency, see MLDB-1370'). Applies to plain
+        SELECT */<columns> FROM <cells dataset> [WHERE …] [ORDER BY …]
+        [LIMIT …]; everything else falls back to the wide render."""
+        try:
+            from mldb_spark.dialect import ast as _ast
+            from mldb_spark.dialect.parser import parse_statement
+
+            stm = parse_statement(sql)
+        except Exception:
+            return None
+        if (
+            not isinstance(stm.from_, _ast.TableRef)
+            or stm.from_.name not in self.mldb.ctx._cells
+            or stm.group_by
+            or stm.named is not None
+            or stm.when is not None
+        ):
+            return None
+        info = self.mldb.ctx._cells[stm.from_.name]
+        want: "list[str] | None" = []
+        for it in stm.select:
+            if isinstance(it, _ast.Wildcard) and not it.qualifier:
+                want = None  # every column
+                break
+            if (
+                isinstance(it, _ast.ExprItem)
+                and isinstance(it.expr, _ast.ColumnRef)
+                and it.alias is None
+            ):
+                want.append(it.expr.name)
+            else:
+                return None  # computed items: latest-value semantics
+        cols = info["columns"] if want is None else [
+            c for c in info["columns"] if c in want
+        ]
+        # surviving row names in the statement's own order
+        import dataclasses as _dc
+
+        rn_stm = _dc.replace(
+            stm,
+            select=[
+                _ast.ExprItem(
+                    _ast.FunctionCall("rowname", [], raw="rowName"), "__rn"
+                )
+            ],
+        )
+        try:
+            names = [
+                r["__rn"]
+                for r in self.mldb.ctx._statement(rn_stm, {})
+                .limit(limit)
+                .collect()
+            ]
+        except Exception:
+            return None
+        cells = info["cells"]
+        import pyspark.sql.functions as F
+
+        got = (
+            cells.filter(
+                F.col(info["row"]).isin(names)
+                & F.col(info["column"]).isin(cols)
+            )
+            .orderBy(info["row"], info["column"], info["ts"])
+            .collect()
+        )
+        by_row: dict = {n: [] for n in names}
+        for r in got:
+            ts = r[info["ts"]]
+            by_row[r[info["row"]]].append(
+                [
+                    r[info["column"]],
+                    _jsonable(r[info["value"]]),
+                    ts.isoformat() + "Z" if ts is not None else None,
+                ]
+            )
+        return [
+            {"rowName": n, "columns": by_row.get(n, [])} for n in names
+        ]
 
     # -- lifecycle ----------------------------------------------------------
 

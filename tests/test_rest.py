@@ -571,3 +571,41 @@ def test_mldb_153_script_runs_are_isolated(server):
 
         body = _json.loads(e.read())
         assert "'a'" in str(body)
+
+
+def test_mldb_605_full_format_returns_all_cell_tuples(spark):
+    """MLDB-679-latest-get-variable.js (the MLDB-605 case, per the
+    MLDB-1370 consistency note): the FULL query format over a cells
+    dataset returns ALL timestamped tuples of a cell — x recorded at
+    3 timestamps renders a 3-tuple columns list, for both SELECT *
+    and SELECT x; the table format keeps GET_LATEST."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.rest import MldbRestServer
+
+    m = Mldb(spark)
+    m.create_entity("dataset", {"type": "sparse.mutable", "id": "m605"})
+    m.record_rows("m605", [{
+        "rowName": "row1",
+        "columns": [["x", 0, "2015-01-01T00:00:00Z"],
+                    ["x", 1, "2015-01-02T00:00:00Z"],
+                    ["x", 2, "2015-01-03T00:00:00Z"]],
+    }])
+    m.commit_dataset("m605")
+    srv = MldbRestServer(m).start()
+    try:
+        import urllib.parse
+
+        q = urllib.parse.quote("SELECT * from m605")
+        _, rows = _get(srv, f"/v1/query?q={q}")
+        assert len(rows) == 1 and len(rows[0]["columns"]) == 3
+        assert [c[0] for c in rows[0]["columns"]] == ["x", "x", "x"]
+        assert [c[1] for c in rows[0]["columns"]] == [0.0, 1.0, 2.0]
+        q = urllib.parse.quote("SELECT x from m605")
+        _, rows = _get(srv, f"/v1/query?q={q}")
+        assert len(rows[0]["columns"]) == 3
+        # table format stays GET_LATEST
+        q = urllib.parse.quote("SELECT x from m605")
+        _, tbl = _get(srv, f"/v1/query?q={q}&format=table")
+        assert tbl[-1][-1] == 2.0
+    finally:
+        srv.stop()
