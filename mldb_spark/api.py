@@ -1015,13 +1015,10 @@ class Mldb:
                 self.create_dataset(
                     "__import_raw", raw, row_name_col="rowName"
                 )
-                sql = f"SELECT {sel or '*'} FROM __import_raw"
-                if params.get("named"):
-                    sql += ""  # NAMED goes after select list
-                    sql = (
-                        f"SELECT {sel or '*'} NAMED {params['named']} "
-                        "FROM __import_raw"
-                    )
+                named = (
+                    f" NAMED {params['named']}" if params.get("named") else ""
+                )
+                sql = f"SELECT {sel or '*'}{named} FROM __import_raw"
                 if params.get("where"):
                     sql += f" WHERE {params['where']}"
                 self.transform(sql, out_id)

@@ -8679,3 +8679,52 @@ def test_mldb_390_sql_expression_function(mldb):
         "select expr390({x, y})[z] as z from m390 order by rowName()"
     ).collect()
     assert [r["z"] for r in out] == [0.0, 2.0, 4.0, 6.0]
+
+
+def test_mldb_481_high_dimensional_cube_knn(spark):
+    """MLDB-481-vp-tree-high-dimensional-cube.js: exact kNN over the
+    unit-basis corners of a 50-dim hypercube — the query point e0
+    finds its two exact copies at distance 0 and every other corner
+    at sqrt(2), with (distance, rowName) ordering."""
+    import math
+
+    from mldb_spark.similarity import embedding_neighbors
+
+    dims = 50
+    rows = []
+    for i in range(dims):
+        vec = [1.0 if j == i else 0.0 for j in range(dims)]
+        rows.append(tuple([f"row{i}"] + vec))
+        rows.append(tuple([f"row{i}_a"] + vec))
+    schema = "rowName string, " + ", ".join(
+        f"c{j} double" for j in range(dims)
+    )
+    ds = spark.createDataFrame(rows, schema)
+    nn = embedding_neighbors(ds, feature_cols=[f"c{j}" for j in range(dims)])
+    coords = [0.0] * dims
+    coords[0] = 1.0
+    got = nn(coords, num_neighbors=5)
+    assert len(got) == 5
+    assert {got[0][0], got[1][0]} == {"row0", "row0_a"}
+    assert got[0][1] == 0.0 and got[1][1] == 0.0
+    for name, dist in got[2:]:
+        assert abs(dist - math.sqrt(2)) < 1e-9
+
+
+def test_mldb_1121_custom_headers_no_duplicates(spark):
+    """MLDB-1121-csv-import-duplicates.py: importing with explicit
+    `headers` (no header line in the file) keeps EVERY line exactly
+    once — no line is consumed as a header, none duplicated."""
+    from mldb_spark.sources.text_io import import_text
+
+    df = import_text(
+        spark, "/root/reference/testing/MLDB-1121_test_set.csv",
+        headers=["error_msg", "count"], line_number_row_names=True,
+    )
+    rows = df.collect()
+    assert len(rows) == 9
+    names = [r["rowName"] for r in rows]
+    assert sorted(int(n) for n in names) == list(range(1, 10))
+    msgs = [r["error_msg"] for r in rows]
+    assert len(set(msgs)) == len(msgs)  # no duplicated lines
+    assert any("PATATE" in m for m in msgs)
