@@ -144,9 +144,13 @@ class Mldb:
         sql = self._input_spec_to_sql(input_sql)
         out, rn = self._query_with_row_name(sql, params)
         if skip_empty_rows:
-
+            # skipEmptyRows drops rows with NO cells — the injected
+            # row-name column is never null and must not count as a
+            # cell (ADVICE r8: it made this filter a no-op)
             non_null = None
             for c in out.columns:
+                if rn is not None and c == rn:
+                    continue
                 cond = F.col(c).isNotNull()
                 non_null = cond if non_null is None else (non_null | cond)
             if non_null is not None:
@@ -594,9 +598,15 @@ class Mldb:
             if "ts" in val and len(val) == 1:
                 import datetime as _dt
 
-                return _dt.datetime.fromisoformat(
+                dt = _dt.datetime.fromisoformat(
                     str(val["ts"]).replace("Z", "+00:00")
-                ).replace(tzinfo=None)
+                )
+                # the reference stores UTC instants: CONVERT non-UTC
+                # offsets before dropping tzinfo (ADVICE r8 — stripping
+                # a -05:00 offset shifted the stored instant by 5h)
+                if dt.tzinfo is not None:
+                    dt = dt.astimezone(_dt.timezone.utc)
+                return dt.replace(tzinfo=None)
         return val
 
     def record_column(
@@ -638,9 +648,10 @@ class Mldb:
             if isinstance(t, (int, float)):
                 return _dt.datetime.utcfromtimestamp(float(t))
             if isinstance(t, str):
-                return _dt.datetime.fromisoformat(t.replace("Z", "+00:00")).replace(
-                    tzinfo=None
-                )
+                dt = _dt.datetime.fromisoformat(t.replace("Z", "+00:00"))
+                if dt.tzinfo is not None:
+                    dt = dt.astimezone(_dt.timezone.utc)
+                return dt.replace(tzinfo=None)
             return t
 
         vals = [
@@ -742,6 +753,38 @@ class Mldb:
             raise ValueError("You need to define inputData")
         if "outputDataset" not in params:
             raise ValueError("You need to define outputDataset")
+        # percentileBuckets validation (bucketize_procedure.cc:79-100):
+        # bounds in [0,100], hi > lo, pairwise non-overlap — the
+        # reference rejects these at config parse, BEFORE running the
+        # query; without it two same-timestamp 'bucket' cells land per
+        # row with a nondeterministic GET_LATEST winner (ADVICE r8)
+        _ranges = sorted(
+            (float(r[0]), float(r[1]))
+            for r in params.get("percentileBuckets", {}).values()
+        )
+        _last = (-1.0, -1.0)
+        for _lo, _hi in _ranges:
+            if _lo < 0:
+                raise ValueError(
+                    f"Invalid percentileBucket [{_lo:f}, {_hi:f}]: lower "
+                    "bound must be greater or equal to 0"
+                )
+            if _hi > 100:
+                raise ValueError(
+                    f"Invalid percentileBucket [{_lo:f}, {_hi:f}]: higher "
+                    "bound must be lower or equal to 1"
+                )
+            if _lo >= _hi:
+                raise ValueError(
+                    f"Invalid percentileBucket [{_lo:f}, {_hi:f}]: higher "
+                    "bound must  be greater than lower bound"
+                )
+            if _lo < _last[1]:
+                raise ValueError(
+                    f"Invalid percentileBucket: [{_last[0]:f}, {_last[1]:f}]"
+                    f" is overlapping with [{_lo:f}, {_hi:f}]"
+                )
+            _last = (_lo, _hi)
         out_spec = params["outputDataset"]
         out_id = out_spec["id"] if isinstance(out_spec, dict) else out_spec
         import re as _re
@@ -1012,16 +1055,27 @@ class Mldb:
                     ),
                     line_number_row_names=True,
                 )
-                self.create_dataset(
-                    "__import_raw", raw, row_name_col="rowName"
+                # unique temp id so concurrent/repeated imports don't
+                # clobber each other's intermediate, dropped from the
+                # registry after the transform (ADVICE r8)
+                import re as _re
+
+                tmp_id = "__import_raw_" + _re.sub(
+                    r"\W", "_", str(eid)
                 )
+                self.create_dataset(tmp_id, raw, row_name_col="rowName")
                 named = (
                     f" NAMED {params['named']}" if params.get("named") else ""
                 )
-                sql = f"SELECT {sel or '*'}{named} FROM __import_raw"
+                sql = f"SELECT {sel or '*'}{named} FROM {tmp_id}"
                 if params.get("where"):
                     sql += f" WHERE {params['where']}"
-                self.transform(sql, out_id)
+                try:
+                    self.transform(sql, out_id)
+                finally:
+                    self._datasets.pop(tmp_id, None)
+                    self.ctx._datasets.pop(tmp_id, None)
+                    self.ctx._meta.pop(tmp_id, None)
                 status = {
                     "outputDataset": out_id,
                     "rowCount": self.dataset(out_id).count(),

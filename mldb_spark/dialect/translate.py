@@ -22,6 +22,8 @@ Semantics carried over:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2326,13 +2328,24 @@ def _render_path_el(el: str) -> str:
     return el
 
 
+_RESERVED_HIDDEN = re.compile(
+    r"^__(rowName|cellsRow|whenRow|line|rn|fnout__|shadow__|"
+    r"ord(agg)?\d+|g\d+|spread\d+|whenAgg\d+|hid\d+|v\d+|"
+    r"tr\d+_|tc\d+_)"
+)
+
+
 def _hidden_col(c: str) -> bool:
-    """Engine-internal pseudo columns never match wildcards: bare
-    __-prefixed names (join row names, hidden sort projections) AND
-    join-side-prefixed internals like `t1.__cellsRow` (a cells
+    """Engine-internal pseudo columns never match wildcards: the
+    engine's RESERVED names (join row names, hidden sort projections)
+    and join-side-prefixed internals like `t1.__cellsRow` (a cells
     dataset's row-name column carried through a join for rowName()
-    synthesis — MLDB-801's `select *` must not surface it)."""
-    return c.startswith("__") or c.rsplit(".", 1)[-1].startswith("__")
+    synthesis — MLDB-801's `select *` must not surface it). Only
+    reserved names hide: a legitimate user column like `a.__x` is
+    legal in the reference's open path scheme and must survive
+    wildcards (ADVICE r8)."""
+    leaf = c.rsplit(".", 1)[-1]
+    return bool(_RESERVED_HIDDEN.match(c)) or bool(_RESERVED_HIDDEN.match(leaf))
 
 
 def _pjoin(*els: str) -> str:

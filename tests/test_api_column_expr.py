@@ -118,3 +118,121 @@ def test_sql_query_function_named_columns(spark, sf_dir):
     assert len(rows) == 1
     row = rows[0].asDict()
     assert row.get("AMERICA") == "0" or "AMERICA" in row
+
+
+def test_transform_skip_empty_rows_drops_cellless_rows(spark, sf_dir):
+    """ADVICE r8: the injected __rowName column must not count as a
+    cell — a row whose value columns are all NULL is 'empty' and
+    skipEmptyRows drops it (builtin/sql_functions.cc transform)."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    df = spark.createDataFrame(
+        [("r1", 1.0), ("r2", None)], "k string, v double"
+    )
+    mldb.create_dataset("ser_src", df)
+    out = mldb.transform(
+        "SELECT v NAMED k FROM ser_src", "ser_out", skip_empty_rows=True
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["v"] == 1.0
+
+
+def test_decode_cell_converts_non_utc_offsets(spark):
+    """ADVICE r8: {"ts": "...-05:00"} must store the UTC instant,
+    not the naive local time with the offset stripped."""
+    import datetime as dt
+
+    from mldb_spark.api import Mldb
+
+    got = Mldb._decode_cell({"ts": "2017-01-01T05:00:00-05:00"})
+    assert got == dt.datetime(2017, 1, 1, 10, 0, 0)
+    got_z = Mldb._decode_cell({"ts": "2017-01-01T05:00:00Z"})
+    assert got_z == dt.datetime(2017, 1, 1, 5, 0, 0)
+
+
+def test_user_dunder_columns_survive_wildcards(spark):
+    """ADVICE r8: a legitimate user column like `a.__x` (legal in the
+    reference's open path scheme) must survive SELECT * — only
+    engine-reserved internals hide."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    df = spark.createDataFrame([(1, 2)], ["`a.__x`", "__y_user"])
+    df = df.toDF("a.__x", "__y_user")
+    mldb.create_dataset("dunder_src", df)
+    out = mldb.query("SELECT * FROM dunder_src")
+    assert "a.__x" in out.columns
+    assert "__y_user" in out.columns
+    # engine internals still hide
+    from mldb_spark.dialect.translate import _hidden_col
+
+    assert _hidden_col("__rowName")
+    assert _hidden_col("t1.__cellsRow")
+    assert _hidden_col("__g0") and _hidden_col("__ord3")
+    assert not _hidden_col("__y_user")
+    assert not _hidden_col("a.__x")
+
+
+def test_import_text_unique_temp_dataset(spark, tmp_path):
+    """ADVICE r8: import.text's intermediate must not persist in the
+    registry nor collide across imports."""
+    from mldb_spark.api import Mldb
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,2\n3,4\n")
+    mldb = Mldb(spark)
+    mldb.create_entity(
+        "procedure",
+        {
+            "type": "import.text",
+            "id": "imp_a",
+            "params": {
+                "dataFileUrl": f"file://{p}",
+                "outputDataset": "imp_a_out",
+                "runOnCreation": True,
+            },
+        },
+    )
+    assert not any(d.startswith("__import_raw") for d in mldb.datasets())
+    assert mldb.dataset("imp_a_out").count() == 2
+
+
+def test_bucketize_percentile_validation(spark, sf_dir):
+    """ADVICE r8: bucketize percentileBuckets validation
+    (bucketize_procedure.cc:79-100) — bounds, ordering, overlap."""
+    import pytest as _pytest
+
+    from mldb_spark.api import Mldb
+    from mldb_spark.catalog import load
+
+    mldb = Mldb(spark)
+    mldb.create_dataset(
+        "bk_src", load(spark, sf_dir, "region"), row_name_col="r_name"
+    )
+    base = {
+        "type": "bucketize",
+        "id": "bk_proc",
+        "params": {
+            "inputData": "SELECT * FROM bk_src ORDER BY r_regionkey",
+            "outputDataset": "bk_out",
+            "runOnCreation": True,
+        },
+    }
+
+    def run(buckets):
+        cfg = dict(base)
+        cfg["params"] = dict(base["params"], percentileBuckets=buckets)
+        return mldb.create_entity("procedure", cfg)
+
+    with _pytest.raises(ValueError, match="lower bound"):
+        run({"b1": [-5, 50]})
+    with _pytest.raises(ValueError, match="higher bound must be lower"):
+        run({"b1": [0, 150]})
+    with _pytest.raises(ValueError, match="greater than lower"):
+        run({"b1": [50, 50]})
+    with _pytest.raises(ValueError, match="overlapping"):
+        run({"b1": [0, 60], "b2": [40, 100]})
+    ok = run({"lo": [0, 50], "hi": [50, 100]})
+    assert ok is not None
