@@ -1685,6 +1685,48 @@ ORDER BY query_id, rank
 # lists positionally and sum (ev-cv)^2; argmin ties break to the
 # lowest cluster/cell id, the same rule MLlib's findClosest applies
 # (strict < keeps the first index).
+# q67 (round 9, VERDICT r8 #3): gaussian clustering graduates via the
+# exported-kernel pattern — the fitted (weight, mean, precision
+# matrix, log|Σ|) per component is a compact 4×(1+8+64+1) fixture at
+# the gate's 8-dim slice, and the oracle replays the argmax
+# log-density assignment: score_k = ln(w_k) − ½(ln|Σ_k| + quadratic
+# form via the exported precision entries). Ties break to the lowest
+# component id (MLlib Vector.argmax keeps the first max). Only the
+# EM trajectory stays engine-internal.
+ORACLES["q67_gaussian_clusters"] = f"""
+WITH comps AS (SELECT * FROM read_parquet('{_FIXDIR}/q67_comps.parquet')),
+means AS (SELECT * FROM read_parquet('{_FIXDIR}/q67_means.parquet')),
+prec AS (SELECT * FROM read_parquet('{_FIXDIR}/q67_prec.parquet')),
+d AS (
+  SELECT e.vec_id, m.component, m.i,
+         CAST(e.embedding AS DOUBLE[])[m.i] - m.mu AS dv
+  FROM embeddings e CROSS JOIN means m
+),
+quad AS (
+  SELECT d1.vec_id, p.component, sum(p.p * d1.dv * d2.dv) AS q
+  FROM prec p
+  JOIN d d1 ON d1.component = p.component AND d1.i = p.i
+  JOIN d d2 ON d2.component = p.component AND d2.i = p.j
+           AND d2.vec_id = d1.vec_id
+  GROUP BY d1.vec_id, p.component
+),
+sc AS (
+  SELECT quad.vec_id, quad.component,
+         ln(c.weight) - 0.5 * (c.logdet + quad.q) AS s
+  FROM quad JOIN comps c ON c.component = quad.component
+),
+a AS (
+  SELECT vec_id, component,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY s DESC, component ASC
+         ) AS rn
+  FROM sc
+)
+SELECT CAST(component AS BIGINT) AS prediction,
+       CAST(count(*) AS BIGINT) AS n
+FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1
+"""
+
 ORACLES["q87_kmeans"] = f"""
 WITH c AS (SELECT * FROM read_parquet('{_FIXDIR}/q87_centroids.parquet')),
 d AS (

@@ -1513,8 +1513,14 @@ def q67_gaussian_clusters(spark: SparkSession, sf: str) -> DataFrame:
     GaussianMixture with fixed seed over an 8-dim slice of the
     embeddings (full-rank covariance needs n >> dim — at sf0.001 the
     corpus is 50 vectors, so 64-dim covariances are degenerate);
-    per-component assignment counts. Rows-only: EM trajectory is
-    engine-internal."""
+    per-component assignment counts. Oracle-backed (graduated from
+    rows-only, VERDICT r8 #3): the fitted (weights, means, PRECISION
+    matrices, log-determinants) export to fixtures — at 8 dims the
+    Gaussian kernel is a compact 4×(1+8+64+1) table — and the DuckDB
+    oracle replays the argmax log-density assignment closed-form:
+    score_k = ln(w_k) − ½(ln|Σ_k| + (x−μ_k)ᵀΣ_k⁻¹(x−μ_k)), ties to
+    the lowest component id (MLlib Vector.argmax picks the first
+    max). Only the EM trajectory itself stays engine-internal."""
     from mldb_spark.ml.procedures import gaussian_clustering_train
     from mldb_spark.ml.registry import FunctionRegistry
 
@@ -1522,10 +1528,49 @@ def q67_gaussian_clusters(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings").withColumn(
         "embedding", F.slice("embedding", 1, 8)
     )
-    gaussian_clustering_train(emb, "embedding", k=4, seed=42, name="gmm_q67", registry=reg)
+    model = gaussian_clustering_train(
+        emb, "embedding", k=4, seed=42, name="gmm_q67", registry=reg
+    )
+    if not _fixture_exports_disabled():
+        import numpy as np
+
+        comps, means, prec = [], [], []
+        gauss = model.gaussiansDF.collect()
+        for kidx, (wt, g) in enumerate(zip(model.weights, gauss)):
+            mu = np.asarray(g["mean"].toArray(), dtype=float)
+            cov = np.asarray(g["cov"].toArray(), dtype=float)
+            sign, logdet = np.linalg.slogdet(cov)
+            pm = np.linalg.inv(cov)
+            comps.append((kidx, float(wt), float(sign * logdet)))
+            means.extend(
+                (kidx, i + 1, float(m)) for i, m in enumerate(mu)
+            )
+            prec.extend(
+                (kidx, i + 1, j + 1, float(pm[i, j]))
+                for i in range(pm.shape[0])
+                for j in range(pm.shape[1])
+            )
+        export_oracle_fixture_df(
+            "q67_comps",
+            spark.createDataFrame(
+                comps, "component long, weight double, logdet double"
+            ),
+        )
+        export_oracle_fixture_df(
+            "q67_means",
+            spark.createDataFrame(
+                means, "component long, i long, mu double"
+            ),
+        )
+        export_oracle_fixture_df(
+            "q67_prec",
+            spark.createDataFrame(
+                prec, "component long, i long, j long, p double"
+            ),
+        )
     assigned = reg.apply("gmm_q67", emb)
     return (
-        assigned.groupBy("prediction")
+        assigned.groupBy(F.col("prediction").cast("long").alias("prediction"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("prediction")
     )

@@ -15,10 +15,12 @@ from mldb_spark.testing import compare_spark_duck
 # internals) have no cross-engine SQL replay; their real verification
 # lives in tests/test_operators.py and tests/test_ml.py invariants
 ROWS_ONLY = {
-    "q67_gaussian_clusters",  # EM responsibilities need full covariances
     "q75_tsne",            # iterative embedding, no closed-form replay
     "qa07_pack_sequences",  # FFD bin assignment is imperative; invariants in test_corpus.py
 }
+# q67 graduated r9 (VERDICT r8 #3): exported (weights, means,
+# precision matrices, log-dets) at the gate's 8-dim slice; oracle
+# replays the argmax log-density assignment closed-form
 # q80/q85/q86 graduated r7 via exported-kernel fixtures (VERDICT r6 #4)
 # q87/q76/q79/q61 graduated r8 the same way (VERDICT r7 #1): centroid /
 # cell-assignment / word-vector / term-loading fixtures, oracle replays

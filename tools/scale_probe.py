@@ -177,6 +177,73 @@ def replicate_embeddings(emb, k: int):
     )
 
 
+def exact_replicate_embeddings(emb, k: int):
+    """k EXACT replicas per vector (no perturbation): every replica
+    shares every band key, so the banding collapses and candidate
+    pairs grow k(k-1)/2 per group — the adversarial corpus the
+    max_candidate_pairs budget exists for."""
+    if k == 1:
+        return emb
+    return (
+        emb.crossJoin(
+            F.broadcast(
+                emb.sparkSession.range(k).select(F.col("id").alias("__r"))
+            )
+        )
+        .select(
+            (F.col("vec_id") * k + F.col("__r")).alias("vec_id"),
+            "embedding",
+        )
+    )
+
+
+def probe_budget_guard(spark, emb_base, factors):
+    """VERDICT r8 #6 (r7 ask #3's third criterion): demonstrate the
+    candidate-pair budget RAISING before the rescore join when the
+    banding collapses. Exact-replica corpora push the deduped
+    candidate count past the cap; the guard's one count action on the
+    persisted candidate table must fire the ValueError without ever
+    starting the O(pairs)·dim exact-rescore join — so the raise time
+    tracks the banding join only."""
+    from mldb_spark.similarity import (
+        embedding_cosine_near_duplicates,
+        seeded_planes,
+    )
+
+    planes = seeded_planes(64)
+    n_base = emb_base.count()
+    print(
+        "\nbudget-guard raise probe (exact-replica corpus, cap = "
+        "n_vectors): the banding collapse must raise BEFORE rescore"
+    )
+    for k in factors:
+        if k < 4:  # k(k-1)/2 <= k below 4: cap not exceeded
+            continue
+        collapsed = exact_replicate_embeddings(emb_base, k)
+        release_cached()
+        spark.catalog.clearCache()
+        cap = n_base * k  # << k(k-1)/2 per-group pair growth
+        t0 = time.time()
+        try:
+            embedding_cosine_near_duplicates(
+                collapsed,
+                threshold=0.99,
+                planes=planes,
+                bands=4,
+                max_candidate_pairs=cap,
+            )
+            outcome = "NO-RAISE (UNEXPECTED — guard regressed)"
+        except ValueError:
+            outcome = "raised before rescore"
+        dt = time.time() - t0
+        release_cached()
+        print(
+            f"budget_guard           x{k:<4d} {dt:7.2f}s  "
+            f"vectors={n_base * k} cap={cap} -> {outcome}",
+            flush=True,
+        )
+
+
 def probe_embedding_ops(spark, emb):
     """semantic_dedup (qa24's shape, VERDICT r6 #5): banding shuffle
     over the corpus + component resolution on the pair set."""
@@ -296,6 +363,8 @@ def main() -> None:
     for name, ts in times.items():
         ratio = ts[factors[-1]] / ts[factors[0]]
         print(f"{name:22s} {ratio:6.1f}x")
+
+    probe_budget_guard(spark, emb_base, factors)
 
 
 if __name__ == "__main__":
