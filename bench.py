@@ -94,6 +94,17 @@ def main() -> None:
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "cpus": os.cpu_count(),
     }
+    # per-stage rows for the chained pipeline macro-gates (qa31/qa32 —
+    # the reference's reddit/stackoverflow benchmark_utils metrics)
+    try:
+        from mldb_spark.queries import PIPELINE_STAGES
+
+        if PIPELINE_STAGES:
+            full["stages"] = {
+                g: dict(s) for g, s in sorted(PIPELINE_STAGES.items())
+            }
+    except Exception:
+        pass
     # full artifact, committed in-repo so per-query numbers survive the
     # driver's stdout-tail truncation
     local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")

@@ -943,6 +943,23 @@ class Mldb:
                     "config": config,
                     "status": {"columns": self.dataset(eid).columns},
                 }
+            if etype == "transposed":
+                # transposed dataset entity (builtin/transposed_dataset
+                # .cc; the reddit/stackoverflow benchmark pipelines
+                # PUT /v1/datasets/<id> {type: transposed}): rows and
+                # columns swap; backed by the FROM-clause transpose()
+                member = params.get("dataset")
+                mid = member["id"] if isinstance(member, dict) else member
+                if mid not in self._datasets:
+                    raise ValueError(
+                        f"transposed dataset: dataset '{mid}' does not exist"
+                    )
+                self.transform(f"SELECT * FROM transpose({mid})", eid)
+                return {
+                    "kind": kind,
+                    "config": config,
+                    "status": {"columnCount": len(self.dataset(eid).columns)},
+                }
             if etype == "tabular":
                 url = params["dataFileUrl"]
                 if url.endswith(".csv"):

@@ -1142,7 +1142,13 @@ def tsne_train(
     Y = _tsne_exact(X, n_components, perplexity, n_iter=n_iter, seed=seed)
     coords = [(i, *[float(v) for v in y]) for i, y in zip(ids, Y)]
     names = ["x", "y", "z"][:n_components]
-    schema = f"{id_col} long, " + ", ".join(f"{n} double" for n in names)
+    # carry the INPUT's id type — string column/row names (the
+    # reference's reddit/stackoverflow chains run tsne over token
+    # embeddings) must not be forced through a long schema
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, " + ", ".join(
+        f"{n} double" for n in names
+    )
     return df.sparkSession.createDataFrame(coords, schema)
 
 

@@ -2226,3 +2226,39 @@ SELECT round((rsum - npos * (npos + 1) / 2.0) / (npos * nneg) + 1e-9, 4)
        round(ncorrect * 1.0 / n + 1e-9, 4) AS accuracy
 FROM a
 """
+
+# qa31/qa32 (round 9, VERDICT r8 #7): the reference's own benchmark
+# pipelines as chained macro-gates (testing/reddit_benchmark.py:23-103,
+# testing/stackoverflow_benchmark.py:23-62). The oracle replays the
+# data-shaping spine closed-form — tokenize (the dialect's
+# case-preserving [^a-z0-9]+ split; value:1 makes the bag a SET for
+# qa31, occurrence counts for qa32) → transpose → per-column counts →
+# top-20. The svd/kmeans/tsne stages run inside the gates and carry
+# their own oracle gates (q61/q87/q75).
+_RAW_TOKS = "list_filter(string_split_regex(text, '[^a-z0-9]+'), t -> t <> '')"
+
+ORACLES["qa31_reddit_pipeline"] = f"""
+WITH cells AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest({_RAW_TOKS}) AS tok FROM documents)
+)
+SELECT tok || '|1' AS name, CAST(count(*) AS BIGINT) AS numUsers
+FROM cells GROUP BY tok
+ORDER BY numUsers DESC, name ASC LIMIT 20
+"""
+
+ORACLES["qa32_stackoverflow_pipeline"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                        t -> t <> '')) AS tok
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT tok || '|1' AS name,
+       CAST(count(*) AS BIGINT) AS numQuestions,
+       CAST(sum(c) AS BIGINT) AS totalCount
+FROM cells GROUP BY tok
+ORDER BY numQuestions DESC, name ASC LIMIT 20
+"""

@@ -3303,6 +3303,303 @@ def qa30_roc_table(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("idx", "label")
 
 
+# ---------------------------------------------------------------------------
+# Macro-gates: the reference's own benchmark pipelines (VERDICT r8 #7)
+# ---------------------------------------------------------------------------
+
+# per-gate per-stage wall times, recorded by the two pipeline
+# macro-gates below and emitted by bench.py as "stages" in
+# BENCH_LOCAL.json — mirroring the reference's benchmark_utils
+# Timer/Benchmark metric rows
+PIPELINE_STAGES: "dict[str, dict[str, float]]" = {}
+
+
+def _timed_stage(gate: str, stage: str, thunk):
+    """Run one pipeline stage and record its wall time. The thunk
+    must END IN AN ACTION (count / fit / collect) — the reference's
+    procedures each materialize an output dataset, so a lazy stage
+    would time nothing."""
+    import time as _time
+
+    t0 = _time.time()
+    out = thunk()
+    PIPELINE_STAGES.setdefault(gate, {})[stage] = round(
+        _time.time() - t0, 3
+    )
+    return out
+
+
+def qa31_reddit_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's own perf harness, reddit flavor
+    (testing/reddit_benchmark.py:23-103), chained as ONE macro-gate:
+    import → `tokenize(lineText, {offset: 1, value: 1}) AS *` →
+    sparse doc×token dataset → svd.train with the top-4000 vocabulary
+    cut (`COLUMN EXPR ... ORDER BY rowCount() DESC ... LIMIT 4000`) →
+    kmeans.train (numClusters=20) over the COLUMN embeddings →
+    tsne.train → transposed dataset → `columnCount() AS numUsers
+    NAMED rowName() + '|1'`. Each stage is forced and wall-timed into
+    PIPELINE_STAGES (bench.py emits the rows — the reference's
+    benchmark_utils metric table). The final count table is the
+    oracle-checked output: DuckDB replays tokenize → transpose →
+    columnCount closed-form; the svd/kmeans/tsne stages run inside
+    the chain and carry their own oracle gates (q61/q87/q75).
+
+    Stand-in corpus: the documents table rendered to the reddit CSV
+    line shape `user,item,item,...` (the reference's
+    s3://private-mldb-ai bucket is private). The bag is materialized
+    in the LONG cell layout — the Spark-first re-expression of
+    sparse.mutable/beh.mutable, which is what makes the tokenize
+    spread and the transpose O(cells) instead of O(rows × vocab)."""
+    from mldb_spark.caching import persist_tracked
+    from mldb_spark.dialect import MldbContext
+    from mldb_spark.ml.procedures import (
+        kmeans_train,
+        svd_train,
+        tsne_train,
+    )
+    from mldb_spark.ml.registry import FunctionRegistry
+    from mldb_spark.operators.relational import transpose_cells
+
+    gate = "qa31_reddit_pipeline"
+    PIPELINE_STAGES.pop(gate, None)
+    reg = FunctionRegistry()
+    docs = load(spark, sf, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            F.translate(F.col("text"), " ", ","),
+        ).alias("lineText"),
+    )
+    ctx = MldbContext(spark)
+    ctx.register("reddit_raw", raw)
+
+    def _stage_tokenize():
+        bag = ctx.query(
+            "SELECT doc_id, tokenize(lineText, {offset: 1, value: 1}) "
+            "AS bag FROM reddit_raw"
+        )
+        cells = persist_tracked(
+            bag.select(
+                F.col("doc_id"),
+                F.explode("bag").alias("column", "value"),
+            ).select(
+                "doc_id", "column", F.col("value").cast("double").alias("value")
+            )
+        )
+        cells.count()
+        return cells
+
+    cells = _timed_stage(gate, "transform_tokenize", _stage_tokenize)
+
+    def _stage_svd():
+        # COLUMN EXPR (... ORDER BY rowCount() DESC, columnName()
+        # LIMIT 4000): the vocabulary cut — per-column row counts,
+        # deterministic tie-break on the column name, top-4000 kept.
+        # The cut table is vocab-sized and broadcasts back into the
+        # cell scan; at 100 TB only the (column, df) aggregate ever
+        # leaves the executors.
+        vocab = (
+            cells.groupBy("column")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .orderBy(F.desc("__df"), F.asc("column"))
+            .limit(4000)
+            .select("column")
+        )
+        pruned = cells.join(F.broadcast(vocab), "column")
+        n_vocab = vocab.count()
+        _rows, col_emb, _svals = svd_train(
+            pruned,
+            row_col="doc_id",
+            k=min(100, n_vocab),  # reference default numSingularValues
+            name="qa31_svd",
+            registry=reg,
+        )
+        col_emb = persist_tracked(col_emb)
+        col_emb.count()
+        return col_emb
+
+    col_emb = _timed_stage(gate, "svd_train", _stage_svd)
+
+    def _stage_kmeans():
+        n_terms = col_emb.count()
+        kmeans_train(
+            col_emb,
+            "embedding",
+            k=min(20, max(2, n_terms)),  # reference numClusters=20
+            seed=42,
+            name="qa31_kmeans",
+            registry=reg,
+        )
+        return None
+
+    _timed_stage(gate, "kmeans_train", _stage_kmeans)
+
+    _timed_stage(
+        gate,
+        "tsne_train",
+        lambda: tsne_train(
+            col_emb, "embedding", id_col="column",
+            max_rows=400, n_iter=250,
+        ).count(),
+    )
+
+    def _stage_transpose():
+        tr = transpose_cells(
+            cells.select(
+                F.col("doc_id").cast("string").alias("row"),
+                "column",
+                "value",
+            )
+        )
+        tr.count()
+        return tr
+
+    transposed = _timed_stage(gate, "transpose", _stage_transpose)
+
+    def _stage_counts():
+        # `SELECT columnCount() AS numUsers NAMED rowName() + '|1'`
+        # over the transposed dataset: per-token distinct-doc counts
+        # — one partial-agg shuffle on the token
+        return (
+            transposed.groupBy("row")
+            .agg(F.count(F.lit(1)).cast("long").alias("numUsers"))
+            .select(
+                F.concat(F.col("row"), F.lit("|1")).alias("name"),
+                "numUsers",
+            )
+        )
+
+    counts = _timed_stage(gate, "transform_column_count", _stage_counts)
+    return counts.orderBy(F.desc("numUsers"), F.asc("name")).limit(20)
+
+
+def qa32_stackoverflow_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's perf harness, stackoverflow flavor
+    (testing/stackoverflow_benchmark.py:23-62) — same chain as qa31
+    but with the SO stage ORDER (tokenize → transpose → counts →
+    svd → kmeans → tsne), the splitChars/quoteChar:'' tokenize form
+    (the MLDB-1873 crash path), COUNT-valued bags (no value: 1
+    override — occurrence counts ride into the svd), the top-6000
+    vocabulary cut, and numSingularValues=100. Final output adds
+    totalCount (sum of bag counts) so the count-valued bag itself is
+    oracle-checked, not just token presence."""
+    from mldb_spark.caching import persist_tracked
+    from mldb_spark.dialect import MldbContext
+    from mldb_spark.ml.procedures import (
+        kmeans_train,
+        svd_train,
+        tsne_train,
+    )
+    from mldb_spark.ml.registry import FunctionRegistry
+    from mldb_spark.operators.relational import transpose_cells
+
+    gate = "qa32_stackoverflow_pipeline"
+    PIPELINE_STAGES.pop(gate, None)
+    reg = FunctionRegistry()
+    docs = load(spark, sf, "documents")
+    ctx = MldbContext(spark)
+    ctx.register(
+        "so_raw", docs.select("doc_id", F.col("text").alias("lineText"))
+    )
+
+    def _stage_tokenize():
+        bag = ctx.query(
+            "SELECT doc_id, tokenize(lineText, "
+            "{splitChars: ' ', quoteChar: ''}) AS bag FROM so_raw"
+        )
+        cells = persist_tracked(
+            bag.select(
+                F.col("doc_id"),
+                F.explode("bag").alias("column", "value"),
+            ).select(
+                "doc_id", "column", F.col("value").cast("double").alias("value")
+            )
+        )
+        cells.count()
+        return cells
+
+    cells = _timed_stage(gate, "transform_tokenize", _stage_tokenize)
+
+    def _stage_transpose():
+        tr = transpose_cells(
+            cells.select(
+                F.col("doc_id").cast("string").alias("row"),
+                "column",
+                "value",
+            )
+        )
+        tr.count()
+        return tr
+
+    transposed = _timed_stage(gate, "transpose", _stage_transpose)
+
+    def _stage_counts():
+        return (
+            transposed.groupBy("row")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("numQuestions"),
+                F.sum("value").cast("long").alias("totalCount"),
+            )
+            .select(
+                F.concat(F.col("row"), F.lit("|1")).alias("name"),
+                "numQuestions",
+                "totalCount",
+            )
+        )
+
+    counts = _timed_stage(gate, "transform_column_count", _stage_counts)
+
+    def _stage_svd():
+        vocab = (
+            cells.groupBy("column")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .orderBy(F.desc("__df"), F.asc("column"))
+            .limit(6000)
+            .select("column")
+        )
+        pruned = cells.join(F.broadcast(vocab), "column")
+        n_vocab = vocab.count()
+        _rows, col_emb, _svals = svd_train(
+            pruned,
+            row_col="doc_id",
+            k=min(100, n_vocab),  # numSingularValues: 100
+            name="qa32_svd",
+            registry=reg,
+        )
+        col_emb = persist_tracked(col_emb)
+        col_emb.count()
+        return col_emb
+
+    col_emb = _timed_stage(gate, "svd_train", _stage_svd)
+
+    def _stage_kmeans():
+        n_terms = col_emb.count()
+        kmeans_train(
+            col_emb,
+            "embedding",
+            k=min(20, max(2, n_terms)),
+            seed=42,
+            name="qa32_kmeans",
+            registry=reg,
+        )
+        return None
+
+    _timed_stage(gate, "kmeans_train", _stage_kmeans)
+
+    _timed_stage(
+        gate,
+        "tsne_train",
+        lambda: tsne_train(
+            col_emb, "embedding", id_col="column",
+            max_rows=400, n_iter=250,
+        ).count(),
+    )
+
+    return counts.orderBy(F.desc("numQuestions"), F.asc("name")).limit(20)
+
+
 QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
