@@ -857,19 +857,16 @@ class Mldb:
         import datetime as _dt
 
         started = _dt.datetime.utcnow().isoformat() + "Z"
-        try:
-            status = self.create_entity("procedure", config)
-            state = "finished"
-        except Exception:
-            state = "error"
-            raise
-        finally:
-            self._runs = getattr(self, "_runs", {})
-            self._runs[proc_id] = {
-                "runStarted": started,
-                "runFinished": _dt.datetime.utcnow().isoformat() + "Z",
-                "state": state,
-            }
+        status = self.create_entity("procedure", config)
+        # only COMPLETED runs register (MLDB-2112: /runs of a
+        # procedure whose only run failed is 404 — the failed attempt
+        # propagates its error and leaves no run record)
+        self._runs = getattr(self, "_runs", {})
+        self._runs[proc_id] = {
+            "runStarted": started,
+            "runFinished": _dt.datetime.utcnow().isoformat() + "Z",
+            "state": "finished",
+        }
         return status
 
     def latest_run(self, proc_id: str) -> dict:
@@ -899,7 +896,13 @@ class Mldb:
         eid = config.get("id")
         params = config.get("params", {})
         if not eid:
-            raise ValueError("createEntity config needs an id")
+            # the reference auto-generates ids for id-less configs
+            # (MLDB-983: createDataset without id → 'auto_…'), writing
+            # the generated id back into the caller's config object
+            import uuid as _uuid
+
+            eid = "auto_" + _uuid.uuid4().hex[:16]
+            config["id"] = eid
         status: object = None
         if kind == "dataset":
             # CREATE is not idempotent: a second create at the same id
@@ -1178,6 +1181,104 @@ class Mldb:
 
                 GLOBAL_REGISTRY.register(fname, apply_svm)
                 status = {"functionName": fname, "classes": classes}
+            elif etype == "classifier.experiment":
+                # classifier.experiment entity
+                # (plugins/jml/experiment_procedure.cc:618; the
+                # reference's k-fold train/test harness —
+                # MLDB-1304/MLDBFB-724's surface). inputData is the
+                # classifier.train features/label spec; datasetFolds
+                # gives explicit trainingWhere/testingWhere conditions
+                # (MLDB-878's grammar), bound through the dialect so
+                # rowHash()-style fold rules work; otherwise kfold
+                # hash-mod folds.
+                if "inputData" not in params:
+                    raise ValueError("You need to define inputData")
+                tdf, exp_rn = self._query_with_row_name(
+                    self._input_spec_to_sql(params["inputData"])
+                )
+                if "features" not in tdf.columns or "label" not in tdf.columns:
+                    raise ValueError(
+                        "classifier.experiment inputData must produce "
+                        "'features' and 'label' outputs"
+                    )
+                from pyspark.sql.types import StructType as _St2
+
+                def _flat_exp(col, dtype, prefix, out):
+                    if isinstance(dtype, _St2):
+                        for fld in dtype.fields:
+                            _flat_exp(
+                                col.getField(fld.name), fld.dataType,
+                                f"{prefix}.{fld.name}" if prefix else fld.name,
+                                out,
+                            )
+                    else:
+                        out.append(col.alias(prefix))
+
+                _ecols: list = []
+                for fld in tdf.schema["features"].dataType.fields:
+                    _flat_exp(
+                        F.col("features").getField(fld.name),
+                        fld.dataType, fld.name, _ecols,
+                    )
+                keep_rn = (
+                    [F.col(exp_rn).alias("__rowName")] if exp_rn else []
+                )
+                flat = tdf.select(
+                    *_ecols,
+                    F.col("label").cast("double").alias("label"),
+                    *keep_rn,
+                ).filter(F.col("label").isNotNull())
+                exp_feats = [
+                    c
+                    for c, dt in flat.dtypes
+                    if c not in ("label", "__rowName")
+                    and (
+                        dt.startswith(
+                            ("int", "bigint", "smallint", "tinyint",
+                             "float", "double", "decimal")
+                        )
+                        or dt == "string"
+                    )
+                ]
+                from mldb_spark.ml.procedures import classifier_experiment
+
+                ds_folds = None
+                if params.get("datasetFolds"):
+                    from mldb_spark.dialect.parser import parse_expression
+                    from mldb_spark.dialect.translate import Binder
+
+                    def _bind_cond(s):
+                        b = Binder(
+                            flat.columns, None,
+                            row_name_col="__rowName" if exp_rn else None,
+                            dtypes=dict(flat.dtypes),
+                        )
+                        return b.bind(parse_expression(s)).cast("boolean")
+
+                    ds_folds = [
+                        (_bind_cond(f["trainingWhere"]),
+                         _bind_cond(f["testingWhere"]))
+                        for f in params["datasetFolds"]
+                    ]
+                res = classifier_experiment(
+                    flat,
+                    exp_feats,
+                    "label",
+                    folds=int(params.get("kfold", 3) or 3),
+                    name=params.get("experimentName", eid),
+                    dataset_folds=ds_folds,
+                )
+                folds_status = [r.asDict() for r in res.collect()]
+                status = {
+                    "experimentName": params.get("experimentName", eid),
+                    "folds": folds_status,
+                    "aggregatedTest": {
+                        "auc": (
+                            sum(f["auc"] for f in folds_status)
+                            / max(1, len(folds_status))
+                        ),
+                    },
+                }
             elif etype in ("classifier.train", "randomforest.binary.train"):
                 if etype == "randomforest.binary.train":
                     # randomforest.binary.train
@@ -1277,8 +1378,31 @@ class Mldb:
                     if params.get("mode") == "categorical"
                     else F.col("label").cast("double")
                 )
+                # NESTED row features flatten to dotted feature names
+                # (MLDB-1273: `feats({*}) as features` yields a struct
+                # holding a `row` struct — the reference trains on
+                # features named row.a, row.b, ...)
+                from pyspark.sql.types import StructType as _St
+
+                def _flat_feats(col, dtype, prefix, out):
+                    if isinstance(dtype, _St):
+                        for fld in dtype.fields:
+                            _flat_feats(
+                                col.getField(fld.name), fld.dataType,
+                                f"{prefix}.{fld.name}" if prefix else fld.name,
+                                out,
+                            )
+                    else:
+                        out.append(col.alias(prefix))
+
+                _fcols: list = []
+                for fld in tdf.schema["features"].dataType.fields:
+                    _flat_feats(
+                        F.col("features").getField(fld.name),
+                        fld.dataType, fld.name, _fcols,
+                    )
                 flat = tdf.select(
-                    F.col("features.*"),
+                    *_fcols,
                     label.alias("label"),
                     *extra,
                 ).filter(F.col("label").isNotNull())
@@ -1294,13 +1418,21 @@ class Mldb:
                 # output column and other opaque strings never feed
                 # the estimator (the reference's row name is metadata,
                 # not a column)
+                # numeric features feed the estimator directly; STRING
+                # features are legal too — classifier_train one-hot
+                # encodes them against a capped vocabulary (MLDB-961's
+                # petalCat long/short VALUE_EQUALS features; the old
+                # numeric-only filter silently DROPPED string features)
                 feat_cols = [
                     c
                     for c, dt in flat.dtypes
                     if c not in ("label", "weight", "rowName")
-                    and dt.startswith(
-                        ("int", "bigint", "smallint", "tinyint",
-                         "float", "double", "decimal")
+                    and (
+                        dt.startswith(
+                            ("int", "bigint", "smallint", "tinyint",
+                             "float", "double", "decimal")
+                        )
+                        or dt == "string"
                     )
                 ]
                 if not feat_cols:
@@ -1414,6 +1546,29 @@ class Mldb:
                     for c, dt in tdf.dtypes
                 )
                 if not feat_cols and not has_strings:
+                    if etype == "svd.train":
+                        # an empty column match is NOT an error for
+                        # svd.train (MLDB-417: the reference trains an
+                        # EMPTY svd and succeeds) — emit empty outputs
+                        empty = self.spark.createDataFrame(
+                            [], "rowName string, embedding array<double>"
+                        )
+                        for key in ("rowOutputDataset",
+                                    "columnOutputDataset"):
+                            spec = params.get(key)
+                            if spec:
+                                oid = (
+                                    spec["id"]
+                                    if isinstance(spec, dict)
+                                    else spec
+                                )
+                                self.create_dataset(oid, empty)
+                        return {
+                            "kind": kind,
+                            "config": config,
+                            "status": {"singularValues": [],
+                                       "columns": []},
+                        }
                     raise ValueError(
                         f"{etype}: trainingData matched no columns"
                     )
@@ -1479,9 +1634,17 @@ class Mldb:
                         "row_id", "cell.column", "cell.value"
                     ).filter(F.col("value").isNotNull())
                     k = int(params.get("numSingularValues", 8))
-                    k = min(k, len(feat_cols))
+                    if str_cols:
+                        # string columns expand to per-value indicator
+                        # cells — clamp against the ACTUAL expanded
+                        # column count (len(feat_cols) alone would
+                        # clamp a string-only training to k=0)
+                        k = min(k, cells.select("column").distinct().count())
+                    else:
+                        k = min(k, len(feat_cols))
+                    fname = params.get("functionName", eid)
                     rows_emb, cols_emb, svals = svd_train(
-                        cells, k=k, name=params.get("functionName", eid)
+                        cells, k=k, name=fname
                     )
                     for key, out_df in (
                         ("rowOutputDataset", rows_emb),
@@ -1491,6 +1654,39 @@ class Mldb:
                         if spec:
                             oid = spec["id"] if isinstance(spec, dict) else spec
                             self.create_dataset(oid, out_df)
+                    # WIDE-rowset embedRow surface (the reference's
+                    # svd.embedRow function entity, MLDB-805/498):
+                    # x·V as a pure column expression — V is the
+                    # vocab-sized collected loading table, so the
+                    # embedding is codegen'd arithmetic, no join.
+                    # Numeric columns only (string indicator cells
+                    # have no wide column to read).
+                    vmap = {
+                        r["column"]: list(r["embedding"])
+                        for r in cols_emb.collect()
+                        if r["column"] in feat_cols
+                    }
+                    if vmap and k > 0:
+                        def _wide_embed(d, _vmap=vmap, _k=k):
+                            dims = []
+                            for j in range(_k):
+                                expr = None
+                                for c, vec in _vmap.items():
+                                    if c not in d.columns:
+                                        continue
+                                    term = F.coalesce(
+                                        F.col(f"`{c}`").cast("double"),
+                                        F.lit(0.0),
+                                    ) * F.lit(float(vec[j]))
+                                    expr = (
+                                        term if expr is None else expr + term
+                                    )
+                                dims.append(
+                                    expr if expr is not None else F.lit(0.0)
+                                )
+                            return d.withColumn("embedding", F.array(*dims))
+
+                        self.ctx.register_function(fname, _wide_embed)
                     status = {
                         "singularValues": [float(s) for s in svals],
                         "columns": feat_cols,

@@ -477,12 +477,29 @@ class Parser:
         start = self.i
         e = self.parse_expr()
         # {expr AS name} — alias form inside row literals (MLDB-761's
-        # `{1 as y}`)
+        # `{1 as y}`); the alias may be a DOTTED path (`a as row.a`,
+        # MLDB-1273's structured classifier inputs)
         if self.accept_kw("as"):
+            # {expr AS *} — spread the expr's row fields into the
+            # enclosing literal (MLDB-1273's {feats({*}) as *})
+            if self.peek().kind == "op" and self.peek().value == "*":
+                self.next()
+                return ("*", e)
             nt = self.next()
             if nt.kind not in ("ident", "string", "kw"):
                 raise SyntaxError(f"bad row-literal field alias {nt}")
-            return (nt.value, e)
+            alias = self._render_el(nt.value, getattr(nt, "quoted", False))
+            while (
+                self.peek().kind == "op"
+                and self.peek().value == "."
+                and self.peek(1).kind in ("ident", "kw", "number")
+            ):
+                self.next()  # '.'
+                seg = self.next()
+                alias += "." + self._render_el(
+                    str(seg.value), getattr(seg, "quoted", False)
+                )
+            return (alias, e)
         surface = "".join(
             f"'{tok.value}'" if tok.kind == "string" else str(tok.value)
             for tok in self.toks[start:self.i]

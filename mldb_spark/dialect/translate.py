@@ -694,6 +694,22 @@ def _struct_fields_typed(dt: str) -> list[tuple[str, str]]:
     return out
 
 
+def _flatten_pin_fields(bound, fdt: str, prefix: str = ""):
+    """Flatten a ROW-valued function-input pin into (dotted name,
+    Column) pairs — NESTED rows expand recursively (MLDB-1273's
+    `cls({features: {{a,b,c,d} as row}})` trains/binds on features
+    named row.a …). Struct-valued fields also surface as-is so
+    struct-typed consumers keep working."""
+    out = []
+    for sub, t in _struct_fields_typed(fdt):
+        name = f"{prefix}{sub}"
+        col = bound.getField(sub)
+        out.append((name, col))
+        if t.startswith("struct<"):
+            out.extend(_flatten_pin_fields(col, t, name + "."))
+    return out
+
+
 _NUM_DTYPES = (
     "int", "bigint", "smallint", "tinyint", "float", "double", "decimal",
     "boolean",
@@ -810,6 +826,20 @@ def _is_const_expr(e: ast.Expr) -> bool:
         return all(_is_const_expr(x) for x in e.items)
     if isinstance(e, ast.RowLiteral):
         return all(_is_const_expr(x) for _, x in e.fields)
+    if isinstance(e, ast.FunctionCall):
+        # a PURE function of constant arguments is constant
+        # (MLDB-1984: static_expression_info(pi()) isConstant = 1);
+        # volatile / row-context functions never are
+        volatile = {
+            "now", "rowname", "rowhash", "rowpath", "rowpathelement",
+            "rowpathlength", "columncount", "rownumber", "totalrows",
+            "leftrowname", "rightrowname", "linenumber",
+            "value_timestamp", "latest_timestamp", "earliest_timestamp",
+            "group_key_element", "random", "pyeval",
+        }
+        if e.name in volatile:
+            return False
+        return all(_is_const_expr(a) for a in e.args)
     return False
 
 
@@ -1809,6 +1839,35 @@ class Binder:
         if (
             name.startswith("horizontal_")
             and len(e.args) == 1
+            and self._static_dtype(e.args[0]).startswith("map")
+        ):
+            # horizontal_* over a dynamic ROW carried as a MAP
+            # (MLDB-2022's row_dataset($input) rows): reduce the
+            # map's values like a row's cells
+            marr = F.filter(
+                F.map_values(self.bind(e.args[0])),
+                lambda x: x.isNotNull(),
+            )
+            if name == "horizontal_sum":
+                return F.aggregate(
+                    marr, F.lit(0.0), lambda a, x: a + x.cast("double")
+                )
+            if name == "horizontal_count":
+                return F.size(marr).cast("long")
+            if name == "horizontal_min":
+                return F.array_min(marr)
+            if name == "horizontal_max":
+                return F.array_max(marr)
+            if name == "horizontal_avg":
+                return F.try_divide(
+                    F.aggregate(
+                        marr, F.lit(0.0), lambda a, x: a + x.cast("double")
+                    ),
+                    F.size(marr),
+                )
+        if (
+            name.startswith("horizontal_")
+            and len(e.args) == 1
             and self._static_dtype(e.args[0]).startswith("array")
         ):
             # horizontal_* over an embedding value operates on its
@@ -2329,7 +2388,9 @@ def _render_path_el(el: str) -> str:
 
 
 _RESERVED_HIDDEN = re.compile(
-    r"^__(rowName|cellsRow|whenRow|line|rn|fnout__|shadow__|"
+    r"^__(rowName|cellsRow|whenRow|whenValueTs|line|rn\b|grn|"
+    r"joinRowName|leftRowName|rightRowName|rowNumber|totalRows|"
+    r"fnout__|shadow__|features_pin|feat\d+|"
     r"ord(agg)?\d+|g\d+|spread\d+|whenAgg\d+|hid\d+|v\d+|"
     r"tr\d+_|tc\d+_)"
 )
@@ -2576,6 +2637,50 @@ class MldbContext:
             "columns": cols,
         }
 
+    def _register_merged_cells(self, name: str, members: list[str]) -> None:
+        """merged dataset over CELLS members (builtin/merged_dataset.cc;
+        MLDBFB-335: `merge(ds, timeDs) WHEN value_timestamp() <= …`
+        must keep per-cell timestamps): the members' cell
+        superpositions union; on an exact (row, column, ts) collision
+        the LAST member wins, matching the wide merge's
+        coalesce(right, left). Values ride as strings in the unioned
+        triple table — per-COLUMN numeric typing is recovered from the
+        members' wide views (MLDB-102 semantics), so numeric columns
+        cast back to double in the merged wide view."""
+        parts = []
+        for i, mname in enumerate(members):
+            info = self._cells[mname]
+            parts.append(
+                info["cells"].select(  # type: ignore[union-attr]
+                    F.col(str(info["row"])).cast("string").alias("row"),
+                    F.col(str(info["column"])).cast("string").alias("column"),
+                    F.col(str(info["value"])).cast("string").alias("value"),
+                    F.col(str(info["ts"])).alias("ts"),
+                    F.lit(i).alias("__src"),
+                )
+            )
+        cells = parts[0]
+        for p in parts[1:]:
+            cells = cells.unionByName(p)
+        cells = (
+            cells.groupBy("row", "column", "ts")
+            .agg(F.max_by("value", F.col("__src")).alias("value"))
+            .select("row", "column", "value", "ts")
+        )
+        numeric: set[str] = set()
+        stringish: set[str] = set()
+        num_types = ("double", "float", "int", "bigint", "smallint",
+                     "tinyint", "decimal")
+        for mname in members:
+            for c, dt in self._datasets[mname].dtypes:
+                if c == "__cellsRow":
+                    continue
+                if dt.startswith(num_types):
+                    numeric.add(c)
+                else:
+                    stringish.add(c)
+        self.register_cells(name, cells, numeric_columns=numeric - stringish)
+
     def register_function(self, name: str, fn) -> None:
         """Applied-function entity usable from SQL: `fn({…})[output]`
         in a SELECT applies the registered DataFrame transform (a
@@ -2612,6 +2717,75 @@ class MldbContext:
         if name in GLOBAL_REGISTRY.names():
             return lambda d: GLOBAL_REGISTRY.apply(name, d)
         return None
+
+    def _apply_fn_for_value(self, df, call: ast.FunctionCall, params, arg_cols):
+        """Apply a registered function appearing as a VALUE inside
+        another function's argument row (MLDB-1273/1314 composition):
+        materialize its row-literal args, run the transform once, and
+        return (df, its new output columns)."""
+        fn = self._lookup_function(call.name)
+        call_params: dict[str, object] = {}
+        if call.args and isinstance(call.args[0], ast.RowLiteral):
+            abinder = Binder(df.columns, params, dtypes=dict(df.dtypes))
+            for field_name, fexpr in call.args[0].fields:
+                if field_name.endswith("*"):
+                    continue
+                if isinstance(fexpr, ast.Literal):
+                    call_params[field_name] = fexpr.value
+                if field_name not in df.columns:
+                    df = df.withColumn(field_name, abinder.bind(fexpr))
+                    arg_cols.append(field_name)
+        before = set(df.columns)
+        df = _call_fn(fn, df, call_params)
+        outs = [c for c in df.columns if c not in before]
+        return df, outs
+
+    def _inline_registered_calls(
+        self, df, rl: ast.RowLiteral, params, arg_cols
+    ):
+        """Rewrite registered-function calls INSIDE an argument row
+        literal to references over their applied output columns —
+        the reference binds `cls({features: feats({*})})` and
+        `cls({features: {feats({*}) as *}})` by evaluating the inner
+        function against the rowset first (MLDB-1273/1314)."""
+        new_fields: list[tuple[str, ast.Expr]] = []
+        changed = False
+        for fname_, fexpr in rl.fields:
+            if (
+                isinstance(fexpr, ast.FunctionCall)
+                and self._lookup_function(fexpr.name) is not None
+            ):
+                df, outs = self._apply_fn_for_value(
+                    df, fexpr, params, arg_cols
+                )
+                arg_cols.extend(outs)
+                changed = True
+                if fname_ == "*":
+                    new_fields.extend((c, ast.ColumnRef(c)) for c in outs)
+                else:
+                    # the function's VALUE is its whole output row —
+                    # the output column names stay as the row's fields
+                    # (feats({*}) under {features: …} keeps the `row`
+                    # level, so features bind as row.a …)
+                    new_fields.append(
+                        (
+                            fname_,
+                            ast.RowLiteral(
+                                [(c, ast.ColumnRef(c)) for c in outs]
+                            ),
+                        )
+                    )
+                continue
+            if isinstance(fexpr, ast.RowLiteral):
+                df, sub = self._inline_registered_calls(
+                    df, fexpr, params, arg_cols
+                )
+                if sub is not fexpr:
+                    changed = True
+                new_fields.append((fname_, sub))
+                continue
+            new_fields.append((fname_, fexpr))
+        return df, (ast.RowLiteral(new_fields) if changed else rl)
 
     def _apply_row_functions(
         self, df: DataFrame, stm: ast.SelectStatement, params=None
@@ -2671,11 +2845,33 @@ class MldbContext:
                     if fname not in applied:
                         args = node.operand.args
                         call_params: dict[str, object] = {}
+                        if (
+                            args
+                            and isinstance(args[0], ast.FunctionCall)
+                            and self._lookup_function(args[0].name)
+                            is not None
+                        ):
+                            # direct composition: the argument IS a
+                            # registered call — apply it, its output
+                            # row becomes the argument (MLDB-59's
+                            # probabilizer(classifier({…}))[prob])
+                            df, outs = self._apply_fn_for_value(
+                                df, args[0], params, arg_cols
+                            )
+                            arg_cols.extend(outs)
+                            args = [
+                                ast.RowLiteral(
+                                    [(c, ast.ColumnRef(c)) for c in outs]
+                                )
+                            ] + list(args[1:])
                         if args and isinstance(args[0], ast.RowLiteral):
+                            df, arg_rl = self._inline_registered_calls(
+                                df, args[0], params, arg_cols
+                            )
                             abinder = Binder(
                                 df.columns, params, dtypes=dict(df.dtypes)
                             )
-                            for field_name, fexpr in args[0].fields:
+                            for field_name, fexpr in arg_rl.fields:
                                 if field_name.endswith("*"):
                                     # {*} wildcard: the row passes
                                     # through — materializing a column
@@ -2699,13 +2895,15 @@ class MldbContext:
                                     # so flatten them into columns
                                     # ALONGSIDE the pin-named struct
                                     # (sql.expression entities read
-                                    # the pin as input.a)
+                                    # the pin as input.a); nested
+                                    # rows expand to dotted names
+                                    # (MLDB-1273)
                                     bound = abinder.bind(fexpr)
-                                    for sub, _t in _struct_fields_typed(fdt):
+                                    for sub, sc in _flatten_pin_fields(
+                                        bound, fdt
+                                    ):
                                         if sub not in df.columns:
-                                            df = df.withColumn(
-                                                sub, bound.getField(sub)
-                                            )
+                                            df = df.withColumn(sub, sc)
                                             arg_cols.append(sub)
                                 if field_name not in df.columns:
                                     df = df.withColumn(
@@ -2773,6 +2971,15 @@ class MldbContext:
                         else:
                             mapping.append((node, key))
                     accessed.add(id(node.operand))
+                    # nested registered calls inside the applied call's
+                    # arguments were inlined by
+                    # _inline_registered_calls — don't re-flag them
+                    for sub in _walk(node.operand):
+                        if (
+                            isinstance(sub, ast.FunctionCall)
+                            and self._lookup_function(sub.name) is not None
+                        ):
+                            accessed.add(id(sub))
             for node in _walk(expr):
                 if (
                     isinstance(node, ast.FunctionCall)
@@ -2804,8 +3011,11 @@ class MldbContext:
                 args = it.expr.args
                 call_params = {}
                 if args and isinstance(args[0], ast.RowLiteral):
+                    df, arg_rl = self._inline_registered_calls(
+                        df, args[0], params, arg_cols
+                    )
                     abinder = Binder(df.columns, params, dtypes=dict(df.dtypes))
-                    for field_name, fexpr in args[0].fields:
+                    for field_name, fexpr in arg_rl.fields:
                         if field_name.endswith("*"):
                             continue  # {*} wildcard: row passes through
                         if isinstance(fexpr, ast.Literal):
@@ -2818,6 +3028,20 @@ class MldbContext:
                             # pwel({x:…,y:…}) forwarding $y into
                             # fwin's $varrr)
                             call_params[field_name] = params[fexpr.name]
+                        fdt = abinder._static_dtype(fexpr)
+                        if fdt.startswith("struct<"):
+                            # ROW-valued input pin (MLDB-1273's
+                            # `cls({features: {a as row.a, …}}) as *`
+                            # / `cls({features: feats({*})}) as *`):
+                            # flatten the pin's fields into columns
+                            # alongside the struct, exactly like the
+                            # indexed fn({…})[out] path; nested rows
+                            # expand to dotted names
+                            bound = abinder.bind(fexpr)
+                            for sub, sc in _flatten_pin_fields(bound, fdt):
+                                if sub not in df.columns:
+                                    df = df.withColumn(sub, sc)
+                                    arg_cols.append(sub)
                         if field_name not in df.columns:
                             df = df.withColumn(field_name, abinder.bind(fexpr))
                             arg_cols.append(field_name)
@@ -2855,6 +3079,12 @@ class MldbContext:
                     outs = renamed
                 spread_outputs[id(it)] = outs
                 accessed.add(id(it.expr))
+                for sub in _walk(it.expr):
+                    if (
+                        isinstance(sub, ast.FunctionCall)
+                        and self._lookup_function(sub.name) is not None
+                    ):
+                        accessed.add(id(sub))
                 continue
             df = _apply_indexed_calls(it.expr, df)
         for clause in [stm.where, stm.named, stm.having] + [
@@ -3009,6 +3239,52 @@ class MldbContext:
             # row_dataset(<row or embedding literal>): one output row
             # per atom, named by its 0-based atom index, with
             # (column, value) cells (MLDB-2065/2103)
+            if (
+                len(tf.args) == 1
+                and isinstance(tf.args[0], ast.Param)
+            ):
+                # row_dataset($param) — a BOUND row/array parameter
+                # (MLDB-2022's sql.query scorer over $input). Row
+                # values may themselves be rows → MAP cells, so a
+                # dynamic batch of rows scores in one application.
+                pv = (params or {}).get(tf.args[0].name)
+                if pv is None:
+                    raise ValueError(
+                        f"row_dataset: missing parameter "
+                        f"${tf.args[0].name}"
+                    )
+                if isinstance(pv, dict):
+                    items = list(pv.items())
+                elif isinstance(pv, (list, tuple)):
+                    items = [(str(i), v) for i, v in enumerate(pv)]
+                else:
+                    raise ValueError(
+                        "row_dataset($param) needs a row or array value"
+                    )
+                if items and all(isinstance(v, dict) for _, v in items):
+                    return self.spark.createDataFrame(
+                        [
+                            (str(n), str(n),
+                             {str(k): float(x) for k, x in v.items()})
+                            for n, v in items
+                        ],
+                        "rowName string, column string, "
+                        "value map<string,double>",
+                    )
+                numeric = all(
+                    isinstance(v, (int, float)) and not isinstance(v, bool)
+                    for _, v in items
+                )
+                vt = "double" if numeric else "string"
+                return self.spark.createDataFrame(
+                    [
+                        (str(n), str(n),
+                         (None if v is None
+                          else float(v) if numeric else str(v)))
+                        for n, v in items
+                    ],
+                    f"rowName string, column string, value {vt}",
+                )
             if len(tf.args) != 1 or not isinstance(
                 tf.args[0], (ast.RowLiteral, ast.EmbeddingLiteral)
             ):
@@ -3515,6 +3791,9 @@ class MldbContext:
         joins: list[DataFrame] = []
         counter = [0]
 
+        colset = set(info.get("columns") or [])
+        wide_types = dict(self._datasets[name].dtypes) if name in self._datasets else {}
+
         def fn(node: ast.Expr):
             if isinstance(node, ast.FunctionCall):
                 if node.name == "value_timestamp":
@@ -3543,6 +3822,26 @@ class MldbContext:
                         )
                     )
                     return ast.ColumnRef(out)
+            if isinstance(node, ast.ColumnRef) and node.name in colset:
+                # a plain variable inside WHEN reads the row's
+                # GET_LATEST value of that cell (MLDBFB-335:
+                # `WHEN value_timestamp() <= TIMESTAMP time` must
+                # equal the same comparison against the literal) —
+                # one per-(row) arg-max join back on the row key
+                out = f"__whenAgg{counter[0]}"
+                counter[0] += 1
+                val = F.max_by(F.col(val_c), F.col(ts_c))
+                if wide_types.get(node.name, "").startswith(
+                    ("double", "float", "int", "bigint", "smallint",
+                     "tinyint", "decimal")
+                ):
+                    val = val.cast("double")
+                joins.append(
+                    cells.filter(F.col(col_c) == node.name)
+                    .groupBy(F.col(row_c).alias("__whenRow"))
+                    .agg(val.alias(out))
+                )
+                return ast.ColumnRef(out)
             return None
 
         when2 = _rewrite(stm.when, fn)
@@ -3623,6 +3922,45 @@ class MldbContext:
                     for c in wanted
                 ]
             )
+
+        # temporal_* are PER-ROW reductions, never GROUP BY
+        # aggregators — the reference rejects them in grouped selects
+        # (MLDB-1491: "Non-aggregator 'temporal_earliest({*})' with
+        # GROUP BY clause is not allowed")
+        if stm.group_by:
+            def _bad_temporal(e: ast.Expr, in_agg: bool):
+                if isinstance(e, ast.FunctionCall):
+                    if e.name in self._CELL_TEMPORALS and not in_agg:
+                        surf = e.raw or e.name
+                        arg = (
+                            "{*}"
+                            if e.args and _star_row(e.args[0])
+                            else getattr(e.args[0], "name", "…")
+                            if e.args
+                            else ""
+                        )
+                        raise ValueError(
+                            f"Non-aggregator '{surf}({arg})' with "
+                            "GROUP BY clause is not allowed"
+                        )
+                    in_agg = in_agg or e.name in AGGREGATE_FNS
+                import dataclasses as _d
+
+                if _d.is_dataclass(e):
+                    for f in _d.fields(e):
+                        v = getattr(e, f.name)
+                        vs = v if isinstance(v, (list, tuple)) else [v]
+                        for x in vs:
+                            if isinstance(x, ast.Expr):
+                                _bad_temporal(x, in_agg)
+                            elif isinstance(x, tuple):
+                                for y in x:
+                                    if isinstance(y, ast.Expr):
+                                        _bad_temporal(y, in_agg)
+
+            for it in stm.select:
+                if isinstance(it, ast.ExprItem):
+                    _bad_temporal(it.expr, False)
 
         new_select: list[ast.SelectItem] = []
         changed = False
@@ -3749,6 +4087,37 @@ class MldbContext:
                     for n in _walk(it.expr)
                 ):
                     raise ValueError("Cannot use wildcards with no FROM clause")
+        # FROM merge(...) where every member is a CELLS dataset keeps
+        # the merged result in the cell layout (MLDBFB-335: the WHEN /
+        # temporal surface must see per-cell timestamps across the
+        # merge) — rewrite to a synthetic registered cells dataset so
+        # all the cells machinery below applies unchanged
+        if (
+            isinstance(stm.from_, ast.TableFunction)
+            and stm.from_.name == "merge"
+            and stm.from_.args
+        ):
+            _members = []
+            for _a in stm.from_.args:
+                _nm = (
+                    _a if isinstance(_a, str)
+                    else _a.name if isinstance(_a, ast.ColumnRef)
+                    else None
+                )
+                if _nm is None or _nm not in self._cells:
+                    _members = None
+                    break
+                _members.append(_nm)
+            if _members:
+                import dataclasses as _dc
+
+                _synth = "__merged_cells__" + "__".join(_members)
+                if _synth not in self._cells:
+                    self._register_merged_cells(_synth, _members)
+                stm = _dc.replace(
+                    stm,
+                    from_=ast.TableRef(_synth, getattr(stm.from_, "alias", None)),
+                )
         df, row_name_col, ts_col, aliases, side_rns = self._resolve_from(stm, params)
         if (
             isinstance(stm.from_, ast.TableRef)

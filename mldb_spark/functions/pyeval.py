@@ -79,8 +79,9 @@ def compile_lambda(src: str, argnames: list[str]):
 
 def pyeval_udf(src: str, argnames: list[str], out_type: str = "number"):
     """Bind-time construction of the Arrow-batched UDF for one pyeval
-    call site. Per-row exceptions yield NULL (row-level try/catch,
-    like the reference's per-row JS exception capture)."""
+    call site. Per-row exceptions PROPAGATE with the script's own
+    message (MLDBFB-458/MLDB-723: the reference surfaces a thrown
+    string in the query error); a lambda returning None yields NULL."""
     if out_type not in _TYPES:
         raise ValueError(
             f"pyeval: unknown type {out_type!r} (one of {sorted(_TYPES)})"
@@ -112,8 +113,12 @@ def pyeval_udf(src: str, argnames: list[str], out_type: str = "number"):
             try:
                 r = fn(*vals)
                 out.append(None if r is None else cast(r))
-            except Exception:
-                out.append(None)
+            except Exception as e:
+                # the reference PROPAGATES the script's exception with
+                # its message (MLDBFB-458: `throw "this query is
+                # weird"` must surface "this query is weird" in the
+                # query error, not a silent NULL)
+                raise RuntimeError(f"pyeval: {e}") from e
         return pd.Series(out, dtype=object)
 
     def apply(*args: Column) -> Column:

@@ -179,19 +179,42 @@ def classifier_train(
     # indicator, and null-free trainings keep their exact feature
     # layout (q77/q78's exported coefficient order is unchanged).
     null_row = df.select(
+        F.count(F.lit(1)).alias("__nrows"),
         *[
-            F.sum(F.col(c).isNull().cast("int")).alias(f"__n{i}")
+            # backtick: flattened row features carry literal dotted
+            # names (MLDB-1273's row.a)
+            F.sum(F.col(f"`{c}`").isNull().cast("int")).alias(f"__n{i}")
             for i, c in enumerate(feature_cols)
-        ]
+        ],
     ).collect()[0]
+    if int(null_row["__nrows"]) == 0:
+        # an empty training set must be a clean error, never an opaque
+        # MLlib crash ('nothing has been added to this summarizer' —
+        # MLDBFB-724's classifier.experiment segfault class). Rides the
+        # existing null-scan aggregate: zero extra jobs.
+        raise ValueError(
+            "classifier.train: training set is empty — all rows were "
+            "filtered or the input dataset has no rows"
+        )
     missing_cols = [
         c for i, c in enumerate(feature_cols) if (null_row[f"__n{i}"] or 0) > 0
     ]
     if missing_cols:
         for c in missing_cols:
-            df = df.withColumn(f"{c}__isnull", F.col(c).isNull().cast("double"))
-            df = df.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+            df = df.withColumn(f"{c}__isnull", F.col(f"`{c}`").isNull().cast("double"))
+            df = df.withColumn(c, F.coalesce(F.col(f"`{c}`"), F.lit(0.0)))
         feature_cols = feature_cols + [f"{c}__isnull" for c in missing_cols]
+
+    # VectorAssembler parses dotted inputCols as nested struct paths —
+    # flattened row features (MLDB-1273's literal `row.a` column names)
+    # alias to safe internal names at train AND score time
+    dotted = {
+        c: f"__feat{i}" for i, c in enumerate(feature_cols) if "." in c
+    }
+    if dotted:
+        for c, s in dotted.items():
+            df = df.withColumn(s, F.col(f"`{c}`"))
+        feature_cols = [dotted.get(c, c) for c in feature_cols]
 
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
     labels: list[str] = []
@@ -228,9 +251,13 @@ def classifier_train(
         for c in missing_cols:
             if f"{c}__isnull" not in d.columns:
                 d = d.withColumn(
-                    f"{c}__isnull", F.col(c).isNull().cast("double")
+                    f"{c}__isnull", F.col(f"`{c}`").isNull().cast("double")
                 )
-                d = d.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+                d = d.withColumn(c, F.coalesce(F.col(f"`{c}`"), F.lit(0.0)))
+        # replay the dotted-feature aliasing (MLDB-1273)
+        for c, s in dotted.items():
+            if s not in d.columns:
+                d = d.withColumn(s, F.col(f"`{c}`"))
         scored = model.transform(assembler.transform(d))
         if mode == "regression":
             out = scored.withColumn("score", F.col("prediction"))

@@ -210,8 +210,27 @@ class MldbRestServer:
                         and len(parts) == 4
                         and parts[3] == "latestrun"
                     ):
-                        # MLDB-1359: the most recent run's metadata
-                        self._send(200, facade.mldb.latest_run(parts[2]))
+                        # MLDB-1359: the most recent run's metadata;
+                        # a never-run procedure is 404 (MLDB-2112)
+                        try:
+                            self._send(200, facade.mldb.latest_run(parts[2]))
+                        except KeyError as e:
+                            self._send(404, {"error": str(e)})
+                    elif (
+                        parts[:2] == ["v1", "procedures"]
+                        and len(parts) == 3
+                    ):
+                        # the stored config survives a FAILED
+                        # runOnCreation (MLDB-2112: the broken proc is
+                        # still GETtable)
+                        procs = getattr(facade.mldb, "_procedures", {})
+                        if parts[2] in procs:
+                            self._send(200, procs[parts[2]])
+                        else:
+                            self._send(
+                                404,
+                                {"error": f"unknown procedure {parts[2]!r}"},
+                            )
                     elif parts[:2] == ["v1", "datasets"] and len(parts) == 2:
                         self._send(200, facade.mldb.datasets())
                     elif parts[:2] == ["v1", "datasets"] and len(parts) == 3:

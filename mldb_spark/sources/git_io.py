@@ -23,10 +23,12 @@ def import_git(
     limit: int | None = None,
     import_stats: bool = True,
 ) -> DataFrame:
-    """Commit-history dataset: (commit, author_name, author_email,
-    committer_name, committer_email, author_ts, parents, message,
-    files_changed, insertions, deletions). import_stats=False skips
-    the per-commit numstat pass (faster on huge histories)."""
+    """Commit-history dataset with the reference's column names
+    (plugins/git/git.cc:314-341; MLDB-1117): (commit, author,
+    authorEmail, committer, committerEmail, author_ts, parents,
+    message, filesChanged, insertions, deletions).
+    import_stats=False skips the per-commit numstat pass (faster on
+    huge histories)."""
     args = ["git", "-C", repository, "log", revision, f"--format={_FORMAT}"]
     if import_stats:
         args.append("--numstat")
@@ -43,14 +45,14 @@ def import_git(
             sha, an, ae, cn, ce, at, parents, subject = line.split("\x1f")
             cur = {
                 "commit": sha,
-                "author_name": an,
-                "author_email": ae,
-                "committer_name": cn,
-                "committer_email": ce,
+                "author": an,
+                "authorEmail": ae,
+                "committer": cn,
+                "committerEmail": ce,
                 "author_ts": int(at),
                 "parents": parents.split() if parents else [],
                 "message": subject,
-                "files_changed": 0,
+                "filesChanged": 0,
                 "insertions": 0,
                 "deletions": 0,
             }
@@ -58,7 +60,7 @@ def import_git(
             parts = line.split("\t")
             if len(parts) == 3:
                 ins, dels, _path = parts
-                cur["files_changed"] += 1
+                cur["filesChanged"] += 1
                 # binary files report '-' for both counts
                 cur["insertions"] += int(ins) if ins.isdigit() else 0
                 cur["deletions"] += int(dels) if dels.isdigit() else 0
@@ -66,16 +68,16 @@ def import_git(
         rows.append(cur)
 
     schema = (
-        "commit string, author_name string, author_email string, "
-        "committer_name string, committer_email string, author_ts long, "
-        "parents array<string>, message string, files_changed long, "
+        "commit string, author string, authorEmail string, "
+        "committer string, committerEmail string, author_ts long, "
+        "parents array<string>, message string, filesChanged long, "
         "insertions long, deletions long"
     )
     return spark.createDataFrame(
         [tuple(r[k] for k in (
-            "commit", "author_name", "author_email", "committer_name",
-            "committer_email", "author_ts", "parents", "message",
-            "files_changed", "insertions", "deletions",
+            "commit", "author", "authorEmail", "committer",
+            "committerEmail", "author_ts", "parents", "message",
+            "filesChanged", "insertions", "deletions",
         )) for r in rows],
         schema,
     )

@@ -606,14 +606,17 @@ def test_tensor_reshape_mismatch_raises(ctx):
 def test_pyeval_inline_lambda(ctx):
     """pyeval — the jseval replacement (builtin/js/js_function.cc:
     117-226): inline Python lambda over row values, Arrow-batched,
-    default double output with {type: ...} override and NULL on
-    per-row failure."""
+    default double output with {type: ...} override; a script
+    exception PROPAGATES its own message (MLDBFB-458/MLDB-723 —
+    round 9 changed this from silent NULL to the reference's
+    error-surfacing semantics)."""
+    import pytest as _pytest
+
     rows = ctx.query(
         "SELECT c_custkey AS k, "
         "pyeval('a * 2 + b', 'a,b', c_custkey, c_acctbal) AS v, "
         "pyeval('a.split(\"#\")[0].upper()', 'a', c_mktsegment, {type: 'string'}) AS seg, "
-        "pyeval('a > 0', 'a', c_acctbal, {type: 'boolean'}) AS pos, "
-        "pyeval('1 / 0', 'a', c_custkey) AS err "
+        "pyeval('a > 0', 'a', c_acctbal, {type: 'boolean'}) AS pos "
         "FROM customer ORDER BY k LIMIT 3"
     ).collect()
     assert len(rows) == 3
@@ -621,7 +624,11 @@ def test_pyeval_inline_lambda(ctx):
         assert r["v"] is not None
         assert r["seg"].isupper()
         assert r["pos"] in (True, False)
-        assert r["err"] is None  # row-level failure -> NULL, job survives
+    with _pytest.raises(Exception, match="division by zero"):
+        ctx.query(
+            "SELECT pyeval('1 / 0', 'a', c_custkey) AS err "
+            "FROM customer LIMIT 3"
+        ).collect()
 
 
 def test_pyeval_bind_time_errors(ctx):

