@@ -34,6 +34,48 @@ def _to_vector(df: DataFrame, array_col: str, out_col: str = "features") -> Data
     return df.withColumn(out_col, array_to_vector(F.col(array_col).cast("array<double>")))
 
 
+class _LocalKMeansModel:
+    """Shim matching the MLlib surface callers use (clusterCenters)
+    for the local fast path below."""
+
+    def __init__(self, centers):
+        self._centers = centers
+
+    def clusterCenters(self):
+        return self._centers
+
+
+def _local_kmeans(X, k: int, seed: int, n_iter: int = 60):
+    """Seeded kmeans++ + Lloyd in numpy, deterministic. Ties in the
+    assignment break to the LOWEST cluster id (argmin keeps the first
+    minimum) — the same rule the SQL oracles replay."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    n = len(X)
+    k = min(k, n)
+    centers = [X[rng.randint(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            [np.square(X - c).sum(axis=1) for c in centers], axis=0
+        )
+        s = d2.sum()
+        idx = rng.choice(n, p=d2 / s) if s > 0 else rng.randint(n)
+        centers.append(X[idx])
+    C = np.array(centers, dtype=float)
+    for _ in range(n_iter):
+        d = np.square(X[:, None, :] - C[None, :, :]).sum(axis=2)
+        lab = d.argmin(axis=1)
+        newC = np.array([
+            X[lab == j].mean(axis=0) if (lab == j).any() else C[j]
+            for j in range(k)
+        ])
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
 def kmeans_train(
     df: DataFrame,
     array_col: str,
@@ -41,17 +83,67 @@ def kmeans_train(
     seed: int = 42,
     name: str = "kmeans",
     registry: FunctionRegistry = GLOBAL_REGISTRY,
+    local_cutoff: int = 4096,
 ):
     """k-means over an ARRAY<numeric> column. Returns (model,
     centroids_df); registers `name` as an assignment function adding
-    a `cluster` column. Distributed Lloyd iterations — each pass is
-    one map-side nearest-centroid assignment (centroids broadcast)
-    plus one aggregate; no driver-side loops over rows."""
+    a `cluster` column.
+
+    Two regimes (VERDICT r8 #5 — the MLlib fit costs seconds of pure
+    scheduling on tiny inputs):
+    - <= local_cutoff rows (term embeddings, entity trainings, the
+      reference's own vocab-sized kmeans chains): collect once, run
+      seeded kmeans++/Lloyd in numpy on the driver. The collect is
+      bounded by the cutoff (a few MB).
+    - larger: MLlib's distributed Lloyd — each pass one map-side
+      nearest-centroid assignment (centroids broadcast) plus one
+      aggregate; no driver-side loops over rows.
+    EITHER way the registered assignment is broadcast-argmin with
+    ties to the lowest cluster id, so the oracle's centroid-replay
+    contract is identical in both regimes."""
+    spark = df.sparkSession
+    head = df.select(array_col).limit(local_cutoff + 1).collect()
+    if len(head) <= local_cutoff and head:
+        import numpy as np
+
+        X = np.array([r[0] for r in head], dtype=float)
+        C = _local_kmeans(X, k, seed)
+        model = _LocalKMeansModel([c for c in C])
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+            "cluster int, centroid array<double>",
+        )
+
+        def assign(d: DataFrame, _C=C) -> DataFrame:
+            # pure-JVM argmin over broadcast centroid literals:
+            # strict < keeps the FIRST (lowest-id) minimum
+            dist_cols = [
+                F.aggregate(
+                    F.zip_with(
+                        F.col(array_col).cast("array<double>"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in _C
+            ]
+            best = dist_cols[0]
+            best_i = F.lit(0)
+            for j, dc in enumerate(dist_cols[1:], start=1):
+                cond = dc < best
+                best_i = F.when(cond, F.lit(j)).otherwise(best_i)
+                best = F.when(cond, dc).otherwise(best)
+            return d.withColumn("cluster", best_i.cast("int"))
+
+        registry.register(name, assign)
+        return model, centroids
+
     from pyspark.ml.clustering import KMeans
 
     vecs = _to_vector(df, array_col)
     model = KMeans(k=k, seed=seed, featuresCol="features", predictionCol="cluster").fit(vecs)
-    spark = df.sparkSession
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster int, centroid array<double>",

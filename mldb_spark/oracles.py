@@ -762,7 +762,14 @@ FROM toks GROUP BY lang ORDER BY lang
 # dot product over identical literals.
 from mldb_spark.similarity import seeded_planes as _seeded_planes
 
-_Q31_PLANES = _seeded_planes(64)
+# 64 planes in 8 bands of 8 bits (round 9, VERDICT r8 #5): the old
+# 16 planes / 4 bands gave 4-BIT band keys — 16 buckets per band, so
+# the banding fully collapsed (C(n,2) candidates at sf0.1) and the
+# "blocked" rescore was an O(n²) pandas pass. 8-bit bands keep ~99%
+# recall at cos 0.95 while cutting the candidate mass ~30×; the
+# oracle replays the identical planes and band widths, so the pair
+# set stays hash-exact on both sides.
+_Q31_PLANES = _seeded_planes(64, num_planes=64)
 _Q31_SIG = "concat(" + ", ".join(
     "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
     + ", ".join(repr(x) for x in p)
@@ -770,7 +777,7 @@ _Q31_SIG = "concat(" + ", ".join(
     for p in _Q31_PLANES
 ) + ")"
 _Q31_BANDS = " OR ".join(
-    f"substr(a.s, {b * 4 + 1}, 4) = substr(b.s, {b * 4 + 1}, 4)" for b in range(4)
+    f"substr(a.s, {b * 8 + 1}, 8) = substr(b.s, {b * 8 + 1}, 8)" for b in range(8)
 )
 
 ORACLES["q31_embedding_neardup"] = f"""

@@ -657,7 +657,8 @@ def q31_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load(spark, sf, "embeddings")
     return embedding_cosine_near_duplicates(
-        emb, threshold=0.4, planes=seeded_planes(64), bands=4
+        emb, threshold=0.4, planes=seeded_planes(64, num_planes=64),
+        bands=8,
     ).orderBy("id_a", "id_b")
 
 
@@ -711,11 +712,15 @@ def q85_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from mldb_spark.dedup import simhash64, simhash_pairs
 
     docs = load(spark, sf, "documents")
-    # persist: the export action and the pair join both read the
-    # signatures; without it the tokenize + 64-vote aggregation runs
-    # twice
-    sig = persist_tracked(simhash64(docs))
-    export_oracle_fixture_df("q85_simhash", sig.orderBy("doc_id"))
+    sig = simhash64(docs)
+    if not _fixture_exports_disabled():
+        # persist only when the fixture export adds a SECOND consumer
+        # of the signatures — under bench (exports skipped) the only
+        # reader is simhash_pairs, which persists its own narrow
+        # (id, hash) projection anyway; the outer cache write was one
+        # avoidable extra materialization (VERDICT r8 #5)
+        sig = persist_tracked(sig)
+        export_oracle_fixture_df("q85_simhash", sig.orderBy("doc_id"))
     return simhash_pairs(sig, max_hamming=8).orderBy("id_a", "id_b")
 
 
@@ -3112,7 +3117,10 @@ def qa24_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load(spark, sf, "embeddings")
     return (
-        semantic_dedup(emb, threshold=0.4, planes=seeded_planes(64), bands=4)
+        semantic_dedup(
+            emb, threshold=0.4, planes=seeded_planes(64, num_planes=64),
+            bands=8,
+        )
         .select(
             F.col("vec_id").cast("long"),
             F.col("survivor").cast("long"),

@@ -77,12 +77,31 @@ def brute_force_topk(
 
 
 def random_hyperplane_signature(vec, planes: list[list[float]]):
-    """Bit-signature column: sign of dot(vec, plane) per plane."""
-    bits = []
-    for p in planes:
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bits.append(F.when(dot_product(vec, arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    """Bit-signature column: sign of dot(vec, plane) per plane.
+
+    The plane matrix ships as ONE nested-array literal with a single
+    transform lambda — per-plane expression trees (64 planes × 64
+    literal weights each) blew codegen up to MB-sized task binaries
+    and Catalyst compile time dominated the whole banding stage
+    (VERDICT r8 #5; the 'Broadcasting large task binary' warnings).
+    Same arithmetic (double-accumulated dot, >= 0 bit) — oracle
+    replays are unchanged."""
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    bits = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec, p, lambda x, y: x.cast("double") * y.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
 
 
 def lsh_topk(
@@ -252,8 +271,18 @@ def embedding_cosine_near_duplicates(
         if dim is None:
             dim = len(vectors.select(vec_col).first()[0])
         planes = seeded_planes(dim)
+    from mldb_spark.caching import persist_tracked
+
     sig = random_hyperplane_signature(F.col(vec_col), planes)
-    base = vectors.select(F.col(id_col), F.col(vec_col), sig.alias("__sig"))
+    # persist the NARROW (id, signature) table: it feeds BOTH sides
+    # of the candidate self-join, and without the barrier Catalyst
+    # collapses the projections so the 64-plane dot-product subtree
+    # re-evaluates once per exploded band row AND per join side
+    # (VERDICT r8 #5 — this was most of q31/qa24's regression).
+    # Bytes per row: id + bitstring, so ~GBs at 100 TB corpus scale.
+    base = persist_tracked(
+        vectors.select(F.col(id_col), sig.alias("__sig"))
+    )
     r = len(planes) // bands
     # EXPLODED banding: one row per (band, key) and a single
     # equi-self-join on (band, bk) — a union of per-band joins would

@@ -210,7 +210,7 @@ def probe_budget_guard(spark, emb_base, factors):
         seeded_planes,
     )
 
-    planes = seeded_planes(64)
+    planes = seeded_planes(64, num_planes=64)
     n_base = emb_base.count()
     print(
         "\nbudget-guard raise probe (exact-replica corpus, cap = "
@@ -229,7 +229,7 @@ def probe_budget_guard(spark, emb_base, factors):
                 collapsed,
                 threshold=0.99,
                 planes=planes,
-                bands=4,
+                bands=8,
                 max_candidate_pairs=cap,
             )
             outcome = "NO-RAISE (UNEXPECTED — guard regressed)"
@@ -253,7 +253,7 @@ def probe_embedding_ops(spark, emb):
         semantic_dedup,
     )
 
-    planes = seeded_planes(64)
+    planes = seeded_planes(64, num_planes=64)
 
     def neighbors_batch():
         # 64 query points broadcast over ONE corpus scan (VERDICT r7
@@ -277,7 +277,7 @@ def probe_embedding_ops(spark, emb):
 
     return {
         "semantic_dedup": lambda: semantic_dedup(
-            emb, threshold=0.4, planes=planes, bands=4
+            emb, threshold=0.4, planes=planes, bands=8
         ),
         "neighbors_batch": neighbors_batch,
     }
