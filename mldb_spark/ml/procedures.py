@@ -115,27 +115,29 @@ def kmeans_train(
         )
 
         def assign(d: DataFrame, _C=C) -> DataFrame:
-            # pure-JVM argmin over broadcast centroid literals:
-            # strict < keeps the FIRST (lowest-id) minimum
-            dist_cols = [
-                F.aggregate(
+            # pure-JVM argmin over ONE nested centroid literal — a
+            # per-centroid expression tree (k × dim literal nodes +
+            # k HOF lambdas) blows codegen up exactly like the old
+            # hyperplane kernel did; array_position(min) keeps the
+            # FIRST (lowest-id) minimum on ties, the oracle's rule
+            c_lit = F.lit([[float(x) for x in c] for c in _C])
+            dists = F.transform(
+                c_lit,
+                lambda c: F.aggregate(
                     F.zip_with(
-                        F.col(array_col).cast("array<double>"),
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a - b) * (a - b),
+                        F.col(array_col),
+                        c,
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
-                )
-                for c in _C
-            ]
-            best = dist_cols[0]
-            best_i = F.lit(0)
-            for j, dc in enumerate(dist_cols[1:], start=1):
-                cond = dc < best
-                best_i = F.when(cond, F.lit(j)).otherwise(best_i)
-                best = F.when(cond, dc).otherwise(best)
-            return d.withColumn("cluster", best_i.cast("int"))
+                ),
+            )
+            cluster = (
+                F.array_position(dists, F.array_min(dists)) - 1
+            ).cast("int")
+            return d.withColumn("cluster", cluster)
 
         registry.register(name, assign)
         return model, centroids
