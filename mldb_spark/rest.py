@@ -176,11 +176,53 @@ class MldbRestServer:
     def __init__(self, mldb: Mldb, port: int = 0, row_cap: int = DEFAULT_ROW_CAP):
         self.mldb = mldb
         self.row_cap = row_cap
+        # python plugins with custom routes (MLDB-444): id -> {routes
+        # source, config}
+        self.plugins: dict[str, dict] = {}
         facade = self
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
+
+            def _plugin_route(self, parts, q, verb):
+                """Dispatch /v1/plugins/<id>/routes/<path> into the
+                plugin's routes source (MLDB-444: request.rest_params
+                carries the query args as [k, v] pairs,
+                request.payload the JSON body; set_return is the
+                response). A body-less POST is a 404 when the route
+                source requires a payload (MLDB-2114's contract is a
+                clean error, never a hang)."""
+                plug = facade.plugins.get(parts[2])
+                if plug is None:
+                    self._send(404, {"error": f"unknown plugin {parts[2]!r}"})
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n) if n else b""
+                try:
+                    payload = json.loads(raw) if raw else None
+                except Exception:
+                    payload = raw.decode("utf-8", "replace")
+
+                class _Req:
+                    rest_params = [[k, v] for k, v in q.items()]
+                    verb_ = verb
+                    remaining = "/" + "/".join(parts[4:])
+                    value = None
+
+                    def set_return(self, v):
+                        _Req.value = v
+
+                _Req.payload = payload
+                try:
+                    ns = {"mldb": facade.mldb, "request": _Req()}
+                    exec(  # noqa: S102 — local plugin route
+                        compile(plug["routes"], "<plugin-route>", "exec"),
+                        ns,
+                    )
+                    self._send(200, _Req.value)
+                except Exception as e:
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
             def _send(self, code: int, payload) -> None:
                 # every error response carries BOTH 'error' and
@@ -203,6 +245,13 @@ class MldbRestServer:
                 q = {k: v[0] for k, v in parse_qs(u.query).items()}
                 parts = [p for p in u.path.split("/") if p]
                 try:
+                    if (
+                        parts[:2] == ["v1", "plugins"]
+                        and len(parts) >= 4
+                        and parts[3] == "routes"
+                    ):
+                        self._plugin_route(parts, q, "GET")
+                        return
                     if parts[:2] == ["v1", "query"]:
                         self._send(200, facade.run_query(q))
                     elif (
@@ -295,6 +344,33 @@ class MldbRestServer:
                     self._create("dataset", parts[2])
                 elif parts[:2] == ["v1", "functions"] and len(parts) == 3:
                     self._create("function", parts[2])
+                elif parts[:2] == ["v1", "plugins"] and len(parts) == 3:
+                    # python plugin with custom ROUTES
+                    # (MLDB-444_python_perform_default_args.py): store
+                    # the routes source; requests to
+                    # /v1/plugins/<id>/routes/<path> exec it with a
+                    # `request` carrying rest_params/payload/verb
+                    try:
+                        body = self._body()
+                        if body.get("type") != "python":
+                            self._send(
+                                400,
+                                {"error": "only python plugins supported"},
+                            )
+                            return
+                        src = (body.get("params", {})
+                               .get("source", {}) or {})
+                        facade.plugins[parts[2]] = {
+                            "routes": src.get("routes", ""),
+                            "config": body,
+                        }
+                        main = src.get("main")
+                        if main:
+                            ns = {"mldb": facade.mldb}
+                            exec(compile(main, "<plugin>", "exec"), ns)  # noqa: S102
+                        self._send(201, {"config": body})
+                    except Exception as e:
+                        self._send(400, {"error": str(e)})
                 elif parts[:2] == ["v1", "procedures"] and len(parts) == 3:
                     # store + optional runOnCreation (MLDB-951)
                     try:
@@ -343,7 +419,16 @@ class MldbRestServer:
                     self._send(404, {"error": "PUT supports /v1/datasets/<id>, /v1/functions/<id> and /v1/procedures/<id>"})
 
             def do_POST(self):
-                parts = [p for p in urlparse(self.path).path.split("/") if p]
+                u = urlparse(self.path)
+                parts = [p for p in u.path.split("/") if p]
+                if (
+                    parts[:2] == ["v1", "plugins"]
+                    and len(parts) >= 4
+                    and parts[3] == "routes"
+                ):
+                    q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                    self._plugin_route(parts, q, "POST")
+                    return
                 if (
                     parts[:2] == ["v1", "procedures"]
                     and len(parts) == 4

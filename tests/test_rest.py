@@ -641,3 +641,40 @@ def test_mldb_2112_broken_proc_is_4xx_not_500(server):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_mldb_444_plugin_routes_mirror(server):
+    """MLDB-444_python_perform_default_args.py: a python plugin with
+    a custom routes source mirrors request.rest_params and
+    request.payload back — defaulted args arrive empty, URL params
+    arrive as [k, v] pairs, the JSON body arrives parsed. (+
+    MLDB-2114: a route on an UNKNOWN plugin is a clean 404.)"""
+    st, _ = _req(server, "PUT", "/v1/plugins/mirror444", {
+        "type": "python",
+        "params": {
+            "source": {
+                "routes": (
+                    "request.set_return({'args': request.rest_params,"
+                    " 'payload': request.payload})"
+                ),
+            },
+        },
+    })
+    assert st == 201
+    st, out = _req(server, "POST", "/v1/plugins/mirror444/routes/pwet", {})
+    assert st == 200
+    assert out["args"] == [] and out["payload"] == {}
+    st, out = _req(
+        server, "POST", "/v1/plugins/mirror444/routes/pwet?patate=5",
+        {"ataboy": 5},
+    )
+    assert st == 200
+    assert out["args"] == [["patate", "5"]]
+    assert out["payload"] == {"ataboy": 5}
+    import urllib.error
+
+    try:
+        _req(server, "POST", "/v1/plugins/nope/routes/pwet", {})
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
