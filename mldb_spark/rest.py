@@ -224,7 +224,7 @@ class MldbRestServer:
                 except Exception as e:
                     self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
-            def _send(self, code: int, payload) -> None:
+            def _send(self, code: int, payload, location: str | None = None) -> None:
                 # every error response carries BOTH 'error' and
                 # 'httpCode' (MLDB-1260's uniform error format)
                 if code >= 400 and isinstance(payload, dict) and "httpCode" not in payload:
@@ -233,6 +233,11 @@ class MldbRestServer:
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                if location:
+                    # creation responses point at the created object
+                    # (MLDB-951's Location check; MLDB-299/305's sync
+                    # flavor)
+                    self.send_header("Location", location)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -447,6 +452,7 @@ class MldbRestServer:
                             facade.mldb.run_procedure(
                                 parts[2], body.get("params")
                             ),
+                            location=f"/v1/procedures/{parts[2]}/latestrun",
                         )
                     except KeyError as e:
                         self._send(404, {"error": str(e)})

@@ -10003,3 +10003,58 @@ def test_mldb_779_train_and_test_three_algos_sparse(spark):
         assert met["auc"] is not None and met["auc"] > 0.5, (
             algo, met["auc"],
         )
+
+
+def test_mldb_865_unicode_dataset_names(spark):
+    """MLDB-865-javascript-unicode.js: unicode dataset ids create,
+    list, and query — including the double-quoted FROM "hellô"
+    spelling."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.create_dataset(
+        "hellô",
+        spark.createDataFrame([(1, "ünïcode")], "x int, s string"),
+    )
+    assert "hellô" in m.datasets()
+    rows = [tuple(r) for r in m.query('select * from "hellô"').collect()]
+    assert rows == [(1, "ünïcode")]
+    rows2 = [tuple(r) for r in m.query("select x from hellô").collect()]
+    assert rows2 == [(1,)]
+
+
+def test_mldb_1503_import_named_expression(spark, tmp_path):
+    """MLDB-1503-bad-rowname-error-message.js (essence): import.text
+    with a NAMED expression deriving the row name from the line text
+    (the reference cuts the leading csv field) — rows land under the
+    derived names, queryable in rowName() order."""
+    from mldb_spark.api import Mldb
+
+    p = tmp_path / "reddit_like.csv"
+    p.write_text(
+        "1000,television,politics\n"
+        "1002,politics,space\n"
+    )
+    m = Mldb(spark)
+    m.create_entity("procedure", {
+        "type": "import.text",
+        "id": "m1503",
+        "params": {
+            "dataFileUrl": f"file://{p}",
+            "delimiter": "",
+            "quoteChar": "",
+            "headers": ["lineText"],
+            "named": "regex_replace(lineText, ',.*', '')",
+            "outputDataset": "m1503_out",
+            "runOnCreation": True,
+        },
+    })
+    rows = [
+        (r["rn"], r["lineText"])
+        for r in m.query(
+            "select rowName() as rn, lineText from m1503_out "
+            "order by rowName() asc limit 2"
+        ).collect()
+    ]
+    assert rows[0][0] == "1000" and rows[0][1].startswith("1000,television")
+    assert rows[1][0] == "1002"

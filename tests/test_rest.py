@@ -678,3 +678,29 @@ def test_mldb_444_plugin_routes_mirror(server):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_mldb_951_post_run_location_header(server):
+    """MLDB-951-run-on-creation.py (+ MLDB-299/305 sync flavor): POST
+    …/runs answers 201 with a Location header pointing at the created
+    run, and GETting it works."""
+    _req(server, "PUT", "/v1/procedures/m951rest", {
+        "type": "transform",
+        "params": {
+            "inputData": "select 1 as x from region",
+            "outputDataset": "m951rest_out",
+            "runOnCreation": False,
+        },
+    })
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/procedures/m951rest/runs",
+        data=b"{}",
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 201
+        loc = r.headers["Location"]
+    assert loc == "/v1/procedures/m951rest/latestrun"
+    st, run = _get(server, loc)
+    assert st == 200 and run["state"] == "finished"
