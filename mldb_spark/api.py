@@ -1912,6 +1912,19 @@ class Mldb:
                 )
                 self.create_dataset(out_id, counts, row_name_col="rowName")
                 status = {"outputDataset": out_id}
+            elif etype == "experimental.external.procedure":
+                # external python process procedure
+                # (builtin/external_python_procedure.cc:152;
+                # MLDB-694): stdInData on stdin, last stdout line
+                # parsed as JSON into status.return
+                from mldb_spark.utilities import external_procedure
+
+                sc = params.get("scriptConfig", {})
+                status = external_procedure(
+                    script_path=sc.get("address"),
+                    source=sc.get("source"),
+                    stdin_data=params.get("stdInData", ""),
+                )
             elif etype == "null":
                 # the no-op procedure (MLDB-326's run-lifecycle tests)
                 status = None

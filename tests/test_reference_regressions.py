@@ -10058,3 +10058,28 @@ def test_mldb_1503_import_named_expression(spark, tmp_path):
     ]
     assert rows[0][0] == "1000" and rows[0][1].startswith("1000,television")
     assert rows[1][0] == "1002"
+
+
+def test_mldb_694_external_python_procedure(spark):
+    """MLDB-694_external_python_procedure.py: the
+    experimental.external.procedure ENTITY spawns a python process,
+    feeds stdInData on stdin, and the last stdout line's JSON becomes
+    status.return."""
+    from mldb_spark.api import Mldb
+
+    m = Mldb(spark)
+    m.put_procedure("m694", {
+        "type": "experimental.external.procedure",
+        "params": {
+            "stdInData": "pwet",
+            "scriptConfig": {
+                "source": (
+                    "import sys, json\n"
+                    "std_in = sys.stdin.read()\n"
+                    "print(json.dumps({'bouya': 5, 'stdin_data': std_in}))\n"
+                ),
+            },
+        },
+    })
+    st = m.run_procedure("m694")
+    assert st["status"]["return"] == {"bouya": 5, "stdin_data": "pwet"}

@@ -704,3 +704,32 @@ def test_mldb_951_post_run_location_header(server):
     assert loc == "/v1/procedures/m951rest/latestrun"
     st, run = _get(server, loc)
     assert st == 200 and run["state"] == "finished"
+
+
+def test_mldb_1040_invalid_requests(server):
+    """MLDB-1040-invalid-requests.cc (REST flavor): unknown routes
+    404 with the uniform error body; malformed JSON payloads are a
+    clean 400 — never a hang or crash."""
+    import urllib.error
+
+    for path in ("/v1/nope", "/v1/datasets/does_not_exist_1040",
+                 "/totally/bogus"):
+        try:
+            _get(server, path)
+            raise AssertionError(f"expected error for {path}")
+        except urllib.error.HTTPError as e:
+            assert e.code in (400, 404), (path, e.code)
+            body = json.loads(e.read())
+            assert "error" in body and "httpCode" in body
+    # malformed JSON body
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/procedures/bad1040",
+        data=b"{not json",
+        method="PUT",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
