@@ -315,16 +315,36 @@ def embedding_cosine_near_duplicates(
                 "planes per band, raise the threshold upstream, or "
                 "pre-shard the corpus"
             )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Exact rescore stays in the JVM (optimization r9, guide §4):
+    # the pandas-UDF cosine put an ArrowEvalPython node under the
+    # threshold filter, and Catalyst's filter pushdown DUPLICATED the
+    # UDF (two ArrowEvalPython nodes — every candidate pair crossed
+    # the Python boundary twice; guide §4.4). Per-vector norms are
+    # computed ONCE on the vector table (corpus-sized) and ride the
+    # pair join as scalars, so each pair pays one zip_with dot
+    # product. Rounded values are identical to the numpy kernel
+    # (float64 either way; verified pairwise on the full sf0.1 pair
+    # set) and the DuckDB oracle recomputes with its own
+    # list_dot_product as before. sf0.1 rescore: 8.0s -> 1.4s.
+    from mldb_spark.functions.vector import dot_product, l2_norm
+
+    va = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    )
+    vb = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    )
+    cos = F.round(
+        dot_product(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_pandas(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
+        .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
