@@ -2255,6 +2255,44 @@ class _ColumnValueBinder(Binder):
         return super()._call(e)
 
 
+def _column_expr_stat_needs(item: "ast.ColumnExprItem") -> "tuple[bool, bool]":
+    """(need_counts, need_distinct) for a COLUMN EXPR item: which
+    column_stats data aggregates its clause expressions (WHERE /
+    ORDER BY / AS) actually reference. rowCount() and the raw
+    n_nonnull/rowCount stats columns need the per-column counts;
+    n_distinct_approx needs the per-column HLL sketches; name/type
+    metadata (columnName(), columnPathLength(), dtype, ...) needs no
+    data pass at all. Generic dataclass walk so every expression
+    node — including ones added later — is covered conservatively."""
+    import dataclasses
+
+    needs = {"counts": False, "distinct": False}
+
+    def walk(node):
+        if isinstance(node, ast.FunctionCall) and node.name == "rowcount":
+            needs["counts"] = True
+        if isinstance(node, ast.ColumnRef):
+            nm = node.name.lower()
+            if nm in ("rowcount", "n_nonnull"):
+                needs["counts"] = True
+            elif nm == "n_distinct_approx":
+                needs["distinct"] = True
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            for f in dataclasses.fields(node):
+                walk(getattr(node, f.name))
+        elif isinstance(node, (list, tuple)):
+            for x in node:
+                walk(x)
+
+    for e in (
+        ([item.where] if item.where is not None else [])
+        + [o.expr for o in item.order_by]
+        + ([item.as_expr] if item.as_expr is not None else [])
+    ):
+        walk(e)
+    return needs["counts"], needs["distinct"]
+
+
 def _contains_aggregate(e: ast.Expr) -> bool:
     if isinstance(e, ast.FunctionCall):
         if e.name in AGGREGATE_FNS:
@@ -4646,7 +4684,17 @@ class MldbContext:
         else:
             ref_map = {c: f"`{c}`" for c in df.columns}
             meta_df = df
-        stats = column_stats(meta_df)
+        # Phase 1 touches the DATA only for the stats the clause
+        # expressions actually reference (optimization r9): a
+        # name/type-only COLUMN EXPR (q69, qa29 — the common
+        # reference idiom) runs zero data jobs here; rowCount()
+        # pulls per-column counts; only an explicit
+        # n_distinct_approx reference pays the per-column HLL
+        # sketches over the scan.
+        need_counts, need_distinct = _column_expr_stat_needs(item)
+        stats = column_stats(
+            meta_df, need_counts=need_counts, need_distinct=need_distinct
+        )
         binder = _ColumnMetaBinder(stats.columns, params)
         if item.where is not None:
             stats = stats.filter(binder.bind(item.where).cast("boolean"))

@@ -346,24 +346,49 @@ def ranking(
     return df.withColumn(output_col, rank)
 
 
-def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+def column_stats(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    need_counts: bool = True,
+    need_distinct: bool = True,
+) -> DataFrame:
     """Per-column statistics as a DataFrame with one row per column:
     (columnName, dtype, rowCount, n_nonnull, n_distinct_approx).
 
     This is phase 1 of COLUMN EXPR (reference SelectColumnExpression,
     sql/sql_expression_operations.h:560-601; doc SelectExpression.md:
     44-128): columns become a queryable table. One wide aggregate job
-    regardless of column count."""
+    regardless of column count — and NO data job at all when the
+    caller's clause expressions reference only name/type metadata
+    (optimization r9: a name-only COLUMN EXPR over a fact table was
+    paying one approx_count_distinct sketch PER COLUMN over the whole
+    scan — q69 burned ~16 HLL sketches over lineitem to pick two
+    columns by name). need_counts covers rowCount/n_nonnull,
+    need_distinct covers n_distinct_approx; unneeded stats surface as
+    NULL, so a clause that does reference them without requesting
+    them fails loudly rather than silently using stale numbers."""
     cols = list(columns or df.columns)
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for i, c in enumerate(cols):
-        # backtick-quote: flattened frames carry literal dotted names
-        aggs.append(F.count(F.col(f"`{c}`")).alias(f"__n{i}"))
-        aggs.append(F.approx_count_distinct(F.col(f"`{c}`")).alias(f"__d{i}"))
-    row = df.agg(*aggs).collect()[0]
+    row = None
+    if need_counts or need_distinct:
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for i, c in enumerate(cols):
+            # backtick-quote: flattened frames carry literal dotted names
+            if need_counts:
+                aggs.append(F.count(F.col(f"`{c}`")).alias(f"__n{i}"))
+            if need_distinct:
+                aggs.append(
+                    F.approx_count_distinct(F.col(f"`{c}`")).alias(f"__d{i}")
+                )
+        row = df.agg(*aggs).collect()[0]
     dtypes = dict(df.dtypes)
     data = [
-        (c, dtypes[c], row["__rows"], row[f"__n{i}"], row[f"__d{i}"])
+        (
+            c,
+            dtypes[c],
+            row["__rows"] if row is not None else None,
+            row[f"__n{i}"] if need_counts else None,
+            row[f"__d{i}"] if need_distinct else None,
+        )
         for i, c in enumerate(cols)
     ]
     return df.sparkSession.createDataFrame(

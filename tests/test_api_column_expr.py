@@ -236,3 +236,65 @@ def test_bucketize_percentile_validation(spark, sf_dir):
         run({"b1": [0, 60], "b2": [40, 100]})
     ok = run({"lo": [0, 50], "hi": [50, 100]})
     assert ok is not None
+
+
+def test_column_stats_need_flags(spark, sf_dir):
+    """Optimization r9: COLUMN EXPR's phase 1 computes only the stats
+    the clause expressions reference — name-only selection runs no
+    data aggregate (unrequested stats are NULL, loudly absent)."""
+    part = load(spark, sf_dir, "part")
+    meta_only = column_stats(part, need_counts=False, need_distinct=False)
+    rows = {r["columnName"]: r for r in meta_only.collect()}
+    assert set(rows) == set(part.columns)
+    assert rows["p_type"]["dtype"] == "string"
+    assert rows["p_partkey"]["n_nonnull"] is None
+    assert rows["p_partkey"]["n_distinct_approx"] is None
+    counts_only = column_stats(part, need_counts=True, need_distinct=False)
+    r = counts_only.filter(F.col("columnName") == "p_partkey").collect()[0]
+    assert r["n_nonnull"] == part.count()
+    assert r["n_distinct_approx"] is None
+
+
+def test_column_expr_stat_needs_detection():
+    """The dialect's AST scan requests counts only for rowCount()
+    (and raw stats-column references), distinct only for
+    n_distinct_approx."""
+    from mldb_spark.dialect.parser import parse_statement
+    from mldb_spark.dialect.translate import _column_expr_stat_needs
+
+    def item_of(sql):
+        stm = parse_statement(sql)
+        return next(
+            it for it in stm.select if type(it).__name__ == "ColumnExprItem"
+        )
+
+    name_only = item_of(
+        "SELECT COLUMN EXPR (WHERE columnName() LIKE 'l_%' "
+        "ORDER BY columnName() LIMIT 2) FROM t"
+    )
+    assert _column_expr_stat_needs(name_only) == (False, False)
+    with_counts = item_of(
+        "SELECT COLUMN EXPR (ORDER BY rowCount() DESC LIMIT 2) FROM t"
+    )
+    assert _column_expr_stat_needs(with_counts) == (True, False)
+    with_distinct = item_of(
+        "SELECT COLUMN EXPR (WHERE n_distinct_approx > 3) FROM t"
+    )
+    assert _column_expr_stat_needs(with_distinct) == (False, True)
+
+
+def test_column_expr_rowcount_still_works(spark):
+    """rowCount()-driven COLUMN EXPR keeps working through the
+    need-flag path (the MLDB-1172 idiom)."""
+    from mldb_spark.dialect import MldbContext
+
+    ctx = MldbContext(spark)
+    df = spark.createDataFrame(
+        [(1, 1.0, None), (2, 2.0, None), (3, None, 5.0)],
+        "id long, dense double, sparse double",
+    )
+    ctx.register("cx_need", df)
+    out = ctx.query(
+        "SELECT COLUMN EXPR (ORDER BY rowCount() DESC LIMIT 2) FROM cx_need"
+    )
+    assert set(out.columns) == {"id", "dense"}
