@@ -2587,12 +2587,27 @@ class MldbContext:
     def register(
         self,
         name: str,
-        df: DataFrame,
+        df: "DataFrame | object",
         row_name_col: str | None = None,
         ts_col: str | None = None,
     ) -> None:
+        """Register a dataset. `df` may be a DataFrame or a zero-arg
+        CALLABLE returning one (optimization r9): a context that
+        registers a whole catalog eagerly pays one spark.read +
+        schema-normalization round-trip per table (~0.1s each) even
+        for queries touching one table — a lazy provider defers that
+        to first reference and unreferenced tables cost nothing."""
         self._datasets[name] = df
         self._meta[name] = {"rowName": row_name_col, "ts": ts_col}
+
+    def _resolve(self, name: str) -> DataFrame:
+        """Materialize a lazily-registered dataset provider (at most
+        once; the resolved DataFrame replaces the thunk)."""
+        v = self._datasets[name]
+        if callable(v) and not isinstance(v, DataFrame):
+            v = v()
+            self._datasets[name] = v
+        return v
 
     def register_cells(
         self,
@@ -2710,7 +2725,7 @@ class MldbContext:
         num_types = ("double", "float", "int", "bigint", "smallint",
                      "tinyint", "decimal")
         for mname in members:
-            for c, dt in self._datasets[mname].dtypes:
+            for c, dt in self._resolve(mname).dtypes:
                 if c == "__cellsRow":
                     continue
                 if dt.startswith(num_types):
@@ -3633,7 +3648,7 @@ class MldbContext:
     def _table(self, name: str):
         if name not in self._datasets:
             raise KeyError(f"unknown dataset {name!r} (have {sorted(self._datasets)})")
-        return self._datasets[name], self._meta[name]
+        return self._resolve(name), self._meta[name]
 
     def _join(self, j: ast.Join, params) -> DataFrame:
         return self._build_join(j, params)[0]
@@ -3830,7 +3845,7 @@ class MldbContext:
         counter = [0]
 
         colset = set(info.get("columns") or [])
-        wide_types = dict(self._datasets[name].dtypes) if name in self._datasets else {}
+        wide_types = dict(self._resolve(name).dtypes) if name in self._datasets else {}
 
         def fn(node: ast.Expr):
             if isinstance(node, ast.FunctionCall):

@@ -1079,9 +1079,14 @@ def _dialect_ctx(spark: SparkSession, sf: str):
     from mldb_spark.dialect import MldbContext
 
     ctx = MldbContext(spark)
+    # LAZY providers (optimization r9): each gate pays load() only
+    # for the tables its statement actually references — the eager
+    # form cost ~0.1s × 7 tables of spark.read + timestamp
+    # normalization per dialect gate, dominated by tables the query
+    # never touched.
     for t in ("region", "nation", "customer", "orders", "lineitem", "part"):
-        ctx.register(t, load(spark, sf, t))
-    ctx.register("events", load(spark, sf, "events"), ts_col="ts")
+        ctx.register(t, lambda t=t: load(spark, sf, t))
+    ctx.register("events", lambda: load(spark, sf, "events"), ts_col="ts")
     return ctx
 
 
