@@ -1124,6 +1124,78 @@ def random_forest_train(
     return model
 
 
+class _LocalGMMModel:
+    """Shim matching the MLlib GaussianMixtureModel surface the
+    callers use (weights, gaussiansDF) for the local fast path."""
+
+    def __init__(self, spark, weights, means, covs):
+        self._spark = spark
+        self.weights = [float(w) for w in weights]
+        self._means = means
+        self._covs = covs
+
+    @property
+    def gaussiansDF(self):
+        from pyspark.ml.linalg import Matrices, Vectors
+
+        d = len(self._means[0])
+        rows = [
+            (
+                Vectors.dense([float(x) for x in m]),
+                Matrices.dense(d, d, [float(x) for x in c.T.ravel()]),
+            )
+            for m, c in zip(self._means, self._covs)
+        ]
+        return self._spark.createDataFrame(rows, ["mean", "cov"])
+
+
+def _local_gmm(X, k: int, seed: int, n_iter: int = 100, tol: float = 1e-6):
+    """Seeded full-covariance EM in numpy, deterministic: kmeans++
+    means init (the same _local_kmeans kernel), uniform weights,
+    global covariance start, ridge-regularized M-step. Returns
+    (weights, means, covs)."""
+    import numpy as np
+
+    n, d = X.shape
+    k = min(k, n)
+    means = np.array(_local_kmeans(X, k, seed, n_iter=20), dtype=float)
+    covs = np.array([np.cov(X.T) + 1e-6 * np.eye(d) for _ in range(k)])
+    if covs.ndim == 1:  # d == 1 degenerates
+        covs = covs.reshape(k, 1, 1)
+    weights = np.full(k, 1.0 / k)
+    prev_ll = -np.inf
+    log_resp = None
+    for _ in range(n_iter):
+        # E-step: log densities via slogdet + solve
+        logp = np.empty((n, k))
+        for j in range(k):
+            diff = X - means[j]
+            sign, logdet = np.linalg.slogdet(covs[j])
+            sol = np.linalg.solve(covs[j], diff.T).T
+            quad = np.einsum("ij,ij->i", diff, sol)
+            logp[:, j] = (
+                np.log(max(weights[j], 1e-300))
+                - 0.5 * (d * np.log(2.0 * np.pi) + logdet + quad)
+            )
+        m = logp.max(axis=1, keepdims=True)
+        lse = m + np.log(np.exp(logp - m).sum(axis=1, keepdims=True))
+        log_resp = logp - lse
+        ll = float(lse.sum())
+        resp = np.exp(log_resp)
+        # M-step
+        nk = resp.sum(axis=0) + 1e-300
+        weights = nk / n
+        means = (resp.T @ X) / nk[:, None]
+        for j in range(k):
+            diff = X - means[j]
+            covs[j] = (resp[:, j][:, None] * diff).T @ diff / nk[j]
+            covs[j] += 1e-6 * np.trace(covs[j]) / d * np.eye(d) + 1e-12 * np.eye(d)
+        if abs(ll - prev_ll) < tol * max(1.0, abs(prev_ll)):
+            break
+        prev_ll = ll
+    return weights, means, covs
+
+
 def gaussian_clustering_train(
     df: DataFrame,
     array_col: str,
@@ -1131,9 +1203,81 @@ def gaussian_clustering_train(
     seed: int = 42,
     name: str = "gmm",
     registry: FunctionRegistry = GLOBAL_REGISTRY,
+    local_cutoff: int = 4096,
 ):
     """gaussianclustering.train (plugins/jml/em_interface.cc:383) →
-    MLlib GaussianMixture (EM); registers a soft-assignment function."""
+    GaussianMixture (EM); registers a hard-assignment function adding
+    `prediction`.
+
+    Two regimes, the kmeans_train pattern (optimization r9): the
+    MLlib EM schedules ~2 one-task stages PER ITERATION — 210 stages
+    and 16s of wall for 1.7s of task time on the 2000-vector gate —
+    so inputs ≤ local_cutoff rows collect once and fit a seeded
+    numpy EM on the driver; larger inputs keep MLlib's distributed
+    EM. EITHER way the registered assignment is argmax of
+    ln(w_k) − ½(ln|Σ_k| + (x−μ_k)ᵀΣ_k⁻¹(x−μ_k)) with ties to the
+    LOWEST component id — pure-JVM expressions over one nested
+    literal (the kmeans assign pattern), the exact formula the q67
+    oracle replays from the exported fixtures."""
+    import numpy as np
+
+    spark = df.sparkSession
+    head = df.select(array_col).limit(local_cutoff + 1).collect()
+    if len(head) <= local_cutoff and head:
+        X = np.array([r[0] for r in head], dtype=float)
+        weights, means, covs = _local_gmm(X, k, seed)
+        model = _LocalGMMModel(spark, weights, means, covs)
+        d = X.shape[1]
+        consts, mus, precs = [], [], []
+        for j in range(len(weights)):
+            sign, logdet = np.linalg.slogdet(covs[j])
+            consts.append(
+                float(np.log(max(float(weights[j]), 1e-300)) - 0.5 * logdet)
+            )
+            mus.append([float(x) for x in means[j]])
+            precs.append(
+                [[float(x) for x in row] for row in np.linalg.inv(covs[j])]
+            )
+
+        def assign(dd: DataFrame) -> DataFrame:
+            comps = F.array(
+                *[
+                    F.struct(
+                        F.lit(consts[j]).alias("c"),
+                        F.lit(mus[j]).alias("mu"),
+                        F.lit(precs[j]).alias("P"),
+                    )
+                    for j in range(len(consts))
+                ]
+            )
+
+            def score(s):
+                diff = F.zip_with(
+                    F.col(array_col), s["mu"], lambda a, b: a.cast("double") - b
+                )
+                quad = F.aggregate(
+                    F.zip_with(
+                        s["P"],
+                        diff,
+                        lambda row, di: di
+                        * F.aggregate(
+                            F.zip_with(row, diff, lambda p, dj: p * dj),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                return s["c"] - 0.5 * quad
+
+            scores = F.transform(comps, score)
+            pred = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+            return dd.withColumn("prediction", pred)
+
+        registry.register(name, assign)
+        return model
+
     from pyspark.ml.clustering import GaussianMixture
 
     model = GaussianMixture(k=k, seed=seed, featuresCol="features").fit(
