@@ -158,6 +158,95 @@ def kmeans_train(
     return model, centroids
 
 
+# Local-regime bounds for the glz/boolean fast path: collect at most
+# _LR_LOCAL_ROWS+1 rows of at most _LR_LOCAL_FEATS features (~50 MB
+# ceiling) — inputs beyond either bound keep the distributed MLlib fit.
+_LR_LOCAL_ROWS = 200_000
+_LR_LOCAL_FEATS = 32
+
+
+def _local_logistic(X, y, lam: float, max_iter: int = 50, tol: float = 1e-12):
+    """Newton-Raphson on MLlib LogisticRegression's exact objective:
+    (1/n)·Σ logloss + (λ/2)·‖β_std‖² with features scaled by the
+    unbiased std and the intercept unregularized. The objective is
+    strictly convex (λ>0, or full-rank X at λ=0), so the optimum is
+    UNIQUE — this converges to the same coefficients MLlib's LBFGS
+    does (verified to 6 decimals on the gate data), in ~6 local
+    iterations instead of ~50 scheduled Spark jobs. Returns
+    (coefficients, intercept) or None when the problem looks
+    degenerate (solver failure / no convergence) — callers fall back
+    to MLlib so the error surface is unchanged."""
+    import numpy as np
+
+    n, d = X.shape
+    std = X.std(axis=0, ddof=1) if n > 1 else np.ones(d)
+    std = np.where(std > 0, std, 1.0)
+    Xs = X / std
+    beta = np.zeros(d + 1)
+    for _ in range(max_iter):
+        z = np.clip(beta[0] + Xs @ beta[1:], -500, 500)
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = (p - y) / n
+        g = np.empty(d + 1)
+        g[0] = r.sum()
+        g[1:] = Xs.T @ r + lam * beta[1:]
+        W = (p * (1.0 - p)) / n
+        H = np.empty((d + 1, d + 1))
+        H[0, 0] = W.sum()
+        hx = Xs.T @ W
+        H[0, 1:] = hx
+        H[1:, 0] = hx
+        H[1:, 1:] = (Xs.T * W) @ Xs + lam * np.eye(d)
+        try:
+            step = np.linalg.solve(H, g)
+        except np.linalg.LinAlgError:
+            return None
+        if not np.all(np.isfinite(step)):
+            return None
+        beta = beta - step
+        if np.abs(step).max() < tol:
+            return beta[1:] / std, float(beta[0])
+    return None
+
+
+class _LocalLogisticModel:
+    """Shim matching the MLlib LogisticRegressionModel surface the
+    callers use (coefficients, intercept) for the local fast path."""
+
+    def __init__(self, coefficients, intercept):
+        self.coefficients = coefficients
+        self.intercept = intercept
+
+
+def _try_local_logistic(df: DataFrame, feature_cols, label_col, lam: float):
+    """Bounded-collect front end for _local_logistic: returns
+    (coefficients, intercept) or None when the input exceeds the
+    local bounds or looks degenerate (NaN/null features, constant
+    labels) — those keep the exact MLlib path and its error
+    surface."""
+    import numpy as np
+
+    if len(feature_cols) > _LR_LOCAL_FEATS:
+        return None
+    head = (
+        df.select(
+            *[F.col(f"`{c}`").cast("double") for c in feature_cols],
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .limit(_LR_LOCAL_ROWS + 1)
+        .toPandas()
+    )
+    if len(head) > _LR_LOCAL_ROWS or len(head) == 0:
+        return None
+    M = head.to_numpy(dtype=float)
+    if not np.all(np.isfinite(M)):
+        return None
+    X, y = M[:, :-1], M[:, -1]
+    if y.min() == y.max() or not set(np.unique(y)) <= {0.0, 1.0}:
+        return None
+    return _local_logistic(X, y, lam)
+
+
 def classifier_train(
     df: DataFrame,
     feature_cols: list[str],
@@ -309,6 +398,48 @@ def classifier_train(
         for c, s in dotted.items():
             df = df.withColumn(s, F.col(f"`{c}`"))
         feature_cols = [dotted.get(c, c) for c in feature_cols]
+
+    # glz/boolean local fast path (optimization r9): the L2-logistic
+    # objective is strictly convex, so MLlib's ~50 scheduled LBFGS
+    # jobs and a 6-iteration driver-side Newton land on the SAME
+    # unique optimum (verified to 6 decimals on the gate data). The
+    # collect is bounded (_LR_LOCAL_ROWS/_LR_LOCAL_FEATS); anything
+    # bigger, weighted, degenerate, or non-boolean keeps the
+    # distributed MLlib fit and its exact error surface.
+    if algo == "glz" and mode == "boolean" and not weight_col:
+        local = _try_local_logistic(df, feature_cols, label_col, lam=0.01)
+        if local is not None:
+            w_loc, b_loc = local
+            model = _LocalLogisticModel([float(x) for x in w_loc], float(b_loc))
+
+            def score_local(d: DataFrame) -> DataFrame:
+                if "features" in d.columns:
+                    d = d.withColumnRenamed("features", "__features_pin")
+                for out_name, expr in onehot_exprs:
+                    if out_name not in d.columns:
+                        d = d.withColumn(out_name, expr)
+                for c in missing_cols:
+                    if f"{c}__isnull" not in d.columns:
+                        d = d.withColumn(
+                            f"{c}__isnull", F.col(f"`{c}`").isNull().cast("double")
+                        )
+                        d = d.withColumn(c, F.coalesce(F.col(f"`{c}`"), F.lit(0.0)))
+                for c, s in dotted.items():
+                    if s not in d.columns:
+                        d = d.withColumn(s, F.col(f"`{c}`"))
+                margin = F.lit(float(model.intercept))
+                for c, wj in zip(feature_cols, model.coefficients):
+                    margin = margin + F.col(f"`{c}`").cast("double") * F.lit(
+                        float(wj)
+                    )
+                # P(label=1) = sigmoid(margin) — the same double
+                # arithmetic MLlib's probability column computes
+                return d.withColumn(
+                    "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+                )
+
+            registry.register(name, score_local)
+            return model
 
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
     labels: list[str] = []
@@ -998,7 +1129,27 @@ def probabilizer_train(
     registry: FunctionRegistry = GLOBAL_REGISTRY,
 ):
     """Score→probability calibration: logistic regression on the raw
-    score (Platt scaling), the reference probabilizer's contract."""
+    score (Platt scaling), the reference probabilizer's contract.
+
+    Local fast path (optimization r9): one unregularized feature —
+    the log-loss optimum is unique whenever the scores are not
+    separable, so the bounded-collect Newton fit replaces MLlib's
+    ~50 scheduled LBFGS jobs with the same (pa, pb); separable or
+    oversized inputs fall back to the MLlib fit."""
+    local = _try_local_logistic(scored, [score_col], label_col, lam=0.0)
+    if local is not None:
+        (pa,), pb = local
+        model = _LocalLogisticModel([float(pa)], float(pb))
+
+        def calibrate_local(d: DataFrame) -> DataFrame:
+            z = F.lit(float(pb)) + F.col(score_col).cast("double") * F.lit(
+                float(pa)
+            )
+            return d.withColumn("prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+        registry.register(name, calibrate_local)
+        return model
+
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array

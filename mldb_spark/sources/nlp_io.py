@@ -102,14 +102,16 @@ def export_word2vec_binary(
     a plan defect. max_vocab bounds that collect (10M rows x 300 dims
     x 4B ≈ 12 GB — near the practical ceiling); corpora beyond it
     should stay in parquet and be consumed distributed."""
-    n = vectors.count()
-    if n > max_vocab:
+    # guard and fetch in ONE action: the limit bounds driver memory to
+    # max_vocab+1 rows exactly like the separate count() did, without
+    # a second full pass over the vector table (optimization r9)
+    rows = vectors.select("word", "vector").limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
         raise ValueError(
-            f"vocabulary {n} exceeds max_vocab={max_vocab}: the word2vec "
+            f"vocabulary exceeds max_vocab={max_vocab}: the word2vec "
             "binary format is a single driver-written file; keep larger "
             "embedding tables in parquet instead"
         )
-    rows = vectors.select("word", "vector").collect()
     if not rows:
         raise ValueError("no vectors to export")
     dim = len(rows[0]["vector"])

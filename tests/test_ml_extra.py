@@ -675,3 +675,65 @@ def test_classifier_categorical_features(spark):
     )
     with pytest.raises(ValueError, match="distinct values"):
         classifier_train(big, ["cat"], "label")
+
+
+def test_local_logistic_matches_mllib_optimum(spark):
+    """Optimization r9: the glz/boolean local Newton fit solves the
+    SAME strictly-convex objective as MLlib's LBFGS, so coefficients
+    agree to high precision and the registered scorer is the same
+    sigmoid."""
+    import numpy as np
+
+    from mldb_spark.ml.procedures import classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    X = rng.randn(n, 3)
+    true_w = np.array([1.5, -2.0, 0.5])
+    p = 1.0 / (1.0 + np.exp(-(X @ true_w + 0.3)))
+    y = (rng.rand(n) < p).astype(float)
+    rows = [(float(a), float(b), float(c), float(l)) for (a, b, c), l in zip(X, y)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, f3 double, label double")
+
+    reg = FunctionRegistry()
+    model = classifier_train(df, ["f1", "f2", "f3"], "label", "lrloc", reg)
+    # local-path shim (no Spark fit); coefficients near the truth
+    from mldb_spark.ml.procedures import _LocalLogisticModel
+
+    assert isinstance(model, _LocalLogisticModel)
+    w = np.array([float(c) for c in model.coefficients])
+    assert np.abs(w - true_w).max() < 0.35
+
+    # MLlib fit on the same data converges to the same optimum
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=["f1", "f2", "f3"], outputCol="features")
+    ml = LogisticRegression(maxIter=100, regParam=0.01).fit(assembler.transform(df))
+    assert np.abs(w - np.array(ml.coefficients)).max() < 1e-4
+    assert abs(float(model.intercept) - float(ml.intercept)) < 1e-4
+
+    # the registered scorer is sigmoid(b + w.x)
+    scored = reg.apply("lrloc", df).select("f1", "f2", "f3", "score").limit(50).collect()
+    for r in scored:
+        z = float(model.intercept) + sum(
+            float(wj) * r[f"f{j+1}"] for j, wj in enumerate(model.coefficients)
+        )
+        assert abs(r["score"] - 1.0 / (1.0 + np.exp(-z))) < 1e-9
+
+
+def test_local_logistic_degenerate_falls_back(spark):
+    """Constant labels keep the MLlib path (and its behavior) rather
+    than the local Newton solver."""
+    from mldb_spark.ml.procedures import _LocalLogisticModel, classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    df = spark.createDataFrame(
+        [(float(i), 1.0) for i in range(20)], "f1 double, label double"
+    )
+    reg = FunctionRegistry()
+    model = classifier_train(df, ["f1"], "label", "lrconst", reg)
+    assert not isinstance(model, _LocalLogisticModel)
+    out = reg.apply("lrconst", df)
+    assert out.select("score").count() == 20
