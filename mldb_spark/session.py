@@ -42,6 +42,16 @@ def get_spark(app_name: str = "mldb_spark", master: str | None = None) -> SparkS
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # wide-aggregate codegen (optimization r9): the simhash
+        # 64-bit-vote aggregate carries >100 fields, which silently
+        # drops the whole stage out of whole-stage codegen at the
+        # default maxFields=100 (~15-20% on that stage). 200 keeps
+        # such deliberate wide-but-bounded aggregates compiled at ANY
+        # scale factor; genuinely huge projections (the 10k-column
+        # cells views) still exceed it and stay interpreted, as
+        # before. Scale-independent: field count is a plan property,
+        # not a cluster-size property.
+        .config("spark.sql.codegen.maxFields", "200")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
