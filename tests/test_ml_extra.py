@@ -723,6 +723,64 @@ def test_local_logistic_matches_mllib_optimum(spark):
         assert abs(r["score"] - 1.0 / (1.0 + np.exp(-z))) < 1e-9
 
 
+def test_local_svc_matches_mllib_optimum(spark):
+    """Optimization r9: svm_train's local continuation-Newton solves
+    the SAME strictly-convex L2-hinge objective as MLlib's OWLQN, so
+    coefficients agree (to MLlib's own loose tol=1e-3) and the
+    registered margin is the same hyperplane."""
+    import numpy as np
+
+    from mldb_spark.ml.procedures import _LocalLogisticModel, svm_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    X = rng.randn(n, 3)
+    true_w = np.array([1.0, -1.5, 0.7])
+    # noisy labels keep the problem non-separable (unique intercept)
+    marg = X @ true_w + 0.2 + 0.8 * rng.randn(n)
+    y = (marg > 0).astype(float)
+    rows = [(float(a), float(b), float(c), float(l)) for (a, b, c), l in zip(X, y)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, f3 double, label double")
+
+    reg = FunctionRegistry()
+    model = svm_train(df, ["f1", "f2", "f3"], "label", "svcloc", reg)
+    assert isinstance(model, _LocalLogisticModel)
+    w = np.array([float(c) for c in model.coefficients])
+
+    from pyspark.ml.classification import LinearSVC
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=["f1", "f2", "f3"], outputCol="features")
+    ml = LinearSVC(maxIter=200, regParam=0.01, tol=1e-9).fit(assembler.transform(df))
+    assert np.abs(w - np.array(ml.coefficients)).max() < 2e-3
+    assert abs(float(model.intercept) - float(ml.intercept)) < 2e-3
+
+    # the registered margin is b + w.x
+    scored = reg.apply("svcloc", df).select("f1", "f2", "f3", "margin").limit(50).collect()
+    for r in scored:
+        z = float(model.intercept) + sum(
+            float(wj) * r[f"f{j+1}"] for j, wj in enumerate(model.coefficients)
+        )
+        assert abs(r["margin"] - z) < 1e-9
+
+
+def test_local_svc_degenerate_falls_back(spark):
+    """Constant labels (non-unique intercept under hinge) keep the
+    MLlib LinearSVC path."""
+    from mldb_spark.ml.procedures import _LocalLogisticModel, svm_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    df = spark.createDataFrame(
+        [(float(i), 1.0) for i in range(20)], "f1 double, label double"
+    )
+    reg = FunctionRegistry()
+    model = svm_train(df, ["f1"], "label", "svcconst", reg)
+    assert not isinstance(model, _LocalLogisticModel)
+    out = reg.apply("svcconst", df)
+    assert out.select("margin").count() == 20
+
+
 def test_local_logistic_degenerate_falls_back(spark):
     """Constant labels keep the MLlib path (and its behavior) rather
     than the local Newton solver."""
