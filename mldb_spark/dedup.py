@@ -202,7 +202,14 @@ def ngram_jaccard_pairs(
     codegen'd, shuffle-parallel, and pairs with zero overlap never
     materialize at all.
     """
-    ex = (
+    # persist the deduped shingle table: it feeds FOUR consumers (both
+    # self-join sides and both per-doc size branches) and upstream of
+    # it sits the full tokenize + shingle explode — without the
+    # persist that subtree executes once per consumer (the initial q34
+    # plan showed 8 parquet scans, 0 ReusedExchange; differently-
+    # aliased branches do not share work). Same rationale as the
+    # simhash signature persist above.
+    ex = persist_tracked(
         shingle_rows(docs, 3, id_col, text_col, keep_cols=(block_col,))
         .withColumnRenamed(block_col, "__blk")
         .dropDuplicates([id_col, "sh"])

@@ -1333,10 +1333,18 @@ def q61_svd_term_clusters(spark: SparkSession, sf: str) -> DataFrame:
     Only the eigensolver and the kmeans|| fit stay engine-internal;
     the algebraic invariants (reconstruction, embedRow == rowOutput)
     are pinned in tests/test_ml.py."""
+    from mldb_spark.caching import persist_tracked
     from mldb_spark.ml.procedures import kmeans_train, svd_train
 
     docs = load(spark, sf, "documents")
-    cells = (
+    # persist the doc-term counts BEFORE the vocabulary branch: the
+    # min_df prune below reads cells once for the doc-frequency
+    # aggregate and once for the pruning join, and Catalyst does not
+    # share the duplicated tokenize+groupBy subtree across branches —
+    # without the persist the corpus tokenize (the heaviest scan of
+    # this gate) executes twice in the first action's plan. Same
+    # pattern as qa31/qa32's tokenize stage.
+    cells = persist_tracked(
         docs.select(F.col("doc_id"), F.explode(tokenize(F.col("text"))).alias("column"))
         .groupBy("doc_id", "column")
         .agg(F.count(F.lit(1)).cast("double").alias("value"))
