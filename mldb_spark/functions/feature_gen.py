@@ -113,6 +113,16 @@ def pooling(
     bad = [a for a in aggregators if a not in valid]
     if bad:
         raise ValueError(f"invalid aggregators {bad}; valid: {sorted(valid)}")
+    # bags feeds TWO consumers (the matched-vector join and the
+    # all-rows outer frame) and typically sits on top of a full corpus
+    # tokenize+explode; Catalyst does not share that subtree across
+    # branches, so persist it once — unless the caller already did.
+    from pyspark import StorageLevel
+
+    from mldb_spark.caching import persist_tracked
+
+    if bags.storageLevel == StorageLevel.NONE:
+        bags = persist_tracked(bags)
     dim = len(vectors.select(vec_col).first()[0])
     fns = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}
 

@@ -1409,10 +1409,16 @@ def q63_pooling(spark: SparkSession, sf: str) -> DataFrame:
     replays it; in production it is word2vec_train's output — same
     (word, vector) shape. Returns a per-language summary of the first
     pooled dimensions."""
+    from mldb_spark.caching import persist_tracked
     from mldb_spark.functions.feature_gen import hash_bucket, pooling
 
     docs = load(spark, sf, "documents")
-    bags = docs.select(F.col("doc_id"), F.explode(tokenize(F.col("text"))).alias("token"))
+    # persist: the exploded token bag feeds the stand-in vocabulary
+    # derivation below AND pooling's two branches — three evaluations
+    # of the corpus tokenize without it
+    bags = persist_tracked(
+        docs.select(F.col("doc_id"), F.explode(tokenize(F.col("text"))).alias("token"))
+    )
     # deterministic pseudo-embedding: dim j of word w = (md5-bucket of
     # "j:w" over 10 bits) / 1024 — engine-portable stand-in vocabulary
     vocab = bags.select(F.col("token").alias("word")).distinct()
