@@ -356,7 +356,41 @@ def simhash_pairs(
     # guaranteed across differently-aliased branches). 16 bytes/row,
     # so at 100 TB of text this is still only ~GBs of executor cache.
     sh = persist_tracked(sig.select(F.col(id_col), F.col(sim_col).alias("__sh")))
-    seg_rows = sh.select(F.col(id_col), F.posexplode(seg_vals).alias("seg", "bk"))
+    seg_rows = sh.select(F.col(id_col), F.col("__sh"), F.posexplode(seg_vals).alias("seg", "bk"))
+    if max_candidate_pairs is None:
+        # FUSED rescore (optimization r9): carry the 8-byte signature
+        # through the banding explode and apply the XOR-popcount radius
+        # filter IN THE SAME CODEGEN STAGE as the collision join — on a
+        # template-heavy corpus the collision join emits orders of
+        # magnitude more rows than survive the radius (q85 at sf0.1:
+        # 16.65M collisions -> 91,845 true pairs), and the old shape
+        # shuffled every collision into the pair-dedup aggregate before
+        # rescoring. Only true pairs (duplicated once per agreeing
+        # segment, >= min_collisions <= 10 copies) reach the shuffle.
+        # The >= min_collisions prefilter is dropped here: its only
+        # role was cutting false candidates before a SEPARATE rescore
+        # join, and pigeonhole guarantees every true pair collides in
+        # >= min_collisions segments anyway, so the surviving pair set
+        # is identical by construction (pinned by a parity test).
+        a = seg_rows.select(
+            F.col("seg"), F.col("bk"),
+            F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"),
+        )
+        b = seg_rows.select(
+            F.col("seg"), F.col("bk"),
+            F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"),
+        )
+        ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        return (
+            a.join(b, ["seg", "bk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(ham <= max_hamming)
+            .groupBy("id_a", "id_b")
+            .agg(F.min(ham).alias("hamming"))
+        )
+    # budget-guarded two-phase path: the guard's contract is to COUNT
+    # the surviving candidate pairs and raise BEFORE any rescoring
+    # work, so the candidate set must materialize separately here.
     a = seg_rows.select(F.col("seg"), F.col("bk"), F.col(id_col).alias("id_a"))
     b = seg_rows.select(F.col("seg"), F.col("bk"), F.col(id_col).alias("id_b"))
     # groupBy(pair).count() replaces dropDuplicates: same shuffle, and

@@ -191,6 +191,43 @@ def test_simhash_min_collisions_exact_recall(spark):
     assert got == {(1, 2): max_hamming}
 
 
+def test_simhash_fused_rescore_matches_two_phase(spark):
+    # optimization r9: the budget-less path fuses the XOR-popcount
+    # radius filter into the collision join (no candidate-set shuffle);
+    # its (pair, hamming) output must equal the budget-guarded
+    # two-phase path's exactly on a clustered random corpus
+    import random
+
+    from mldb_spark.dedup import simhash_pairs
+
+    rng = random.Random(99)
+    rows = []
+    # 12 template clusters of 8 docs each: signatures within a cluster
+    # differ by 0-6 random bit flips (plenty of true pairs and plenty
+    # of cross-cluster segment collisions)
+    doc = 0
+    for _ in range(12):
+        base = rng.getrandbits(64)
+        for _ in range(8):
+            s = base
+            for _ in range(rng.randint(0, 6)):
+                s ^= 1 << rng.randint(0, 63)
+            # unsigned 64-bit -> signed two's complement for LongType
+            rows.append((doc, s - (1 << 64) if s >= (1 << 63) else s))
+            doc += 1
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    fused = {
+        (p["id_a"], p["id_b"]): p["hamming"]
+        for p in simhash_pairs(sig, 8).collect()
+    }
+    two_phase = {
+        (p["id_a"], p["id_b"]): p["hamming"]
+        for p in simhash_pairs(sig, 8, max_candidate_pairs=10**9).collect()
+    }
+    assert fused == two_phase
+    assert len(fused) > 0
+
+
 def test_simhash_candidate_cap_guard(spark):
     # identical signatures collide in every segment: 3 docs -> 3 pairs,
     # which must trip a cap of 2 (the reference-style complexity guard)
