@@ -418,7 +418,23 @@ def column_expr(
         column_expr(df, where=F.col("n_nonnull") > 0,
                     order_by=F.desc("n_nonnull"), limit=100)
     """
-    stats = column_stats(df)
+    # need-based stats (optimization r9, mirroring the dialect path's
+    # _column_expr_stat_needs): scan the clause expressions' rendered
+    # form for references to the data-derived stat columns — a
+    # name/type-only selection then runs ZERO data jobs. Substring
+    # matching can only over-request (attribute names appear verbatim
+    # in the rendered expression), never under-request.
+    clauses: list = []
+    for cl in (where, order_by):
+        if cl is None:
+            continue
+        clauses.extend(cl if isinstance(cl, (list, tuple)) else [cl])
+    rendered = " ".join(str(getattr(c, "_jc", c)) for c in clauses)
+    stats = column_stats(
+        df,
+        need_counts=("rowCount" in rendered) or ("n_nonnull" in rendered),
+        need_distinct="n_distinct_approx" in rendered,
+    )
     if where is not None:
         stats = stats.filter(where)
     if order_by is not None:

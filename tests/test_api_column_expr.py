@@ -298,3 +298,33 @@ def test_column_expr_rowcount_still_works(spark):
         "SELECT COLUMN EXPR (ORDER BY rowCount() DESC LIMIT 2) FROM cx_need"
     )
     assert set(out.columns) == {"id", "dense"}
+
+
+def test_api_column_expr_need_flags(spark, monkeypatch):
+    """Optimization r9: the Python-API column_expr prunes its stats
+    pass to what the clause Columns reference — name/type-only
+    selections run no data aggregate at all."""
+    from pyspark.sql import functions as F
+
+    from mldb_spark.operators import relational as rel
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None)], "id long, dense double"
+    )
+    seen = {}
+    orig = rel.column_stats
+
+    def spy(d, columns=None, need_counts=True, need_distinct=True):
+        seen["flags"] = (need_counts, need_distinct)
+        return orig(d, columns, need_counts, need_distinct)
+
+    monkeypatch.setattr(rel, "column_stats", spy)
+    out = rel.column_expr(df, where=F.col("dtype") == "double")
+    assert seen["flags"] == (False, False)
+    assert out.columns == ["dense"]
+    out = rel.column_expr(df, order_by=F.desc("n_nonnull"), limit=1)
+    assert seen["flags"] == (True, False)
+    assert out.columns == ["id"]
+    out = rel.column_expr(df, where=F.col("n_distinct_approx") >= 1)
+    assert seen["flags"] == (False, True)
+    assert set(out.columns) == {"id", "dense"}
