@@ -1152,30 +1152,78 @@ class Mldb:
                 mapping = F.create_map(
                     *[x for v, i in idx.items() for x in (F.lit(v), F.lit(i))]
                 )
-                fit_df = assembler.transform(
-                    tdf.withColumn(
-                        "__li", mapping[F.col("label")].cast("double")
-                    )
-                )
-                svc = LinearSVC(maxIter=50, regParam=0.01, labelCol="__li")
-                est = (
-                    svc
-                    if len(classes) <= 2
-                    else OneVsRest(classifier=svc, labelCol="__li")
-                )
-                model = est.fit(fit_df)
                 back = F.array(*[F.lit(v) for v in classes])
                 fname = params.get("functionName", eid)
-
-                def apply_svm(d: DataFrame, __m=model, __b=back) -> DataFrame:
-                    out = __m.transform(assembler.transform(d))
-                    return out.withColumn(
-                        "output", __b[F.col("prediction").cast("int")]
-                    ).drop(
-                        *[c for c in ("features", "rawPrediction",
-                                      "prediction")
-                          if c in out.columns]
+                labeled = tdf.withColumn(
+                    "__li", mapping[F.col("label")].cast("double")
+                )
+                # binary local fast path (optimization r9): the same
+                # bounded continuation-Newton hinge solve svm_train
+                # uses — the L2-hinge optimum is unique, so the
+                # decision boundary matches the converged MLlib fit;
+                # degenerate/oversized inputs keep MLlib.
+                local = None
+                if len(classes) == 2:
+                    from mldb_spark.ml.procedures import (
+                        _LR_LOCAL_FEATS,
+                        _LR_LOCAL_ROWS,
+                        _local_linear_svc,
                     )
+
+                    if len(feat_cols) <= _LR_LOCAL_FEATS:
+                        import numpy as np
+
+                        head = (
+                            labeled.select(
+                                *[F.col(f"`{c}`").cast("double") for c in feat_cols],
+                                F.col("__li"),
+                            )
+                            .limit(_LR_LOCAL_ROWS + 1)
+                            .toPandas()
+                        )
+                        if 0 < len(head) <= _LR_LOCAL_ROWS:
+                            M = head.to_numpy(dtype=float)
+                            if np.all(np.isfinite(M)):
+                                local = _local_linear_svc(
+                                    M[:, :-1], M[:, -1], lam=0.01
+                                )
+                if local is not None:
+                    w_loc, b_loc = local
+
+                    def apply_svm(
+                        d: DataFrame, __w=w_loc, __b0=float(b_loc), __b=back
+                    ) -> DataFrame:
+                        margin = F.lit(__b0)
+                        for c, wj in zip(feat_cols, __w):
+                            margin = margin + F.col(f"`{c}`").cast(
+                                "double"
+                            ) * F.lit(float(wj))
+                        # prediction 1 iff margin > 0 — MLlib
+                        # LinearSVC's default-threshold rule
+                        return d.withColumn(
+                            "output",
+                            __b[(margin > 0).cast("int")],
+                        )
+
+                else:
+                    fit_df = assembler.transform(labeled)
+                    svc = LinearSVC(maxIter=50, regParam=0.01, labelCol="__li")
+                    est = (
+                        svc
+                        if len(classes) <= 2
+                        else OneVsRest(classifier=svc, labelCol="__li")
+                    )
+                    model = est.fit(fit_df)
+
+                    def apply_svm(d: DataFrame, __m=model, __b=back) -> DataFrame:
+                        out = __m.transform(assembler.transform(d))
+                        return out.withColumn(
+                            "output", __b[F.col("prediction").cast("int")]
+                        ).drop(
+                            *[c for c in ("features", "rawPrediction",
+                                          "prediction")
+                              if c in out.columns]
+                        )
 
                 from mldb_spark.ml.registry import GLOBAL_REGISTRY
 
