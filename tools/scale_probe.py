@@ -115,6 +115,7 @@ def probe_ops(spark, docs):
         connected_components,
         dedup_exact,
         minhash_near_duplicates,
+        simhash_near_duplicates,
     )
 
     bench = docs.filter(F.col("doc_id") % 997 == 0)
@@ -123,6 +124,12 @@ def probe_ops(spark, docs):
         "dedup_exact": lambda: dedup_exact(docs),
         "minhash_neardup": lambda: minhash_near_duplicates(
             docs, num_hashes=16, bands=4, threshold=0.25, shingle_words=3
+        ),
+        # fused-rescore path (optimization r9): the radius filter runs
+        # inside the collision join, so growth tracks TRUE pairs, not
+        # raw collisions — the row that shows it
+        "simhash_neardup": lambda: simhash_near_duplicates(
+            docs, max_hamming=8
         ),
         "decontaminate": lambda: decontaminate(corpus, bench, n=4),
         "repetition_signals": lambda: repetition_signals(docs),
