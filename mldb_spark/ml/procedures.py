@@ -1197,17 +1197,25 @@ def tfidf_table(
     vocabulary is small next to the corpus)."""
     toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.count()
+    # corpus size rides in as a broadcast one-row cross join
+    # (optimization r9, the q61 min_df pattern): the eager docs.count()
+    # was a SEPARATE full corpus pass per call, purely to bake N into
+    # the idf literal — lazy keeps it one plan, one scan of docs for
+    # the count aggregate
+    n_docs_df = docs.select(
+        F.count(F.lit(1)).cast("double").alias("__ndocs")
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     return (
         tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs_df))
         .select(
             F.col(id_col),
             "token",
             "tf",
             "df",
             F.round(
-                F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)), 6
+                F.col("tf") * F.log((F.col("__ndocs") + 1.0) / (F.col("df") + 1.0)), 6
             ).alias("tfidf"),
         )
     )

@@ -3131,9 +3131,14 @@ def qa23_tfidf_matrix(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency")
     )
     dfs = bags.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.count()
+    # corpus_size is UNUSED by the (augmented, inverseMax) combination
+    # — neither expression references N (tfidf_score_table builds N
+    # only into inverse/inverseSmooth/probabilisticInverse idf) — so
+    # the eager docs.count() here was a wasted full corpus pass
+    # (optimization r9). Pass 0; changing idf_type back to an
+    # N-dependent flavor requires restoring the count.
     out = tfidf_score_table(
-        bags, dfs, n, tf_type="augmented", idf_type="inverseMax"
+        bags, dfs, 0, tf_type="augmented", idf_type="inverseMax"
     )
     return (
         out.filter(F.col("term").isin("the", "data", "model", "learning"))
