@@ -631,9 +631,25 @@ def connected_components(
     corpus with billions of candidate pairs the count exceeds any
     sane cutoff and the distributed loop runs as before.
     """
+    # symmetrize in ONE pass over pairs (optimization r9): the old
+    # two-arm union read the pairs input twice, and `pairs` is
+    # typically the WHOLE un-persisted banding + rescore pipeline
+    # (semantic_dedup, the SQL dedup chain) — its plan executed once
+    # per arm. explode over both orientations reads it once.
     edges = persist_tracked(
-        pairs.select(F.col(a_col).alias("node"), F.col(b_col).alias("nbr"))
-        .union(pairs.select(F.col(b_col).alias("node"), F.col(a_col).alias("nbr")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("node"), F.col(b_col).alias("nbr")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("node"), F.col(a_col).alias("nbr")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.node", "__e.nbr")
         .distinct()
     )
     # one action: materializes the cache AND decides the path
