@@ -1026,7 +1026,13 @@ def categorical_statistics(
     the (label, predicted) confusion matrix (<= |labels|² rows);
     everything downstream is label-sized joins."""
     cw = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
-    conf = (
+    from mldb_spark.caching import persist_tracked
+
+    # persist: the confusion matrix is <= |labels|² rows but feeds
+    # FIVE consumers below (label set twice, support, pred_n, tp) —
+    # un-persisted, each one re-ran the full scoring pass + groupBy
+    # over the test set (optimization r9)
+    conf = persist_tracked(
         scored.groupBy(
             F.col(label_col).cast("string").alias("label"),
             F.col(pred_col).cast("string").alias("predicted"),
