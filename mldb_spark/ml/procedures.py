@@ -959,11 +959,20 @@ def classifier_test_roc(
         if row_name_col and row_name_col in scored.columns
         else []
     )
-    base = scored.select(
-        F.col(score_col).cast("double").alias("score"),
-        F.col(label_col).cast("double").alias("label"),
-        w.alias("weight"),
-        *rn_cols,
+    from mldb_spark.caching import persist_tracked
+
+    # persist: base feeds THREE consumers (the totals aggregate, the
+    # distinct-score partial agg, and the per-example output join) —
+    # un-persisted, the scoring pass + test-set scan re-ran per
+    # consumer (optimization r9). Values are unchanged: same plan per
+    # consumer, just materialized once.
+    base = persist_tracked(
+        scored.select(
+            F.col(score_col).cast("double").alias("score"),
+            F.col(label_col).cast("double").alias("label"),
+            w.alias("weight"),
+            *rn_cols,
+        )
     )
     tot = base.agg(
         F.sum(F.col("weight") * F.col("label")).alias("tp_all"),
