@@ -514,8 +514,14 @@ def summary_statistics(
             ])
         ).alias("s")
     ).select("s.column", "s.value").filter(F.col("value").isNotNull())
-    per_val = stacked.groupBy("column", "value").agg(
-        F.count(F.lit(1)).alias("n")
+    # persist: per_val feeds BOTH the exact distinct-count collect and
+    # the frequency top-k window — the docstring's "ONE stacked
+    # (column, value) shuffle shared" only holds with this barrier
+    # (un-persisted, the explode + shuffle re-ran per consumer)
+    from mldb_spark.caching import persist_tracked
+
+    per_val = persist_tracked(
+        stacked.groupBy("column", "value").agg(F.count(F.lit(1)).alias("n"))
     )
     uniq = {
         r["column"]: r["u"]
