@@ -82,6 +82,7 @@ def main() -> int:
             nm = (s.get("name") or "")[:70]
             print(
                 f"  run={s.get('executorRunTime', 0):>7}ms cpu={int((s.get('executorCpuTime') or 0)/1e6):>7}ms "
+                f"gc={s.get('jvmGcTime', 0):>6}ms "
                 f"tasks={s.get('numCompleteTasks'):>3} "
                 f"sread={s.get('shuffleReadBytes', 0):>9} swrite={s.get('shuffleWriteBytes', 0):>9} {nm}"
             )
