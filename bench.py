@@ -92,7 +92,11 @@ def main() -> None:
         "sf": sf_val,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-        "cpus": os.cpu_count(),
+        # configured core count (the driver also benches at a lower
+        # $SPARK_GRAFT_CPUS to measure scaling; recording os.cpu_count()
+        # here made the 8-core artifact claim cpus=32 — VERDICT r9 #7)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "host_cpus": os.cpu_count(),
     }
     # per-stage rows for the chained pipeline macro-gates (qa31/qa32 —
     # the reference's reddit/stackoverflow benchmark_utils metrics)
@@ -123,17 +127,33 @@ def main() -> None:
             json.dump(full, f, indent=1, sort_keys=True)
             f.write("\n")
     print(json.dumps(full, separators=(",", ":")), flush=True)
-    # short line LAST: the driver keeps only the tail of stdout, so the
-    # final line must be a complete, small JSON object on its own
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    # short line LAST: the driver keeps only the final ~2000 chars of
+    # stdout, so the final line must be a complete, small JSON object.
+    # Through round 9 it carried only the 15 slowest queries, which
+    # made the driver's round-over-round comparison sample
+    # selection-biased toward regressions (queries that got FASTER left
+    # the top-15 window and were reported as dropped_from_bench —
+    # VERDICT r9 #2). Now it carries ALL queries under short keys (the
+    # unique `qNN`/`qaNN` prefix of each gate name) at 2-decimal
+    # precision: 131 entries serialize to ~1.6k chars, inside the tail
+    # window. The first line and BENCH_LOCAL.json keep full names and
+    # 3-decimal values.
+    shortq: dict[str, float] = {}
+    for name, sec in timings.items():
+        key = name.split("_", 1)[0]
+        # a prefix collision must not silently drop a query's number
+        if key in shortq:
+            key = name
+        shortq[key] = round(sec, 2)
     short = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": slowest,
+        "queries": shortq,
         "n_queries": len(timings),
         "queries_file": "BENCH_LOCAL.json",
         "sf": sf_val,
+        "cpus": full["cpus"],
     }
     print(json.dumps(short, separators=(",", ":")), flush=True)
 
