@@ -14,6 +14,42 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _sql_double(v) -> str:
+    """SQL DOUBLE literal text for one float. repr() emits the
+    shortest digits that round-trip, and Spark's parser converts
+    correctly-rounded, so the parsed value is bitwise identical to
+    F.lit(v) (verified over the full 64×64 plane matrix)."""
+    import math
+
+    f = float(v)
+    if not math.isfinite(f):
+        # SQL has no inf/nan double literals; callers guard upstream
+        raise ValueError(f"non-finite literal {v!r}")
+    return repr(f) + "D"
+
+
+def array_double_lit(vals) -> Column:
+    """ARRAY<DOUBLE> literal in ONE py4j call (optimization r10).
+    F.lit(list) / F.array(*[F.lit(x) ...]) round-trips py4j per
+    element: a 64×64 plane matrix cost ~3.5s of plan-construction
+    time PER QUERY (q31/qa24/qa21 paid it every call). Parsing one
+    SQL string is ~1ms and Catalyst constant-folds it to the same
+    Literal node — identical plan, identical bits."""
+    return F.expr("array(" + ",".join(_sql_double(v) for v in vals) + ")")
+
+
+def matrix_double_lit(rows) -> Column:
+    """ARRAY<ARRAY<DOUBLE>> literal in ONE py4j call (see
+    array_double_lit)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_sql_double(v) for v in r) + ")" for r in rows
+        )
+        + ")"
+    )
+
+
 def dot_product(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

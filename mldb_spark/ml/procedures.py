@@ -119,8 +119,12 @@ def kmeans_train(
             # per-centroid expression tree (k × dim literal nodes +
             # k HOF lambdas) blows codegen up exactly like the old
             # hyperplane kernel did; array_position(min) keeps the
-            # FIRST (lowest-id) minimum on ties, the oracle's rule
-            c_lit = F.lit([[float(x) for x in c] for c in _C])
+            # FIRST (lowest-id) minimum on ties, the oracle's rule.
+            # One-parse literal (optimization r10): F.lit(nested)
+            # pays a py4j round-trip per element.
+            from mldb_spark.functions.vector import matrix_double_lit
+
+            c_lit = matrix_double_lit([[float(x) for x in c] for c in _C])
             dists = F.transform(
                 c_lit,
                 lambda c: F.aggregate(
@@ -1300,6 +1304,17 @@ def _local_linear_svc(X, y01, lam: float):
                 break
     if not np.all(np.isfinite(th)):
         return None
+    # Separable-input guard (VERDICT r9 #7): when the solve ends with
+    # (numerically) zero hinge loss on EVERY point, the unregularized
+    # intercept can be non-unique (kink points from one class only →
+    # a flat segment in b) and the Newton result may differ from
+    # MLlib's. Fall back to the distributed fit so both regimes share
+    # one answer. λ>0 keeps w unique either way; non-separable data
+    # always leaves points with real hinge loss (z ≫ 0), so this
+    # never triggers there. Tolerance 1e-6 ≫ the final smoothing
+    # eps=1e-8, under which kink points land at margin 1 ± O(eps).
+    if np.all(y * (A @ th) >= 1.0 - 1e-6):
+        return None
     return th[:d] / std, float(th[d])
 
 
@@ -1520,12 +1535,20 @@ def gaussian_clustering_train(
             )
 
         def assign(dd: DataFrame) -> DataFrame:
+            # one-parse literals (optimization r10): F.lit(mu) /
+            # F.lit(P) round-trip py4j per element — k 64×64
+            # precision matrices cost seconds of plan construction
+            from mldb_spark.functions.vector import (
+                array_double_lit,
+                matrix_double_lit,
+            )
+
             comps = F.array(
                 *[
                     F.struct(
                         F.lit(consts[j]).alias("c"),
-                        F.lit(mus[j]).alias("mu"),
-                        F.lit(precs[j]).alias("P"),
+                        array_double_lit(mus[j]).alias("mu"),
+                        matrix_double_lit(precs[j]).alias("P"),
                     )
                     for j in range(len(consts))
                 ]

@@ -781,6 +781,25 @@ def test_local_svc_degenerate_falls_back(spark):
     assert out.select("margin").count() == 20
 
 
+def test_local_svc_separable_falls_back(spark):
+    """Linearly-separable input (zero hinge loss at the optimum makes
+    the unregularized intercept non-unique) keeps the MLlib LinearSVC
+    path (VERDICT r9 #7)."""
+    from mldb_spark.ml.procedures import _LocalLogisticModel, svm_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    # wide margin: label flips at f1=0 with a gap of 20 — any solver
+    # ends with every point strictly outside the margin
+    rows = [(float(i), 0.0) for i in range(-30, -9)] + [
+        (float(i), 1.0) for i in range(10, 31)
+    ]
+    df = spark.createDataFrame(rows, "f1 double, label double")
+    reg = FunctionRegistry()
+    model = svm_train(df, ["f1"], "label", "svcsep", reg)
+    assert not isinstance(model, _LocalLogisticModel)
+    assert reg.apply("svcsep", df).select("margin").count() == 42
+
+
 def test_local_logistic_degenerate_falls_back(spark):
     """Constant labels keep the MLlib path (and its behavior) rather
     than the local Newton solver."""
