@@ -38,16 +38,62 @@ def array_double_lit(vals) -> Column:
     return F.expr("array(" + ",".join(_sql_double(v) for v in vals) + ")")
 
 
+# big-matrix literals folded once per (values, SparkContext): the
+# parsed array(array(...)) tree carries one expression node per
+# element, and Catalyst re-walks those ~4k nodes in EVERY query that
+# embeds the matrix (~0.3-0.7s per query for the 64×64 plane matrix).
+# Folding through a 1-row optimizedPlan() yields the same single
+# Literal node F.lit would build — without F.lit's per-element py4j
+# round-trips — and a Literal is a plain value+type, reusable across
+# queries. Keyed on the application id so a restarted JVM never sees
+# a stale java object; any failure falls back to the parsed tree.
+_FOLDED_MATRIX_CACHE: dict = {}
+
+
 def matrix_double_lit(rows) -> Column:
     """ARRAY<ARRAY<DOUBLE>> literal in ONE py4j call (see
-    array_double_lit)."""
-    return F.expr(
+    array_double_lit); matrices with ≥256 elements additionally fold
+    to a single cached Literal node."""
+    txt = (
         "array("
         + ",".join(
             "array(" + ",".join(_sql_double(v) for v in r) + ")" for r in rows
         )
         + ")"
     )
+    col = F.expr(txt)
+    vals = tuple(tuple(float(v) for v in r) for r in rows)
+    if sum(len(r) for r in vals) < 256:
+        return col
+    try:
+        from pyspark.sql import SparkSession
+        from pyspark.sql.column import Column as _PyColumn
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return col
+        key = (spark.sparkContext.applicationId, vals)
+        hit = _FOLDED_MATRIX_CACHE.get(key)
+        if hit is not None:
+            return hit
+        jexpr = (
+            spark.range(1)
+            .select(col.alias("m"))
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .expressions()
+            .apply(0)
+            .child()
+        )
+        if jexpr.getClass().getSimpleName() != "Literal":
+            return col
+        folded = _PyColumn(
+            spark._jvm.org.apache.spark.sql.classic.ExpressionUtils.column(jexpr)
+        )
+        _FOLDED_MATRIX_CACHE[key] = folded
+        return folded
+    except Exception:
+        return col
 
 
 def dot_product(a: Column, b: Column) -> Column:

@@ -464,3 +464,43 @@ def test_unpartitioned_window_whitelist():
         f"unpartitioned-window inventory changed: {found} != {expected} — "
         "convert the new one or whitelist it here with a size argument"
     )
+
+
+def test_fast_double_literals_bitwise_match_f_lit(spark):
+    """Optimization r10: array_double_lit / matrix_double_lit build
+    literals with one parsed SQL expression (F.lit(nested) pays a
+    py4j round-trip per element — ~3.5s for the 64×64 plane matrix,
+    per query). The parsed values must be BITWISE identical to
+    F.lit's, including the big-matrix fold-to-Literal path, or every
+    signature-based oracle replay breaks."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from mldb_spark.functions.vector import array_double_lit, matrix_double_lit
+    from mldb_spark.similarity import seeded_planes
+
+    planes = seeded_planes(64, num_planes=64)  # ≥256 elems: fold path
+    small = [[1.5, -0.25, 3e-7], [0.0, -1e12, 42.0]]  # parsed-tree path
+    row = spark.range(1).select(
+        matrix_double_lit(planes).alias("big"),
+        F.lit([[float(x) for x in p] for p in planes]).alias("big_ref"),
+        matrix_double_lit(small).alias("small"),
+        array_double_lit(small[0]).alias("arr"),
+    ).first()
+
+    def bits(m):
+        return [struct.pack("d", v) for r in m for v in r]
+
+    assert bits(row["big"]) == bits(row["big_ref"])
+    assert bits(row["small"]) == bits(small)
+    assert [struct.pack("d", v) for v in row["arr"]] == [
+        struct.pack("d", v) for v in small[0]
+    ]
+    # the fold path caches per application id — second call is a hit
+    from mldb_spark.functions.vector import _FOLDED_MATRIX_CACHE
+
+    assert any(
+        k[0] == spark.sparkContext.applicationId
+        for k in _FOLDED_MATRIX_CACHE
+    )
