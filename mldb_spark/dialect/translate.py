@@ -298,11 +298,12 @@ def _scalar_fn(name: str, args: list[Column], raw_args: list[ast.Expr]) -> Colum
         # token -> count (sql/tokenize.cc; MLDB-907-tokenize.py),
         # mapped here to MAP<token, count>. Pipelines that need the
         # raw token stream use the Python-level text.tokenize array
-        # (exploded), not this scalar SQL form.
-        return F.map_from_arrays(
-            distinct,
-            F.transform(distinct, lambda d: F.size(F.filter(toks, lambda t: t == d))),
-        )
+        # (exploded), not this scalar SQL form. Single-pass aggregate
+        # (optimization r10): the old per-distinct filter re-ran the
+        # regex tokenizer once per distinct token — quadratic.
+        from mldb_spark.functions.text import token_counts_map
+
+        return token_counts_map(toks)
     if name == "regex_search":
         if isinstance(raw_args[1], ast.Literal):
             return F.rlike(args[0], F.lit(_posix_re(str(raw_args[1].value))))

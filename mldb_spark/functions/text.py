@@ -101,6 +101,29 @@ def tokenize_opts(
     return out
 
 
+def token_counts_map(toks: Column) -> Column:
+    """token array → MAP<token, count> in ONE pass over the tokens
+    (optimization r10). The previous map_from_arrays(distinct,
+    transform(distinct, d → size(filter(toks, t == d)))) form
+    re-evaluated the FULL token expression once per distinct token
+    (interpreted HOF arguments are not CSE'd) — for the dialect's
+    regex tokenizers that made the bag quadratic in document length
+    with a regex extraction per distinct token (qa32's tokenize
+    stage: ~5s → ~0.6s). The aggregate form evaluates `toks` exactly
+    once; first-occurrence key order is preserved (existing keys are
+    updated in place via transform_values, new keys appended)."""
+    return F.aggregate(
+        toks,
+        F.create_map().cast("map<string,int>"),
+        lambda acc, t: F.when(
+            F.map_contains_key(acc, t),
+            F.transform_values(
+                acc, lambda k, v: F.when(k == t, v + 1).otherwise(v)
+            ),
+        ).otherwise(F.map_concat(acc, F.create_map(t, F.lit(1)))),
+    )
+
+
 def tokenize_counts(text: Column, lowercase: bool = True) -> Column:
     """Bag-of-words as MAP<token, count> — the reference's tokenize()
     output shape (one sparse column per token, flattened). The
@@ -115,11 +138,7 @@ def tokenize_counts(text: Column, lowercase: bool = True) -> Column:
             lambda t: t != F.lit(""),
         )
     )
-    distinct = F.array_distinct(toks)
-    return F.map_from_arrays(
-        distinct,
-        F.transform(distinct, lambda d: F.size(F.filter(toks, lambda t: t == d))),
-    )
+    return token_counts_map(toks)
 
 
 def token_count(text: Column) -> Column:

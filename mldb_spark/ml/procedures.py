@@ -1975,6 +1975,14 @@ def pca_train(df: DataFrame, array_col: str, k: int = 8):
     return model, [float(x) for x in model.explainedVariance]
 
 
+# Bounds for svd_train's driver-local Gram accumulation: at most
+# _LOCAL_GRAM_CELLS_CAP collected cell rows AND _LOCAL_GRAM_PAIRS_CAP
+# Σt² index entries (~8 int64 arrays of that length); either over-cap
+# keeps the distributed self-join Gram.
+_LOCAL_GRAM_CELLS_CAP = 2_000_000
+_LOCAL_GRAM_PAIRS_CAP = 8_000_000
+
+
 def svd_train(
     cells: DataFrame,
     row_col: str = "row_id",
@@ -2046,38 +2054,83 @@ def svd_train(
         raise ValueError(f"k={k} exceeds column count {n_cols}")
 
     if n_cols <= gram_local_cap:
-        # Gram fast path: G = XᵀX via a per-row self-join (pair count
-        # per row is t², bounded by the pruned vocab) — all codegen'd
-        # JVM; the only Python is the n_cols×n_cols eigh on the
-        # driver. eigh(G) = V·Λ·Vᵀ with Λ = Σ², so V and σ=sqrt(λ)
-        # are exactly the right singular vectors/values of X.
+        # Gram fast path: G = XᵀX, then eigh(G) = V·Λ·Vᵀ with Λ = Σ²,
+        # so V and σ=sqrt(λ) are exactly the right singular
+        # vectors/values of X. Two regimes for building G:
         import numpy as np
 
-        cidx_df = F.broadcast(
-            spark.createDataFrame(
-                [(c, i) for c, i in col_idx.items()],
-                f"{column_col} string, __ci int",
+        G = None
+        # Bounded LOCAL Gram (optimization r10, the kmeans/gmm local
+        # pattern): at gate scale the distributed per-row self-join is
+        # ~2s of shuffle-join scheduling for a vocab²-sized result
+        # (qa31: 116k cells → a 31×31 Gram). When the PRUNED cell
+        # table is small, one Arrow toPandas + a vectorized bincount
+        # outer-product accumulate computes the same G in ~0.1s. Hard
+        # caps on cells AND Σt² pairs keep the driver bounded; any
+        # over-cap or failure falls through to the distributed join.
+        # FP note: accumulation order differs from the distributed
+        # sum (ULP-level); every gate consumes V through exported
+        # fixtures the oracle replays, so both sides stay consistent
+        # (verified empirically at sf0.001/0.01/0.1).
+        n_cells = cells.count()  # cells is persisted; count from cache
+        if n_cells <= _LOCAL_GRAM_CELLS_CAP:
+            try:
+                pdf = cells.select(row_col, column_col, value_col).toPandas()
+                c_codes = (
+                    pdf[column_col].map(col_idx).to_numpy(dtype=np.int64)
+                )
+                vals = pdf[value_col].to_numpy(dtype=np.float64)
+                _, r_codes = np.unique(
+                    pdf[row_col].to_numpy(), return_inverse=True
+                )
+                order_r = np.argsort(r_codes, kind="stable")
+                c_codes, vals = c_codes[order_r], vals[order_r]
+                t = np.bincount(r_codes)  # tokens per row
+                if int((t.astype(np.int64) ** 2).sum()) <= _LOCAL_GRAM_PAIRS_CAP:
+                    t2 = t.astype(np.int64) ** 2
+                    starts = np.concatenate(([0], np.cumsum(t)[:-1]))
+                    pair_off = np.concatenate(([0], np.cumsum(t2)[:-1]))
+                    total = int(t2.sum())
+                    local_p = np.arange(total) - np.repeat(pair_off, t2)
+                    t_rep = np.repeat(t, t2)
+                    s_rep = np.repeat(starts, t2)
+                    gl = s_rep + local_p // t_rep
+                    gr = s_rep + local_p % t_rep
+                    G = np.bincount(
+                        c_codes[gl] * n_cols + c_codes[gr],
+                        weights=vals[gl] * vals[gr],
+                        minlength=n_cols * n_cols,
+                    ).reshape(n_cols, n_cols)
+            except Exception:
+                G = None
+        if G is None:
+            # distributed Gram: per-row self-join (pair count per row
+            # is t², bounded by the pruned vocab) — all codegen'd JVM
+            cidx_df = F.broadcast(
+                spark.createDataFrame(
+                    [(c, i) for c, i in col_idx.items()],
+                    f"{column_col} string, __ci int",
+                )
             )
-        )
-        a = cells.join(cidx_df, column_col).select(
-            F.col(row_col).alias("__r"),
-            F.col("__ci").alias("ci"),
-            F.col(value_col).alias("vi"),
-        )
-        b = a.select(
-            F.col("__r"), F.col("ci").alias("cj"), F.col("vi").alias("vj")
-        )
-        g_rows = (
-            a.join(b, "__r")
-            .where(F.col("ci") <= F.col("cj"))
-            .groupBy("ci", "cj")
-            .agg(F.sum(F.col("vi") * F.col("vj")).alias("g"))
-            .collect()
-        )
-        G = np.zeros((n_cols, n_cols))
-        for r in g_rows:
-            G[r["ci"], r["cj"]] = r["g"]
-            G[r["cj"], r["ci"]] = r["g"]
+            a = cells.join(cidx_df, column_col).select(
+                F.col(row_col).alias("__r"),
+                F.col("__ci").alias("ci"),
+                F.col(value_col).alias("vi"),
+            )
+            b = a.select(
+                F.col("__r"), F.col("ci").alias("cj"), F.col("vi").alias("vj")
+            )
+            g_rows = (
+                a.join(b, "__r")
+                .where(F.col("ci") <= F.col("cj"))
+                .groupBy("ci", "cj")
+                .agg(F.sum(F.col("vi") * F.col("vj")).alias("g"))
+                .collect()
+            )
+            G = np.zeros((n_cols, n_cols))
+            for r in g_rows:
+                G[r["ci"], r["cj"]] = r["g"]
+                G[r["cj"], r["ci"]] = r["g"]
         lam, vec = np.linalg.eigh(G)  # ascending eigenvalues
         order = np.argsort(lam)[::-1][:k]
         sigma = [float(np.sqrt(max(float(lam[i]), 0.0))) for i in order]

@@ -113,3 +113,34 @@ def test_aggregates_of_rows_dialect(spark, sf_dir):
     assert abs(row["sums"]["q"] - expect_q) < 1e-6
     assert row["counts"]["l_orderkey"] == li.count()
     assert set(row["counts"].asDict()) == set(li.columns)
+
+
+def test_token_counts_map_single_pass_parity(spark):
+    """The single-pass aggregate bag (optimization r10) matches the
+    old map_from_arrays(distinct, per-distinct filter) form exactly:
+    same first-occurrence key order, same counts, null-safe."""
+    from mldb_spark.functions.text import token_counts_map, tokenize_counts
+
+    df = spark.createDataFrame(
+        [("b a b c a b",), ("solo",), ("",), (None,)], "t string"
+    )
+    toks = F.split(F.col("t"), " ")
+    toks = F.filter(toks, lambda x: x != F.lit(""))
+    old = F.map_from_arrays(
+        F.array_distinct(toks),
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda x: x == d)),
+        ),
+    )
+    rows = df.select(
+        token_counts_map(toks).alias("new"), old.alias("old")
+    ).collect()
+    for r in rows:
+        if r["old"] is None:
+            assert r["new"] is None
+        else:
+            assert list(r["new"].items()) == list(r["old"].items())
+    # counts exact through the regex-tokenizer entry point too
+    bag = df.limit(1).select(tokenize_counts(F.col("t")).alias("m")).collect()
+    assert dict(bag[0]["m"]) == {"b": 3, "a": 2, "c": 1}
