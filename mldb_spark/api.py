@@ -1193,11 +1193,16 @@ class Mldb:
                     def apply_svm(
                         d: DataFrame, __w=w_loc, __b0=float(b_loc), __b=back
                     ) -> DataFrame:
+                        from mldb_spark.ml.procedures import (
+                            _margin_or_raise,
+                        )
+
                         margin = F.lit(__b0)
                         for c, wj in zip(feat_cols, __w):
                             margin = margin + F.col(f"`{c}`").cast(
                                 "double"
                             ) * F.lit(float(wj))
+                        margin = _margin_or_raise(margin, "svm apply")
                         # prediction 1 iff margin > 0 — MLlib
                         # LinearSVC's default-threshold rule
                         return d.withColumn(

@@ -167,6 +167,24 @@ def kmeans_train(
 # ceiling) — inputs beyond either bound keep the distributed MLlib fit.
 _LR_LOCAL_ROWS = 200_000
 _LR_LOCAL_FEATS = 32
+# One regularization constant for BOTH the MLlib glz estimators and
+# the local Newton fast path — a change to one must not silently
+# desync the other (ADVICE r9).
+_GLZ_REG_PARAM = 0.01
+
+
+def _margin_or_raise(margin, ctx: str):
+    """NULL-feature guard for the local fast-path scorers (ADVICE r9):
+    the MLlib regime raises loudly via VectorAssembler when a feature
+    is NULL at apply time; a plain column-expression margin would
+    instead yield NULL and downstream metrics (AUC sums) would skip
+    the row silently. One error surface for both regimes — the extra
+    isNotNull branch is codegen'd JVM, evaluated per row only."""
+    return F.when(margin.isNotNull(), margin).otherwise(
+        F.raise_error(
+            F.lit(f"{ctx}: NULL feature value at apply time")
+        ).cast("double")
+    )
 
 
 def _local_logistic(X, y, lam: float, max_iter: int = 50, tol: float = 1e-12):
@@ -302,7 +320,7 @@ def classifier_train(
     wkw = {"weightCol": weight_col} if weight_col else {}
     cls_est = {
         "glz": lambda: LogisticRegression(
-            maxIter=max_iter, regParam=0.01, **wkw
+            maxIter=max_iter, regParam=_GLZ_REG_PARAM, **wkw
         ),
         "dt": lambda: DecisionTreeClassifier(maxDepth=8, seed=1),
         "bagging": lambda: RandomForestClassifier(numTrees=20, seed=1),
@@ -313,7 +331,7 @@ def classifier_train(
     }
     reg_est = {
         "glz": lambda: LinearRegression(
-            maxIter=max_iter, regParam=0.01, **wkw
+            maxIter=max_iter, regParam=_GLZ_REG_PARAM, **wkw
         ),
         "dt": lambda: DecisionTreeRegressor(maxDepth=8, seed=1),
         "bagging": lambda: RandomForestRegressor(numTrees=20, seed=1),
@@ -410,8 +428,13 @@ def classifier_train(
     # collect is bounded (_LR_LOCAL_ROWS/_LR_LOCAL_FEATS); anything
     # bigger, weighted, degenerate, or non-boolean keeps the
     # distributed MLlib fit and its exact error surface.
-    if algo == "glz" and mode == "boolean" and not weight_col:
-        local = _try_local_logistic(df, feature_cols, label_col, lam=0.01)
+    # max_iter below the default asks for PARTIAL convergence — only
+    # the MLlib path honors that; the Newton fast path always returns
+    # the converged optimum, so gate it out (ADVICE r9)
+    if algo == "glz" and mode == "boolean" and not weight_col and max_iter >= 50:
+        local = _try_local_logistic(
+            df, feature_cols, label_col, lam=_GLZ_REG_PARAM
+        )
         if local is not None:
             w_loc, b_loc = local
             model = _LocalLogisticModel([float(x) for x in w_loc], float(b_loc))
@@ -436,6 +459,7 @@ def classifier_train(
                     margin = margin + F.col(f"`{c}`").cast("double") * F.lit(
                         float(wj)
                     )
+                margin = _margin_or_raise(margin, "classifier.train")
                 # P(label=1) = sigmoid(margin) — the same double
                 # arithmetic MLlib's probability column computes
                 return d.withColumn(
@@ -1365,7 +1389,7 @@ def svm_train(
             margin = F.lit(float(model.intercept))
             for c, wj in zip(feature_cols, model.coefficients):
                 margin = margin + F.col(f"`{c}`").cast("double") * F.lit(float(wj))
-            return d.withColumn("margin", margin)
+            return d.withColumn("margin", _margin_or_raise(margin, "svm.train"))
 
         registry.register(name, score_local)
         return model
@@ -1524,18 +1548,27 @@ def gaussian_clustering_train(
     and 16s of wall for 1.7s of task time on the 2000-vector gate —
     so inputs ≤ local_cutoff rows collect once and fit a seeded
     numpy EM on the driver; larger inputs keep MLlib's distributed
-    EM. EITHER way the registered assignment is argmax of
+    EM. The local regime registers argmax of
     ln(w_k) − ½(ln|Σ_k| + (x−μ_k)ᵀΣ_k⁻¹(x−μ_k)) with ties to the
     LOWEST component id — pure-JVM expressions over one nested
     literal (the kmeans assign pattern), the exact formula the q67
-    oracle replays from the exported fixtures."""
+    oracle replays from the exported fixtures; the MLlib regime
+    registers model.transform (MLlib's posterior argmax)."""
     import numpy as np
 
     spark = df.sparkSession
     head = df.select(array_col).limit(local_cutoff + 1).collect()
+    fitted = None
     if len(head) <= local_cutoff and head:
         X = np.array([r[0] for r in head], dtype=float)
-        weights, means, covs = _local_gmm(X, k, seed)
+        fitted = _local_gmm(X, k, seed)
+        # degenerate input (1 row / k>n tiny sets): np.cov yields NaN
+        # covariances that would otherwise flow into the assignment
+        # literals — fall back to the MLlib fit instead (ADVICE r9)
+        if not all(bool(np.isfinite(a).all()) for a in fitted):
+            fitted = None
+    if fitted is not None:
+        weights, means, covs = fitted
         model = _LocalGMMModel(spark, weights, means, covs)
         d = X.shape[1]
         consts, mus, precs = [], [], []
@@ -2209,7 +2242,7 @@ def svd_train(
 def tfidf_score_table(
     bags: DataFrame,
     dfs: DataFrame,
-    corpus_size: int,
+    corpus_size: int | None,
     tf_type: str = "raw",
     idf_type: str = "inverseSmooth",
     id_col: str = "doc_id",
@@ -2240,6 +2273,17 @@ def tfidf_score_table(
         "probabilisticInverse",
     ):
         raise ValueError(f"unknown idfType {idf_type!r}")
+    # corpus_size=None means "caller skipped the corpus count" — legal
+    # for the N-free flavors (unary/inverseMax); an N-dependent idf
+    # without a real count must fail loudly here, not emit -inf/NaN
+    # scores downstream (ADVICE r9)
+    if corpus_size is None and idf_type in (
+        "inverse", "inverseSmooth", "probabilisticInverse",
+    ):
+        raise ValueError(
+            f"idfType {idf_type!r} needs the corpus size N — pass the "
+            f"document count instead of corpus_size=None"
+        )
     j = bags.join(F.broadcast(dfs), term_col, "left").withColumn(
         "__df", F.coalesce(F.col(df_col), F.lit(0)).cast("double")
     )
@@ -2253,7 +2297,7 @@ def tfidf_score_table(
         "log": F.log(F.lit(1.0) + f),
         "augmented": F.lit(0.5) + F.lit(0.5) * f / F.col("__maxF"),
     }[tf_type]
-    n = F.lit(float(corpus_size))
+    n = F.lit(float(corpus_size if corpus_size is not None else 0.0))
     dfv = F.col("__df")
     idf = {
         "unary": F.lit(1.0),

@@ -429,10 +429,14 @@ def column_expr(
         if cl is None:
             continue
         clauses.extend(cl if isinstance(cl, (list, tuple)) else [cl])
-    rendered = " ".join(str(getattr(c, "_jc", c)) for c in clauses)
+    # lowercase both sides: Spark resolves attribute names
+    # case-insensitively, so F.col("N_DISTINCT_APPROX") executes fine
+    # yet a case-sensitive sniff would miss it and leave the stat NULL
+    # (ADVICE r9) — an ORDER BY-only clause would then sort all-NULLs
+    rendered = " ".join(str(getattr(c, "_jc", c)) for c in clauses).lower()
     stats = column_stats(
         df,
-        need_counts=("rowCount" in rendered) or ("n_nonnull" in rendered),
+        need_counts=("rowcount" in rendered) or ("n_nonnull" in rendered),
         need_distinct="n_distinct_approx" in rendered,
     )
     if where is not None:

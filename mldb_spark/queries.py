@@ -3151,13 +3151,12 @@ def qa23_tfidf_matrix(spark: SparkSession, sf: str) -> DataFrame:
     )
     dfs = bags.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus_size is UNUSED by the (augmented, inverseMax) combination
-    # — neither expression references N (tfidf_score_table builds N
-    # only into inverse/inverseSmooth/probabilisticInverse idf) — so
-    # the eager docs.count() here was a wasted full corpus pass
-    # (optimization r9). Pass 0; changing idf_type back to an
-    # N-dependent flavor requires restoring the count.
+    # — neither expression references N — so the eager docs.count()
+    # here was a wasted full corpus pass (optimization r9). None makes
+    # the coupling explicit: tfidf_score_table raises if an
+    # N-dependent idf flavor is ever requested without a real count.
     out = tfidf_score_table(
-        bags, dfs, 0, tf_type="augmented", idf_type="inverseMax"
+        bags, dfs, None, tf_type="augmented", idf_type="inverseMax"
     )
     return (
         out.filter(F.col("term").isin("the", "data", "model", "learning"))

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mldb_spark.catalog import load
@@ -814,3 +815,98 @@ def test_local_logistic_degenerate_falls_back(spark):
     assert not isinstance(model, _LocalLogisticModel)
     out = reg.apply("lrconst", df)
     assert out.select("score").count() == 20
+
+
+def test_svd_local_gram_matches_distributed(spark):
+    """The bounded local (numpy bincount) Gram and the distributed
+    self-join Gram produce the same factorization on the same cells
+    (optimization r10). Forcing the distributed path via the cells
+    cap must yield singular values equal to the local path's to
+    float tolerance (same Gram, same eigh)."""
+    import mldb_spark.ml.procedures as proc
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    rows = [
+        (f"r{i}", f"c{j}", float((i * 7 + j * 3) % 5 + 1))
+        for i in range(40)
+        for j in range(6)
+        if (i + j) % 3
+    ]
+    cells = spark.createDataFrame(rows, "row_id string, column string, value double")
+    _, cols_l, sv_l = proc.svd_train(
+        cells, k=3, name="svdl", registry=FunctionRegistry()
+    )
+    orig = proc._LOCAL_GRAM_CELLS_CAP
+    proc._LOCAL_GRAM_CELLS_CAP = 0  # force the distributed join
+    try:
+        _, cols_d, sv_d = proc.svd_train(
+            cells, k=3, name="svdd", registry=FunctionRegistry()
+        )
+    finally:
+        proc._LOCAL_GRAM_CELLS_CAP = orig
+    assert sv_l == [pytest.approx(s, abs=1e-9) for s in sv_d]
+    lv = {r["column"]: r["embedding"] for r in cols_l.collect()}
+    dv = {r["column"]: r["embedding"] for r in cols_d.collect()}
+    assert set(lv) == set(dv)
+    for c in lv:
+        # eigenvectors are sign-ambiguous per component only when
+        # eigh breaks ties differently; same Gram (to ULP) keeps the
+        # same basis, so compare absolute values conservatively
+        assert [abs(x) for x in lv[c]] == [
+            pytest.approx(abs(x), abs=1e-7) for x in dv[c]
+        ]
+
+
+def test_gmm_degenerate_input_falls_back(spark):
+    """1-row input: np.cov is NaN — the local GMM must fall back to
+    MLlib instead of registering NaN literals (ADVICE r9)."""
+    from mldb_spark.ml.procedures import gaussian_clustering_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    df = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
+    reg = FunctionRegistry()
+    gaussian_clustering_train(df, "embedding", k=2, name="gmm1", registry=reg)
+    out = reg.apply("gmm1", df).select("prediction").collect()
+    assert len(out) == 1 and out[0][0] is not None
+
+
+def test_classifier_partial_convergence_uses_mllib(spark):
+    """max_iter below the default asks for partial convergence —
+    only MLlib honors it, so the local Newton fast path must step
+    aside (ADVICE r9)."""
+    from mldb_spark.ml.procedures import _LocalLogisticModel, classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    rows = [(float(i), float(i % 2)) for i in range(30)]
+    df = spark.createDataFrame(rows, "f1 double, label double")
+    reg = FunctionRegistry()
+    model = classifier_train(df, ["f1"], "label", "lrpart", reg, max_iter=5)
+    assert not isinstance(model, _LocalLogisticModel)
+
+
+def test_local_scorer_raises_on_null_feature(spark):
+    """The local fast-path scorer shares the MLlib regime's error
+    surface: a NULL feature at apply time raises instead of silently
+    scoring NULL (ADVICE r9)."""
+    from mldb_spark.ml.procedures import _LocalLogisticModel, classifier_train
+    from mldb_spark.ml.registry import FunctionRegistry
+
+    rows = [(float(i), 1.0, float(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, label double")
+    reg = FunctionRegistry()
+    model = classifier_train(df, ["f1", "f2"], "label", "lrnull", reg)
+    assert isinstance(model, _LocalLogisticModel)
+    bad = spark.createDataFrame(
+        [(1.0, None)], "f1 double, f2 double"
+    )
+    with pytest.raises(Exception, match="NULL feature"):
+        reg.apply("lrnull", bad).select("score").collect()
+
+
+def test_tfidf_none_corpus_size_guard():
+    """corpus_size=None is legal only for the N-free idf flavors; an
+    N-dependent flavor must fail loudly (ADVICE r9)."""
+    from mldb_spark.ml.procedures import tfidf_score_table
+
+    with pytest.raises(ValueError, match="corpus size"):
+        tfidf_score_table(None, None, None, idf_type="inverseSmooth")
