@@ -3516,11 +3516,18 @@ def qa31_reddit_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def _stage_transpose():
-        tr = transpose_cells(
-            cells.select(
-                F.col("doc_id").cast("string").alias("row"),
-                "column",
-                "value",
+        # persisted: the transposed table is consumed twice (the
+        # counts stage AND the query's returned frame, which the
+        # bench's noop write executes after the stages) — without the
+        # persist the O(cells) transpose shuffle runs again at write
+        # time, outside any stage figure (guide §2.4).
+        tr = persist_tracked(
+            transpose_cells(
+                cells.select(
+                    F.col("doc_id").cast("string").alias("row"),
+                    "column",
+                    "value",
+                )
             )
         )
         tr.count()
@@ -3593,11 +3600,15 @@ def qa32_stackoverflow_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     cells = _timed_stage(gate, "transform_tokenize", _stage_tokenize)
 
     def _stage_transpose():
-        tr = transpose_cells(
-            cells.select(
-                F.col("doc_id").cast("string").alias("row"),
-                "column",
-                "value",
+        # persisted for the same two-consumer reason as qa31: the
+        # counts stage and the returned frame both execute it.
+        tr = persist_tracked(
+            transpose_cells(
+                cells.select(
+                    F.col("doc_id").cast("string").alias("row"),
+                    "column",
+                    "value",
+                )
             )
         )
         tr.count()
