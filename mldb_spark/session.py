@@ -12,7 +12,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "mldb_spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "mldb_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     Local mode defaults come from $SPARK_GRAFT_CPUS (driver contract);
@@ -35,9 +39,12 @@ def get_spark(app_name: str = "mldb_spark", master: str | None = None) -> SparkS
     if active is not None:
         return active
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 8)
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

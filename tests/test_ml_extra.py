@@ -753,7 +753,13 @@ def test_local_svc_matches_mllib_optimum(spark):
     from pyspark.ml.feature import VectorAssembler
 
     assembler = VectorAssembler(inputCols=["f1", "f2", "f3"], outputCol="features")
-    ml = LinearSVC(maxIter=200, regParam=0.01, tol=1e-9).fit(assembler.transform(df))
+    # coalesce(1): same rows, same objective, same optimum — but the
+    # 200-iteration OWLQN reference fit schedules 1 task per
+    # treeAggregate instead of <default parallelism>, which is most of
+    # this test's wall-clock on tiny data.
+    assembled = assembler.transform(df).coalesce(1).cache()
+    ml = LinearSVC(maxIter=200, regParam=0.01, tol=1e-9).fit(assembled)
+    assembled.unpersist()
     assert np.abs(w - np.array(ml.coefficients)).max() < 2e-3
     assert abs(float(model.intercept) - float(ml.intercept)) < 2e-3
 
