@@ -56,17 +56,23 @@ def main() -> int:
             df.write.mode("overwrite").format("noop").save()
             el = time.time() - t0
             best = el if best is None else min(best, el)
+            # capture the plan BEFORE releasing the query's tracked
+            # persists: the dump must reflect what the timed noop
+            # write actually executed (InMemoryTableScan over a
+            # persisted intermediate, not its post-release recompute)
+            if args.plan_dir:
+                os.makedirs(args.plan_dir, exist_ok=True)
+                buf = io.StringIO()
+                with redirect_stdout(buf):
+                    df.explain("formatted")
+                path = os.path.join(
+                    args.plan_dir, f"{name}{args.suffix}.txt"
+                )
+                with open(path, "w") as f:
+                    f.write(buf.getvalue())
             release_cached()
             spark.catalog.clearCache()
         print(f"{name}: best-of-{args.runs} {best:.3f}s", flush=True)
-        if args.plan_dir and df is not None:
-            os.makedirs(args.plan_dir, exist_ok=True)
-            buf = io.StringIO()
-            with redirect_stdout(buf):
-                df.explain("formatted")
-            path = os.path.join(args.plan_dir, f"{name}{args.suffix}.txt")
-            with open(path, "w") as f:
-                f.write(buf.getvalue())
     return 0
 
 
