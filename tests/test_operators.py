@@ -772,15 +772,12 @@ def test_get_all_where_row_general_predicate(spark):
         all_cells(cells, where_row=F.lit(True))
 
 
-def test_dialect_all_cells_from_clause(mldb_ctx_factory=None):
+def test_dialect_all_cells_from_clause(spark):
     """SQL surface: FROM all_cells(ds, x > 4 AND y < 3) reaches the
     general GET_ALL WHERE; predicate names are logical cell
     columns."""
     from mldb_spark.dialect import MldbContext
-    from mldb_spark.session import get_spark
     from pyspark.sql import functions as F
-
-    spark = get_spark()
     cells = spark.createDataFrame(
         [
             ("u1", "x", 1.0, "2024-01-01"),
