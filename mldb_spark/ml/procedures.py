@@ -240,12 +240,19 @@ class _LocalLogisticModel:
         self.intercept = intercept
 
 
-def _try_local_logistic(df: DataFrame, feature_cols, label_col, lam: float):
+def _try_local_logistic(
+    df: DataFrame, feature_cols, label_col, lam: float, max_iter: int = 50
+):
     """Bounded-collect front end for _local_logistic: returns
     (coefficients, intercept) or None when the input exceeds the
     local bounds or looks degenerate (NaN/null features, constant
     labels) — those keep the exact MLlib path and its error
-    surface."""
+    surface. max_iter is honored as an ITERATION BUDGET (the same
+    upper-bound semantics MLlib's maxIter has): Newton runs at most
+    max_iter steps and the result is used only if it CONVERGED within
+    them — so the caller never sees a partially-converged local
+    answer; if the budget is too small to converge, the MLlib path
+    (which can legitimately stop early) takes over."""
     import numpy as np
 
     if len(feature_cols) > _LR_LOCAL_FEATS:
@@ -266,7 +273,7 @@ def _try_local_logistic(df: DataFrame, feature_cols, label_col, lam: float):
     X, y = M[:, :-1], M[:, -1]
     if y.min() == y.max() or not set(np.unique(y)) <= {0.0, 1.0}:
         return None
-    return _local_logistic(X, y, lam)
+    return _local_logistic(X, y, lam, max_iter=max_iter)
 
 
 def classifier_train(
@@ -428,12 +435,17 @@ def classifier_train(
     # collect is bounded (_LR_LOCAL_ROWS/_LR_LOCAL_FEATS); anything
     # bigger, weighted, degenerate, or non-boolean keeps the
     # distributed MLlib fit and its exact error surface.
-    # max_iter below the default asks for PARTIAL convergence — only
-    # the MLlib path honors that; the Newton fast path always returns
-    # the converged optimum, so gate it out (ADVICE r9)
-    if algo == "glz" and mode == "boolean" and not weight_col and max_iter >= 50:
+    # max_iter is an ITERATION BUDGET (MLlib's maxIter is the same
+    # upper bound, not a demand for partial convergence): the Newton
+    # fast path runs under the caller's budget and is used only when
+    # it CONVERGED within it — a budget too small to converge falls
+    # back to MLlib, the only path with meaningful partial-convergence
+    # behavior (ADVICE r9, re-tuned in r10: the original >= 50 gate
+    # re-routed q74's max_iter=20 fold fits to ~50 scheduled
+    # treeAggregate jobs each when Newton converges in ~8 steps)
+    if algo == "glz" and mode == "boolean" and not weight_col:
         local = _try_local_logistic(
-            df, feature_cols, label_col, lam=_GLZ_REG_PARAM
+            df, feature_cols, label_col, lam=_GLZ_REG_PARAM, max_iter=max_iter
         )
         if local is not None:
             w_loc, b_loc = local

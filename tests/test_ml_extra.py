@@ -877,17 +877,24 @@ def test_gmm_degenerate_input_falls_back(spark):
 
 
 def test_classifier_partial_convergence_uses_mllib(spark):
-    """max_iter below the default asks for partial convergence —
-    only MLlib honors it, so the local Newton fast path must step
-    aside (ADVICE r9)."""
+    """max_iter is an iteration BUDGET: a budget too small for the
+    local Newton to converge in must fall back to MLlib (the only
+    path with meaningful partial-convergence behavior), while a
+    budget Newton converges within keeps the fast path (ADVICE r9,
+    budget semantics r10)."""
     from mldb_spark.ml.procedures import _LocalLogisticModel, classifier_train
     from mldb_spark.ml.registry import FunctionRegistry
 
     rows = [(float(i), float(i % 2)) for i in range(30)]
     df = spark.createDataFrame(rows, "f1 double, label double")
     reg = FunctionRegistry()
-    model = classifier_train(df, ["f1"], "label", "lrpart", reg, max_iter=5)
+    # 1 Newton step cannot reach tol=1e-12 — must step aside
+    model = classifier_train(df, ["f1"], "label", "lrpart", reg, max_iter=1)
     assert not isinstance(model, _LocalLogisticModel)
+    # a realistic sub-default budget that Newton converges within
+    # (q74 passes max_iter=20) keeps the fast path
+    model20 = classifier_train(df, ["f1"], "label", "lrp20", reg, max_iter=20)
+    assert isinstance(model20, _LocalLogisticModel)
 
 
 def test_local_scorer_raises_on_null_feature(spark):
