@@ -63,7 +63,21 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Heap sized to the LOCAL workload, not the box (guide §5;
+        # optimization r10): this sandbox's hypervisor charges ~3-60µs
+        # per first-touch page fault, so an oversized lazily-grown heap
+        # is a fault DEBT the first queries that allocate big
+        # sort/aggregation buffers pay down mid-stage (measured: 32-task
+        # stages with seconds of executorRunTime at <5% CPU; qa24 6.2s
+        # -> 2.8s and q89 3.5s -> 0.7s on a fully-faulted heap).
+        # 10g covers every sf<=1 gate with wide margin and bounds the
+        # debt; scale runs (the 16x probe, a real cluster) size memory
+        # externally via SPARK_DRIVER_MEMORY / cluster conf as before.
+        # (-Xms/-XX:+AlwaysPreTouch moved the debt to a ~6min session
+        # start; THP halved fault counts but its madvise defrag stalled
+        # q85's shuffle 9x — both measured and rejected, see
+        # OPTIMIZATION_r10.md.)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "10g"))
         .config("spark.ui.enabled", "false")
         # no console progress bars: harnesses capture stdout/stderr and
         # 90 queries of \r-rewritten bars swamp (and truncate) the one
