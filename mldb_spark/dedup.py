@@ -620,22 +620,54 @@ def connected_components(
 
     HYBRID small-graph path: after banding + similarity filtering the
     surviving pair set is typically orders of magnitude smaller than
-    the corpus. When the deduped edge count is <= driver_cutoff
-    (LOUD CAP — the count is exact, measured on the materialized
-    cache, and the bound is an explicit parameter), components are
-    resolved with exact driver-side union-find in one collect instead
-    of paying O(log d) Spark rounds of pure scheduling latency on a
-    metadata-sized table. 1M edges ~ 32 MB on the driver. Pass
-    driver_cutoff=0 to force the distributed loop (the oracle gate
-    qa13 does, so the scale path stays correctness-gated); at a 100 TB
-    corpus with billions of candidate pairs the count exceeds any
-    sane cutoff and the distributed loop runs as before.
+    the corpus. When the RAW pair count is <= driver_cutoff (LOUD CAP
+    — the count is exact, measured on the materialized cache, and the
+    bound is an explicit parameter; duplicate input pairs only push
+    toward the distributed path, never past the driver bound),
+    components are resolved with exact driver-side union-find in one
+    collect instead of paying O(log d) Spark rounds of pure
+    scheduling latency on a metadata-sized table. 1M edges ~ 32 MB on
+    the driver. Pass driver_cutoff=0 to force the distributed loop
+    (the oracle gate qa13 does, so the scale path stays
+    correctness-gated); at a 100 TB corpus with billions of candidate
+    pairs the count exceeds any sane cutoff and the distributed loop
+    runs as before.
     """
+    # The driver path needs only the RAW pairs (union-find is
+    # insensitive to duplicates, orientation and self-loops), so the
+    # symmetrize+distinct exchange below is deferred to the
+    # distributed branch that actually needs it (optimization r10:
+    # the hybrid path previously paid one full shuffle per CC call
+    # just to decide and feed a driver-side union-find — qa24/qa21
+    # carried an Exchange + HashAggregate pair that never influenced
+    # the result). `pairs` is typically the WHOLE un-persisted
+    # banding + rescore pipeline, so it is persisted either way: the
+    # count materializes the cache, and whichever branch runs reads
+    # the cache, never re-executes the pipeline.
+    if driver_cutoff > 0:
+        pairs_cached = persist_tracked(pairs.select(a_col, b_col))
+        n_pairs = pairs_cached.count()
+        if n_pairs <= driver_cutoff:
+            half = pairs_cached.collect()  # from cache
+            label_of = _union_find_min_label(
+                [(r[a_col], r[b_col]) for r in half]
+            )
+            node_type = pairs_cached.schema[a_col].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("node", node_type, False),
+                    T.StructField("component", node_type, False),
+                ]
+            )
+            out = pairs.sparkSession.createDataFrame(
+                sorted(label_of.items()), schema
+            )
+            pairs_cached.unpersist()
+            return out
+        pairs = pairs_cached  # distributed branch reads the cache
     # symmetrize in ONE pass over pairs (optimization r9): the old
-    # two-arm union read the pairs input twice, and `pairs` is
-    # typically the WHOLE un-persisted banding + rescore pipeline
-    # (semantic_dedup, the SQL dedup chain) — its plan executed once
-    # per arm. explode over both orientations reads it once.
+    # two-arm union read the pairs input twice — explode over both
+    # orientations reads it once.
     edges = persist_tracked(
         pairs.select(
             F.explode(
@@ -652,23 +684,11 @@ def connected_components(
         .select("__e.node", "__e.nbr")
         .distinct()
     )
-    # one action: materializes the cache AND decides the path
-    n_sym_edges = edges.count()
-    if n_sym_edges <= 2 * driver_cutoff:
-        half = edges.filter(F.col("node") < F.col("nbr")).collect()  # from cache
-        label_of = _union_find_min_label([(r["node"], r["nbr"]) for r in half])
-        node_type = edges.schema["node"].dataType
-        schema = T.StructType(
-            [
-                T.StructField("node", node_type, False),
-                T.StructField("component", node_type, False),
-            ]
-        )
-        out = pairs.sparkSession.createDataFrame(
-            sorted(label_of.items()), schema
-        )
-        edges.unpersist()
-        return out
+    # one action: materializes the edge cache before the loop; the
+    # raw-pair cache (if any) is fully consumed by it
+    edges.count()
+    if driver_cutoff > 0:
+        pairs.unpersist()
     # localCheckpoint per round truncates the lineage — without it
     # each round's logical plan nests the previous round's and
     # Catalyst analysis time compounds (the classic iterative-algo

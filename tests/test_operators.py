@@ -706,6 +706,33 @@ def test_connected_components_unconverged_raises(spark):
         connected_components(pairs, max_iter=2, driver_cutoff=0).count()
 
 
+@_pytest.mark.parametrize("cutoff", [0, 1_000_000], ids=["distributed", "driver"])
+def test_connected_components_messy_pairs(spark, cutoff):
+    """The driver path now consumes RAW pairs (optimization r10 — the
+    symmetrize+distinct exchange is deferred to the distributed
+    branch), so union-find must tolerate duplicate pairs, both
+    orientations of the same edge, and self-loops; the distributed
+    path dedups them through the edge distinct. Both paths must agree
+    on the same messy input."""
+    from mldb_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (1, 2), (2, 1),   # duplicate + reversed orientation
+            (3, 3),                    # self-loop
+            (2, 3),
+            (7, 8),
+        ],
+        "a long, b long",
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_cutoff=cutoff).collect()
+    }
+    assert {n: out[n] for n in (1, 2, 3)} == {1: 1, 2: 1, 3: 1}
+    assert out[7] == 7 and out[8] == 7
+
+
 def test_connected_components_hybrid_paths_agree_random(spark):
     """Property: on a seeded random graph (200 nodes, 180 edges —
     mixes chains, merges, and singletons), the driver union-find path
