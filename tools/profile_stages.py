@@ -41,7 +41,7 @@ def main() -> int:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "10g"))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
